@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def catalogs: Seq[OpCatalog] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.EventOps)
 
   lazy val ops: Seq[Op] = catalogs.flatMap(_.ops)
 

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{GraftSession, Op, OpCatalog, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators (SURVEY.md §2.3 E15–E18): JSON extraction,
+  * event-time tumbling/sliding windows, gap sessionization, as-of join and
+  * a pivot. These are the batch embodiments of streaming semantics — the
+  * same windows run under Structured Streaming in `graft.streaming`.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as nanos-since-
+  * epoch LongType (`spark.sql.legacy.parquet.nanosAsLong`, set in
+  * `GraftSession.tune`). All time arithmetic here is integer math on epoch
+  * millis — exact in both Spark and the DuckDB oracle, immune to
+  * timestamp-precision mismatches (SURVEY.md §7.4 risk 2).
+  *
+  * Scale notes: every operator shuffles once on its natural key (window
+  * bucket / user_id); sessionization and as-of use analytic windows — a
+  * single sort within user partitions, no self-join blowup. Skewed users
+  * are handled by AQE skew-join/partition-split at runtime.
+  */
+object EventOps extends OpCatalog {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def money(decimalSum: Column): Column =
+    round(decimalSum, 2).cast("double")
+
+  /** events with an epoch-millis column derived from the nanos long. */
+  private def eventsMs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).withColumn("ms", expr("ts div 1000000"))
+
+  // ---------------------------------------------------------------- q20
+  /** JSON extraction (E15): pull `$.k` out of the props JSON string and
+    * aggregate per event type. `get_json_object` is codegen'd — no UDF. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(col("k")).as("sum_k"),
+        money(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Tumbling event-time window (E16): Spark's native `window()` operator,
+    * 1-hour buckets. Output key is the bucket start in epoch millis —
+    * `window()` aligns to the epoch, so the oracle's integer bucket math
+    * (`ms // 3600000 * 3600000`) lands on the identical grid. */
+  def eventTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    eventsMs(spark, sfDir)
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("tsc"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        money(sum(dec(col("value")))).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start"),
+        col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
+  private val eventTumblingSql =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Sliding event-time window (E16): 1-hour windows every 30 minutes —
+    * each event lands in two buckets. The oracle reproduces the expansion
+    * with a 2-row unnest cross join. */
+  def eventSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    eventsMs(spark, sfDir)
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("tsc"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        money(sum(dec(col("value")))).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"))
+  }
+
+  private val eventSlidingSql =
+    """SELECT win_start, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - off * 1800000 AS win_start, value
+      |  FROM events, (SELECT unnest([0, 1]) AS off) offs)
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Gap-based sessionization (E17): a session ends after 30 idle minutes.
+    * Classic lag + cumulative-sum formulation — one window sort per user,
+    * linear in events, no self-join; DuckDB mirrors it verbatim. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val sessions = eventsMs(spark, sfDir)
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("sess_events"),
+        ((max(col("ms")) - min(col("ms"))) / 1000).cast("long")
+          .as("sess_dur_s"))
+    sessions.groupBy(col("user_id"))
+      .agg(max(col("sess")).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"),
+        max(col("sess_dur_s")).as("max_session_dur_s"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ms,
+      |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g),
+      |per_sess AS (
+      |  SELECT user_id, sess, count(*) AS sess_events,
+      |    (max(ms) - min(ms)) // 1000 AS sess_dur_s
+      |  FROM s GROUP BY user_id, sess)
+      |SELECT user_id,
+      |  CAST(max(sess) AS BIGINT) AS n_sessions,
+      |  CAST(sum(sess_events) AS BIGINT) AS n_events,
+      |  CAST(max(sess_events) AS BIGINT) AS max_session_events,
+      |  CAST(max(sess_dur_s) AS BIGINT) AS max_session_dur_s
+      |FROM per_sess
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** As-of join shape (E18): for every purchase, the most recent prior
+    * click by the same user. Implemented the scalable way — a single
+    * union-free analytic pass (`last(..., ignoreNulls)` over a
+    * rows-preceding frame), not a pairwise self-join: linear per user at
+    * any scale. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsMs(spark, sfDir)
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("last_click"), lit(-1L)).as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofJoinSql =
+    """SELECT event_id AS purchase_id, user_id,
+      |  coalesce(last_click, -1) AS click_id
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Pivot (wide aggregation): event-type counts per user cohort. Pivot
+    * values are declared explicitly — no extra distinct-collect job. */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", types)
+      .count()
+      .select(col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("cohort"))
+  }
+
+  private val pivotCountsSql =
+    """SELECT user_id % 10 AS cohort,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("q20_json_extract", jsonExtract, Some(jsonExtractSql),
+      "JSON field extraction + agg over events.props"),
+    Op("q21_event_tumbling", eventTumbling, Some(eventTumblingSql),
+      "1-hour tumbling event-time windows (native window())"),
+    Op("q22_event_sliding", eventSliding, Some(eventSlidingSql),
+      "1-hour / 30-min sliding event-time windows"),
+    Op("q23_sessionize", sessionize, Some(sessionizeSql),
+      "gap-based sessionization (30-min idle timeout)"),
+    Op("q24_asof_join", asofJoin, Some(asofJoinSql),
+      "as-of join: last prior click per purchase, analytic-window impl"),
+    Op("q25_pivot", pivotCounts, Some(pivotCountsSql),
+      "pivot: event-type counts per user cohort"))
+}
