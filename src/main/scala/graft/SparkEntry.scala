@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def catalogs: Seq[OpCatalog] = Seq(
     operators.Relational,
-    operators.EventOps)
+    operators.EventOps,
+    operators.TextOps,
+    operators.VectorOps)
 
   lazy val ops: Seq[Op] = catalogs.flatMap(_.ops)
 

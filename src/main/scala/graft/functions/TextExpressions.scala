@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for document fingerprinting (SURVEY.md §2.3
+  * E11/E12 scale path; north-star text-analysis ops). Native expressions
+  * rather than Scala UDFs: no Row boxing/encoding per call, null handling
+  * from `UnaryExpression`, and an upgrade path to `doGenCode`. All hashing
+  * uses Spark's own XXH64 (`org.apache.spark.sql.catalyst.expressions.XXH64`)
+  * so results are deterministic across JVMs/partitions.
+  */
+object TextExpressions {
+
+  private[functions] def hashToken(t: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, seed)
+
+  /** 64-bit SimHash of a token array: per-bit majority vote over token
+    * hashes. Near-identical token multisets → small Hamming distance. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val acc = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val h = hashToken(arr.getUTF8String(i), 0L)
+          var b = 0
+          while (b < 64) {
+            acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (acc(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** MinHash signature: `k` permutation minima over token hashes (seeded
+    * XXH64 stands in for k independent permutations). Input array<string>,
+    * output array<long> of length k. Empty input → array of Long.MaxValue. */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill[Long](k)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val t = arr.getUTF8String(i)
+          var p = 0
+          while (p < k) {
+            val h = hashToken(t, p.toLong)
+            if (h < sig(p)) sig(p) = h
+            p += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  /** Polynomial rolling hash over a string's UTF-8 bytes — an
+    * order-sensitive content fingerprint (two docs with the same words in a
+    * different order get different fingerprints, unlike SimHash/MinHash). */
+  case class RollingHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 31L + bytes(i)
+        i += 1
+      }
+      h
+    }
+    override protected def withNewChildInternal(c: Expression): RollingHash64 =
+      copy(child = c)
+    override def prettyName: String = "rolling_hash64"
+  }
+
+  // Column-level wrappers (Spark 4: Column ↔ Expression via GraftBridge)
+  import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def minhashSignature(c: Column, k: Int): Column =
+    toCol(MinHashSignature(toExpr(c), k))
+  def rollingHash64(c: Column): Column = toCol(RollingHash64(toExpr(c)))
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for embedding similarity (SURVEY.md §2.3
+  * E13; north-star similarity-search ops). A single fused pass per vector
+  * pair — versus three separate higher-order `aggregate()` calls — keeps
+  * the hot loop primitive-typed with no per-element lambda dispatch.
+  * Accumulation is in Double, in index order, so results are deterministic.
+  */
+object VectorExpressions {
+
+  private[functions] def floatsOf(a: ArrayData): Array[Float] =
+    a.toFloatArray()
+
+  /** Cosine similarity of two float vectors, computed in one pass with
+    * double accumulation. Returns null if either side is null; 0.0 if
+    * either norm is zero. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = floatsOf(l.asInstanceOf[ArrayData])
+      val b = floatsOf(r.asInstanceOf[ArrayData])
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSimilarity = copy(l, r)
+    override def prettyName: String = "cosine_similarity"
+  }
+
+  /** Random-hyperplane LSH bucket of a float vector: `nBits` sign bits of
+    * dot products against pseudo-random Rademacher (±1) hyperplanes. The
+    * hyperplane components are bits of XXH64(dim-block, seed=plane) — fully
+    * deterministic, no stored model, any dimension. Vectors with high cosine
+    * similarity collide in buckets with high probability (SimHash LSH family
+    * for angular distance). */
+  case class HyperplaneBucket(child: Expression, nBits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nBits > 0 && nBits <= 30, "nBits must be in 1..30")
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val v = floatsOf(input.asInstanceOf[ArrayData])
+      var bucket = 0
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          // 64 ±1 components per XXH64 word; block index = i / 64
+          val word = XXH64.hashLong((i >> 6).toLong, p.toLong)
+          val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
+          s += sign * v(i)
+          i += 1
+        }
+        if (s > 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+    override def prettyName: String = "hyperplane_bucket"
+  }
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+  def hyperplaneBucket(v: Column, nBits: Int): Column =
+    toCol(HyperplaneBucket(toExpr(v), nBits))
+}

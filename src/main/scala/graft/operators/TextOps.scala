@@ -1,0 +1,321 @@
+package graft.operators
+
+import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.TextExpressions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators over `documents` (SURVEY.md
+  * §2.3 E11/E12/E14; north-star dedup + text-analysis set).
+  *
+  * Dedup ladder, cheapest→strongest, each with a distinct scale profile:
+  *  - exact (q30/q31): hash-groupBy — one shuffle on the key, linear.
+  *  - near-dup pairwise (q32): 3-gram shingles + blocked Jaccard self-join —
+  *    exact answer, DuckDB-checkable, but quadratic within blocks; the
+  *    small-block regime only.
+  *  - MinHash LSH (q33): banded signatures → candidates share a band bucket
+  *    → verify candidates exactly. Linear + one shuffle on band keys; THE
+  *    100 TB path (candidate count ≈ true-pair count, not n²).
+  *  - SimHash (q34): 64-bit fingerprints, banded Hamming candidates —
+  *    constant per-doc state, cheapest near-dup signal.
+  */
+object TextOps extends OpCatalog {
+
+  /** Documents with lowercased word tokens. */
+  private def toks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+
+  /** Distinct 3-gram word shingles: order-sensitive near-dup features. */
+  private val shingles: Column = array_distinct(
+    expr("transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+
+  // ---------------------------------------------------------------- q30
+  /** Exact dedup, content-keyed (E11): group by full text, keep the lowest
+    * doc_id. Summary row so the result is stable at any SF. Equivalent to
+    * `dropDuplicates("text")` but with a deterministic survivor. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("cnt") - 1).as("n_dups_removed"),
+        sum(col("cnt")).as("n_docs"))
+  }
+
+  private val dedupExactSql =
+    """SELECT count(*) AS n_unique,
+      |  CAST(sum(cnt - 1) AS BIGINT) AS n_dups_removed,
+      |  CAST(sum(cnt) AS BIGINT) AS n_docs
+      |FROM (SELECT count(*) AS cnt, min(doc_id) AS keeper
+      |      FROM documents GROUP BY text)""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Keyed dedup with deterministic survivor (E11): one row per
+    * (lang, source), keeping the lowest doc_id — the `row_number() = 1`
+    * formulation of `dropDuplicates`, which (unlike dropDuplicates itself)
+    * pins WHICH row survives. */
+  def dedupKeyed(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id").as("keeper"),
+        col("n_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val dedupKeyedSql =
+    """SELECT lang, source, doc_id AS keeper, n_chars
+      |FROM (SELECT lang, source, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Near-dup detection, exact pairwise (E12): 3-gram shingle Jaccard ≥ 0.8
+    * within lang blocks. Jaccard is an integer ratio — bit-identical in both
+    * engines. Quadratic within blocks by design; q33 is the scale path. */
+  def neardupShingle(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val d = toks(spark, sfDir).select(col("lang"), col("doc_id"),
+      shingles.as("sh"))
+    val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val neardupShingleSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+      |SELECT id_a, id_b, round(jac, 4) AS jac FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) /
+      |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Near-dup via MinHash LSH (E12 scale path): 32-permutation signatures,
+    * 8 bands × 4 rows. Candidates = pairs sharing any band bucket (shuffle
+    * on band keys — linear, no n² join); candidates are then verified with
+    * the exact shingle Jaccard. Same schema as q32. Not oracle-declared
+    * (DuckDB has no XXH64); `TextOpsSpec` asserts q33 ⊆ q32 (precision 1.0
+    * by construction) and measures recall. */
+  def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val bands = 8
+    val rows = 4
+    val d = toks(spark, sfDir)
+      .select(col("doc_id"), col("lang"), shingles.as("sh"))
+      .withColumn("sig", TextExpressions.minhashSignature(col("sh"), bands * rows))
+    // band key: (band index, hash of the band's signature slice)
+    val banded = d.select(col("doc_id"), col("lang"), col("sh"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+          .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"), col("lang"))
+    val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"), col("lang").as("lang_r"))
+    l.join(r, col("band") === col("band_r") && col("bucket") === col("bucket_r")
+        && col("lang") === col("lang_r") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may collide in many bands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** SimHash fingerprints (E12, cheapest signal): 64-bit fingerprint per
+    * doc via a custom Catalyst expression; near-dup candidates share one of
+    * four 16-bit Hamming bands. Output: candidate pairs + Hamming distance
+    * ≤ 6. Not oracle-declared (engine-specific hash); spec-verified. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val d = toks(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextExpressions.simhash64(shingles).as("fp"))
+    val banded = d.select(col("doc_id"), col("lang"), col("fp"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(fp, b * 16) & 65535)"))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("lang"),
+      col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band").as("band_r"), col("chunk").as("chunk_r"),
+      col("lang").as("lang_r"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, col("band") === col("band_r") && col("chunk") === col("chunk_r")
+        && col("lang") === col("lang_r") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Per-document token stats (E14 / north-star token counting): token
+    * count, distinct tokens, type-token ratio, mean token length. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    toks(spark, sfDir)
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        round(size(array_distinct(col("w"))) / size(col("w")).cast("double"), 4)
+          .as("ttr"),
+        round(expr("aggregate(w, 0, (acc, x) -> acc + length(x))") /
+          size(col("w")).cast("double"), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  len(list_distinct(w)) AS n_distinct,
+      |  round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS ttr,
+      |  round(list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE), 4) AS avg_tok_len
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Global word frequency (E14): explode → count → top 20. The Spark plan
+    * is generate + partial agg + final agg + TakeOrdered — the classic
+    * word-count shape, fully distributed. */
+  def wordFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    toks(spark, sfDir)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  private val wordFreqSql =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Quality scoring per language (north-star): type-token ratio, stopword
+    * ratio, chars-per-token — the length/punct/stopword heuristics of
+    * pretraining-data filters, aggregated per lang. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))
+    toks(spark, sfDir)
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("ttr",
+        size(array_distinct(col("w"))) / col("n_tok").cast("double"))
+      .withColumn("stop_ratio",
+        size(expr("filter(w, x -> array_contains(array('the','a','of','and','to'), x))"))
+          / col("n_tok").cast("double"))
+      .withColumn("chars_per_tok", col("n_chars") / col("n_tok").cast("double"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ttr")), 4).as("avg_ttr"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("chars_per_tok")), 4).as("avg_chars_per_tok"))
+      .orderBy(col("lang"))
+  }
+
+  private val qualityScoreSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(len(list_distinct(w)) / CAST(len(w) AS DOUBLE)), 4) AS avg_ttr,
+      |  round(avg(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) / CAST(len(w) AS DOUBLE)), 4) AS avg_stop_ratio,
+      |  round(avg(n_chars / CAST(len(w) AS DOUBLE)), 4) AS avg_chars_per_tok
+      |FROM (SELECT lang, n_chars, string_split(text, ' ') AS w FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Content fingerprints (north-star document fingerprinting): rolling
+    * hash (order-sensitive) + SimHash (order-insensitive) per doc. Not
+    * oracle-declared (engine-specific hashes); spec asserts determinism and
+    * that equal texts ⇒ equal fingerprints. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    toks(spark, sfDir)
+      .select(col("doc_id"),
+        TextExpressions.rollingHash64(col("text")).as("content_fp"),
+        TextExpressions.simhash64(col("w")).as("simhash_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** Language-ID heuristic (north-star): stopword-profile voting over a
+    * tiny per-language marker list, argmax with deterministic tiebreak.
+    * Output is a lang × predicted confusion matrix. Not oracle-declared
+    * (the profiles are engine constants, not data); spec-verified. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    // Public-knowledge marker words per language; the testdata's text is
+    // synthetic English-ish soup, so this exercises the mechanism (scored
+    // argmax over profiles), not real-world accuracy.
+    val profiles = Map(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "de", "et", "les"),
+      "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+    val scores = profiles.map { case (l, words) =>
+      val arr = s"array(${words.map(w => s"'$w'").mkString(",")})"
+      struct(
+        size(expr(s"filter(w, x -> array_contains($arr, x))")).as("score"),
+        lit(l).as("plang"))
+    }.toSeq
+    toks(spark, sfDir)
+      .withColumn("best", greatest(scores: _*))
+      .select(col("lang"), col("best.plang").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  override val ops: Seq[Op] = Seq(
+    Op("q30_dedup_exact", dedupExact, Some(dedupExactSql),
+      "exact content dedup summary (hash-groupBy)"),
+    Op("q31_dedup_keyed", dedupKeyed, Some(dedupKeyedSql),
+      "keyed dedup with deterministic survivor (row_number=1)"),
+    Op("q32_neardup_shingle", neardupShingle, Some(neardupShingleSql),
+      "near-dup pairs: 3-gram shingle Jaccard >= 0.8, lang-blocked"),
+    Op("q33_neardup_minhash", neardupMinhashLsh, None,
+      "near-dup pairs via MinHash LSH (8x4 bands) + exact verify — scale path"),
+    Op("q34_simhash_pairs", simhashPairs, None,
+      "SimHash banded Hamming candidate pairs (<=6 bits)"),
+    Op("q35_token_stats", tokenStats, Some(tokenStatsSql),
+      "per-doc token counts / TTR / mean token length"),
+    Op("q36_word_freq", wordFreq, Some(wordFreqSql),
+      "global word frequency top-20 (explode + agg)"),
+    Op("q37_quality_score", qualityScore, Some(qualityScoreSql),
+      "per-lang quality heuristics (TTR, stopword ratio)"),
+    Op("q38_fingerprints", fingerprints, None,
+      "rolling-hash + SimHash content fingerprints per doc"),
+    Op("q39_lang_id", langId, None,
+      "stopword-profile language-ID confusion matrix"))
+}

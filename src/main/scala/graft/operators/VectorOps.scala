@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over `embeddings` (SURVEY.md §2.3 E13,
+  * E19; north-star similarity search). 64-dim float vectors, 500–2k rows in
+  * testdata; the designs below are the ones that survive 100 TB:
+  *
+  *  - q40 brute-force top-k: broadcast ONE query vector, fused cosine
+  *    expression per row, `TakeOrderedAndProject` — a single scan, no
+  *    shuffle of the corpus. This is the exact baseline.
+  *  - q43 LSH path: precomputable per-row bucket (a plain column → can be a
+  *    partition key at scale), search only the query's bucket. Probe cost
+  *    drops to corpus/2^bits; recall measured against q40 in the spec.
+  *  - q44 typed Aggregator (UDAF surface): elementwise vector sum per
+  *    group — partial-aggregated map-side like any built-in agg.
+  */
+object VectorOps extends OpCatalog {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+
+  /** The fixed query vector (vec_id = 0), as a 1-row frame for broadcast. */
+  private def queryVec(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+
+  // ---------------------------------------------------------------- q40
+  /** Brute-force cosine top-k vs vec_id 0 (E13). Exact; oracle-checked.
+    * Sims are rounded to 4dp with a vec_id tiebreak so the top-k frontier
+    * is deterministic in both engines. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    emb(spark, sfDir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, sfDir)))
+      .select(col("vec_id"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val cosineTopKSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |prods AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |sims AS (
+      |  SELECT vec_id, sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY vec_id)
+      |SELECT vec_id, round(dot / sqrt(na * nq), 4) AS sim
+      |FROM sims
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Per-label L2-norm stats: posexplode-free elementwise aggregate via
+    * higher-order functions; doubles rounded at 4dp. */
+  def vectorNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    emb(spark, sfDir)
+      .withColumn("norm", sqrt(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  private val vectorNormsSql =
+    """SELECT label, count(*) AS n_vecs,
+      |  round(avg(norm), 4) AS avg_norm,
+      |  round(min(norm), 4) AS min_norm,
+      |  round(max(norm), 4) AS max_norm
+      |FROM (
+      |  SELECT label, sqrt(sum(v * v)) AS norm FROM (
+      |    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+      |    FROM embeddings)
+      |  GROUP BY vec_id, label)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Centroid spread per label: two-stage elementwise aggregation —
+    * posexplode to (label, dim) means, rebuild centroids, then mean member
+    * distance to own centroid. The all-pairs-free way to measure cluster
+    * tightness (linear, two shuffles: by (label,pos), by label). */
+  def centroidSpread(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val dims = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val centroids = dims.groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    dims.join(centroids, Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c"))))
+        .as("dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")), 4).as("avg_dist"),
+        round(max(col("dist")), 4).as("max_dist"))
+      .orderBy(col("label"))
+  }
+
+  private val centroidSpreadSql =
+    """WITH dims AS (
+      |  SELECT vec_id, label,
+      |    generate_subscripts(embedding, 1) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT label, pos, avg(v) AS c FROM dims GROUP BY label, pos),
+      |dists AS (
+      |  SELECT d.vec_id, d.label, sqrt(sum((d.v - cents.c) * (d.v - cents.c))) AS dist
+      |  FROM dims d JOIN cents ON d.label = cents.label AND d.pos = cents.pos
+      |  GROUP BY d.vec_id, d.label)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(dist), 4) AS avg_dist,
+      |  round(max(dist), 4) AS max_dist
+      |FROM dists
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** ANN via random-hyperplane LSH (E13 scale path): 8-bit deterministic
+    * bucket per vector (a precomputable partition key at scale), exact
+    * cosine only within the query's bucket. Not oracle-declared
+    * (engine-specific hashing); `VectorOpsSpec` measures recall vs q40. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val bits = 8
+    val bucketed = emb(spark, sfDir)
+      .withColumn("bucket", VectorExpressions.hyperplaneBucket(col("embedding"), bits))
+    val qb = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    bucketed.filter(col("vec_id") =!= 0)
+      .join(broadcast(qb), col("bucket") === col("q_bucket"))
+      .select(col("vec_id"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q44
+  /** Typed `Aggregator` UDAF (E19): elementwise vector sum per label via
+    * `graft.functions.VectorSumAggregator`, then the L2 norm of each label's
+    * summed vector. Oracle-checked — the aggregator's double accumulation
+    * differs from DuckDB's only at ~1e-12, far below the 4dp rounding. */
+  def vectorSumAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val vecSum = udaf(graft.functions.VectorSumAggregator)
+    emb(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(vecSum(col("embedding")).as("vsum"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(expr(
+          "aggregate(vsum, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")), 4)
+          .as("sum_vec_norm"))
+      .orderBy(col("label"))
+  }
+
+  private val vectorSumAggSql =
+    """WITH sums AS (
+      |  SELECT label, pos, sum(v) AS s FROM (
+      |    SELECT vec_id, label,
+      |      generate_subscripts(embedding, 1) AS pos,
+      |      CAST(unnest(embedding) AS DOUBLE) AS v
+      |    FROM embeddings)
+      |  GROUP BY label, pos),
+      |counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+      |SELECT sums.label, n_vecs, round(sqrt(sum(s * s)), 4) AS sum_vec_norm
+      |FROM sums JOIN counts ON sums.label = counts.label
+      |GROUP BY sums.label, n_vecs
+      |ORDER BY sums.label""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("q40_cosine_topk", cosineTopK, Some(cosineTopKSql),
+      "brute-force cosine top-10 vs query vector (fused expression)"),
+    Op("q41_vector_norms", vectorNorms, Some(vectorNormsSql),
+      "per-label L2 norm stats (higher-order aggregate)"),
+    Op("q42_centroid_spread", centroidSpread, Some(centroidSpreadSql),
+      "per-label centroid distance spread (posexplode two-stage agg)"),
+    Op("q43_ann_lsh", annLsh, None,
+      "ANN top-10 via random-hyperplane LSH bucket (scale path)"),
+    Op("q44_vector_sum_agg", vectorSumAgg, Some(vectorSumAggSql),
+      "typed Aggregator UDAF: elementwise vector sum per label"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.TextExpressions
+import graft.operators.TextOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the non-oracle text operators (SURVEY.md §5.2-2): MinHash LSH
+  * vs exact pairwise, SimHash banding, fingerprint determinism. */
+class TextOpsSpec extends SparkSpec {
+
+  test("minhash LSH near-dup pairs match exact pairwise at small SF") {
+    val exact = TextOps.neardupShingle(spark, sfDir)
+      .select("id_a", "id_b", "jac").collect().toSet
+    val lsh = TextOps.neardupMinhashLsh(spark, sfDir)
+      .select("id_a", "id_b", "jac").collect().toSet
+    // precision is 1.0 by construction (candidates are exact-verified)
+    assert(lsh.subsetOf(exact), s"LSH produced non-dup pairs: ${lsh -- exact}")
+    // 8 bands x 4 rows at jac>=0.8: expected recall ~0.99; the planted
+    // near-dups in the testdata are all found
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash banded pairs find the planted near-dups") {
+    val exactIds = TextOps.neardupShingle(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = TextOps.simhashPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactIds.subsetOf(sim) || (exactIds -- sim).size <= exactIds.size / 2,
+      s"simhash missed most near-dups: found=$sim exact=$exactIds")
+  }
+
+  test("fingerprints are deterministic and content-keyed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"), // identical content, different id
+      (3L, "fox brown quick the")  // same words, different order
+    ).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        TextExpressions.rollingHash64(col("text")).as("rfp"),
+        TextExpressions.simhash64(col("w")).as("sfp"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    val Seq(r1, r2, r3) = rows.toSeq
+    assert(r1.getLong(1) == r2.getLong(1), "equal text must give equal rolling hash")
+    assert(r1.getLong(2) == r2.getLong(2), "equal tokens must give equal simhash")
+    assert(r1.getLong(1) != r3.getLong(1), "rolling hash must be order-sensitive")
+    assert(r1.getLong(2) == r3.getLong(2), "simhash over token SET is order-insensitive")
+    // determinism across executions
+    val again = df.collect().sortBy(_.getLong(0)).toSeq
+    assert(again == rows.toSeq)
+  }
+
+  test("lang-id confusion matrix is deterministic and covers all langs") {
+    val m1 = TextOps.langId(spark, sfDir).collect().toSeq
+    val m2 = TextOps.langId(spark, sfDir).collect().toSeq
+    assert(m1 == m2)
+    val langs = m1.map(_.getString(0)).toSet
+    assert(langs == Set("en", "es", "de", "fr", "zh"))
+    assert(m1.map(_.getLong(2)).sum == 500L) // every doc classified once
+  }
+
+  test("dedup is idempotent (property, SURVEY §5.2-3)") {
+    val once = TextOps.dedupKeyed(spark, sfDir)
+    val keys = once.select("lang", "source").collect().toSet
+    assert(keys.size == once.count(), "dedup output must be key-unique")
+  }
+}
