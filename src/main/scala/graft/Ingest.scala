@@ -1,0 +1,51 @@
+package graft
+
+import graft.ingest.ParquetIngest
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry mirroring the reference's import tool (`app.py` "Start
+  * Import"): parquet source → probe report → sink write with
+  * fail/replace/append semantics.
+  *
+  * Usage:
+  *   runMain graft.Ingest <source.parquet> parquet:<outDir> [fail|replace|append]
+  *   runMain graft.Ingest <source.parquet> jdbc:<url>:<table> [mode]
+  */
+object Ingest {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Ingest <source> parquet:<dir>|jdbc:<url>:<table> [fail|replace|append]")
+    val Array(source, sinkSpec) = args.take(2)
+    val mode = if (args.length > 2) args(2) else "fail"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+
+    val probe = ParquetIngest.probe(spark, source)
+    println(s"[ingest] probe: rows=${probe.numRows} rowGroups=${probe.numRowGroups} " +
+      s"cols=${probe.columns.size} spatial=${probe.spatial
+        .map(s => s"${s.geometryColumn} (${s.crs}, ${s.encoding}" +
+          s"${if (s.fromFallback) ", name-fallback" else ""})")
+        .getOrElse("none")}")
+
+    val sink =
+      if (sinkSpec.startsWith("parquet:"))
+        ParquetIngest.ParquetSink(sinkSpec.stripPrefix("parquet:"))
+      else if (sinkSpec.startsWith("jdbc:")) {
+        val rest = sinkSpec.stripPrefix("jdbc:")
+        val i = rest.lastIndexOf(':')
+        require(i > 0, "jdbc sink must be jdbc:<url>:<table>")
+        ParquetIngest.JdbcSink(s"jdbc:${rest.substring(0, i)}", rest.substring(i + 1))
+      } else sys.error(s"unknown sink '$sinkSpec'")
+
+    val report = ParquetIngest.ingest(spark, source, sink, mode)
+    println(s"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec")
+    spark.stop()
+  }
+}

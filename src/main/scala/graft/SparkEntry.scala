@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational,
     operators.EventOps,
     operators.TextOps,
-    operators.VectorOps)
+    operators.VectorOps,
+    operators.IngestOps)
 
   lazy val ops: Seq[Op] = catalogs.flatMap(_.ops)
 

@@ -1,0 +1,39 @@
+package graft.ingest
+
+import graft.functions.SpatialExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** The reference's fixture generator, Spark-first (SURVEY.md §2.1 O17–O21;
+  * `generate_data.py:7-21`): integer range, seeded random normal, cyclic
+  * categorical, random WKB points with EPSG:4326 CRS metadata.
+  *
+  * Deterministic for a fixed seed (Spark's `randn`/`rand` are seeded per
+  * partition), distributed (`spark.range` scales to any n — no driver-side
+  * row building).
+  */
+object Generator {
+
+  def fixture(spark: SparkSession, n: Long = 10L, seed: Long = 42L): DataFrame = {
+    val crsMd = new MetadataBuilder()
+      .putString("crs", ParquetIngest.DefaultCrs)
+      .putString("encoding", "WKB")
+      .build()
+    spark.range(n) // O17: 'id': range(n)  (generate_data.py:8)
+      .select(
+        col("id"),
+        // O18: np.random.randn  (generate_data.py:9)
+        randn(seed).as("value"),
+        // O19: ['A','B'] cyclic  (generate_data.py:10)
+        when(pmod(col("id"), lit(2)) === 0, "A").otherwise("B").as("category"),
+        // O20: Point(uniform, uniform)  (generate_data.py:15-16), as WKB
+        SpatialExpressions.stPoint(rand(seed + 1), rand(seed + 2))
+          .as("geometry", crsMd))
+  }
+
+  /** O21: parquet sink for the fixture (`generate_data.py:21`). */
+  def writeFixture(spark: SparkSession, path: String, n: Long = 10L,
+      seed: Long = 42L): Unit =
+    fixture(spark, n, seed).write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,215 @@
+package graft.ingest
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, Metadata, MetadataBuilder}
+
+/** The reference's whole pipeline, Spark-first (SURVEY.md §2.1 O1–O16):
+  * probe → scan → spatial-metadata attach → sink with save-mode semantics.
+  *
+  * Reference mapping (file:line cites into /root/reference):
+  *  - `probe`: footer-only metadata read — `num_rows`/`num_row_groups`
+  *    (O2, `app.py:91,100`) and GeoParquet `geo` footer sniff for geometry
+  *    column + CRS (O3, `app.py:69-84`, which burns a 1-row data read; the
+  *    footer key-value route reads no data pages at all).
+  *  - `read`: scan (O1, `app.py:88,111` 50k-row batch loop — subsumed by
+  *    Spark's vectorized, splittable parquet scan) + spatial attach
+  *    (O8/O9, `app.py:154-164`) + `geometry`-name fallback (O10,
+  *    `app.py:169-175`) + EPSG:4326 CRS default (`app.py:163-164`).
+  *  - `ingest`: sinks (O12/O13 `app.py:181,183`, O21) behind one trait;
+  *    save-mode mapping fail/replace/append → SaveMode (O14, `app.py:21,
+  *    109,178,186` — the first-chunk-then-append trick dissolves into
+  *    Spark's create-once-then-parallel-append JDBC protocol); DDL
+  *    pre-action (O11, `app.py:58-61`); row-count observation (O15,
+  *    `app.py:99-106,185-193`) via `observe()` metrics, not a collect.
+  */
+object ParquetIngest {
+
+  /** Spatial column info sniffed from GeoParquet metadata (or name
+    * fallback). `crs` defaults to EPSG:4326 like the reference. */
+  final case class SpatialInfo(
+      geometryColumn: String,
+      crs: String,
+      encoding: String,
+      fromFallback: Boolean)
+
+  /** Footer-only probe result (no data pages read). */
+  final case class ProbeResult(
+      numRows: Long,
+      numRowGroups: Int,
+      columns: Seq[String],
+      spatial: Option[SpatialInfo])
+
+  val DefaultCrs = "EPSG:4326"
+
+  /** O2+O3: read parquet footer metadata only. Multi-file directories are
+    * probed via their first footer for schema/spatial and summed for rows. */
+  def probe(spark: SparkSession, path: String): ProbeResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
+      else Seq(p)
+    var numRows = 0L
+    var numRowGroups = 0
+    var columns: Seq[String] = Nil
+    var geo: Option[String] = None
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        numRows += reader.getRecordCount
+        numRowGroups += reader.getRowGroups.size()
+        if (columns.isEmpty) {
+          val md = reader.getFooter.getFileMetaData
+          columns = md.getSchema.getFields.asScala.map(_.getName).toSeq
+          geo = Option(md.getKeyValueMetaData.get("geo"))
+        }
+      } finally reader.close()
+    }
+    ProbeResult(numRows, numRowGroups, columns,
+      geo.flatMap(parseGeoMetadata).orElse(nameFallback(columns)))
+  }
+
+  /** Parse the GeoParquet `geo` footer JSON: primary geometry column, CRS,
+    * encoding (O3). Tolerant like the reference's try/except probe
+    * (`app.py:78-84`): malformed metadata → None (fallback path). */
+  private[graft] def parseGeoMetadata(json: String): Option[SpatialInfo] =
+    Try {
+      val root = new ObjectMapper().readTree(json)
+      val primary = root.path("primary_column").asText("geometry")
+      val colMeta = root.path("columns").path(primary)
+      val crs =
+        if (colMeta.path("crs").isMissingNode || colMeta.path("crs").isNull)
+          DefaultCrs
+        else {
+          // GeoParquet 1.x uses PROJJSON; surface the authority:code id if
+          // present, else keep the raw JSON string
+          val id = colMeta.path("crs").path("id")
+          if (id.isMissingNode) colMeta.path("crs").toString
+          else s"${id.path("authority").asText}:${id.path("code").asText}"
+        }
+      val enc = colMeta.path("encoding").asText("WKB")
+      SpatialInfo(primary, crs, enc, fromFallback = false)
+    }.toOption
+
+  /** O10: a column literally named `geometry` is treated as WKB spatial
+    * when footer metadata is absent (`app.py:169-175`). */
+  private[graft] def nameFallback(columns: Seq[String]): Option[SpatialInfo] =
+    if (columns.contains("geometry"))
+      Some(SpatialInfo("geometry", DefaultCrs, "WKB", fromFallback = true))
+    else None
+
+  /** O1+O8+O9+O10: scan with spatial column metadata attached. The
+    * geometry column keeps BinaryType; CRS/encoding ride in column
+    * `Metadata` (a logical tag — zero physical cost). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    probe(spark, path).spatial match {
+      case Some(si) if df.schema.fieldNames.contains(si.geometryColumn) &&
+          df.schema(si.geometryColumn).dataType == BinaryType =>
+        val md: Metadata = new MetadataBuilder()
+          .putString("crs", si.crs)
+          .putString("encoding", si.encoding)
+          .build()
+        df.withColumn(si.geometryColumn,
+          col(si.geometryColumn).as(si.geometryColumn, md))
+      case _ => df
+    }
+  }
+
+  /** Spatial info recorded on a read frame, if any. */
+  def spatialOf(df: DataFrame): Option[SpatialInfo] =
+    df.schema.fields.collectFirst {
+      case f if f.dataType == BinaryType && f.metadata.contains("crs") =>
+        SpatialInfo(f.name, f.metadata.getString("crs"),
+          if (f.metadata.contains("encoding")) f.metadata.getString("encoding")
+          else "WKB",
+          fromFallback = false)
+    }
+
+  // ------------------------------------------------------------------ sinks
+
+  /** O12/O13/O21 behind one trait so tests can target parquet when no
+    * database exists in the environment (SURVEY.md §5.2-5). */
+  sealed trait Sink
+  /** File sink (O21). */
+  final case class ParquetSink(path: String) extends Sink
+  /** Relational sink (O12/O13). `preActions` mirrors the reference's
+    * `CREATE EXTENSION IF NOT EXISTS postgis` DDL hook (O11) and runs on
+    * the driver before the distributed write. */
+  final case class JdbcSink(
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      preActions: Seq[String] = Nil) extends Sink
+
+  /** O14: the reference's `fail/replace/append` strings. */
+  def saveMode(ifExists: String): SaveMode = ifExists match {
+    case "fail"    => SaveMode.ErrorIfExists
+    case "replace" => SaveMode.Overwrite
+    case "append"  => SaveMode.Append
+    case other =>
+      throw new IllegalArgumentException(
+        s"if_exists must be fail|replace|append, got '$other'")
+  }
+
+  final case class IngestReport(rowsWritten: Long)
+
+  /** The reference's end-to-end pipeline (`app.py:86-193`): source scan →
+    * spatial attach → counted sink write. Row count comes from an
+    * `observe()` metric collected by the write job itself — one pass, no
+    * extra `count()` scan (O15). */
+  def ingest(
+      spark: SparkSession,
+      sourcePath: String,
+      sink: Sink,
+      ifExists: String = "fail"): IngestReport = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.functions.{count, lit}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val mode = saveMode(ifExists)
+    val metricName = s"graft_ingest_${java.util.UUID.randomUUID().toString.take(8)}"
+    val observed = read(spark, sourcePath)
+      .observe(metricName, count(lit(1)).as("rows"))
+    // The write runs as its own QueryExecution; the observed metric is
+    // delivered through the listener bus (same mechanism the reference's
+    // progress counter hand-rolls at app.py:185-193, but collected by the
+    // write job itself — no second scan).
+    val rows = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach { row =>
+          rows.set(row.getLong(0)); latch.countDown()
+        }
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      sink match {
+        case ParquetSink(path) =>
+          observed.write.mode(mode).parquet(path)
+        case JdbcSink(url, table, props, preActions) =>
+          if (preActions.nonEmpty) {
+            val conn = java.sql.DriverManager.getConnection(url, props)
+            try preActions.foreach { sql =>
+              val st = conn.createStatement(); try st.execute(sql) finally st.close()
+            } finally conn.close()
+          }
+          observed.write.mode(mode).jdbc(url, table, props)
+      }
+      latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally spark.listenerManager.unregister(listener)
+    IngestReport(rows.get())
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.SpatialExpressions
+import graft.ingest.{Generator, ParquetIngest}
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity pipeline specs (SURVEY.md §5.2): probe, spatial
+  * detection + fallback, save-mode semantics, fixture schema parity, WKB
+  * round-trip. */
+class IngestSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ingest").toString
+
+  test("probe reads row counts and columns from footers only") {
+    val p = ParquetIngest.probe(spark, s"$sfDir/lineitem.parquet")
+    assert(p.numRows == 6000L)
+    assert(p.numRowGroups >= 1)
+    assert(p.columns.contains("l_orderkey") && p.columns.size == 11)
+    assert(p.spatial.isEmpty, "lineitem has no geometry")
+  }
+
+  test("geo metadata parsing: GeoParquet footer JSON → SpatialInfo") {
+    val json =
+      """{"version":"1.0.0","primary_column":"geometry",
+        |"columns":{"geometry":{"encoding":"WKB",
+        |"crs":{"id":{"authority":"EPSG","code":4326}}}}}""".stripMargin
+    val si = ParquetIngest.parseGeoMetadata(json).get
+    assert(si.geometryColumn == "geometry")
+    assert(si.crs == "EPSG:4326")
+    assert(si.encoding == "WKB")
+    // missing crs → reference default (app.py:163-164)
+    val noCrs = """{"primary_column":"geom","columns":{"geom":{"encoding":"WKB"}}}"""
+    assert(ParquetIngest.parseGeoMetadata(noCrs).get.crs == "EPSG:4326")
+    // garbage → None (tolerant probe, app.py:78-84)
+    assert(ParquetIngest.parseGeoMetadata("not json").isEmpty)
+  }
+
+  test("name-based spatial fallback + CRS metadata attach end-to-end") {
+    val dir = tmp()
+    Generator.writeFixture(spark, s"$dir/fixture", n = 10)
+    // Spark does not write a GeoParquet 'geo' footer → probe must take the
+    // geometry-name fallback path (reference O10)
+    val probe = ParquetIngest.probe(spark, s"$dir/fixture")
+    assert(probe.numRows == 10)
+    assert(probe.spatial.exists(_.fromFallback))
+    val df = ParquetIngest.read(spark, s"$dir/fixture")
+    val si = ParquetIngest.spatialOf(df)
+    assert(si.exists(s => s.geometryColumn == "geometry" && s.crs == "EPSG:4326"))
+  }
+
+  test("fixture schema matches the reference's dummy_spatial.parquet (FIXTURES.md)") {
+    val df = Generator.fixture(spark)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(fields("id") == LongType)
+    assert(fields("value") == DoubleType)
+    assert(fields("category") == StringType)
+    assert(fields("geometry") == BinaryType)
+    // cyclic A/B (generate_data.py:10)
+    val cats = df.select("category").collect().map(_.getString(0)).toSeq
+    assert(cats == Seq("A", "B", "A", "B", "A", "B", "A", "B", "A", "B"))
+    // deterministic under a fixed seed
+    assert(Generator.fixture(spark).collect().toSeq ==
+      Generator.fixture(spark).collect().toSeq)
+  }
+
+  test("WKB point round-trip (property, SURVEY §5.2-3)") {
+    import spark.implicits._
+    val coords = (-10 to 10).flatMap(i =>
+      Seq((i * 17.1234, -i * 3.5), (i * 1e6, i * 1e-6), (0.0, 0.0)))
+    val df = coords.toDF("x", "y")
+      .withColumn("wkb", SpatialExpressions.stPoint(col("x"), col("y")))
+      .withColumn("x2", SpatialExpressions.stX(col("wkb")))
+      .withColumn("y2", SpatialExpressions.stY(col("wkb")))
+      .withColumn("valid", SpatialExpressions.stIsWkbPoint(col("wkb")))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(3), "x round-trip")
+      assert(r.getDouble(1) == r.getDouble(4), "y round-trip")
+      assert(r.getBoolean(5), "valid WKB point")
+    }
+    // invalid bytes → null coords, false validity (tolerant decode)
+    val bad = Seq(Array[Byte](9, 9, 9)).toDF("wkb")
+      .select(SpatialExpressions.stX(col("wkb")).as("x"),
+        SpatialExpressions.stIsWkbPoint(col("wkb")).as("v"))
+      .collect()(0)
+    assert(bad.isNullAt(0) && !bad.getBoolean(1))
+  }
+
+  test("save-mode semantics: fail/replace/append (reference O14)") {
+    val dir = tmp()
+    val src = s"$sfDir/region.parquet"
+    val dst = s"$dir/out"
+    val r1 = ParquetIngest.ingest(spark, src, ParquetIngest.ParquetSink(dst), "fail")
+    assert(r1.rowsWritten == 5)
+    assert(spark.read.parquet(dst).count() == 5)
+    // fail on existing target
+    intercept[AnalysisException] {
+      ParquetIngest.ingest(spark, src, ParquetIngest.ParquetSink(dst), "fail")
+    }
+    // append doubles
+    ParquetIngest.ingest(spark, src, ParquetIngest.ParquetSink(dst), "append")
+    assert(spark.read.parquet(dst).count() == 10)
+    // replace resets
+    ParquetIngest.ingest(spark, src, ParquetIngest.ParquetSink(dst), "replace")
+    assert(spark.read.parquet(dst).count() == 5)
+    // invalid mode string rejected (reference UI constrains to 3 values)
+    intercept[IllegalArgumentException] {
+      ParquetIngest.saveMode("upsert")
+    }
+  }
+
+  test("ingest reports observed row count from the write pass (O15)") {
+    val dir = tmp()
+    val r = ParquetIngest.ingest(spark, s"$sfDir/customer.parquet",
+      ParquetIngest.ParquetSink(s"$dir/c"), "replace")
+    assert(r.rowsWritten == 150)
+  }
+}
