@@ -14,7 +14,8 @@ object SparkEntry {
     operators.EventOps,
     operators.TextOps,
     operators.VectorOps,
-    operators.IngestOps)
+    operators.IngestOps,
+    operators.MultimodalOps)
 
   lazy val ops: Seq[Op] = catalogs.flatMap(_.ops)
 

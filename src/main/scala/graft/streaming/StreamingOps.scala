@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming embodiments of the event-time operators (SURVEY.md
+  * §2.3 E16/E17 streaming semantics; the batch twins live in
+  * `operators.EventOps`). All transforms are source-agnostic — they take a
+  * (possibly streaming) DataFrame with `(ts TIMESTAMP, user_id LONG,
+  * event_type STRING, value DOUBLE, event_id LONG)` and work identically
+  * when the input is a batch frame, which is exactly how `StreamingSpec`
+  * cross-checks them.
+  *
+  * Scale notes: watermarks bound state; tumbling agg state is per-window
+  * per-key and dropped past the watermark; `session_window` merges gap
+  * sessions with state cleanup; `mapGroupsWithState` keeps O(1) state per
+  * user.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (E16). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessions via the native `session_window` operator (E17):
+    * 30-minute gap, per user. In batch mode this must agree with the
+    * lag+cumsum formulation of `EventOps.sessionize` — asserted in
+    * `StreamingSpec`. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"))
+
+  final case class UserEvent(event_id: Long, user_id: Long, ms: Long,
+      event_type: String)
+  final case class UserState(nEvents: Long, lastMs: Long)
+  final case class UserSummary(user_id: Long, n_events: Long, last_ms: Long)
+
+  /** Custom stateful op via `mapGroupsWithState` (the KeyValueGroupedDataset
+    * state API): running per-user event counter + last-seen time. O(1)
+    * state per key; ProcessingTimeTimeout would expire idle users in a
+    * production stream. */
+  def userTotals(events: Dataset[UserEvent]): Dataset[UserSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          var n = prev.nEvents
+          var last = prev.lastMs
+          rows.foreach { e =>
+            n += 1
+            if (e.ms > last) last = e.ms
+          }
+          state.update(UserState(n, last))
+          UserSummary(userId, n, last)
+      }
+  }
+
+  /** Drive a streaming query over a micro-batched in-memory feed and return
+    * the final result table — used by the spec and by `StreamingDemo`. */
+  def runToMemory(stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    stream.sparkSession.table(name)
+  }
+}

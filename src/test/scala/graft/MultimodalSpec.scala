@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing specs: pack→decode→features determinism, frame
+  * sampling arithmetic, binary round-trip through parquet (E20). */
+class MultimodalSpec extends SparkSpec {
+
+  private def media = Multimodal.packMedia(Tables.documents(spark, sfDir))
+
+  test("binary media columns round-trip through parquet unchanged (E20)") {
+    val dir = Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(s"$dir/media")
+    val back = spark.read.parquet(s"$dir/media")
+    assert(back.schema("media").dataType.typeName == "binary")
+    val before = media.select("media_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val after = back.select("media_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(before == after)
+  }
+
+  test("stub decode is deterministic and byte-faithful") {
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
+    assert(f1 == f2)
+    // n_bytes must equal the true payload size
+    val sizes = media.select(col("media_id"), length(col("media")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f1.foreach(f => assert(f.n_bytes == sizes(f.media_id)))
+    // mean_byte of ASCII text is within the printable range
+    f1.foreach(f => assert(f.mean_byte > 32.0 && f.mean_byte < 127.0))
+  }
+
+  test("frame sampling slices the expected frames") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, everyK = 4)
+    val perMedia = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max(col("frame_idx")).as("max_idx"))
+      .collect()
+    assert(perMedia.nonEmpty)
+    perMedia.foreach { r =>
+      assert(r.getLong(1) >= 1) // at least frame 0 sampled
+      assert(r.getInt(2) % 4 == 0, "sampled indices step by 4")
+    }
+    // only video rows produce frames
+    val kinds = frames.join(media, "media_id").select("kind").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("video"))
+  }
+
+  test("resize transforms only image metadata") {
+    val resized = Multimodal.resizeMeta(media, maxDim = 64)
+    val bad = resized.filter(
+      col("kind") === "image" && greatest(col("width"), col("height")) > 64)
+    assert(bad.count() == 0)
+    val untouched = resized.filter(col("kind") =!= "image")
+      .select("media_id", "width", "height").collect().toSet
+    val orig = media.filter(col("kind") =!= "image")
+      .select("media_id", "width", "height").collect().toSet
+    assert(untouched == orig)
+  }
+}

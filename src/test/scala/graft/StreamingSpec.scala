@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.EventOps
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.UserEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch equivalence: the streaming operators must produce the
+  * batch answers when fed the same (bounded) events. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsBatch = {
+    GraftSession.tune(spark)
+    Tables.events(spark, sfDir)
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+      .select(col("tsc").as("ts"), col("user_id"), col("event_type"),
+        col("value"), col("event_id"))
+  }
+
+  test("streaming tumbling counts == batch tumbling counts (MemoryStream)") {
+    import spark.implicits._
+    val rows = eventsBatch.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+    // two micro-batches to exercise incremental state
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamDf = mem.toDF()
+      .toDF("ts", "user_id", "event_type", "value", "event_id")
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(streamDf), "tumbling_test")
+      .orderBy("win_start").collect().toSeq
+    val batch = StreamingOps.tumblingCounts(eventsBatch)
+      .orderBy("win_start").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session_window batch result == lag+cumsum sessionization (q23)") {
+    val sw = StreamingOps.sessionCounts(eventsBatch)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val q23 = EventOps.sessionize(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sw == q23,
+      "native session_window must agree with the analytic formulation")
+  }
+
+  test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = eventsBatch.select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .as[UserEvent].collect()
+    val mem = MemoryStream[UserEvent]
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.userTotals(mem.toDS()).toDF(), "usertotals_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // in Update mode the memory sink keeps every update; take the latest per user
+    val latest = streamed.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = eventsBatch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(latest == batch)
+  }
+}
