@@ -79,17 +79,50 @@ object TextOps extends OpCatalog {
       |ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- q32
-  /** Near-dup detection, exact pairwise (E12): 3-gram shingle Jaccard ≥ 0.8
-    * within lang blocks. Jaccard is an integer ratio — bit-identical in both
-    * engines. Quadratic within blocks by design; q33 is the scale path. */
+  /** Near-dup detection, EXACT, via prefix filtering (E12): 3-gram shingle
+    * Jaccard ≥ 0.8 within lang blocks. Instead of the naive n² self-join,
+    * this is a set-similarity join (PPJoin-family prefix filter): sort each
+    * doc's shingle set in a fixed total order and emit only its first
+    * `|s| - ⌈0.8·|s|⌉ + 1` shingles — two sets with Jaccard ≥ 0.8 MUST
+    * share a prefix shingle (pigeonhole), so candidates come from an
+    * equi-join on (lang, shingle) and only candidates pay the exact
+    * verification. A length-ratio filter (`jac ≤ min/max of sizes`) prunes
+    * further before the intersect. Same answer as the naive join — the
+    * DuckDB oracle states the naive formulation — but linear-ish at scale:
+    * one shuffle on shingle keys, no quadratic block.
+    * Jaccard is an integer ratio — bit-identical in both engines. */
   def neardupShingle(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val d = toks(spark, sfDir).select(col("lang"), col("doc_id"),
-      shingles.as("sh"))
-    val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+    val base = toks(spark, sfDir).select(col("lang"), col("doc_id"),
+      array_sort(shingles).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // PPJoin refinement: order each doc's shingles by ascending global
+    // document frequency so the emitted prefixes are the RAREST shingles —
+    // minimal join-key collisions. Any fixed total order keeps exactness;
+    // frequency order makes the candidate set near-optimal.
+    val ex = base.select(col("lang"), col("doc_id"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val ordered = ex.join(freq, "s")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(f, s))), x -> x.s)")
+        .as("by_rarity"))
+    val d = base.join(ordered, Seq("lang", "doc_id"))
+      // prefix length for threshold t: |s| - ceil(t*|s|) + 1
+      .withColumn("pfx",
+        expr("slice(by_rarity, 1, n - CAST(ceil(0.8 * n) AS INT) + 1)"))
+    val cands = d.select(col("lang"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("n").as("n_a"),
+        explode(col("pfx")).as("p"))
+      .join(d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+          col("sh").as("sh_b"), col("n").as("n_b"),
+          explode(col("pfx")).as("p_b")),
+        col("lang") === col("lang_b") && col("p") === col("p_b") &&
+          col("id_a") < col("id_b") &&
+          // length-ratio bound: jac >= t requires min/max >= t
+          col("n_a") * 0.8 <= col("n_b") && col("n_b") * 0.8 <= col("n_a"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
