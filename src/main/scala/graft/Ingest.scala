@@ -41,7 +41,15 @@ object Ingest {
         val rest = sinkSpec.stripPrefix("jdbc:")
         val i = rest.lastIndexOf(':')
         require(i > 0, "jdbc sink must be jdbc:<url>:<table>")
-        ParquetIngest.JdbcSink(s"jdbc:${rest.substring(0, i)}", rest.substring(i + 1))
+        val url = s"jdbc:${rest.substring(0, i)}"
+        val props = new java.util.Properties()
+        // JDBC driver autoloading is classloader-sensitive under forked
+        // JVMs; pin the driver class for the URLs we know.
+        if (url.startsWith("jdbc:derby:"))
+          props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        else if (url.startsWith("jdbc:postgresql:"))
+          props.setProperty("driver", "org.postgresql.Driver")
+        ParquetIngest.JdbcSink(url, rest.substring(i + 1), props)
       } else sys.error(s"unknown sink '$sinkSpec'")
 
     val report = ParquetIngest.ingest(spark, source, sink, mode)

@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def catalogs: Seq[OpCatalog] = Seq(
     operators.Relational,
+    operators.ScalarOps,
     operators.EventOps,
     operators.TextOps,
     operators.VectorOps,

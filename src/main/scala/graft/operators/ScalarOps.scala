@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{GraftSession, Op, OpCatalog, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.2 "scalar functions" row — ABSENT
+  * in the reference, concrete here): string, date, math, conditional
+  * expressions, GROUPING SETS, and approximate distinct. All built-in
+  * `functions._` — codegen'd, no UDFs in any hot path.
+  */
+object ScalarOps extends OpCatalog {
+
+  // ---------------------------------------------------------------- q18
+  /** String + date + math function showcase over orders (bounded output:
+    * orderkey < 200). Every function chosen to have an exact DuckDB twin. */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        upper(col("o_orderstatus")).as("status_up"),
+        lower(col("o_orderpriority")).as("prio_lo"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("prio_num"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat_ws("/", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        replace(col("o_orderpriority"), lit("-"), lit("_")).as("prio_us"),
+        trim(lit("  x  ")).as("trimmed"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        ceil(col("o_totalprice") / 1000).cast("long").as("price_k_up"),
+        round(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+        round(abs(col("o_totalprice") - 250000), 2).as("price_dev"),
+        pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
+        round(pow(lit(1.05), col("o_orderkey") % 10), 4).as("compound"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val scalarFuncsSql =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr,
+      |  month(o_orderdate) AS mo,
+      |  day(o_orderdate) AS dom,
+      |  upper(o_orderstatus) AS status_up,
+      |  lower(o_orderpriority) AS prio_lo,
+      |  substring(o_orderpriority, 1, 1) AS prio_digit,
+      |  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+      |  length(o_orderpriority) AS prio_len,
+      |  o_orderstatus || '/' || o_orderpriority AS tag,
+      |  replace(o_orderpriority, '-', '_') AS prio_us,
+      |  trim('  x  ') AS trimmed,
+      |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+      |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_up,
+      |  round(sqrt(o_totalprice), 4) AS price_sqrt,
+      |  round(abs(o_totalprice - 250000), 2) AS price_dev,
+      |  CAST(mod(o_orderkey, 7) AS BIGINT) AS key_mod7,
+      |  round(power(1.05, mod(o_orderkey, 10)), 4) AS compound
+      |FROM orders
+      |WHERE o_orderkey < 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Conditional expressions: CASE/WHEN ladders, coalesce, nullif,
+    * least/greatest — aggregated so the result is compact. */
+  def conditionalFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.orders(spark, sfDir)
+      .withColumn("price_band",
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high"))
+      .withColumn("status_or_prio",
+        coalesce(nullif(col("o_orderstatus"), lit("O")), col("o_orderpriority")))
+      .withColumn("clamped",
+        least(greatest(col("o_totalprice"), lit(50000.0)), lit(450000.0)))
+      .groupBy(col("price_band"), col("status_or_prio"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("clamped")), 4).as("avg_clamped"))
+      .orderBy(col("price_band"), col("status_or_prio"))
+  }
+
+  private val conditionalFuncsSql =
+    """SELECT price_band, status_or_prio, count(*) AS n,
+      |  round(avg(clamped), 4) AS avg_clamped
+      |FROM (
+      |  SELECT
+      |    CASE WHEN o_totalprice < 100000 THEN 'low'
+      |         WHEN o_totalprice < 300000 THEN 'mid'
+      |         ELSE 'high' END AS price_band,
+      |    coalesce(nullif(o_orderstatus, 'O'), o_orderpriority) AS status_or_prio,
+      |    least(greatest(o_totalprice, 50000.0), 450000.0) AS clamped
+      |  FROM orders)
+      |GROUP BY price_band, status_or_prio
+      |ORDER BY price_band, status_or_prio""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** GROUPING SETS (E8, the general form beyond rollup/cube) via the SQL
+    * entry point over a temp view — DataFrame API has no direct grouping
+    * sets; `spark.sql` is the idiomatic route. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Approximate distinct (E9's HLL twin): `approx_count_distinct` next to
+    * the exact count. Sketch internals are engine-specific → not
+    * oracle-declared; `ScalarOpsSpec` bounds the relative error. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  override val ops: Seq[Op] = Seq(
+    Op("q18_scalar_funcs", scalarFuncs, Some(scalarFuncsSql),
+      "string/date/math scalar function showcase"),
+    Op("q19_conditional_funcs", conditionalFuncs, Some(conditionalFuncsSql),
+      "CASE/coalesce/nullif/least/greatest conditionals"),
+    Op("q26_grouping_sets", groupingSets, Some(groupingSetsSql),
+      "GROUPING SETS via the SQL entry point"),
+    Op("q27_approx_distinct", approxDistinct, None,
+      "HLL approx_count_distinct next to exact (spec-bounded error)"))
+}
