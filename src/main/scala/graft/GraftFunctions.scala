@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{SpatialExpressions => Sp, TextExpressions => Tx, VectorExpressions => Vx}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's custom Catalyst expressions, so they
+  * are first-class functions in `spark.sql(...)` / `expr(...)` alongside
+  * the built-ins:
+  *
+  *   simhash64(arr), minhash_signature(arr, k), rolling_hash64(str),
+  *   cosine_similarity(a, b), hyperplane_bucket(v, bits),
+  *   st_point(x, y), st_x(wkb), st_y(wkb), st_is_wkb_point(wkb)
+  *
+  * Two routes, same builders:
+  *  - `GraftExtensions` for `spark.sql.extensions` / `.withExtensions(...)`
+  *    at session build time (the proper extension-library route);
+  *  - `GraftFunctions.register(spark)` for an already-running session
+  *    (idempotent; used by `GraftSession.tune`).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  // SQL literals arrive as DECIMAL / array<double>; coerce at the boundary
+  private def asDouble(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.DoubleType)
+  private def asFloatArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+
+  /** (name, builder) for every custom function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> { es => Tx.SimHash64(es.head) },
+    "minhash_signature" -> { es =>
+      Tx.MinHashSignature(es.head, intLit(es(1), "minhash_signature k")) },
+    "rolling_hash64" -> { es => Tx.RollingHash64(es.head) },
+    "cosine_similarity" -> { es =>
+      Vx.CosineSimilarity(asFloatArray(es.head), asFloatArray(es(1))) },
+    "hyperplane_bucket" -> { es =>
+      Vx.HyperplaneBucket(asFloatArray(es.head),
+        intLit(es(1), "hyperplane_bucket bits")) },
+    "st_point" -> { es => Sp.StPoint(asDouble(es.head), asDouble(es(1))) },
+    "st_x" -> { es => Sp.StX(es.head) },
+    "st_y" -> { es => Sp.StY(es.head) },
+    "st_is_wkb_point" -> { es => Sp.StIsWkbPoint(es.head) })
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+/** Session-extension route: `spark.sql.extensions=graft.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", name),
+        builder))
+    }
+}

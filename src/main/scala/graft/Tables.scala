@@ -42,6 +42,9 @@ object GraftSession {
     // read it as a nanos-since-epoch LongType instead (event ops convert
     // to ms/seconds explicitly — see operators.EventOps).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // custom expressions as SQL functions (simhash64, cosine_similarity,
+    // st_point, ...) — idempotent
+    GraftFunctions.register(spark)
     spark
   }
 }

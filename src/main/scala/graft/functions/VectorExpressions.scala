@@ -20,9 +20,12 @@ object VectorExpressions {
 
   /** Cosine similarity of two float vectors, computed in one pass with
     * double accumulation. Returns null if either side is null; 0.0 if
-    * either norm is zero. */
+    * either norm is zero. Full `doGenCode` (not CodegenFallback): the
+    * expression runs once per corpus row in brute-force top-k, and a
+    * fallback there would break the scan→project→TakeOrdered whole-stage
+    * codegen span. Array elements must be non-null (parquet float lists). */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = floatsOf(l.asInstanceOf[ArrayData])
@@ -36,6 +39,31 @@ object VectorExpressions {
         i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |  ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+         """.stripMargin
+      })
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSimilarity = copy(l, r)

@@ -1,0 +1,42 @@
+package graft
+
+/** SQL-surface checks for the registered custom functions. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("custom functions are callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  simhash64(array('a','b','c')) AS sh,
+        |  minhash_signature(array('a','b'), 4) AS mh,
+        |  rolling_hash64('hello') AS rh,
+        |  round(cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS cs,
+        |  hyperplane_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8) AS hb,
+        |  st_x(st_point(1.5, -2.5)) AS px,
+        |  st_y(st_point(1.5, -2.5)) AS py,
+        |  st_is_wkb_point(st_point(0.0, 0.0)) AS ok""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](1).length == 4)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getInt(4) >= 0 && r.getInt(4) < 256)
+    assert(r.getDouble(5) == 1.5 && r.getDouble(6) == -2.5)
+    assert(r.getBoolean(7))
+    // SQL route must agree with the Column route
+    val viaSql = spark.sql("SELECT rolling_hash64('same input')").collect()(0).getLong(0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq("same input").toDF("s")
+      .select(graft.functions.TextExpressions.rollingHash64(col("s")))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("non-literal k in minhash_signature is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+}
