@@ -97,6 +97,33 @@ object ScalarOps extends OpCatalog {
       |GROUP BY price_band, status_or_prio
       |ORDER BY price_band, status_or_prio""".stripMargin
 
+
+  // ---------------------------------------------------------------- q28
+  /** Correlated scalar subquery: orders priced above 1.5x their own
+    * customer's average — exercised through the SQL entry so Catalyst's
+    * subquery decorrelation (RewriteCorrelatedScalarSubquery) runs. */
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_cs")
+    spark.sql(
+      """SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
+        |FROM graft_orders_cs o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
+        |                      FROM graft_orders_cs i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  private val correlatedSubquerySql =
+    """SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
+      |                      FROM orders i
+      |                      WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q26
   /** GROUPING SETS (E8, the general form beyond rollup/cube) via the SQL
     * entry point over a temp view — DataFrame API has no direct grouping
@@ -141,6 +168,8 @@ object ScalarOps extends OpCatalog {
       "string/date/math scalar function showcase"),
     Op("q19_conditional_funcs", conditionalFuncs, Some(conditionalFuncsSql),
       "CASE/coalesce/nullif/least/greatest conditionals"),
+    Op("q28_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql),
+      "correlated scalar subquery (decorrelated by Catalyst)"),
     Op("q26_grouping_sets", groupingSets, Some(groupingSetsSql),
       "GROUPING SETS via the SQL entry point"),
     Op("q27_approx_distinct", approxDistinct, None,

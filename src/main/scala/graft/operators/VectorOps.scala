@@ -182,7 +182,80 @@ object VectorOps extends OpCatalog {
       |GROUP BY sums.label, n_vecs
       |ORDER BY sums.label""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** ANN via IVF-style coarse quantization (E13 alternate scale path):
+    * label centroids act as the coarse codebook (an honest stand-in for
+    * k-means cells — at scale the codebook is trained once and broadcast);
+    * the query probes its nearest centroid and searches only that
+    * partition. Deterministic; spec checks exactness within the probed
+    * cell. At scale the corpus is PARTITIONED BY cell — the probe reads
+    * 1/nlist of the data (partition pruning), vs q43's hash-bucket route. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    // centroid per label as array<float> (codebook — tiny, broadcastable)
+    val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
+        .as("centroid"))
+    val q = queryVec(spark, sfDir)
+    // probe: nearest centroid to the query (10 rows — driver-side is fine,
+    // but keep it in-plan: top-1 via orderBy/limit)
+    val bestCell = cents.crossJoin(broadcast(q))
+      .select(col("label").as("cell"),
+        VectorExpressions.cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(1)
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(bestCell), col("label") === col("cell"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Embedding-cosine near-dup pairs (north-star dedup variant): exact
+    * all-pairs cosine >= 0.5 with id ordering. The n² form is the exact
+    * baseline; at scale the LSH bucket (q43's `hyperplane_bucket`) becomes
+    * the blocking key in front of the same verify step. */
+  def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorExpressions.cosineSimilarity(col("emb_a"), col("emb_b")).as("raw"))
+      .filter(col("raw") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embeddingNeardupSql =
+    """WITH dims AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+      |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS sim
+      |FROM pairs
+      |WHERE dot / sqrt(na * nb) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q45_ann_ivf", annIvf, None,
+      "ANN top-10 via IVF coarse-quantizer probe (label centroids)"),
+    Op("q46_embedding_neardup", embeddingNeardup, Some(embeddingNeardupSql),
+      "embedding-cosine near-dup pairs (exact all-pairs baseline)"),
     Op("q40_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-10 vs query vector (fused expression)"),
     Op("q41_vector_norms", vectorNorms, Some(vectorNormsSql),

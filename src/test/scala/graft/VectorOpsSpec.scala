@@ -49,6 +49,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(again.toSeq == ann.toSeq)
   }
 
+  test("IVF probe returns the exact top-k of its probed cell") {
+    val ivf = VectorOps.annIvf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    // every returned sim must equal the brute-force sim for that id
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val all = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (id, sim) => assert(all(id) == sim) }
+    // results are sorted desc with id tiebreak and deterministic
+    assert(ivf.sortBy { case (id, s) => (-s, id) }.toSeq == ivf.toSeq)
+    assert(VectorOps.annIvf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq == ivf.toSeq)
+  }
+
   test("vector-sum Aggregator equals manual elementwise sum") {
     import spark.implicits._
     val df = Seq(
