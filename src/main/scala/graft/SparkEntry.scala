@@ -12,6 +12,7 @@ object SparkEntry {
   private def catalogs: Seq[OpCatalog] = Seq(
     operators.Relational,
     operators.ScalarOps,
+    operators.SkewOps,
     operators.EventOps,
     operators.TextOps,
     operators.VectorOps,
