@@ -22,34 +22,45 @@ object TextExpressions {
   /** 64-bit SimHash of a token array: per-bit majority vote over token
     * hashes. Near-identical token multisets → small Hamming distance. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val acc = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val h = hashToken(arr.getUTF8String(i), 0L)
-          var b = 0
-          while (b < 64) {
-            acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var fp = 0L
-      var b = 0
-      while (b < 64) {
-        if (acc(b) > 0) fp |= (1L << b)
-        b += 1
-      }
-      fp
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.simhashEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.simhashEval($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
     override def prettyName: String = "simhash64"
+  }
+
+  /** Static eval used by SimHash64's generated code: one virtual call per
+    * row (vs CodegenFallback's boxed `eval` + InternalRow wrapping), keeps
+    * the surrounding operators in whole-stage codegen. */
+  def simhashEval(arr: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = hashToken(arr.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
   }
 
   /** MinHash signature: `k` permutation minima over token hashes (seeded
@@ -85,21 +96,31 @@ object TextExpressions {
     * order-sensitive content fingerprint (two docs with the same words in a
     * different order get different fingerprints, unlike SimHash/MinHash). */
   case class RollingHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) {
-        h = h * 31L + bytes(i)
-        i += 1
-      }
-      h
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.rollingHashEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.rollingHashEval($c)")
     override protected def withNewChildInternal(c: Expression): RollingHash64 =
       copy(child = c)
     override def prettyName: String = "rolling_hash64"
+  }
+
+  /** Static eval for RollingHash64's generated code. */
+  def rollingHashEval(str: UTF8String): Long = {
+    val bytes = str.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + bytes(i)
+      i += 1
+    }
+    h
   }
 
   // Column-level wrappers (Spark 4: Column ↔ Expression via GraftBridge)

@@ -159,19 +159,26 @@ object TextOps extends OpCatalog {
     val d = toks(spark, sfDir)
       .select(col("doc_id"), col("lang"), shingles.as("sh"))
       .withColumn("sig", TextExpressions.minhashSignature(col("sh"), bands * rows))
-    // band key: (band index, hash of the band's signature slice)
-    val banded = d.select(col("doc_id"), col("lang"), col("sh"),
+    // Band join carries ONLY (band, bucket, lang, id) — the shingle arrays
+    // would otherwise be shuffled bands× over; candidates join back to the
+    // (id → shingles) side for verification, so array bytes move once.
+    val banded = d.select(col("doc_id"), col("lang"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> hash(slice(sig, b * $rows + 1, $rows)))"))
           .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"), col("lang"))
+      col("doc_id").as("id_a"), col("lang"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"), col("lang").as("lang_r"))
-    l.join(r, col("band") === col("band_r") && col("bucket") === col("bucket_r")
-        && col("lang") === col("lang_r") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      col("doc_id").as("id_b"), col("lang").as("lang_r"))
+    val candIds = l.join(r,
+        col("band") === col("band_r") && col("bucket") === col("bucket_r")
+          && col("lang") === col("lang_r") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in many bands
+    val byId = d.select(col("doc_id"), col("sh"))
+    candIds
+      .join(byId.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(byId.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
