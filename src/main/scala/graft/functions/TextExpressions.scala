@@ -67,29 +67,38 @@ object TextExpressions {
     * XXH64 stands in for k independent permutations). Input array<string>,
     * output array<long> of length k. Empty input → array of Long.MaxValue. */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val sig = Array.fill[Long](k)(Long.MaxValue)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val t = arr.getUTF8String(i)
-          var p = 0
-          while (p < k) {
-            val h = hashToken(t, p.toLong)
-            if (h < sig(p)) sig(p) = h
-            p += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.minhashEval(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.minhashEval($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
     override def prettyName: String = "minhash_signature"
+  }
+
+  /** Static eval used by MinHashSignature's generated code. */
+  def minhashEval(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var p = 0
+        while (p < k) {
+          val h = hashToken(t, p.toLong)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
   }
 
   /** Polynomial rolling hash over a string's UTF-8 bytes — an

@@ -77,31 +77,41 @@ object VectorExpressions {
     * similarity collide in buckets with high probability (SimHash LSH family
     * for angular distance). */
   case class HyperplaneBucket(child: Expression, nBits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(nBits > 0 && nBits <= 30, "nBits must be in 1..30")
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(input: Any): Any = {
-      val v = floatsOf(input.asInstanceOf[ArrayData])
-      var bucket = 0
-      var p = 0
-      while (p < nBits) {
-        var s = 0.0
-        var i = 0
-        while (i < v.length) {
-          // 64 ±1 components per XXH64 word; block index = i / 64
-          val word = XXH64.hashLong((i >> 6).toLong, p.toLong)
-          val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
-          s += sign * v(i)
-          i += 1
-        }
-        if (s > 0) bucket |= (1 << p)
-        p += 1
-      }
-      bucket
-    }
+    override def nullSafeEval(input: Any): Any =
+      VectorExpressions.hyperplaneEval(input.asInstanceOf[ArrayData], nBits)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.hyperplaneEval($c, $nBits)")
     override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
       copy(child = c)
     override def prettyName: String = "hyperplane_bucket"
+  }
+
+  /** Static eval used by HyperplaneBucket's generated code. */
+  def hyperplaneEval(input: ArrayData, nBits: Int): Int = {
+    val v = floatsOf(input)
+    var bucket = 0
+    var p = 0
+    while (p < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        // 64 ±1 components per XXH64 word; block index = i / 64
+        val word = XXH64.hashLong((i >> 6).toLong, p.toLong)
+        val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
+        s += sign * v(i)
+        i += 1
+      }
+      if (s > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
   }
 
   def cosineSimilarity(a: Column, b: Column): Column =

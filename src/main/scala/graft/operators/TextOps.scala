@@ -197,6 +197,8 @@ object TextOps extends OpCatalog {
     val d = toks(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         TextExpressions.simhash64(shingles).as("fp"))
+    // id+fp only through the band shuffle (fp is 8 bytes — cheap enough to
+    // carry, saving the verify-side join q33 needs for its big arrays)
     val banded = d.select(col("doc_id"), col("lang"), col("fp"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(fp, b * 16) & 65535)"))
@@ -207,11 +209,11 @@ object TextOps extends OpCatalog {
       col("lang").as("lang_r"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, col("band") === col("band_r") && col("chunk") === col("chunk_r")
         && col("lang") === col("lang_r") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
-      .dropDuplicates("id_a", "id_b")
+      // filter Hamming BEFORE the pair dedup — far fewer rows to distinct
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
 
