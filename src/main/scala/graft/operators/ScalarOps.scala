@@ -163,7 +163,37 @@ object ScalarOps extends OpCatalog {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---------------------------------------------------------------- q47
+  /** Exact percentiles (statistical aggregates): median/p90 per order
+    * status. Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition (index p·(n-1)); interpolation on
+    * 2-decimal inputs keeps doubles well inside the 4dp rounding margin.
+    * (`approx_percentile`'s sketch twin stays engine-specific → spec.) */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        round(stddev_pop(col("o_totalprice")), 2).as("sd"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val percentilesSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |  round(stddev_pop(o_totalprice), 2) AS sd
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q47_percentiles", percentiles, Some(percentilesSql),
+      "exact percentile/stddev statistical aggregates"),
     Op("q18_scalar_funcs", scalarFuncs, Some(scalarFuncsSql),
       "string/date/math scalar function showcase"),
     Op("q19_conditional_funcs", conditionalFuncs, Some(conditionalFuncsSql),

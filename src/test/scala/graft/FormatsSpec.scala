@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth beyond the reference's parquet-only surface
+  * (SURVEY.md §2.2 "Scans/sources" row): CSV, JSON, ORC round-trips, and
+  * map-typed column handling. */
+class FormatsSpec extends SparkSpec {
+
+  private def nations = Tables.nation(spark, sfDir)
+
+  test("CSV round-trip with header and schema") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    nations.write.option("header", "true").csv(s"$dir/csv")
+    val back = spark.read.option("header", "true")
+      .schema(nations.schema).csv(s"$dir/csv")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nations.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON round-trip") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    nations.write.json(s"$dir/json")
+    val back = spark.read.schema(nations.schema).json(s"$dir/json")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nations.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("ORC round-trip incl. array column") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.write.orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.schema("embedding").dataType.typeName == "array")
+    assert(back.count() == emb.count())
+    val a = back.orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
+
+  test("map-typed columns: build, access, transform, parquet round-trip") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val withMap = Tables.events(spark, sfDir)
+      .withColumn("m", map_from_arrays(
+        array(lit("type"), lit("uid")),
+        array(col("event_type"), col("user_id").cast("string"))))
+    val accessed = withMap
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("t"),
+        map_keys(col("m")).as("ks"),
+        expr("transform_values(m, (k, v) -> upper(v))").as("upper_m"))
+    val row = accessed.orderBy("event_id").limit(1).collect()(0)
+    assert(row.getString(1).nonEmpty)
+    assert(row.getSeq[String](2) == Seq("type", "uid"))
+    withMap.select("event_id", "m").write.parquet(s"$dir/map")
+    val back = spark.read.parquet(s"$dir/map")
+    assert(back.schema("m").dataType.typeName == "map")
+    assert(back.count() == withMap.count())
+  }
+}
