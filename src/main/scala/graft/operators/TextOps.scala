@@ -339,7 +339,99 @@ object TextOps extends OpCatalog {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Dedup endgame: near-dup PAIRS (q32) → connected-component CLUSTERS →
+    * canonical keep-list. Spark side is iterative min-label propagation
+    * over the edge list (O(log n) rounds, each a join+agg — the standard
+    * distributed connected-components loop; no driver-side graph). Oracle
+    * is a recursive CTE computing transitive closure. Output: one row per
+    * clustered doc with its canonical (minimum) doc id. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    // materialize the (small) pair set once — both union branches and every
+    // propagation round would otherwise re-run the whole similarity join
+    val pairs = neardupShingle(spark, sfDir).select(col("id_a"), col("id_b"))
+      .cache()
+    pairs.count()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = edges.select(col("id_a").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbor = edges
+        .join(labels, edges("id_b") === labels("node"))
+        .select(col("id_a").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(viaNeighbor)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist() // previous round's cache (no-op on round 0)
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE sh_docs AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh_docs a
+      |  JOIN sh_docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) /
+      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, b AS reachable FROM edges
+      |  UNION
+      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a)
+      |SELECT node AS doc_id,
+      |  CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Token counting two ways (north-star): whitespace tokens vs a BPE-ish
+    * regex segmentation (word pieces + standalone punctuation), plus the
+    * chars-per-token ratio LLM data pipelines budget with. */
+  def tokenEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("re_tokens"),
+        round(col("n_chars") / size(split(col("text"), " ")).cast("double"), 4)
+          .as("chars_per_ws_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenEstimateSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens,
+      |  round(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS chars_per_ws_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      "near-dup pairs -> connected components -> canonical keep-list"),
+    Op("q61_token_estimate", tokenEstimate, Some(tokenEstimateSql),
+      "token counting: whitespace vs BPE-ish regex segmentation"),
     Op("q30_dedup_exact", dedupExact, Some(dedupExactSql),
       "exact content dedup summary (hash-groupBy)"),
     Op("q31_dedup_keyed", dedupKeyed, Some(dedupKeyedSql),
