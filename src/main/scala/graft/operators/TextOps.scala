@@ -93,9 +93,14 @@ object TextOps extends OpCatalog {
     * Jaccard is an integer ratio — bit-identical in both engines. */
   def neardupShingle(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
+    // computing shingles costs ~2s per pass at sf0.1 and this plan refers
+    // to them from five branches (freq agg, ordering join, both verify
+    // sides) — cache the shingled docs once (a few MB per 5k docs; at
+    // cluster scale this is a checkpoint/persist-to-disk decision)
     val base = toks(spark, sfDir).select(col("lang"), col("doc_id"),
       array_sort(shingles).as("sh"))
       .withColumn("n", size(col("sh")))
+      .cache()
     // PPJoin refinement: order each doc's shingles by ascending global
     // document frequency so the emitted prefixes are the RAREST shingles —
     // minimal join-key collisions. Any fixed total order keeps exactness;
