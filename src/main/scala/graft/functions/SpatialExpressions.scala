@@ -19,14 +19,14 @@ import org.apache.spark.sql.types._
   */
 object SpatialExpressions {
 
-  private[functions] def encodePoint(x: Double, y: Double): Array[Byte] = {
+  private[graft] def encodePoint(x: Double, y: Double): Array[Byte] = {
     val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
     buf.array()
   }
 
   /** Decode a WKB point; returns (x, y) or null if not a valid point. */
-  private[functions] def decodePoint(wkb: Array[Byte]): Option[(Double, Double)] = {
+  private[graft] def decodePoint(wkb: Array[Byte]): Option[(Double, Double)] = {
     if (wkb == null || wkb.length < 21) return None
     val order =
       if (wkb(0) == 1.toByte) ByteOrder.LITTLE_ENDIAN
