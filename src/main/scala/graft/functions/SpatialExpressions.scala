@@ -40,10 +40,16 @@ object SpatialExpressions {
 
   /** `st_point(x, y)` → WKB bytes (reference O20). */
   case class StPoint(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(x: Any, y: Any): Any =
       encodePoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (x, y) =>
+        s"graft.functions.SpatialExpressions.encodePoint($x, $y)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): StPoint = copy(l, r)
     override def prettyName: String = "st_point"
@@ -73,14 +79,23 @@ object SpatialExpressions {
   /** Validity probe: is this binary a decodable WKB point? Mirrors the
     * reference's tolerant decode (`app.py:145-152` bytes check). */
   case class StIsWkbPoint(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def nullSafeEval(input: Any): Any =
       decodePoint(input.asInstanceOf[Array[Byte]]).isDefined
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SpatialExpressions.isWkbPoint($c)")
     override protected def withNewChildInternal(c: Expression): StIsWkbPoint =
       copy(c)
     override def prettyName: String = "st_is_wkb_point"
   }
+
+  /** Static helper for StIsWkbPoint's generated code. */
+  def isWkbPoint(wkb: Array[Byte]): Boolean = decodePoint(wkb).isDefined
 
   def stPoint(x: Column, y: Column): Column = toCol(StPoint(toExpr(x), toExpr(y)))
   def stX(wkb: Column): Column = toCol(StX(toExpr(wkb)))
