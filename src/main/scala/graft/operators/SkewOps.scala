@@ -43,7 +43,44 @@ object SkewOps extends OpCatalog {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Range (non-equi) join: events banded by value ranges from an inline
+    * dim. Spark plans broadcast-nested-loop with the tiny band table
+    * broadcast — the right physical shape for interval lookups against a
+    * bounded dim (for two LARGE interval sets the play is binning both
+    * sides to an equi key first; documented, not needed here). */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    import spark.implicits._
+    val bands = Seq(
+      ("tiny", 0.0, 5.0), ("small", 5.0, 20.0),
+      ("medium", 20.0, 60.0), ("large", 60.0, Double.MaxValue))
+      .toDF("band", "lo", "hi")
+    Tables.events(spark, sfDir)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+          .as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  private val rangeJoinSql =
+    """SELECT band, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events JOIN (
+      |  SELECT 'tiny' AS band, 0.0 AS lo, 5.0 AS hi
+      |  UNION ALL SELECT 'small', 5.0, 20.0
+      |  UNION ALL SELECT 'medium', 20.0, 60.0
+      |  UNION ALL SELECT 'large', 60.0, 1e308) bands
+      |ON value >= lo AND value < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q29_salted_join", saltedJoin, Some(saltedJoinSql),
-      "skew-salted join (deterministic salt), result == plain join"))
+      "skew-salted join (deterministic salt), result == plain join"),
+    Op("q49_range_join", rangeJoin, Some(rangeJoinSql),
+      "range/interval join against a broadcast band dim"))
 }

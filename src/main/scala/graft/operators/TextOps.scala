@@ -432,7 +432,36 @@ object TextOps extends OpCatalog {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Custom Generator / UDTF surface: bigram frequency via the engine's
+    * own `NGramGenerator` expression (a native `Generate` node, same
+    * plan shape as `explode`). Top-20 bigrams with count + distinct docs. */
+  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    toks(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.NGramGenerator.ngrams(col("w"), 2).as(Seq("pos", "ngram")))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+  }
+
+  private val bigramFreqSql =
+    """SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS ngram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |GROUP BY ngram
+      |ORDER BY n DESC, ngram
+      |LIMIT 20""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q62_bigram_freq", bigramFreq, Some(bigramFreqSql),
+      "custom Generator (UDTF): bigram frequency top-20"),
     Op("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components -> canonical keep-list"),
     Op("q61_token_estimate", tokenEstimate, Some(tokenEstimateSql),

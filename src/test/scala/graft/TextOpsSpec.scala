@@ -64,6 +64,22 @@ class TextOpsSpec extends SparkSpec {
     assert(m1.map(_.getLong(2)).sum == 500L) // every doc classified once
   }
 
+  test("NGramGenerator: counts, boundaries, and short-input behavior") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "y")),
+      (3L, Seq("solo")),      // shorter than n -> no rows
+      (4L, Seq.empty[String]) // empty -> no rows
+    ).toDF("id", "w")
+    val grams = df.select(col("id"),
+      graft.functions.NGramGenerator.ngrams(col("w"), 2).as(Seq("pos", "ngram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(grams == Seq(
+      (1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d"),
+      (2L, 0, "x y")))
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
