@@ -199,9 +199,12 @@ object TextOps extends OpCatalog {
     * ≤ 6. Not oracle-declared (engine-specific hash); spec-verified. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
+    // fingerprints are 16 bytes/doc; cache so the self-join's two branches
+    // don't each recompute the shingle+simhash pass
     val d = toks(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         TextExpressions.simhash64(shingles).as("fp"))
+      .cache()
     // id+fp only through the band shuffle (fp is 8 bytes — cheap enough to
     // carry, saving the verify-side join q33 needs for its big arrays)
     val banded = d.select(col("doc_id"), col("lang"), col("fp"),

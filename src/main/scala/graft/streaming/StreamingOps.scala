@@ -42,6 +42,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("sess_events")).as("n_events"))
 
+  /** Streaming exact dedup (north-star dedup, unbounded form):
+    * `dropDuplicates` on the event key with a watermark bounding the
+    * dedup state — late duplicates beyond the watermark age out of state
+    * instead of growing it forever. Batch twin: plain `dropDuplicates`. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   final case class UserEvent(event_id: Long, user_id: Long, ms: Long,
       event_type: String)
   final case class UserState(nEvents: Long, lastMs: Long)

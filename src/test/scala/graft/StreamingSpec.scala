@@ -52,6 +52,30 @@ class StreamingSpec extends SparkSpec {
       "native session_window must agree with the analytic formulation")
   }
 
+  test("streaming dropDuplicates removes re-delivered events (dedup with watermark)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = eventsBatch.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    mem.addData(b1.take(100).toSeq) // re-deliver duplicates
+    val streamDf = mem.toDF()
+      .toDF("ts", "user_id", "event_type", "value", "event_id")
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.dedupStream(streamDf), "dedup_test")
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val batch = eventsBatch.dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(streamed == batch, "re-delivered events must be deduped in-stream")
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
