@@ -52,8 +52,11 @@ object Ingest {
         ParquetIngest.JdbcSink(url, rest.substring(i + 1), props)
       } else sys.error(s"unknown sink '$sinkSpec'")
 
+    val t0 = System.nanoTime()
     val report = ParquetIngest.ingest(spark, source, sink, mode)
-    println(s"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec " +
+      f"in $secs%.2f s (${report.rowsWritten / secs}%.0f rows/s)")
     spark.stop()
   }
 }
