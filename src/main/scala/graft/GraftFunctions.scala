@@ -49,7 +49,9 @@ object GraftFunctions {
     "st_point" -> { es => Sp.StPoint(asDouble(es.head), asDouble(es(1))) },
     "st_x" -> { es => Sp.StX(es.head) },
     "st_y" -> { es => Sp.StY(es.head) },
-    "st_is_wkb_point" -> { es => Sp.StIsWkbPoint(es.head) })
+    "st_is_wkb_point" -> { es => Sp.StIsWkbPoint(es.head) },
+    "ngrams" -> { es =>
+      graft.functions.NGramGenerator(es.head, intLit(es(1), "ngrams n")) })
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -55,23 +55,45 @@ object SpatialExpressions {
     override def prettyName: String = "st_point"
   }
 
-  /** Coordinate extraction from WKB points (reference O7 decode). */
-  abstract class PointCoord extends UnaryExpression with CodegenFallback {
+  /** Coordinate extraction from WKB points (reference O7 decode).
+    * Codegen via a boxed static helper: invalid WKB → null slot. */
+  abstract class PointCoord extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     protected def pick(xy: (Double, Double)): Double
+    protected def helperName: String
     override def nullSafeEval(input: Any): Any =
       decodePoint(input.asInstanceOf[Array[Byte]]).map(pick).orNull
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("coord")
+        s"""
+           |java.lang.Double $tmp = graft.functions.SpatialExpressions.$helperName($c);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
   }
+
+  /** Boxed static helpers for PointCoord generated code. */
+  def xOrNull(wkb: Array[Byte]): java.lang.Double =
+    decodePoint(wkb).map(p => java.lang.Double.valueOf(p._1)).orNull
+  def yOrNull(wkb: Array[Byte]): java.lang.Double =
+    decodePoint(wkb).map(p => java.lang.Double.valueOf(p._2)).orNull
 
   case class StX(child: Expression) extends PointCoord {
     override protected def pick(xy: (Double, Double)): Double = xy._1
+    override protected def helperName: String = "xOrNull"
     override protected def withNewChildInternal(c: Expression): StX = copy(c)
     override def prettyName: String = "st_x"
   }
 
   case class StY(child: Expression) extends PointCoord {
     override protected def pick(xy: (Double, Double)): Double = xy._2
+    override protected def helperName: String = "yOrNull"
     override protected def withNewChildInternal(c: Expression): StY = copy(c)
     override def prettyName: String = "st_y"
   }
