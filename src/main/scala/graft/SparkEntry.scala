@@ -19,7 +19,13 @@ object SparkEntry {
     operators.IngestOps,
     operators.MultimodalOps)
 
-  lazy val ops: Seq[Op] = catalogs.flatMap(_.ops)
+  lazy val ops: Seq[Op] = {
+    val all = catalogs.flatMap(_.ops)
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names would silently shadow each other: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
