@@ -34,15 +34,20 @@ case class NGramGenerator(child: Expression, n: Int)
     val tokens = arr.asInstanceOf[ArrayData]
     val m = tokens.numElements() - n + 1
     if (m <= 0) return Nil
-    (0 until m).iterator.map { i =>
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
-        j += 1
+    (0 until m).iterator.flatMap { i =>
+      // windows containing null tokens are skipped (elementSchema declares
+      // ngram non-nullable, so there is no legal null output)
+      if ((0 until n).exists(j => tokens.isNullAt(i + j))) None
+      else {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          j += 1
+        }
+        Some(InternalRow(i, UTF8String.fromString(sb.toString)))
       }
-      InternalRow(i, UTF8String.fromString(sb.toString))
     }
   }
 

@@ -34,7 +34,10 @@ object SpatialExpressions {
       else return None
     val buf = ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
     val geomType = buf.getInt
-    if ((geomType & 0xff) != 1) return None // not a (2D) point
+    // strict: plain 2D WKB point only. EWKB flag bits (SRID/Z/M) change the
+    // byte layout after the type word — masking them here would silently
+    // read the SRID as half of the x coordinate.
+    if (geomType != 1) return None
     Some((buf.getDouble, buf.getDouble))
   }
 

@@ -208,7 +208,11 @@ object ParquetIngest {
           }
           observed.write.mode(mode).jdbc(url, table, props)
       }
-      latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      val delivered = latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      if (!delivered || rows.get() < 0)
+        throw new IllegalStateException(
+          "ingest wrote data but the observed row-count metric was not " +
+            "delivered within 30s — count unknown")
     } finally spark.listenerManager.unregister(listener)
     IngestReport(rows.get())
   }

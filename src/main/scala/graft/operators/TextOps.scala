@@ -27,10 +27,15 @@ object TextOps extends OpCatalog {
     Tables.documents(spark, sfDir)
       .withColumn("w", split(col("text"), " "))
 
-  /** Distinct 3-gram word shingles: order-sensitive near-dup features. */
+  /** Distinct 3-gram word shingles: order-sensitive near-dup features.
+    * Docs shorter than 3 tokens yield an EMPTY set (guard needed: Spark's
+    * `sequence(1, 0)` counts DOWN, which would fabricate bogus shingles;
+    * DuckDB's `range(1, len-1)` is empty there — both sides must agree). */
   private val shingles: Column = array_distinct(
-    expr("transform(sequence(1, size(w) - 2), " +
-      "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+    expr("IF(size(w) >= 3, " +
+      "transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), " +
+      "CAST(array() AS ARRAY<STRING>))"))
 
   // ---------------------------------------------------------------- q30
   /** Exact dedup, content-keyed (E11): group by full text, keep the lowest
@@ -161,9 +166,12 @@ object TextOps extends OpCatalog {
     GraftSession.tune(spark)
     val bands = 8
     val rows = 4
+    // shared by the banded candidate side and the verify side — cache so
+    // the shingle+MinHash pass runs once (same pattern as q32/q34)
     val d = toks(spark, sfDir)
       .select(col("doc_id"), col("lang"), shingles.as("sh"))
       .withColumn("sig", TextExpressions.minhashSignature(col("sh"), bands * rows))
+      .cache()
     // Band join carries ONLY (band, bucket, lang, id) — the shingle arrays
     // would otherwise be shuffled bands× over; candidates join back to the
     // (id → shingles) side for verification, so array bytes move once.
@@ -350,8 +358,9 @@ object TextOps extends OpCatalog {
   // ---------------------------------------------------------------- q60
   /** Dedup endgame: near-dup PAIRS (q32) → connected-component CLUSTERS →
     * canonical keep-list. Spark side is iterative min-label propagation
-    * over the edge list (O(log n) rounds, each a join+agg — the standard
-    * distributed connected-components loop; no driver-side graph). Oracle
+    * over the edge list (O(component diameter) rounds, each a join+agg —
+    * the simple distributed connected-components loop; large-diameter
+    * graphs want the large-star/small-star variant). Oracle
     * is a recursive CTE computing transitive closure. Output: one row per
     * clustered doc with its canonical (minimum) doc id. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
@@ -369,7 +378,8 @@ object TextOps extends OpCatalog {
       .withColumn("label", col("node"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIters = 50 // propagation needs O(component diameter) rounds
+    while (changed > 0 && iter < maxIters) {
       val viaNeighbor = edges
         .join(labels, edges("id_b") === labels("node"))
         .select(col("id_a").as("node"), col("label"))
@@ -384,6 +394,12 @@ object TextOps extends OpCatalog {
       labels = next
       iter += 1
     }
+    require(changed == 0,
+      s"label propagation did not converge in $maxIters rounds — component " +
+        "diameter exceeds the cap (use large-star/small-star for such graphs)")
+    labels.count() // materialize the final cache before freeing inputs
+    edges.unpersist()
+    pairs.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
       .orderBy(col("doc_id"))
   }

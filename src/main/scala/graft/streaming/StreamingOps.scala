@@ -30,17 +30,21 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
 
   /** Gap-based sessions via the native `session_window` operator (E17):
-    * 30-minute gap, per user. In batch mode this must agree with the
-    * lag+cumsum formulation of `EventOps.sessionize` — asserted in
-    * `StreamingSpec`. */
+    * 30-minute gap, per user — ONE stateful aggregation, so the transform
+    * is legal as an actual streaming query (Spark rejects a second
+    * non-windowed aggregation chained after a session-window agg in
+    * streaming mode; per-user rollups of the emitted sessions belong
+    * downstream). In batch mode the per-user rollup of this output must
+    * agree with the lag+cumsum formulation of `EventOps.sessionize` —
+    * asserted in `StreamingSpec`. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("sess_events"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(col("sess_events")).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("sess_start"),
+        col("sess_events"))
 
   /** Streaming exact dedup (north-star dedup, unbounded form):
     * `dropDuplicates` on the event key with a watermark bounding the

@@ -41,7 +41,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("session_window batch result == lag+cumsum sessionization (q23)") {
+    // roll the per-session rows up per user (downstream of the single
+    // stateful agg — see StreamingOps.sessionCounts scaladoc)
     val sw = StreamingOps.sessionCounts(eventsBatch)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("sess_events")).as("n_events"))
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val q23 = EventOps.sessionize(spark, sfDir)
@@ -50,6 +54,27 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(sw == q23,
       "native session_window must agree with the analytic formulation")
+  }
+
+  test("sessionCounts runs as an actual streaming query (single stateful agg)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // session windows only support Append mode in streaming: sessions emit
+    // once the watermark passes them, so feed early events, then much later
+    // ones to advance the watermark beyond the early sessions
+    val rows = eventsBatch.orderBy(col("ts")).collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+    mem.addData(rows.take(300).toSeq)
+    mem.addData(rows.takeRight(100).toSeq) // ~a month later -> watermark jumps
+    val streamDf = mem.toDF()
+      .toDF("ts", "user_id", "event_type", "value", "event_id")
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(streamDf), "session_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(streamed.count() > 0,
+      "watermark-passed sessions must be emitted in append mode")
   }
 
   test("streaming dropDuplicates removes re-delivered events (dedup with watermark)") {
