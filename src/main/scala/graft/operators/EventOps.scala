@@ -37,7 +37,8 @@ object EventOps extends OpCatalog {
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     Tables.events(spark, sfDir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast: a non-integer k must yield NULL, not an ANSI cast crash
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(avg(col("k")), 4).as("avg_k"),
@@ -48,8 +49,8 @@ object EventOps extends OpCatalog {
 
   private val jsonExtractSql =
     """SELECT event_type, count(*) AS n_events,
-      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
-      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(TRY_CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY event_type

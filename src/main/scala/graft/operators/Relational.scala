@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * project / limit-1 (SURVEY.md §2.2, evidence `app.py:111-183`); these give
   * the ABSENT categories a concrete, DuckDB-checkable embodiment.
   *
+  * Declared-oracle contract: sort keys are non-null (true of this corpus;
+  * Spark defaults NULLS FIRST on ASC where DuckDB defaults NULLS LAST, so
+  * null-keyed ordering would need explicit NULLS clauses on both sides).
+  *
   * Determinism rules (SURVEY.md §7.4): money sums go through DECIMAL casts
   * (exact, associative — identical in Spark and DuckDB regardless of
   * aggregation order); doubles only where magnitudes keep float error far
@@ -334,16 +338,27 @@ object Relational extends OpCatalog {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        money(sum(dec(col("c_acctbal")))).as("sum_bal"))
-      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
-        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        money(sum(dec(col("c_acctbal")))).as("sum_bal"),
+        // grouping() distinguishes subtotal slots from genuine NULL data —
+        // plain coalesce would collide the two into the same 'ALL' key
+        // (grouping() is only legal inside the rollup's own agg list)
+        grouping(col("n_name")).as("g_nation"),
+        grouping(col("c_mktsegment")).as("g_segment"))
+      .select(
+        when(col("g_nation") === 1, "ALL")
+          .otherwise(coalesce(col("n_name"), lit("NULL"))).as("nation"),
+        when(col("g_segment") === 1, "ALL")
+          .otherwise(coalesce(col("c_mktsegment"), lit("NULL"))).as("segment"),
         col("n_customers"), col("sum_bal"))
       .orderBy(col("nation"), col("segment"))
   }
 
   private val rollupAggSql =
-    """SELECT coalesce(n_name, 'ALL') AS nation,
-      |  coalesce(c_mktsegment, 'ALL') AS segment,
+    """SELECT
+      |  CASE WHEN grouping(n_name) = 1 THEN 'ALL'
+      |       ELSE coalesce(n_name, 'NULL') END AS nation,
+      |  CASE WHEN grouping(c_mktsegment) = 1 THEN 'ALL'
+      |       ELSE coalesce(c_mktsegment, 'NULL') END AS segment,
       |  count(*) AS n_customers,
       |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -357,16 +372,24 @@ object Relational extends OpCatalog {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        money(sum(dec(col("o_totalprice")))).as("revenue"))
-      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"))
+      .select(
+        when(col("g_status") === 1, "ALL")
+          .otherwise(coalesce(col("o_orderstatus"), lit("NULL"))).as("status"),
+        when(col("g_priority") === 1, "ALL")
+          .otherwise(coalesce(col("o_orderpriority"), lit("NULL"))).as("priority"),
         col("n_orders"), col("revenue"))
       .orderBy(col("status"), col("priority"))
   }
 
   private val cubeAggSql =
-    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-      |  coalesce(o_orderpriority, 'ALL') AS priority,
+    """SELECT
+      |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+      |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+      |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
       |  count(*) AS n_orders,
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
       |FROM orders

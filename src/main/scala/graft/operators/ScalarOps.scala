@@ -50,14 +50,14 @@ object ScalarOps extends OpCatalog {
       |  substring(o_orderpriority, 1, 1) AS prio_digit,
       |  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
       |  length(o_orderpriority) AS prio_len,
-      |  o_orderstatus || '/' || o_orderpriority AS tag,
+      |  concat_ws('/', o_orderstatus, o_orderpriority) AS tag,
       |  replace(o_orderpriority, '-', '_') AS prio_us,
       |  trim('  x  ') AS trimmed,
       |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
       |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_up,
       |  round(sqrt(o_totalprice), 4) AS price_sqrt,
       |  round(abs(o_totalprice - 250000), 2) AS price_dev,
-      |  CAST(mod(o_orderkey, 7) AS BIGINT) AS key_mod7,
+      |  CAST(((o_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
       |  round(power(1.05, mod(o_orderkey, 10)), 4) AS compound
       |FROM orders
       |WHERE o_orderkey < 200
@@ -108,7 +108,7 @@ object ScalarOps extends OpCatalog {
     spark.sql(
       """SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
         |FROM graft_orders_cs o
-        |WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
+        |WHERE o_totalprice > (SELECT round(1.5 * avg(i.o_totalprice), 2)
         |                      FROM graft_orders_cs i
         |                      WHERE i.o_custkey = o.o_custkey)
         |GROUP BY o_custkey
@@ -118,7 +118,7 @@ object ScalarOps extends OpCatalog {
   private val correlatedSubquerySql =
     """SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
       |FROM orders o
-      |WHERE o_totalprice > (SELECT 1.5 * avg(i.o_totalprice)
+      |WHERE o_totalprice > (SELECT round(1.5 * avg(i.o_totalprice), 2)
       |                      FROM orders i
       |                      WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o_custkey
@@ -132,8 +132,11 @@ object ScalarOps extends OpCatalog {
     GraftSession.tune(spark)
     Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
     spark.sql(
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         |  count(*) AS n_orders
         |FROM graft_orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -141,8 +144,11 @@ object ScalarOps extends OpCatalog {
   }
 
   private val groupingSetsSql =
-    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-      |  coalesce(o_orderpriority, 'ALL') AS priority,
+    """SELECT
+      |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+      |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+      |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

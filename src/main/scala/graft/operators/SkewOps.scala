@@ -24,7 +24,10 @@ object SkewOps extends OpCatalog {
     GraftSession.tune(spark)
     val salts = 8
     val ev = Tables.events(spark, sfDir)
-      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+      // coalesce: a NULL key must still land in SOME salt bucket, or the
+      // salted join would silently drop rows the plain join keeps
+      .withColumn("salt",
+        pmod(coalesce(col("event_id"), lit(0L)), lit(salts)).cast("int"))
     val dim = Tables.customer(spark, sfDir)
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     ev.join(dim,
@@ -54,7 +57,7 @@ object SkewOps extends OpCatalog {
     import spark.implicits._
     val bands = Seq(
       ("tiny", 0.0, 5.0), ("small", 5.0, 20.0),
-      ("medium", 20.0, 60.0), ("large", 60.0, Double.MaxValue))
+      ("medium", 20.0, 60.0), ("large", 60.0, Double.PositiveInfinity))
       .toDF("band", "lo", "hi")
     Tables.events(spark, sfDir)
       .join(broadcast(bands),
@@ -73,7 +76,7 @@ object SkewOps extends OpCatalog {
       |  SELECT 'tiny' AS band, 0.0 AS lo, 5.0 AS hi
       |  UNION ALL SELECT 'small', 5.0, 20.0
       |  UNION ALL SELECT 'medium', 20.0, 60.0
-      |  UNION ALL SELECT 'large', 60.0, 1e308) bands
+      |  UNION ALL SELECT 'large', 60.0, CAST('infinity' AS DOUBLE)) bands
       |ON value >= lo AND value < hi
       |GROUP BY band
       |ORDER BY band""".stripMargin

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *    group — partial-aggregated map-side like any built-in agg.
   */
 object VectorOps extends OpCatalog {
+  // Declared-oracle contract: vec_id is unique (the table's key) and
+  // embeddings are equal-length non-empty vectors; zero-norm vectors get
+  // similarity 0.0 by CosineSimilarity's contract (oracles guard the same).
+
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -53,7 +57,9 @@ object VectorOps extends OpCatalog {
       |sims AS (
       |  SELECT vec_id, sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
       |  FROM prods GROUP BY vec_id)
-      |SELECT vec_id, round(dot / sqrt(na * nq), 4) AS sim
+      |SELECT vec_id,
+      |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |       ELSE round(dot / sqrt(na * nq), 4) END AS sim
       |FROM sims
       |ORDER BY sim DESC, vec_id
       |LIMIT 10""".stripMargin
@@ -248,7 +254,7 @@ object VectorOps extends OpCatalog {
       |  GROUP BY a.vec_id, b.vec_id)
       |SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS sim
       |FROM pairs
-      |WHERE dot / sqrt(na * nb) >= 0.5
+      |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
   override val ops: Seq[Op] = Seq(
