@@ -16,7 +16,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // noop sink: every row is fully materialized through the complete
+        // plan (projections, sorts, limits) but written nowhere — unlike
+        // count(), which lets Catalyst prune projections and drop sorts,
+        // timing a cheaper plan than the query declares.
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

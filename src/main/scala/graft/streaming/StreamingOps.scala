@@ -47,13 +47,17 @@ object StreamingOps {
         col("sess_events"))
 
   /** Streaming exact dedup (north-star dedup, unbounded form):
-    * `dropDuplicates` on the event key with a watermark bounding the
-    * dedup state — late duplicates beyond the watermark age out of state
-    * instead of growing it forever. Batch twin: plain `dropDuplicates`. */
+    * `dropDuplicatesWithinWatermark` on the event key — unlike plain
+    * `dropDuplicates("event_id")` (whose state NEVER evicts when the
+    * event-time column isn't part of the key), this operator expires each
+    * key's state once the watermark passes its event time, so state stays
+    * bounded on an unbounded stream. Duplicates re-delivered within the
+    * 2-hour watermark are deduped; rows older than the watermark are
+    * dropped as late data. Batch twin: plain `dropDuplicates`. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
