@@ -11,7 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   simhash64(arr), minhash_signature(arr, k), rolling_hash64(str),
   *   cosine_similarity(a, b), hyperplane_bucket(v, bits),
-  *   st_point(x, y), st_x(wkb), st_y(wkb), st_is_wkb_point(wkb)
+  *   st_point(x, y), st_x(wkb), st_y(wkb), st_is_wkb_point(wkb),
+  *   st_geometrytype(wkb), st_is_valid_wkb(wkb), st_srid(wkb),
+  *   st_set_srid(wkb, srid)
   *
   * Two routes, same builders:
   *  - `GraftExtensions` for `spark.sql.extensions` / `.withExtensions(...)`
@@ -50,6 +52,12 @@ object GraftFunctions {
     "st_x" -> { es => Sp.StX(es.head) },
     "st_y" -> { es => Sp.StY(es.head) },
     "st_is_wkb_point" -> { es => Sp.StIsWkbPoint(es.head) },
+    "st_geometrytype" -> { es => Sp.StGeometryType(es.head) },
+    "st_is_valid_wkb" -> { es => Sp.StIsValidWkb(es.head) },
+    "st_srid" -> { es => Sp.StSrid(es.head) },
+    "st_set_srid" -> { es => Sp.StSetSrid(es.head,
+      org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+        org.apache.spark.sql.types.IntegerType)) },
     "ngrams" -> { es =>
       graft.functions.NGramGenerator(es.head, intLit(es(1), "ngrams n")) })
 

@@ -38,6 +38,15 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // answer bare MIN/MAX/COUNT(*) from parquet footer statistics instead
+    // of scanning data pages (q17/q50's metadata-probe queries — at 100 TB
+    // this is the difference between a footer read and a full-table scan).
+    // Aggregate pushdown is implemented only in the DSv2 parquet reader, so
+    // path-based parquet scans are routed to V2 (catalog/bucketed tables
+    // keep their V1 path — table resolution doesn't consult this list).
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
     // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
     // read it as a nanos-since-epoch LongType instead (event ops convert
     // to ms/seconds explicitly — see operators.EventOps).

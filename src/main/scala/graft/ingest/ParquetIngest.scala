@@ -152,6 +152,15 @@ object ParquetIngest {
       table: String,
       properties: java.util.Properties = new java.util.Properties(),
       preActions: Seq[String] = Nil) extends Sink
+  /** PostGIS-typed relational sink (O13, `app.py:181`): geometry lands as
+    * `geometry(<geometryType>, <srid>)`, SRID defaulting from the scanned
+    * CRS metadata. Mechanics in [[Postgis]]. */
+  final case class PostgisSink(
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      srid: Option[Int] = None,
+      geometryType: String = "Geometry") extends Sink
 
   /** O14: the reference's `fail/replace/append` strings. */
   def saveMode(ifExists: String): SaveMode = ifExists match {
@@ -164,6 +173,18 @@ object ParquetIngest {
   }
 
   final case class IngestReport(rowsWritten: Long)
+
+  /** O11: driver-side DDL pre-actions, run in order before the write. */
+  private def runPreActions(
+      url: String,
+      props: java.util.Properties,
+      actions: Seq[String]): Unit =
+    if (actions.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try actions.foreach { sql =>
+        val st = conn.createStatement(); try st.execute(sql) finally st.close()
+      } finally conn.close()
+    }
 
   /** The reference's end-to-end pipeline (`app.py:86-193`): source scan →
     * spatial attach → counted sink write. Row count comes from an
@@ -200,13 +221,15 @@ object ParquetIngest {
         case ParquetSink(path) =>
           observed.write.mode(mode).parquet(path)
         case JdbcSink(url, table, props, preActions) =>
-          if (preActions.nonEmpty) {
-            val conn = java.sql.DriverManager.getConnection(url, props)
-            try preActions.foreach { sql =>
-              val st = conn.createStatement(); try st.execute(sql) finally st.close()
-            } finally conn.close()
-          }
+          runPreActions(url, props, preActions)
           observed.write.mode(mode).jdbc(url, table, props)
+        case ps: PostgisSink =>
+          val plan = Postgis.plan(observed, ps, mode)
+          runPreActions(ps.url, plan.properties, plan.preActions)
+          // table semantics already applied by the DDL actions; the
+          // distributed write itself always appends into the typed table
+          plan.frame.write.mode(SaveMode.Append)
+            .jdbc(ps.url, ps.table, plan.properties)
       }
       val delivered = latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
       if (!delivered || rows.get() < 0)

@@ -472,7 +472,10 @@ object Relational extends OpCatalog {
   // ---------------------------------------------------------------- q17
   /** Metadata-driven row counts (reference O2: footer `num_rows` probe,
     * `app.py:91,100`): parquet `count(*)` is answered from footer stats in
-    * both engines — no data pages read. */
+    * both engines — no data pages read. On the Spark side this requires
+    * the DSv2 reader + `parquet.aggregatePushdown` (both set by
+    * [[graft.GraftSession.tune]]); the plan shows
+    * `PushedAggregation: [COUNT(*)]` on every scan (`graft.Explain`). */
   def scanMeta(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     Tables.names.map { t =>

@@ -31,6 +31,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("general WKB functions are callable from spark.sql (codegen route)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  st_geometrytype(st_point(1.0, 2.0)) AS gt,
+        |  st_is_valid_wkb(st_point(1.0, 2.0)) AS ok,
+        |  st_is_valid_wkb(CAST('junk' AS BINARY)) AS bad,
+        |  st_srid(st_set_srid(st_point(1.0, 2.0), 4326)) AS srid,
+        |  st_srid(st_point(1.0, 2.0)) AS no_srid,
+        |  st_geometrytype(st_set_srid(st_point(1.0, 2.0), 4326)) AS gt_ewkb""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "POINT")
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getInt(3) == 4326)
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "POINT")
+  }
+
   test("non-literal k in minhash_signature is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

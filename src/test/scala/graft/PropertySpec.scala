@@ -33,6 +33,106 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ------------------------------------------------ general WKB structure
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def wkbHeader(size: Int, geomType: Int): ByteBuffer =
+    ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(geomType)
+
+  private def wkbLineString(pts: Seq[(Double, Double)]): Array[Byte] = {
+    val buf = wkbHeader(9 + pts.size * 16, 2).putInt(pts.size)
+    pts.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+    buf.array()
+  }
+
+  private def wkbPolygon(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val size = 9 + rings.map(r => 4 + r.size * 16).sum
+    val buf = wkbHeader(size, 3).putInt(rings.size)
+    rings.foreach { r =>
+      buf.putInt(r.size)
+      r.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+    }
+    buf.array()
+  }
+
+  private def wkbMulti(typeCode: Int, kids: Seq[Array[Byte]]): Array[Byte] = {
+    val buf = wkbHeader(9 + kids.map(_.length).sum, typeCode).putInt(kids.size)
+    kids.foreach(buf.put)
+    buf.array()
+  }
+
+  private val coords: Gen[List[(Double, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(finiteDouble, finiteDouble))
+
+  test("general WKB walk names all seven base geometry types") {
+    check(Prop.forAll(coords, coords) { (a, b) =>
+      val pt = SpatialExpressions.encodePoint(a.head._1, a.head._2)
+      val ls = wkbLineString(a)
+      val pg = wkbPolygon(Seq(a, b))
+      def name(w: Array[Byte]) =
+        Option(SpatialExpressions.geometryTypeName(w)).map(_.toString)
+      name(pt).contains("POINT") &&
+        name(ls).contains("LINESTRING") &&
+        name(pg).contains("POLYGON") &&
+        name(wkbMulti(4, Seq(pt, pt))).contains("MULTIPOINT") &&
+        name(wkbMulti(5, Seq(ls))).contains("MULTILINESTRING") &&
+        name(wkbMulti(6, Seq(pg))).contains("MULTIPOLYGON") &&
+        name(wkbMulti(7, Seq(pt, ls, pg))).contains("GEOMETRYCOLLECTION")
+    })
+  }
+
+  test("WKB validity rejects truncation and trailing garbage") {
+    check(Prop.forAll(coords) { pts =>
+      val ls = wkbLineString(pts)
+      SpatialExpressions.isValidWkb(ls) &&
+        !SpatialExpressions.isValidWkb(ls.dropRight(1)) &&
+        !SpatialExpressions.isValidWkb(ls :+ 0.toByte)
+    })
+  }
+
+  test("general WKB walk is total: arbitrary bytes never throw") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      SpatialExpressions.walkWkb(bs.toArray) // Option result, no throw
+      true
+    })
+  }
+
+  test("typed multis reject mistyped children (MultiPoint of LineString)") {
+    val ls = wkbLineString(Seq((0.0, 0.0), (1.0, 1.0)))
+    assert(!SpatialExpressions.isValidWkb(wkbMulti(4, Seq(ls))))
+  }
+
+  test("big-endian and ISO-Z points validate") {
+    val be = ByteBuffer.allocate(21).order(ByteOrder.BIG_ENDIAN)
+      .put(0.toByte).putInt(1).putDouble(3.0).putDouble(4.0).array()
+    assert(SpatialExpressions.geometryTypeName(be).toString == "POINT")
+    val isoZ = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(1001).putDouble(1.0).putDouble(2.0).putDouble(3.0)
+      .array()
+    assert(SpatialExpressions.geometryTypeName(isoZ).toString == "POINT")
+  }
+
+  test("st_set_srid: embeds, round-trips, replaces, preserves the body") {
+    check(Prop.forAll(finiteDouble, finiteDouble, Gen.choose(1, 999999)) {
+      (x, y, srid) =>
+        val wkb = SpatialExpressions.encodePoint(x, y)
+        val ewkb = SpatialExpressions.setSrid(wkb, srid)
+        val again = SpatialExpressions.setSrid(ewkb, srid + 1)
+        SpatialExpressions.sridOf(wkb).isEmpty &&
+          SpatialExpressions.sridOf(ewkb).contains(srid) &&
+          SpatialExpressions.sridOf(again).contains(srid + 1) &&
+          SpatialExpressions.walkWkb(ewkb).contains(1) &&
+          ewkb.length == wkb.length + 4 &&
+          again.length == ewkb.length
+    })
+  }
+
+  test("st_set_srid on structurally invalid bytes yields null, not garbage") {
+    assert(SpatialExpressions.setSrid(Array[Byte](1, 2, 3), 4326) == null)
+  }
+
   private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
   private def arrayData(tokens: Seq[String]) =
     new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
