@@ -47,7 +47,8 @@ object GraftFunctions {
       Vx.CosineSimilarity(asFloatArray(es.head), asFloatArray(es(1))) },
     "hyperplane_bucket" -> { es =>
       Vx.HyperplaneBucket(asFloatArray(es.head),
-        intLit(es(1), "hyperplane_bucket bits")) },
+        intLit(es(1), "hyperplane_bucket bits"),
+        if (es.size > 2) intLit(es(2), "hyperplane_bucket plane offset") else 0) },
     "st_point" -> { es => Sp.StPoint(asDouble(es.head), asDouble(es(1))) },
     "st_x" -> { es => Sp.StX(es.head) },
     "st_y" -> { es => Sp.StY(es.head) },

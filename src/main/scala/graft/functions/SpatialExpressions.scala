@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   */
 object SpatialExpressions {
 
-  private[graft] def encodePoint(x: Double, y: Double): Array[Byte] = {
+  // public (not private[graft]): called from generated Java code, which
+  // needs the static forwarder that qualified-private members don't get
+  def encodePoint(x: Double, y: Double): Array[Byte] = {
     val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
     buf.array()
@@ -201,7 +203,8 @@ object SpatialExpressions {
     * stores and the reference's `to_postgis` writes (hex EWKB). Returns
     * null for input that fails the structural walk — never fabricates a
     * geometry from garbage. */
-  private[graft] def setSrid(wkb: Array[Byte], srid: Int): Array[Byte] = {
+  // public: called from generated Java code (needs the static forwarder)
+  def setSrid(wkb: Array[Byte], srid: Int): Array[Byte] = {
     if (walkWkb(wkb).isEmpty) return null
     val order = if (wkb(0) == 1.toByte) ByteOrder.LITTLE_ENDIAN
                 else ByteOrder.BIG_ENDIAN

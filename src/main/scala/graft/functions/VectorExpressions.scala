@@ -74,26 +74,29 @@ object VectorExpressions {
     * hyperplane components are bits of XXH64(dim-block, seed=plane) — fully
     * deterministic, no stored model, any dimension. Vectors with high cosine
     * similarity collide in buckets with high probability (SimHash LSH family
-    * for angular distance). */
-  case class HyperplaneBucket(child: Expression, nBits: Int)
-      extends UnaryExpression {
+    * for angular distance). `planeOffset` shifts the plane seeds so banded
+    * variants (B independent bucket tables) draw disjoint hyperplanes. */
+  case class HyperplaneBucket(child: Expression, nBits: Int,
+      planeOffset: Int = 0) extends UnaryExpression {
     require(nBits > 0 && nBits <= 30, "nBits must be in 1..30")
+    require(planeOffset >= 0, "planeOffset must be >= 0")
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
-      VectorExpressions.hyperplaneEval(input.asInstanceOf[ArrayData], nBits)
+      VectorExpressions.hyperplaneEval(input.asInstanceOf[ArrayData], nBits,
+        planeOffset)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.VectorExpressions.hyperplaneEval($c, $nBits)")
+        s"graft.functions.VectorExpressions.hyperplaneEval($c, $nBits, $planeOffset)")
     override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
       copy(child = c)
     override def prettyName: String = "hyperplane_bucket"
   }
 
   /** Static eval used by HyperplaneBucket's generated code. */
-  def hyperplaneEval(input: ArrayData, nBits: Int): Int = {
+  def hyperplaneEval(input: ArrayData, nBits: Int, planeOffset: Int): Int = {
     val v = floatsOf(input)
     var bucket = 0
     var p = 0
@@ -102,7 +105,7 @@ object VectorExpressions {
       var i = 0
       while (i < v.length) {
         // 64 ±1 components per XXH64 word; block index = i / 64
-        val word = XXH64.hashLong((i >> 6).toLong, p.toLong)
+        val word = XXH64.hashLong((i >> 6).toLong, (planeOffset + p).toLong)
         val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
         s += sign * v(i)
         i += 1
@@ -115,6 +118,6 @@ object VectorExpressions {
 
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
-  def hyperplaneBucket(v: Column, nBits: Int): Column =
-    toCol(HyperplaneBucket(toExpr(v), nBits))
+  def hyperplaneBucket(v: Column, nBits: Int, planeOffset: Int = 0): Column =
+    toCol(HyperplaneBucket(toExpr(v), nBits, planeOffset))
 }

@@ -65,19 +65,45 @@ object IngestOps extends OpCatalog {
 
   // ---------------------------------------------------------------- q52
   /** Fixture generation (reference O17–O21): the `dummy_spatial.parquet`
-    * shape regenerated in Spark. Random but seed-deterministic — not
-    * DuckDB-expressible; schema parity + WKB round-trip are asserted in
-    * `IngestSpec`. Driver records a rows-only check. */
+    * shape regenerated in Spark, surfaced through its DETERMINISTIC
+    * properties so DuckDB can oracle it: the range ids and cyclic A/B
+    * categories are exact values (`range()` twin), while the seeded-random
+    * columns are checked as invariants the generator guarantees — `randn`
+    * finite, the WKB geometry a structurally valid POINT with coordinates
+    * in the uniform [0,1) domain (`generate_data.py:9,15-16`). Raw random
+    * values + schema parity stay spec-asserted in `IngestSpec`. */
   def generateFixture(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
+    import graft.functions.{SpatialExpressions => Sp}
+    val g = col("geometry")
     Generator.fixture(spark, n = 10L, seed = 42L)
+      .select(
+        col("id"),
+        col("category"),
+        (col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < Double.PositiveInfinity).as("value_finite"),
+        Sp.stIsValidWkb(g).as("wkb_valid"),
+        Sp.stGeometryType(g).as("geom_type"),
+        (Sp.stX(g) >= 0.0 && Sp.stX(g) < 1.0 &&
+          Sp.stY(g) >= 0.0 && Sp.stY(g) < 1.0).as("xy_in_unit"))
+      .orderBy(col("id"))
   }
+
+  private val generateFixtureSql =
+    """SELECT CAST(range AS BIGINT) AS id,
+      |  CASE WHEN range % 2 = 0 THEN 'A' ELSE 'B' END AS category,
+      |  true AS value_finite,
+      |  true AS wkb_valid,
+      |  'POINT' AS geom_type,
+      |  true AS xy_in_unit
+      |FROM range(0, 10)
+      |ORDER BY id""".stripMargin
 
   override val ops: Seq[Op] = Seq(
     Op("q50_probe_meta", probeMeta, Some(probeMetaSql),
       "footer-only metadata probe: rows + column counts per table"),
     Op("q51_binary_meta", binaryMeta, Some(binaryMetaSql),
       "binary column pass-through + modality type-dispatch"),
-    Op("q52_generate_fixture", generateFixture, None,
-      "reference fixture generator (range/randn/cyclic/st_point)"))
+    Op("q52_generate_fixture", generateFixture, Some(generateFixtureSql),
+      "fixture generator invariants: range/cyclic exact, randn finite, WKB point in unit square"))
 }

@@ -227,17 +227,67 @@ object VectorOps extends OpCatalog {
   // ---------------------------------------------------------------- q46
   /** Embedding-cosine near-dup pairs (north-star dedup variant): exact
     * all-pairs cosine >= 0.5 with id ordering. The n² form is the exact
-    * baseline; at scale the LSH bucket (q43's `hyperplane_bucket`) becomes
-    * the blocking key in front of the same verify step. */
+    * baseline and the recall oracle for q48's banded-LSH blocked variant —
+    * the one that survives 100 TB. */
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val e = emb(spark, sfDir)
+    exactPairs(emb(spark, sfDir), threshold = 0.5)
+  }
+
+  /** Exact all-pairs cosine near-dup core over any (vec_id, embedding)
+    * frame — q46's body, reusable by specs at other thresholds/corpora. */
+  def exactPairs(e: DataFrame, threshold: Double): DataFrame = {
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorExpressions.cosineSimilarity(col("emb_a"), col("emb_b")).as("raw"))
-      .filter(col("raw") >= 0.5)
+      .filter(col("raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Embedding-cosine near-dup via banded hyperplane-LSH blocking — the
+    * 100 TB path that q46's all-pairs baseline is the oracle for. B=8
+    * independent bands of r=4 hyperplane sign bits each (disjoint planes
+    * via `planeOffset`); a pair is a candidate iff all r bits agree in at
+    * least one band, then candidates get the identical exact-cosine verify
+    * as q46. Collision probability for cosine s is 1-(1-p^4)^8 with
+    * p = 1-acos(s)/π: ≈0.83 at s=0.5, ≈0.96 at s=0.7, →1 beyond — recall
+    * is measured against q46 in `VectorOpsSpec`.
+    *
+    * Scale shape: the band shuffle moves only (band, bucket, vec_id) — ids,
+    * not vectors; candidate pairs are distinct-ed BEFORE the embeddings are
+    * joined back (each vector's payload moves once per side of its
+    * candidate set, not once per band). Join keys are equi-keys throughout
+    * — no nested-loop anywhere, linear in candidates, tunable by (B, r). */
+  def embeddingNeardupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    lshPairs(emb(spark, sfDir), threshold = 0.5)
+  }
+
+  /** Banded-LSH blocked near-dup core — q48's body, reusable by specs. */
+  def lshPairs(e: DataFrame, threshold: Double, bands: Int = 8,
+      bits: Int = 4): DataFrame = {
+    val keyed = e.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          VectorExpressions.hyperplaneBucket(col("embedding"), bits, b * bits)
+            .as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = keyed.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+      .join(keyed.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val verify = cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorExpressions.cosineSimilarity(col("emb_a"), col("emb_b")).as("raw"))
+    verify.filter(col("raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -262,6 +312,8 @@ object VectorOps extends OpCatalog {
       "ANN top-10 via IVF coarse-quantizer probe (label centroids)"),
     Op("q46_embedding_neardup", embeddingNeardup, Some(embeddingNeardupSql),
       "embedding-cosine near-dup pairs (exact all-pairs baseline)"),
+    Op("q48_embedding_neardup_lsh", embeddingNeardupLsh, None,
+      "embedding near-dup via banded hyperplane-LSH blocking (scale path; spec-measured recall vs q46)"),
     Op("q40_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-10 vs query vector (fused expression)"),
     Op("q41_vector_norms", vectorNorms, Some(vectorNormsSql),

@@ -1,12 +1,21 @@
 package graft
 
 import graft.operators.ScalarOps
+import org.apache.spark.sql.functions._
 
-/** Bounds for the approximate-distinct sketch (not oracle-comparable). */
+/** Bounds for the approximate-distinct sketch. The raw HLL estimates are
+  * engine-specific, so q27's oracle surface is tolerance FLAGS; this spec
+  * bounds the raw Spark estimates much tighter (2% rsd → <6% observed). */
 class ScalarOpsSpec extends SparkSpec {
 
   test("approx_count_distinct within configured 2% relative error") {
-    val rows = ScalarOps.approxDistinct(spark, sfDir).collect()
+    val rows = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exactOrders = r.getLong(1).toDouble
@@ -20,8 +29,12 @@ class ScalarOpsSpec extends SparkSpec {
     }
   }
 
-  test("approx sketch is deterministic across runs") {
+  test("q27 tolerance flags are all true and deterministic across runs") {
     val a = ScalarOps.approxDistinct(spark, sfDir).collect().toSeq
+    a.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"sketch outside 10% tolerance for flag ${r.getString(0)}")
+    }
     val b = ScalarOps.approxDistinct(spark, sfDir).collect().toSeq
     assert(a == b)
   }

@@ -68,6 +68,45 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq == ivf.toSeq)
   }
 
+  test("blocked embedding near-dup: sound vs exact, high recall on planted dups") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // planted corpus: 60 random unit-ish vectors, each with 2 small
+    // perturbations (cosine ~0.99 to its base) -> 180 known near-dup pairs
+    // among mutually near-orthogonal random directions (64-dim)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).flatMap { g =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { c =>
+        val v = base.map(x => x + (if (c == 0) 0f else rnd.nextGaussian().toFloat * 0.05f))
+        ((g * 3 + c).toLong, v.toSeq)
+      }
+    }
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val exact = pairs(VectorOps.exactPairs(e, threshold = 0.5))
+    val blocked = pairs(VectorOps.lshPairs(e, threshold = 0.5))
+    assert(exact.size >= 170, s"expected ~180 planted pairs, got ${exact.size}")
+    // soundness: every blocked pair is an exact pair with the identical sim
+    blocked.foreach { case (ids, sim) =>
+      assert(exact.get(ids).contains(sim),
+        s"blocked pair $ids sim $sim not in exact result (${exact.get(ids)})")
+    }
+    // recall: collide prob for cosine s is 1-(1-p^4)^8 with p=1-acos(s)/pi,
+    // ~0.998 at the planted s~0.99 -> demand >=0.95 overall
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
+    // the real fixture (1 sparse pair at sf0.01, 0 at sf0.001): blocked
+    // stays sound there too, and deterministic across runs
+    val fixtureExact = pairs(VectorOps.embeddingNeardup(spark, sfDir))
+    val fixtureBlocked = pairs(VectorOps.embeddingNeardupLsh(spark, sfDir))
+    fixtureBlocked.foreach { case (ids, sim) =>
+      assert(fixtureExact.get(ids).contains(sim)) }
+    assert(pairs(VectorOps.embeddingNeardupLsh(spark, sfDir)) == fixtureBlocked)
+  }
+
   test("vector-sum Aggregator equals manual elementwise sum") {
     import spark.implicits._
     val df = Seq(
