@@ -10,9 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first timed query isn't charged for
-    // session spin-up
+    // Warmup so the first timed query isn't charged for one-time session
+    // spin-up (classloading, the codegen compiler, parquet vectorized
+    // reader + footer paths, shuffle/AQE machinery): a synthetic agg plus
+    // the flagship scan+agg query at sf0.001 (~6k rows — data cost is
+    // negligible, the class/codegen warm-up is what matters; measured
+    // ~18 s charged to whichever query happened to run first otherwise).
     spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -53,7 +53,15 @@ object Ingest {
       } else sys.error(s"unknown sink '$sinkSpec'")
 
     val t0 = System.nanoTime()
-    val report = ParquetIngest.ingest(spark, source, sink, mode)
+    // live per-task progress against the footer row count, like the
+    // reference's chunk counter (app.py:185-193); dedupe to whole percents
+    val lastPct = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val report = ParquetIngest.ingest(spark, source, sink, mode,
+      onProgress = { f =>
+        val pct = (f * 100).toInt
+        if (lastPct.getAndSet(pct) != pct)
+          println(s"[ingest] progress: $pct%")
+      })
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec " +
       f"in $secs%.2f s (${report.rowsWritten / secs}%.0f rows/s)")

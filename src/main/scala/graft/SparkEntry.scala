@@ -15,6 +15,7 @@ object SparkEntry {
     operators.SkewOps,
     operators.EventOps,
     operators.TextOps,
+    operators.PipelineOps,
     operators.VectorOps,
     operators.IngestOps,
     operators.MultimodalOps)

@@ -37,6 +37,13 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // coalesce to the advisory partition SIZE rather than preserving
+    // parallelism: small shuffles collapse to few real tasks instead of
+    // `shuffle.partitions` near-empty ones, and at 100 TB reducers are
+    // sized by bytes, not by a static partition count (the setting Spark's
+    // AQE docs recommend for production)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "false")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // answer bare MIN/MAX/COUNT(*) from parquet footer statistics instead
     // of scanning data pages (q17/q50's metadata-probe queries — at 100 TB

@@ -189,12 +189,22 @@ object ParquetIngest {
   /** The reference's end-to-end pipeline (`app.py:86-193`): source scan →
     * spatial attach → counted sink write. Row count comes from an
     * `observe()` metric collected by the write job itself — one pass, no
-    * extra `count()` scan (O15). */
+    * extra `count()` scan (O15).
+    *
+    * `onProgress` mirrors the reference's per-chunk fraction reporting
+    * (`app.py:185-193`): each finished task adds its scanned record count
+    * against the footer row total (a footer-only probe, no data pages), so
+    * callbacks arrive DURING the write, monotone in [0,1]. Task-level
+    * granularity is the Spark-native analog of the reference's
+    * 5000-row chunks; with a single input split there is exactly one
+    * callback at completion. Counts other jobs' tasks too if the caller
+    * runs concurrent work on the same session — the ingest CLI doesn't. */
   def ingest(
       spark: SparkSession,
       sourcePath: String,
       sink: Sink,
-      ifExists: String = "fail"): IngestReport = {
+      ifExists: String = "fail",
+      onProgress: Double => Unit = _ => ()): IngestReport = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.functions.{count, lit}
     import org.apache.spark.sql.util.QueryExecutionListener
@@ -215,6 +225,23 @@ object ParquetIngest {
         }
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
     }
+    // Task-level progress: footer row total ÷ cumulative records read by
+    // finished tasks. The scheduler bus delivers onTaskEnd while the write
+    // job is still running — incremental, unlike the observe() metric
+    // which lands only at job end.
+    val totalRows = math.max(1L, probe(spark, sourcePath).numRows)
+    val seenRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val progressListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.inputMetrics.recordsRead > 0) {
+          val cum = seenRows.addAndGet(m.inputMetrics.recordsRead)
+          onProgress(math.min(1.0, cum.toDouble / totalRows))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(progressListener)
     spark.listenerManager.register(listener)
     try {
       sink match {
@@ -236,7 +263,10 @@ object ParquetIngest {
         throw new IllegalStateException(
           "ingest wrote data but the observed row-count metric was not " +
             "delivered within 30s — count unknown")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sparkContext.removeSparkListener(progressListener)
+    }
     IngestReport(rows.get())
   }
 }

@@ -119,4 +119,25 @@ class IngestSpec extends SparkSpec {
       ParquetIngest.ParquetSink(s"$dir/c"), "replace")
     assert(r.rowsWritten == 150)
   }
+
+  test("ingest reports monotone incremental progress per task (O15 parity)") {
+    val dir = tmp()
+    // 4-file source → 4 scan tasks → ≥2 distinct progress callbacks
+    Generator.fixture(spark, n = 4000L).repartition(4)
+      .write.parquet(s"$dir/src")
+    val fractions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.lang.Double]())
+    val r = ParquetIngest.ingest(spark, s"$dir/src",
+      ParquetIngest.ParquetSink(s"$dir/out"), "replace",
+      onProgress = f => fractions.add(f))
+    assert(r.rowsWritten == 4000L)
+    // the observed-metric latch inside ingest drains the shared listener
+    // queue past the job's task-end events, so all callbacks have landed
+    import scala.jdk.CollectionConverters._
+    val fs = fractions.asScala.toList.map(_.doubleValue())
+    assert(fs.size >= 2, s"expected per-task callbacks, got $fs")
+    assert(fs == fs.sorted, s"progress not monotone: $fs")
+    assert(math.abs(fs.last - 1.0) < 1e-9, s"final fraction ${fs.last} != 1.0")
+    assert(fs.head < 1.0, s"first callback already complete: $fs")
+  }
 }
