@@ -103,9 +103,14 @@ object VectorExpressions {
     while (p < nBits) {
       var s = 0.0
       var i = 0
+      var word = 0L
       while (i < v.length) {
-        // 64 ±1 components per XXH64 word; block index = i / 64
-        val word = XXH64.hashLong((i >> 6).toLong, (planeOffset + p).toLong)
+        // 64 ±1 components per XXH64 word; the word depends only on the
+        // 64-element block index and the plane, so hash once per block
+        // boundary, not per element (64x fewer hash calls on the q43/q48
+        // hot path; buckets are bit-identical)
+        if ((i & 63) == 0)
+          word = XXH64.hashLong((i >> 6).toLong, (planeOffset + p).toLong)
         val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
         s += sign * v(i)
         i += 1

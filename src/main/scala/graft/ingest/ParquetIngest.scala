@@ -49,17 +49,28 @@ object ParquetIngest {
 
   val DefaultCrs = "EPSG:4326"
 
-  /** O2+O3: read parquet footer metadata only. Multi-file directories are
-    * probed via their first footer for schema/spatial and summed for rows. */
+  /** O2+O3: read parquet footer metadata only. Directories are walked
+    * RECURSIVELY (FileSystem.listFiles remote iterator), so both flat
+    * multi-file layouts and Hive-partitioned `key=value/` trees — the
+    * normal shape of large parquet datasets, and what `spark.read.parquet`
+    * itself accepts — probe correctly: rows summed across every footer,
+    * first footer (in path order) for schema/spatial. Note partition-key
+    * columns live in directory names, not footers, so `columns` reports
+    * the data columns only. */
   def probe(spark: SparkSession, path: String): ProbeResult = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
-      else Seq(p)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) buf += f
+        }
+        buf.sortBy(_.toString).toSeq
+      } else Seq(p)
     var numRows = 0L
     var numRowGroups = 0
     var columns: Seq[String] = Nil

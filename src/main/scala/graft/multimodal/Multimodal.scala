@@ -54,7 +54,7 @@ object Multimodal {
         .cast("int").as("sample_rate"))
   }
 
-  /** STUB decoder ??? — stands in for libjpeg/libsndfile/ffmpeg, which are
+  /** STUB decoder — stands in for libjpeg/libsndfile/ffmpeg, which are
     * not in this container. Deterministic features of the raw bytes; a real
     * build replaces only this function body. */
   private[multimodal] def decodeStub(row: MediaRow): MediaFeatures = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation pipeline operators (north-star §2.3 family,
@@ -25,18 +26,25 @@ object PipelineOps extends OpCatalog {
         explode(split(lower(col("text")), " ")).as("word"))
 
   // ---------------------------------------------------------------- q63
-  /** TF-IDF salient terms: words that are frequent WITHIN a document
-    * (tf ≥ 3) but rare ACROSS the corpus (df ≤ 10% of docs) — the
+  /** TF-IDF salient terms: each document's single most salient word — the
     * keyword-extraction shape of a relevance/topicality scorer. Classic
     * two-pass formulation: per-(doc,word) tf, then per-word df over the tf
-    * frame (one extra agg, no second tokenize). The salience filters are
-    * integer-exact; the reported score `tf · ln((N+1)/(df+1))` is one
-    * rounded double from identical integer inputs in both engines.
+    * frame (one extra agg, no second tokenize), then a per-doc top-1 by
+    * salience. The rank orders by (tf DESC, df ASC, word) — the integer
+    * keys TF-IDF is monotone in — never by the double score itself, so
+    * cross-engine `ln` rounding can't flip row membership; the reported
+    * score `tf · ln((N+1)/(df+1))` is one rounded double from identical
+    * integer inputs in both engines. (An earlier absolute-threshold form,
+    * `tf >= 3 AND df*10 <= n`, matched its oracle with ZERO rows on the
+    * synthetic corpus — a vacuous pass. Top-1-per-doc always compares one
+    * real row per document at any SF.)
     *
-    * Scale: two shuffles (tf by (doc,word), df by word) + an equi-join on
-    * word. The df side is vocabulary-sized — orders of magnitude smaller
-    * than the corpus — and AQE broadcasts it when it fits; the N scalar is
-    * an explicit broadcast. Nothing here is quadratic in docs. */
+    * Scale: two shuffles (tf by (doc,word), df by word), an equi-join on
+    * word, and one window partitioned by doc_id. The df side is
+    * vocabulary-sized — orders of magnitude smaller than the corpus — and
+    * AQE broadcasts it when it fits; the N scalar is an explicit
+    * broadcast. The window re-uses the tf shuffle's doc_id clustering;
+    * nothing here is quadratic in docs. */
   def salientTerms(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val tf = tok(spark, sfDir)
@@ -44,13 +52,16 @@ object PipelineOps extends OpCatalog {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
     tf.join(df, "word")
       .crossJoin(broadcast(n))
-      .filter(col("tf") >= 3 && col("df") * 10 <= col("n"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
         round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4)
           .as("tfidf"))
-      .orderBy(col("doc_id"), col("word"))
+      .orderBy(col("doc_id"))
   }
 
   private val salientTermsSql =
@@ -60,11 +71,14 @@ object PipelineOps extends OpCatalog {
       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
       |n AS (SELECT count(*) AS n FROM documents)
-      |SELECT t.doc_id, t.word, t.tf, d.df,
-      |  round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 4) AS tfidf
-      |FROM tf t JOIN df d USING (word) CROSS JOIN n
-      |WHERE t.tf >= 3 AND d.df * 10 <= n.n
-      |ORDER BY doc_id, word""".stripMargin
+      |SELECT doc_id, word, tf, df,
+      |  round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+      |FROM (SELECT t.doc_id, t.word, t.tf, d.df, n.n,
+      |        row_number() OVER (PARTITION BY t.doc_id
+      |          ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rn
+      |      FROM tf t JOIN df d USING (word) CROSS JOIN n)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q64
   /** Deterministic stratified sampling: an LCG hash of the stable doc id
@@ -170,7 +184,7 @@ object PipelineOps extends OpCatalog {
 
   override val ops: Seq[Op] = Seq(
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
-      "TF-IDF salient-term extraction (tf>=3, df<=10%, two-pass tf/df)"),
+      "TF-IDF salient-term extraction (top-1 per doc, integer-exact rank)"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

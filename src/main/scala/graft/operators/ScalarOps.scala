@@ -232,9 +232,60 @@ object ScalarOps extends OpCatalog {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Approximate percentiles — q47's SCALE twin. Exact `percentile`
+    * buffers every group's values in the agg state, so it is for
+    * bounded-cardinality groups only (3 statuses here); at 100 TB with
+    * high-cardinality keys the right operator is `approx_percentile`
+    * (Greenwald–Khanna sketch): fixed-size state per group, map-side
+    * combinable, one shuffle of sketches instead of raw values.
+    *
+    * Raw sketch outputs are engine-specific (Spark GK vs DuckDB t-digest),
+    * so — exactly like q27's HLL — the oracle-comparable surface is the
+    * exact percentiles plus WITHIN-TOLERANCE flags (|approx−exact| ≤
+    * 5%·exact). Both sketches land far inside 5% at these group sizes, so
+    * the flags are deterministically true on both sides: a real
+    * cross-engine check that each engine's sketch honors its error bound.
+    * `ScalarOpsSpec` additionally bounds Spark's raw GK estimates by the
+    * rank-error guarantee (accuracy=1000 → ε=0.001 rank error). */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    def withinTol(approx: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column) =
+      abs(approx - exact) <= abs(exact) * 0.05
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+      .select(col("o_orderstatus"), col("n"),
+        col("p50_exact"), col("p90_exact"),
+        withinTol(col("p50_approx"), col("p50_exact")).as("p50_ok"),
+        withinTol(col("p90_approx"), col("p90_exact")).as("p90_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val approxPercentilesSql =
+    """SELECT o_orderstatus, n, p50_exact, p90_exact,
+      |  abs(p50_approx - p50_exact) <= abs(p50_exact) * 0.05 AS p50_ok,
+      |  abs(p90_approx - p90_exact) <= abs(p90_exact) * 0.05 AS p90_ok
+      |FROM (
+      |  SELECT o_orderstatus, count(*) AS n,
+      |    round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+      |    round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+      |    approx_quantile(o_totalprice, 0.5) AS p50_approx,
+      |    approx_quantile(o_totalprice, 0.9) AS p90_approx
+      |  FROM orders
+      |  GROUP BY o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q47_percentiles", percentiles, Some(percentilesSql),
       "exact percentile/stddev statistical aggregates"),
+    Op("q67_approx_percentiles", approxPercentiles, Some(approxPercentilesSql),
+      "approx_percentile sketch twin with cross-engine tolerance flags (high-cardinality scale path)"),
     Op("q18_scalar_funcs", scalarFuncs, Some(scalarFuncsSql),
       "string/date/math scalar function showcase"),
     Op("q19_conditional_funcs", conditionalFuncs, Some(conditionalFuncsSql),

@@ -45,6 +45,14 @@ object TextOps extends OpCatalog {
       "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), " +
       "CAST(array() AS ARRAY<STRING>))"))
 
+  /** Shingle base of ANY `(doc_id, lang, text)` frame — the parameterized
+    * core behind [[shingled]], also driven directly by `ScaleStressSpec`
+    * over planted-duplicate corpora. */
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(lower(col("text")), " "))
+      .select(col("lang"), col("doc_id"), array_sort(shingles).as("sh"))
+      .withColumn("n", size(col("sh")))
+
   /** Shared shingle base for the whole near-dup family (q32/q33/q34/q60):
     * `(doc_id, lang, sh sorted-distinct, n)`. Memoized per (session, path)
     * — the tokenize+shingle pass is ~2 s per query at sf0.1 and was paid
@@ -53,9 +61,7 @@ object TextOps extends OpCatalog {
     * default MEMORY_AND_DISK level spills rather than evicts. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Memo.cached(spark, s"textops:shingled:$sfDir") {
-      toks(spark, sfDir).select(col("lang"), col("doc_id"),
-          array_sort(shingles).as("sh"))
-        .withColumn("n", size(col("sh")))
+      shingledOf(Tables.documents(spark, sfDir))
     }
 
   // ---------------------------------------------------------------- q30
@@ -130,7 +136,14 @@ object TextOps extends OpCatalog {
     GraftSession.tune(spark)
     // the memoized shingle base feeds five branches of this plan (freq agg,
     // ordering join, both verify sides) — and every sibling query
-    val base = shingled(spark, sfDir)
+    exactNeardupFromShingled(shingled(spark, sfDir), 0.8)
+  }
+
+  /** PPJoin candidate pairs `(id_a, id_b, sh_a, sh_b)` of a shingle base at
+    * threshold `t` — the pre-verification surface, split out so
+    * `ScaleStressSpec` can measure candidate-set growth against corpus
+    * size (the property that makes this the non-n² plan at 100 TB). */
+  private[graft] def prefixCandidates(base: DataFrame, t: Double): DataFrame = {
     // PPJoin refinement: order each doc's shingles by ascending global
     // document frequency so the emitted prefixes are the RAREST shingles —
     // minimal join-key collisions. Any fixed total order keeps exactness;
@@ -144,8 +157,8 @@ object TextOps extends OpCatalog {
     val d = base.join(ordered, Seq("lang", "doc_id"))
       // prefix length for threshold t: |s| - ceil(t*|s|) + 1
       .withColumn("pfx",
-        expr("slice(by_rarity, 1, n - CAST(ceil(0.8 * n) AS INT) + 1)"))
-    val cands = d.select(col("lang"), col("doc_id").as("id_a"),
+        expr(s"slice(by_rarity, 1, n - CAST(ceil($t * n) AS INT) + 1)"))
+    d.select(col("lang"), col("doc_id").as("id_a"),
         col("sh").as("sh_a"), col("n").as("n_a"),
         explode(col("pfx")).as("p"))
       .join(d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
@@ -154,17 +167,21 @@ object TextOps extends OpCatalog {
         col("lang") === col("lang_b") && col("p") === col("p_b") &&
           col("id_a") < col("id_b") &&
           // length-ratio bound: jac >= t requires min/max >= t
-          col("n_a") * 0.8 <= col("n_b") && col("n_b") * 0.8 <= col("n_a"))
+          col("n_a") * t <= col("n_b") && col("n_b") * t <= col("n_a"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
+  }
+
+  /** Exact set-similarity join (PPJoin candidates + exact Jaccard verify)
+    * over any shingle base — the parameterized core of q32. */
+  private[graft] def exactNeardupFromShingled(base: DataFrame, t: Double): DataFrame =
+    prefixCandidates(base, t)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= t)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   private val neardupShingleSql =
     """WITH d AS (
@@ -189,15 +206,22 @@ object TextOps extends OpCatalog {
     * by construction) and measures recall. */
   def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val bands = 8
-    val rows = 4
     // signature frame is memoized: the banded candidate join reads it from
     // BOTH sides, and the 32-hash/token MinHash pass is the query's real
     // cost — pay it once per (session, path)
+    val base = shingled(spark, sfDir)
     val sig = Memo.cached(spark, s"textops:minhash_sig:$sfDir") {
-      shingled(spark, sfDir).select(col("doc_id"), col("lang"),
-        TextExpressions.minhashSignature(col("sh"), bands * rows).as("sig"))
+      base.select(col("doc_id"), col("lang"),
+        TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
     }
+    minhashFromShingled(base, sig, bands = 8, rows = 4, t = 0.8)
+  }
+
+  /** Banded-MinHash candidate+verify core over any shingle base and its
+    * 32-hash signature frame — the parameterized core of q33, also driven
+    * by `ScaleStressSpec` for boundary-similarity recall measurement. */
+  private[graft] def minhashFromShingled(base: DataFrame, sig: DataFrame,
+      bands: Int, rows: Int, t: Double): DataFrame = {
     // Band join carries ONLY (band, bucket, lang, id) — the shingle arrays
     // would otherwise be shuffled bands× over; candidates join back to the
     // (id → shingles) side for verification, so array bytes move once.
@@ -214,14 +238,14 @@ object TextOps extends OpCatalog {
           && col("lang") === col("lang_r") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in many bands
-    val byId = shingled(spark, sfDir).select(col("doc_id"), col("sh"))
+    val byId = base.select(col("doc_id"), col("sh"))
     candIds
       .join(byId.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(byId.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= t)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
   }

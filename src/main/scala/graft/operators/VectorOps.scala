@@ -226,12 +226,18 @@ object VectorOps extends OpCatalog {
 
   // ---------------------------------------------------------------- q46
   /** Embedding-cosine near-dup pairs (north-star dedup variant): exact
-    * all-pairs cosine >= 0.5 with id ordering. The n² form is the exact
-    * baseline and the recall oracle for q48's banded-LSH blocked variant —
-    * the one that survives 100 TB. */
+    * all-pairs cosine >= 0.5 with id ordering, over a BOUNDED deterministic
+    * slice (`vec_id < 1000` on both sides). The all-pairs form is
+    * inherently n² (BroadcastNestedLoopJoin) — it exists as the exact
+    * baseline and the recall oracle for q48's banded-LSH blocked variant,
+    * which is the path that survives 100 TB. The id bound caps the declared
+    * query's cost at ~500k cosine evals REGARDLESS of corpus size, so no
+    * full-corpus nested-loop join ships in `SparkEntry.queries`; specs that
+    * need the unbounded exact answer (q48 recall) call [[exactPairs]]
+    * directly on the corpora they plant. */
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    exactPairs(emb(spark, sfDir), threshold = 0.5)
+    exactPairs(emb(spark, sfDir).filter(col("vec_id") < 1000), threshold = 0.5)
   }
 
   /** Exact all-pairs cosine near-dup core over any (vec_id, embedding)
@@ -296,7 +302,7 @@ object VectorOps extends OpCatalog {
     """WITH dims AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |    generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id < 1000),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
@@ -311,7 +317,7 @@ object VectorOps extends OpCatalog {
     Op("q45_ann_ivf", annIvf, None,
       "ANN top-10 via IVF coarse-quantizer probe (label centroids)"),
     Op("q46_embedding_neardup", embeddingNeardup, Some(embeddingNeardupSql),
-      "embedding-cosine near-dup pairs (exact all-pairs baseline)"),
+      "embedding-cosine near-dup pairs (exact baseline, bounded vec_id<1000 slice)"),
     Op("q48_embedding_neardup_lsh", embeddingNeardupLsh, None,
       "embedding near-dup via banded hyperplane-LSH blocking (scale path; spec-measured recall vs q46)"),
     Op("q40_cosine_topk", cosineTopK, Some(cosineTopKSql),

@@ -53,6 +53,23 @@ class IngestSpec extends SparkSpec {
     assert(si.exists(s => s.geometryColumn == "geometry" && s.crs == "EPSG:4326"))
   }
 
+  test("probe descends Hive-partitioned directories (key=value subdirs)") {
+    val dir = tmp()
+    // the normal shape of large parquet datasets: key=value/ subtrees that
+    // spark.read.parquet itself resolves — probe must sum footers across
+    // the whole tree, not just top-level *.parquet files
+    Generator.writeFixture(spark, s"$dir/flat", n = 10)
+    spark.read.parquet(s"$dir/flat")
+      .write.partitionBy("category").parquet(s"$dir/part")
+    val probe = ParquetIngest.probe(spark, s"$dir/part")
+    assert(probe.numRows == 10, s"partitioned probe rows: ${probe.numRows}")
+    // spatial sniff still works via the first leaf footer (name fallback:
+    // Spark writes no 'geo' key)
+    assert(probe.spatial.exists(_.fromFallback))
+    // partition-key columns live in directory names, not footers
+    assert(probe.columns.contains("geometry") && !probe.columns.contains("category"))
+  }
+
   test("fixture schema matches the reference's dummy_spatial.parquet (FIXTURES.md)") {
     val df = Generator.fixture(spark)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap

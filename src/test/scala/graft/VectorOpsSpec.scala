@@ -107,6 +107,42 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs(VectorOps.embeddingNeardupLsh(spark, sfDir)) == fixtureBlocked)
   }
 
+  test("hyperplane bucket: block-hoisted hash is bit-identical to per-element spec") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // the definitional (unhoisted) form: one XXH64 call per element — the
+    // production eval hoists the word per 64-element block; buckets must
+    // be bit-identical for every vector length, including non-multiples
+    // of 64 and >1 blocks
+    def naive(v: Array[Float], nBits: Int, planeOffset: Int): Int = {
+      var bucket = 0
+      for (p <- 0 until nBits) {
+        var s = 0.0
+        for (i <- v.indices) {
+          val word = XXH64.hashLong((i >> 6).toLong, (planeOffset + p).toLong)
+          val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
+          s += sign * v(i)
+        }
+        if (s > 0) bucket |= (1 << p)
+      }
+      bucket
+    }
+    val rnd = new scala.util.Random(11)
+    for (len <- Seq(1, 63, 64, 65, 128, 200); trial <- 0 until 5) {
+      val v = Array.fill(len)(rnd.nextGaussian().toFloat)
+      val ad = new GenericArrayData(v.map(x => x: Any))
+      for ((bits, off) <- Seq((8, 0), (8, 32), (12, 0), (4, 96))) {
+        assert(VectorExpressions.hyperplaneEval(ad, bits, off)
+          == naive(v, bits, off), s"len=$len bits=$bits off=$off")
+      }
+    }
+    // fixed-vector golden: pins the seed/word layout across refactors
+    val fixed = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val fixedAd = new GenericArrayData(fixed.map(x => x: Any))
+    assert(VectorExpressions.hyperplaneEval(fixedAd, 8, 0) == 136)
+    assert(naive(fixed, 8, 0) == 136)
+  }
+
   test("vector-sum Aggregator equals manual elementwise sum") {
     import spark.implicits._
     val df = Seq(
