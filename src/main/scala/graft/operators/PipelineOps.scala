@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 
 /** Training-data curation pipeline operators (north-star §2.3 family,
   * beyond the reference's own surface): TF-IDF salient-term extraction,
-  * deterministic stratified sampling, a quality-filter funnel, and a
-  * length histogram — the compose-into-a-curation-run shapes a 100 TB
-  * corpus pipeline needs around the dedup/similarity ladder in
-  * [[TextOps]]/[[VectorOps]].
+  * deterministic stratified sampling, a quality-filter funnel, a length
+  * histogram, Gopher-style repetition signals, a benchmark-contamination
+  * check, and a training-mix budget — the compose-into-a-curation-run
+  * shapes a 100 TB corpus pipeline needs around the dedup/similarity
+  * ladder in [[TextOps]]/[[VectorOps]].
   *
-  * All four are oracle-declared: every predicate and score is either pure
+  * All seven are oracle-declared: every predicate and score is either pure
   * integer arithmetic (hash-exact across engines) or a single
-  * `round(·,4)` double computed from identical integer inputs.
+  * `round(·,4)` double computed from identical integer inputs; every
+  * top-1 selection is a `row_number` with a total-order tiebreak (never
+  * engine-specific `max_by` ties).
   */
 object PipelineOps extends OpCatalog {
 
@@ -182,6 +185,171 @@ object PipelineOps extends OpCatalog {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Repetition-quality signals (Gopher-style repetition filters): per
+    * document, the most frequent word (deterministic `row_number` over
+    * (cnt DESC, word) — never engine-specific `max_by` tie-breaking), the
+    * fraction of word-characters it accounts for, the max repeated-trigram
+    * count, and the duplicate-trigram fraction `1 − distinct/total`. These
+    * are the standard "machine-generated repetition" heuristics a curation
+    * run scores before training. All counts integer; each fraction is one
+    * `round(·,4)` from identical integer inputs.
+    *
+    * Scale: tokens shuffle once to (doc, word), trigrams once to
+    * (doc, tri); the top-word window reuses the (doc,word) clustering and
+    * the three per-doc frames equi-join on doc_id. Linear, no wide rows. */
+  def repetitionQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+    val words = d.select(col("doc_id"), explode(col("w")).as("word"))
+    val wc = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val wWin = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("word").asc)
+    val topWord = wc.withColumn("rn", row_number().over(wWin))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_word"),
+        col("cnt").as("top_word_cnt"))
+    val docStats = words.groupBy(col("doc_id"))
+      .agg(sum(length(col("word"))).as("sum_len"))
+    val tris = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("tri"))
+    val tc = tris.groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+    val triAgg = tc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tri"), count(lit(1)).as("n_tri_distinct"),
+        max(col("cnt")).as("top_tri_cnt"))
+    topWord.join(docStats, "doc_id").join(triAgg, "doc_id")
+      .select(col("doc_id"), col("top_word"), col("top_word_cnt"),
+        round(col("top_word_cnt") * length(col("top_word")) /
+          col("sum_len").cast("double"), 4).as("top_word_char_frac"),
+        col("top_tri_cnt"),
+        round(lit(1.0) - col("n_tri_distinct") / col("n_tri").cast("double"), 4)
+          .as("dup_tri_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionQualitySql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |words AS (SELECT doc_id, unnest(w) AS word FROM d),
+      |wc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+      |topw AS (
+      |  SELECT doc_id, word AS top_word, cnt AS top_word_cnt FROM (
+      |    SELECT doc_id, word, cnt, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+      |  WHERE rn = 1),
+      |ds AS (SELECT doc_id, sum(length(word)) AS sum_len FROM words GROUP BY 1),
+      |tris AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri FROM d),
+      |tc AS (SELECT doc_id, tri, count(*) AS cnt FROM tris GROUP BY 1, 2),
+      |ta AS (SELECT doc_id, sum(cnt) AS n_tri, count(*) AS n_tri_distinct,
+      |         max(cnt) AS top_tri_cnt FROM tc GROUP BY 1)
+      |SELECT t.doc_id, top_word, top_word_cnt,
+      |  round(top_word_cnt * length(top_word) / CAST(sum_len AS DOUBLE), 4)
+      |    AS top_word_char_frac,
+      |  top_tri_cnt,
+      |  round(1.0 - n_tri_distinct / CAST(n_tri AS DOUBLE), 4) AS dup_tri_frac
+      |FROM topw t JOIN ds USING (doc_id) JOIN ta USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Benchmark-contamination check (decontamination primitive): which
+    * corpus documents share an 8-gram with the held-out "benchmark" set
+    * (deterministic hash-mod slice `doc_id % 5 = 0`, standing in for an
+    * eval suite). Output: (doc, benchmark doc, #shared distinct 8-grams).
+    * This is the n-gram-overlap decontamination every serious training
+    * corpus runs against its eval benchmarks before training.
+    *
+    * Scale: (doc, gram) pairs are distinct-ed BEFORE the join, the join is
+    * an equi-join on the gram key, and the benchmark side is the small one
+    * (an eval suite, not a corpus) — AQE broadcasts it when it fits.
+    * Nothing quadratic: cost is linear in corpus grams + true overlaps. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', " +
+          "w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))"))
+        .as("gram"))
+      .distinct()
+    val bench = grams.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    corpus.join(bench, "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  private val contaminationSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |g AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+      |  FROM d),
+      |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 5 = 0),
+      |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 != 0)
+      |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      |FROM corpus c JOIN bench b USING (gram)
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, bench_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Training-mix budget: token counts per (lang, source) with corpus
+    * share, cumulative share in descending-tokens order, and an over-cap
+    * flag (>10% of the corpus) — the data-mixing table a training run is
+    * configured from. Counts are integers; shares are single `round(·,4)`
+    * doubles; the over-cap comparison is integer (`tokens·10 > total`).
+    *
+    * Scale: one partial-agg shuffle to (lang, source); the window runs
+    * over the AGGREGATE frame (one row per mix cell — thousands at most),
+    * so the single-partition global sort is over a tiny frame, not the
+    * corpus; the total is an explicit broadcast. */
+  def trainingMix(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val agg = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        size(split(lower(col("text")), " ")).as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+    val total = agg.agg(sum(col("tokens")).as("total"))
+    val w = Window.orderBy(col("tokens").desc, col("lang"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.crossJoin(broadcast(total))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .select(col("lang"), col("source"), col("docs"), col("tokens"),
+        round(col("tokens") / col("total").cast("double"), 4).as("share"),
+        round(col("cum_tokens") / col("total").cast("double"), 4).as("cum_share"),
+        (col("tokens") * 10 > col("total")).as("over_cap"))
+      .orderBy(col("tokens").desc, col("lang"), col("source"))
+  }
+
+  private val trainingMixSql =
+    """WITH agg AS (
+      |  SELECT lang, source, count(*) AS docs,
+      |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM agg)
+      |SELECT lang, source, docs, tokens,
+      |  round(tokens / CAST(total AS DOUBLE), 4) AS share,
+      |  round(CAST(sum(tokens) OVER (ORDER BY tokens DESC, lang, source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / total, 4) AS cum_share,
+      |  tokens * 10 > total AS over_cap
+      |FROM agg CROSS JOIN tot
+      |ORDER BY tokens DESC, lang, source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
       "TF-IDF salient-term extraction (top-1 per doc, integer-exact rank)"),
@@ -190,5 +358,11 @@ object PipelineOps extends OpCatalog {
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),
       "curation funnel: length/token/token-length filters + exact dedup counts"),
     Op("q66_length_histogram", lengthHistogram, Some(lengthHistogramSql),
-      "corpus length histogram, 200-char integer buckets"))
+      "corpus length histogram, 200-char integer buckets"),
+    Op("q68_repetition_quality", repetitionQuality, Some(repetitionQualitySql),
+      "Gopher-style repetition signals: top-word char fraction, dup-trigram fraction"),
+    Op("q69_contamination", contamination, Some(contaminationSql),
+      "benchmark-contamination check via distinct 8-gram overlap join"),
+    Op("q70_training_mix", trainingMix, Some(trainingMixSql),
+      "training-mix budget: per-(lang,source) token shares + cumulative + cap flag"))
 }
