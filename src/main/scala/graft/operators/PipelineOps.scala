@@ -350,6 +350,84 @@ object PipelineOps extends OpCatalog {
       |FROM agg CROSS JOIN tot
       |ORDER BY tokens DESC, lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Sequence-packing plan: documents concatenated in doc_id order within
+    * each lang shard and split into 2048-token training windows; each doc
+    * lands in the window where it STARTS (greedy concat packing — the
+    * sample-packing strategy training pipelines use to avoid padding
+    * waste). Output: per (lang, window) doc count, token count, and doc-id
+    * bounds. Pure integer arithmetic end to end.
+    *
+    * Scale: the cumulative sum runs WITHIN lang shards
+    * (`Window.partitionBy(lang)`), never globally — at 100 TB packing is
+    * per-shard by construction (each worker packs its own shard; a global
+    * ordered prefix-sum would serialize the corpus through one partition).
+    * One shuffle to lang shards, one agg. */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("win_id", floor((col("cum") - col("n_tok")) / 2048))
+      .groupBy(col("lang"), col("win_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("win_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("win_id"))
+  }
+
+  private val sequencePackingSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    len(string_split(lower(text), ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS win_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS win_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY lang, win_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Duplicate-rate by source: for each source, how many of its documents
+    * have text that occurs more than once in the WHOLE corpus — the
+    * source-quality ranking a curation run uses to decide which feeds to
+    * down-weight or drop. Duplicate detection is a window count over the
+    * exact content key (one shuffle on text hash); the rate is one
+    * `round(·,4)` from integer counts. */
+  def dupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val cw = Window.partitionBy(col("text"))
+    Tables.documents(spark, sfDir)
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs").cast("double"), 4)
+          .as("dup_rate"))
+      .orderBy(col("dup_rate").desc, col("source"))
+  }
+
+  private val dupRateBySourceSql =
+    """SELECT source, n_docs, n_dup_docs,
+      |  round(n_dup_docs / CAST(n_docs AS DOUBLE), 4) AS dup_rate
+      |FROM (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+      |  FROM (
+      |    SELECT source, count(*) OVER (PARTITION BY text) AS cnt
+      |    FROM documents)
+      |  GROUP BY source)
+      |ORDER BY dup_rate DESC, source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
       "TF-IDF salient-term extraction (top-1 per doc, integer-exact rank)"),
@@ -364,5 +442,9 @@ object PipelineOps extends OpCatalog {
     Op("q69_contamination", contamination, Some(contaminationSql),
       "benchmark-contamination check via distinct 8-gram overlap join"),
     Op("q70_training_mix", trainingMix, Some(trainingMixSql),
-      "training-mix budget: per-(lang,source) token shares + cumulative + cap flag"))
+      "training-mix budget: per-(lang,source) token shares + cumulative + cap flag"),
+    Op("q71_sequence_packing", sequencePacking, Some(sequencePackingSql),
+      "greedy 2048-token sequence-packing plan per lang shard"),
+    Op("q72_dup_rate_by_source", dupRateBySource, Some(dupRateBySourceSql),
+      "exact-duplicate rate per source (source-quality ranking)"))
 }
