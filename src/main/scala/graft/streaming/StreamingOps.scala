@@ -88,6 +88,48 @@ object StreamingOps {
       }
   }
 
+  /** Stream–static decontamination screen (the streaming twin of
+    * q69_contamination): each ARRIVING document is checked against the
+    * static benchmark 8-gram set; contaminated docs are emitted with their
+    * shared-gram count. The benchmark set rides as ONE static row holding
+    * the distinct gram array (an eval suite, not a corpus — it fits), so
+    * the whole screen is a per-row transform + a 1-row stream–static
+    * equi-join: STATELESS — no watermark, no state store, append-mode —
+    * and therefore runs at ingest rate no matter how much history has
+    * streamed past. The batch q69 (`PipelineOps.contamination`) attributes
+    * per benchmark doc; the screen answers the ingest-time question
+    * "is this doc contaminated at all, and how badly".
+    *
+    * `docs`: streaming or batch frame with (doc_id LONG, text STRING).
+    * `benchGrams`: STATIC 1-row frame (join_key INT, bench_grams
+    * ARRAY<STRING>) from [[benchmarkGramSet]]. */
+  def contaminationScreen(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', " +
+          "w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))")))
+      .withColumn("join_key", lit(1))
+      .join(benchGrams, "join_key")
+      .withColumn("n_shared", size(array_intersect(col("grams"), col("bench_grams"))))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_shared"))
+
+  /** Collapse a static benchmark corpus to the 1-row distinct-gram-array
+    * frame [[contaminationScreen]] joins against. */
+  def benchmarkGramSet(bench: DataFrame): DataFrame =
+    bench
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', " +
+          "w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))"))
+        .as("gram"))
+      .distinct()
+      .agg(array_sort(collect_list(col("gram"))).as("bench_grams"))
+      .withColumn("join_key", lit(1))
+
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */
   def runToMemory(stream: DataFrame, name: String,

@@ -101,6 +101,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "re-delivered events must be deduped in-stream")
   }
 
+  test("stream-static contamination screen == batch, stateless across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // benchmark = hash-mod slice of documents (as in q69); stream = the rest
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val bench = StreamingOps.benchmarkGramSet(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val corpusRows = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val (b1, b2) = corpusRows.splitAt(corpusRows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.contaminationScreen(
+        mem.toDF().toDF("doc_id", "text"), bench),
+      "contamination_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val batch = StreamingOps.contaminationScreen(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), bench)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(streamed == batch, "append-mode screen must equal the batch screen")
+    assert(streamed.nonEmpty, "fixture must contain contaminated docs")
+    // consistency with the declared q69: same set of contaminated doc ids
+    val q69docs = graft.operators.PipelineOps.contamination(spark, sfDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(streamed.map(_._1).toSet == q69docs,
+      "screen must flag exactly the docs q69 attributes")
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
