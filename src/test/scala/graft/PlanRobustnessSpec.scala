@@ -26,6 +26,34 @@ class PlanRobustnessSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("no declared query plans a Cartesian product or unlisted nested-loop join") {
+    // The one scale-killer a declarative engine can silently regress into:
+    // a non-equi or keyless join that Catalyst can only plan as
+    // CartesianProduct / BroadcastNestedLoopJoin over unbounded inputs.
+    // BNLJ is acceptable ONLY where a side is provably tiny:
+    val bnljAllowed = Set(
+      "q46_embedding_neardup",  // exact baseline over the bounded vec_id<1000 slice (documented)
+      "q49_range_join",         // broadcast band DIMENSION (fixed band table), non-equi by nature
+      "q63_salient_terms",      // crossJoin(broadcast(1-row corpus-count scalar))
+      "q65_quality_funnel",     // 1-row funnel × 1-row dedup-count combine
+      "q70_training_mix",       // crossJoin(broadcast(1-row total-tokens scalar))
+      "q27_approx_distinct",    // 3-row exact × 3-row HLL side join (broadcast)
+      "q40_cosine_topk",        // crossJoin(broadcast(the single query vector))
+      "q45_ann_ivf"             // crossJoin(broadcast(the single query vector))
+    )
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart || bnlj)
+        Some(s"$name: ${if (cart) "CartesianProduct " else ""}${if (bnlj) "BNLJ" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer join shapes in declared plans:\n${offenders.mkString("\n")}")
+  }
+
   test("query catalog has no duplicate names (driver map would drop them)") {
     assert(SparkEntry.ops.map(_.name).distinct.size == SparkEntry.ops.size)
     // every oracle entry corresponds to a declared query
