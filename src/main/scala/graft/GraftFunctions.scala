@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the built-ins:
   *
   *   simhash64(arr), minhash_signature(arr, k), rolling_hash64(str),
+  *   sorted_intersect_count(arr, sorted_arr),
   *   cosine_similarity(a, b), hyperplane_bucket(v, bits),
   *   st_point(x, y), st_x(wkb), st_y(wkb), st_is_wkb_point(wkb),
   *   st_geometrytype(wkb), st_is_valid_wkb(wkb), st_srid(wkb),
@@ -43,6 +44,8 @@ object GraftFunctions {
     "minhash_signature" -> { es =>
       Tx.MinHashSignature(es.head, intLit(es(1), "minhash_signature k")) },
     "rolling_hash64" -> { es => Tx.RollingHash64(es.head) },
+    "sorted_intersect_count" -> { es =>
+      Tx.SortedIntersectCount(es.head, es(1)) },
     "cosine_similarity" -> { es =>
       Vx.CosineSimilarity(asFloatArray(es.head), asFloatArray(es(1))) },
     "hyperplane_bucket" -> { es =>

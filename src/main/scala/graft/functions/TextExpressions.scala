@@ -131,10 +131,65 @@ object TextExpressions {
     h
   }
 
+  /** Count of left-array elements present in the SORTED right array, by
+    * per-element binary search — O(|a|·log|b|) per row, no per-row set
+    * build. Spark's own `ArrayIntersect.eval` reconstructs a hash set of
+    * its arguments on EVERY row, so a stream–static contamination screen
+    * joining docs against one large static gram array pays O(|bench|) per
+    * arriving document; with this expression the per-doc cost depends on
+    * benchmark size only logarithmically. Contract: `right` is
+    * ascending-sorted in UTF8 binary order (e.g. `array_sort` output) with
+    * no null elements; duplicates in `left` each count once per occurrence,
+    * so distinct `left` first if set semantics are intended. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextExpressions.sortedIntersectEval(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.TextExpressions.sortedIntersectEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_intersect_count"
+  }
+
+  /** Static eval for SortedIntersectCount's generated code. */
+  def sortedIntersectEval(a: ArrayData, b: ArrayData): Int = {
+    val m = b.numElements()
+    var count = 0
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) {
+        val g = a.getUTF8String(i)
+        var lo = 0
+        var hi = m - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val c = b.getUTF8String(mid).compareTo(g)
+          if (c == 0) found = true
+          else if (c < 0) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
   // Column-level wrappers (Spark 4: Column ↔ Expression via GraftBridge)
   import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def minhashSignature(c: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(c), k))
   def rollingHash64(c: Column): Column = toCol(RollingHash64(toExpr(c)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 }

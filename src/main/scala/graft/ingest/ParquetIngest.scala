@@ -54,20 +54,37 @@ object ParquetIngest {
     * multi-file layouts and Hive-partitioned `key=value/` trees — the
     * normal shape of large parquet datasets, and what `spark.read.parquet`
     * itself accepts — probe correctly: rows summed across every footer,
-    * first footer (in path order) for schema/spatial. Note partition-key
+    * first footer (in path order) for schema/spatial. Paths with a hidden
+    * (`_`/`.`-prefixed) component below the root — `_temporary` leftovers
+    * of a killed write, `.staging`, `_SUCCESS` — are skipped, matching
+    * Spark's own file-index filter, so the probed count equals what
+    * `spark.read.parquet(dir).count()` would return. Note partition-key
     * columns live in directory names, not footers, so `columns` reports
     * the data columns only. */
   def probe(spark: SparkSession, path: String): ProbeResult = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    val rootUri = fs.makeQualified(p).toString
+    // true iff any path component strictly below the probe root starts
+    // with '_' or '.' — Spark ignores those files/dirs when reading
+    def hidden(f: Path): Boolean = {
+      var cur = f
+      var isHidden = false
+      while (cur != null && fs.makeQualified(cur).toString != rootUri) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) isHidden = true
+        cur = cur.getParent
+      }
+      isHidden
+    }
     val files =
       if (fs.getFileStatus(p).isDirectory) {
         val it = fs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
         while (it.hasNext) {
           val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) buf += f
+          if (f.getName.endsWith(".parquet") && !hidden(f)) buf += f
         }
         buf.sortBy(_.toString).toSeq
       } else Seq(p)

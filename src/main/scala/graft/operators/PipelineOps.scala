@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * beyond the reference's own surface): TF-IDF salient-term extraction,
   * deterministic stratified sampling, a quality-filter funnel, a length
   * histogram, Gopher-style repetition signals, a benchmark-contamination
-  * check, and a training-mix budget — the compose-into-a-curation-run
+  * check, a training-mix budget, a sequence-packing plan, and a
+  * duplicate-rate-by-source ranking — the compose-into-a-curation-run
   * shapes a 100 TB corpus pipeline needs around the dedup/similarity
   * ladder in [[TextOps]]/[[VectorOps]].
   *
-  * All seven are oracle-declared: every predicate and score is either pure
+  * All nine are oracle-declared: every predicate and score is either pure
   * integer arithmetic (hash-exact across engines) or a single
   * `round(·,4)` double computed from identical integer inputs; every
   * top-1 selection is a `row_number` with a total-order tiebreak (never
@@ -33,14 +34,17 @@ object PipelineOps extends OpCatalog {
     * keyword-extraction shape of a relevance/topicality scorer. Classic
     * two-pass formulation: per-(doc,word) tf, then per-word df over the tf
     * frame (one extra agg, no second tokenize), then a per-doc top-1 by
-    * salience. The rank orders by (tf DESC, df ASC, word) — the integer
-    * keys TF-IDF is monotone in — never by the double score itself, so
-    * cross-engine `ln` rounding can't flip row membership; the reported
-    * score `tf · ln((N+1)/(df+1))` is one rounded double from identical
-    * integer inputs in both engines. (An earlier absolute-threshold form,
-    * `tf >= 3 AND df*10 <= n`, matched its oracle with ZERO rows on the
-    * synthetic corpus — a vacuous pass. Top-1-per-doc always compares one
-    * real row per document at any SF.)
+    * salience. The rank orders by the ROUNDED score
+    * `round(tf · ln((N+1)/(df+1)), 4) DESC, word ASC` — the exact value
+    * the output hash-compares, so ranking by it is cross-engine-safe by
+    * the same argument the output column is: both engines compute it from
+    * identical integer inputs and the 4-dp rounding absorbs last-ulp `ln`
+    * differences; ties at 4 dp resolve on the total-order word key. (An
+    * earlier (tf DESC, df ASC) integer rank was NOT a TF-IDF argmax —
+    * tf=5/df=N scores 0 yet outranked tf=1/df=1 — and an earlier
+    * absolute-threshold form matched its oracle with ZERO rows, a vacuous
+    * pass. Top-1-per-doc always compares one real row per document at any
+    * SF.)
     *
     * Scale: two shuffles (tf by (doc,word), df by word), an equi-join on
     * word, and one window partitioned by doc_id. The df side is
@@ -56,14 +60,14 @@ object PipelineOps extends OpCatalog {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
     val rank = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+      .orderBy(col("tfidf").desc, col("word").asc)
     tf.join(df, "word")
       .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))
       .withColumn("rn", row_number().over(rank))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("word"), col("tf"), col("df"),
-        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4)
-          .as("tfidf"))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
       .orderBy(col("doc_id"))
   }
 
@@ -73,13 +77,15 @@ object PipelineOps extends OpCatalog {
       |  FROM documents),
       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-      |n AS (SELECT count(*) AS n FROM documents)
-      |SELECT doc_id, word, tf, df,
-      |  round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
-      |FROM (SELECT t.doc_id, t.word, t.tf, d.df, n.n,
-      |        row_number() OVER (PARTITION BY t.doc_id
-      |          ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rn
-      |      FROM tf t JOIN df d USING (word) CROSS JOIN n)
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.word, t.tf, d.df,
+      |    round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 4) AS tfidf
+      |  FROM tf t JOIN df d USING (word) CROSS JOIN n)
+      |SELECT doc_id, word, tf, df, tfidf
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, word ASC) AS rn
+      |      FROM scored)
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
@@ -196,8 +202,11 @@ object PipelineOps extends OpCatalog {
     * `round(·,4)` from identical integer inputs.
     *
     * Scale: tokens shuffle once to (doc, word), trigrams once to
-    * (doc, tri); the top-word window reuses the (doc,word) clustering and
-    * the three per-doc frames equi-join on doc_id. Linear, no wide rows. */
+    * (doc, tri); the top-word window reuses the (doc,word) clustering, and
+    * per-doc word-character totals come from the SAME clustered frame as
+    * `Σ cnt·len(word)` (an analytic sum over the grouped rows — NOT a
+    * second shuffle of the raw token stream, which at 100 TB would be a
+    * whole redundant corpus-sized exchange). Linear, no wide rows. */
   def repetitionQuality(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val d = Tables.documents(spark, sfDir)
@@ -208,12 +217,13 @@ object PipelineOps extends OpCatalog {
       .agg(count(lit(1)).as("cnt"))
     val wWin = Window.partitionBy(col("doc_id"))
       .orderBy(col("cnt").desc, col("word").asc)
-    val topWord = wc.withColumn("rn", row_number().over(wWin))
+    val topWord = wc
+      .withColumn("sum_len", sum(col("cnt") * length(col("word")))
+        .over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(wWin))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("word").as("top_word"),
-        col("cnt").as("top_word_cnt"))
-    val docStats = words.groupBy(col("doc_id"))
-      .agg(sum(length(col("word"))).as("sum_len"))
+        col("cnt").as("top_word_cnt"), col("sum_len"))
     val tris = d.select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 2), " +
           "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("tri"))
@@ -222,7 +232,7 @@ object PipelineOps extends OpCatalog {
     val triAgg = tc.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tri"), count(lit(1)).as("n_tri_distinct"),
         max(col("cnt")).as("top_tri_cnt"))
-    topWord.join(docStats, "doc_id").join(triAgg, "doc_id")
+    topWord.join(triAgg, "doc_id")
       .select(col("doc_id"), col("top_word"), col("top_word_cnt"),
         round(col("top_word_cnt") * length(col("top_word")) /
           col("sum_len").cast("double"), 4).as("top_word_char_frac"),
@@ -239,11 +249,13 @@ object PipelineOps extends OpCatalog {
       |words AS (SELECT doc_id, unnest(w) AS word FROM d),
       |wc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY 1, 2),
       |topw AS (
-      |  SELECT doc_id, word AS top_word, cnt AS top_word_cnt FROM (
-      |    SELECT doc_id, word, cnt, row_number() OVER (
-      |      PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+      |  SELECT doc_id, word AS top_word, cnt AS top_word_cnt, sum_len FROM (
+      |    SELECT doc_id, word, cnt,
+      |      row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rn,
+      |      sum(cnt * length(word)) OVER (PARTITION BY doc_id) AS sum_len
+      |    FROM wc)
       |  WHERE rn = 1),
-      |ds AS (SELECT doc_id, sum(length(word)) AS sum_len FROM words GROUP BY 1),
       |tris AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri FROM d),
@@ -255,7 +267,7 @@ object PipelineOps extends OpCatalog {
       |    AS top_word_char_frac,
       |  top_tri_cnt,
       |  round(1.0 - n_tri_distinct / CAST(n_tri AS DOUBLE), 4) AS dup_tri_frac
-      |FROM topw t JOIN ds USING (doc_id) JOIN ta USING (doc_id)
+      |FROM topw t JOIN ta USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q69
@@ -275,10 +287,7 @@ object PipelineOps extends OpCatalog {
     val grams = Tables.documents(spark, sfDir)
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', " +
-          "w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))"))
-        .as("gram"))
+      .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
       .distinct()
     val bench = grams.filter(pmod(col("doc_id"), lit(5)) === 0)
       .select(col("doc_id").as("bench_id"), col("gram"))

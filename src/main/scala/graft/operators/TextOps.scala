@@ -45,6 +45,26 @@ object TextOps extends OpCatalog {
       "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), " +
       "CAST(array() AS ARRAY<STRING>))"))
 
+  /** Space-joined n-word grams over an ARRAY<STRING> column named `w` —
+    * the single source of the gram definition shared by the batch
+    * contamination check (q69) and its streaming screen twin
+    * ([[graft.streaming.StreamingOps]]), whose spec-asserted equivalence
+    * would silently drift if each site hand-rolled the expression. Caller
+    * contract: rows are pre-filtered to `size(w) >= n` (Spark's
+    * `sequence(1, 0)` counts DOWN and would fabricate grams otherwise —
+    * same guard rationale as [[shingles]]). */
+  private[graft] def wordGramExpr(n: Int): Column = {
+    val terms = (0 until n).map { j =>
+      (j - 1) match {
+        case -1 => "w[i-1]"
+        case 0  => "w[i]"
+        case k  => s"w[i+$k]"
+      }
+    }.mkString(", ")
+    expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+      s"i -> concat_ws(' ', $terms))")
+  }
+
   /** Shingle base of ANY `(doc_id, lang, text)` frame — the parameterized
     * core behind [[shingled]], also driven directly by `ScaleStressSpec`
     * over planted-duplicate corpora. */
@@ -214,14 +234,21 @@ object TextOps extends OpCatalog {
       base.select(col("doc_id"), col("lang"),
         TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
     }
-    minhashFromShingled(base, sig, bands = 8, rows = 4, t = 0.8)
+    minhashFromShingled(base, sig, sigLen = 32, bands = 8, rows = 4, t = 0.8)
   }
 
   /** Banded-MinHash candidate+verify core over any shingle base and its
-    * 32-hash signature frame — the parameterized core of q33, also driven
-    * by `ScaleStressSpec` for boundary-similarity recall measurement. */
+    * signature frame — the parameterized core of q33, also driven by
+    * `ScaleStressSpec` for boundary-similarity recall measurement.
+    * `sigLen` is the signature length the CALLER built `sig` with; it must
+    * equal `bands · rows`, else the band slices would silently run off the
+    * end of the array (`slice` past-the-end returns EMPTY arrays, every
+    * doc collides in one constant bucket, and the candidate set goes
+    * quadratic with no error — the exact failure LSH exists to prevent). */
   private[graft] def minhashFromShingled(base: DataFrame, sig: DataFrame,
-      bands: Int, rows: Int, t: Double): DataFrame = {
+      sigLen: Int, bands: Int, rows: Int, t: Double): DataFrame = {
+    require(bands * rows == sigLen,
+      s"bands*rows (${bands * rows}) must equal the signature length ($sigLen)")
     // Band join carries ONLY (band, bucket, lang, id) — the shingle arrays
     // would otherwise be shuffled bands× over; candidates join back to the
     // (id → shingles) side for verification, so array bytes move once.

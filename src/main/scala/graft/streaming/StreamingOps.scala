@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.functions.TextExpressions
+import graft.operators.TextOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -98,34 +100,37 @@ object StreamingOps {
     * and therefore runs at ingest rate no matter how much history has
     * streamed past. The batch q69 (`PipelineOps.contamination`) attributes
     * per benchmark doc; the screen answers the ingest-time question
-    * "is this doc contaminated at all, and how badly".
+    * "is this doc contaminated at all, and how badly". The overlap count
+    * is [[TextExpressions.SortedIntersectCount]] — per-doc-gram binary
+    * search over the pre-sorted bench array — NOT `array_intersect`, whose
+    * eval rebuilds a hash set of the whole benchmark array per row and
+    * would scale per-doc cost linearly in eval-suite size. The gram
+    * definition is shared with q69 via [[TextOps.wordGramExpr]], so the
+    * spec-asserted screen==q69 equivalence can't silently drift.
     *
     * `docs`: streaming or batch frame with (doc_id LONG, text STRING).
     * `benchGrams`: STATIC 1-row frame (join_key INT, bench_grams
-    * ARRAY<STRING>) from [[benchmarkGramSet]]. */
+    * ARRAY<STRING>, ascending-sorted) from [[benchmarkGramSet]]. */
   def contaminationScreen(docs: DataFrame, benchGrams: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
-      .withColumn("grams", array_distinct(expr(
-        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', " +
-          "w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))")))
+      .withColumn("grams", array_distinct(TextOps.wordGramExpr(8)))
       .withColumn("join_key", lit(1))
       .join(benchGrams, "join_key")
-      .withColumn("n_shared", size(array_intersect(col("grams"), col("bench_grams"))))
+      .withColumn("n_shared",
+        TextExpressions.sortedIntersectCount(col("grams"), col("bench_grams")))
       .filter(col("n_shared") > 0)
       .select(col("doc_id"), col("n_shared"))
 
   /** Collapse a static benchmark corpus to the 1-row distinct-gram-array
-    * frame [[contaminationScreen]] joins against. */
+    * frame [[contaminationScreen]] joins against (sorted — the screen's
+    * binary search requires it). */
   def benchmarkGramSet(bench: DataFrame): DataFrame =
     bench
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', " +
-          "w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))"))
-        .as("gram"))
+      .select(explode(TextOps.wordGramExpr(8)).as("gram"))
       .distinct()
       .agg(array_sort(collect_list(col("gram"))).as("bench_grams"))
       .withColumn("join_key", lit(1))

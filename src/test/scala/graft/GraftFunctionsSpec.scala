@@ -49,6 +49,36 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(5) == "POINT")
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted-distinct inputs") {
+    GraftFunctions.register(spark)
+    // golden: 2 shared elements, probe array unsorted (only the RIGHT side
+    // must be sorted), miss-before-first / miss-after-last covered
+    val g = spark.sql(
+      """SELECT sorted_intersect_count(array('zz', 'b', 'mm', 'a'),
+        |                              array('b', 'c', 'mm', 'x')) AS n""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(g == 2)
+    // empty sides
+    val e = spark.sql(
+      """SELECT sorted_intersect_count(array('a'), CAST(array() AS ARRAY<STRING>)) AS l,
+        |       sorted_intersect_count(CAST(array() AS ARRAY<STRING>), array('a')) AS r""".stripMargin)
+      .collect()(0)
+    assert(e.getInt(0) == 0 && e.getInt(1) == 0)
+    // randomized equivalence with the built-in on 200 generated rows
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toString).distinct
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toString).distinct.sorted
+      (a, b)
+    }
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+      .withColumn("fast", TextExpressions.sortedIntersectCount(col("a"), col("b")))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("fast") =!= col("builtin")).count() == 0)
+  }
+
   test("non-literal k in minhash_signature is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

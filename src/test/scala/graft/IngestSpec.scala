@@ -70,6 +70,24 @@ class IngestSpec extends SparkSpec {
     assert(probe.columns.contains("geometry") && !probe.columns.contains("category"))
   }
 
+  test("probe ignores hidden (_/. prefixed) files and dirs, like Spark's reader") {
+    val dir = tmp()
+    Generator.writeFixture(spark, s"$dir/data", n = 10)
+    // a killed write leaves committed files NEXT TO _temporary leftovers;
+    // spark.read.parquet ignores every _/.-prefixed path component, so the
+    // probe must too or its count diverges from what Spark will read
+    val aParquet = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val temp = java.nio.file.Paths.get(s"$dir/data/_temporary/0")
+    java.nio.file.Files.createDirectories(temp)
+    java.nio.file.Files.copy(aParquet, temp.resolve("part-orphan.parquet"))
+    val hidden = java.nio.file.Paths.get(s"$dir/data/.staging.parquet")
+    java.nio.file.Files.copy(aParquet, hidden)
+    val probe = ParquetIngest.probe(spark, s"$dir/data")
+    assert(probe.numRows == 10, s"hidden files leaked into probe: ${probe.numRows}")
+    assert(probe.numRows == spark.read.parquet(s"$dir/data").count())
+  }
+
   test("fixture schema matches the reference's dummy_spatial.parquet (FIXTURES.md)") {
     val df = Generator.fixture(spark)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap

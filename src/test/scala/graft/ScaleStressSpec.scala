@@ -77,7 +77,7 @@ class ScaleStressSpec extends SparkSpec {
       val sig = base.select(col("doc_id"), col("lang"),
         TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
       val lsh = pairSet(TextOps.minhashFromShingled(base, sig,
-        bands = 8, rows = 4, t = 0.8))
+        sigLen = 32, bands = 8, rows = 4, t = 0.8))
       // precision 1.0 by construction (candidates are exact-verified)
       assert(lsh.subsetOf(exact))
       val recall = lsh.size.toDouble / exact.size
