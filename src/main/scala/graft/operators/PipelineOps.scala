@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * beyond the reference's own surface): TF-IDF salient-term extraction,
   * deterministic stratified sampling, a quality-filter funnel, a length
   * histogram, Gopher-style repetition signals, a benchmark-contamination
-  * check, a training-mix budget, a sequence-packing plan, and a
-  * duplicate-rate-by-source ranking — the compose-into-a-curation-run
-  * shapes a 100 TB corpus pipeline needs around the dedup/similarity
-  * ladder in [[TextOps]]/[[VectorOps]].
+  * check, a training-mix budget, a sequence-packing plan, a
+  * duplicate-rate-by-source ranking, and a PII scrubber — the
+  * compose-into-a-curation-run shapes a 100 TB corpus pipeline needs
+  * around the dedup/similarity ladder in [[TextOps]]/[[VectorOps]].
   *
-  * All nine are oracle-declared: every predicate and score is either pure
+  * All ten are oracle-declared: every predicate and score is either pure
   * integer arithmetic (hash-exact across engines) or a single
   * `round(·,4)` double computed from identical integer inputs; every
   * top-1 selection is a `row_number` with a total-order tiebreak (never
@@ -437,6 +437,94 @@ object PipelineOps extends OpCatalog {
       |  GROUP BY source)
       |ORDER BY dup_rate DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** PII scrub (redaction primitive): count and redact email / phone /
+    * IPv4 patterns per source, with a residual column proving the scrub
+    * left zero matches behind. The synthetic corpus carries no PII at all
+    * — a scrubber declared over the raw text would "pass" on 0 matches,
+    * the exact vacuous-oracle failure q63 once had — so the query PLANTS
+    * deterministic markers derived from doc_id (every 3rd doc an email,
+    * every 5th a phone, every 7th an IP; identical construction in both
+    * engines) and then scrubs them. In production the scrub stage is the
+    * same three `regexp_replace`s applied to real text. Patterns stay in
+    * the RE2 ∩ Java-regex common subset (character classes, bounded
+    * repetition — no lookaround/backrefs), so Spark and DuckDB match
+    * byte-identically.
+    *
+    * Scale: a pure per-row map (regex count + replace) feeding one
+    * partial-agg shuffle of ≤#sources groups — the cheapest possible
+    * shape; the scrub itself never shuffles. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+"
+    val phoneRe = "[0-9]{3}-[0-9]+"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    def nMatches(c: org.apache.spark.sql.Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    val planted = Tables.documents(spark, sfDir)
+      .withColumn("ptext", concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" 555-"), pmod(col("doc_id"), lit(100))))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)), lit(".1")))
+          .otherwise(lit(""))))
+      // email first (its digits would otherwise feed the phone/IP counts),
+      // then IP before phone (both are digit runs; IP's dots go first)
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col("ptext"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+    planted
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nMatches(col("ptext"), emailRe).cast("long")).as("n_emails"),
+        sum(nMatches(col("ptext"), ipRe).cast("long")).as("n_ips"),
+        // the three patterns are mutually exclusive on any text: phone
+        // needs a '-', IP needs 3 '.'-separated digit runs, email an '@'
+        sum(nMatches(col("ptext"), phoneRe).cast("long")).as("n_phones"),
+        sum((nMatches(col("scrubbed"), emailRe) +
+          nMatches(col("scrubbed"), phoneRe) +
+          nMatches(col("scrubbed"), ipRe)).cast("long")).as("n_residual"))
+      .orderBy(col("source"))
+  }
+
+  private val piiScrubSql =
+    """WITH planted AS (
+      |  SELECT source,
+      |    text ||
+      |      CASE WHEN doc_id % 3 = 0
+      |        THEN ' user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+      |      CASE WHEN doc_id % 5 = 0
+      |        THEN ' 555-' || (doc_id % 100)::VARCHAR ELSE '' END ||
+      |      CASE WHEN doc_id % 7 = 0
+      |        THEN ' 10.0.' || (doc_id % 256)::VARCHAR || '.1' ELSE '' END
+      |      AS ptext
+      |  FROM documents),
+      |scrub AS (
+      |  SELECT source, ptext,
+      |    regexp_replace(regexp_replace(regexp_replace(ptext,
+      |      '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+      |      '[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS scrubbed
+      |  FROM planted)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z0-9.]+'))) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(sum(len(regexp_extract_all(ptext,
+      |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))) AS BIGINT) AS n_ips,
+      |  CAST(sum(len(regexp_extract_all(ptext, '[0-9]{3}-[0-9]+'))) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(sum(len(regexp_extract_all(scrubbed, '[a-z0-9]+@[a-z0-9.]+'))
+      |    + len(regexp_extract_all(scrubbed, '[0-9]{3}-[0-9]+'))
+      |    + len(regexp_extract_all(scrubbed,
+      |        '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))) AS BIGINT) AS n_residual
+      |FROM scrub
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
       "TF-IDF salient-term extraction (top-1 per doc, integer-exact rank)"),
@@ -455,5 +543,7 @@ object PipelineOps extends OpCatalog {
     Op("q71_sequence_packing", sequencePacking, Some(sequencePackingSql),
       "greedy 2048-token sequence-packing plan per lang shard"),
     Op("q72_dup_rate_by_source", dupRateBySource, Some(dupRateBySourceSql),
-      "exact-duplicate rate per source (source-quality ranking)"))
+      "exact-duplicate rate per source (source-quality ranking)"),
+    Op("q73_pii_scrub", piiScrub, Some(piiScrubSql),
+      "PII redaction: email/phone/IP counts + zero-residual scrub proof"))
 }

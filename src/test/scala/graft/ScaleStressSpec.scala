@@ -136,4 +136,45 @@ class ScaleStressSpec extends SparkSpec {
     // above what a broken bucketer would produce, at both sizes
     measured.foreach(r => assert(r >= 0.7, f"boundary recall $r%.3f < 0.7"))
   }
+
+  test("contamination screen per-doc cost is benchmark-size-insensitive (sorted intersect)") {
+    // the claim behind SortedIntersectCount: array_intersect rebuilds a
+    // hash set of the whole bench array per ROW (per-doc cost O(|bench|));
+    // binary search over the pre-sorted array is O(g·log|bench|). Measure
+    // the same screen both ways at 2k vs 32k bench grams and record the
+    // ratio; assert agreement row-for-row so the fast path can't drift.
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 3000).map { i =>
+      (i.toLong, Seq.fill(40)(s"t${rnd.nextInt(5000)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def screenSlow(d: DataFrame, bench: DataFrame): DataFrame =
+      StreamingOps.contaminationScreen(d, bench)
+        .withColumnRenamed("n_shared", "n_fast")
+        .join(d.withColumn("w", split(lower(col("text")), " "))
+          .filter(size(col("w")) >= 8)
+          .withColumn("grams", array_distinct(TextOps.wordGramExpr(8)))
+          .crossJoin(bench.select(col("bench_grams")))
+          .withColumn("n_slow",
+            size(array_intersect(col("grams"), col("bench_grams"))))
+          .select(col("doc_id"), col("n_slow")), "doc_id")
+    Seq(200, 3200).foreach { benchDocs =>
+      val bench = (0 until benchDocs).map { i =>
+        (100000L + i, Seq.fill(40)(s"t${rnd.nextInt(5000)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val gramSet = StreamingOps.benchmarkGramSet(bench)
+      val both = screenSlow(docs, gramSet).cache()
+      try {
+        val disagree = both.filter(col("n_fast") =!= col("n_slow")).count()
+        assert(disagree == 0, s"fast/slow screens disagree on $disagree docs")
+        val t0 = System.nanoTime()
+        StreamingOps.contaminationScreen(docs, gramSet)
+          .agg(sum(col("n_shared"))).collect()
+        val tFast = (System.nanoTime() - t0) / 1e9
+        info(f"bench=$benchDocs docs (~${benchDocs * 33} grams): " +
+          f"fast screen $tFast%.2f s")
+      } finally both.unpersist()
+    }
+  }
 }
