@@ -313,7 +313,61 @@ object VectorOps extends OpCatalog {
       |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Symmetric int8 quantization audit — THE storage-compression primitive
+    * of a 100 TB embedding store (float32 → int8 is 4× fewer bytes on
+    * every similarity probe's scan path). Per vector: `scale =
+    * max|x|/127`, `q_i = floor(x_i/scale + 0.5)`, reported as the rounded
+    * scale, the saturated-element count, and the max absolute
+    * reconstruction error — which is ≤ scale/2 by construction, an
+    * invariant `VectorOpsSpec` asserts row-by-row.
+    *
+    * Cross-engine determinism: every arithmetic step stays WITHIN one row
+    * (cast f32→f64 exact, IEEE divide/multiply, `floor` exact, `max` over
+    * the array order-independent) — no cross-row float accumulation — so
+    * both engines compute bit-identical doubles before the single
+    * `round(·,6)`. Scale: a pure per-row map; the only shuffle is the
+    * output sort. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    emb(spark, sfDir)
+      .withColumn("x", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("scale",
+        expr("array_max(transform(x, v -> abs(v))) / 127.0"))
+      .filter(col("scale") > 0) // zero vector has nothing to quantize
+      .withColumn("q", expr("transform(x, v -> floor(v / scale + 0.5))"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        expr("CAST(size(filter(q, v -> abs(v) = 127.0D)) AS BIGINT)")
+          .as("n_sat"),
+        round(expr(
+          "array_max(zip_with(x, q, (a, b) -> abs(a - b * scale)))"), 6)
+          .as("max_err6"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embeddingQuantizeSql =
+    """WITH x AS (
+      |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, x,
+      |    list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+      |  FROM x),
+      |q AS (
+      |  SELECT vec_id, x, scale,
+      |    list_transform(x, v -> floor(v / scale + 0.5)) AS q
+      |  FROM s WHERE scale > 0)
+      |SELECT vec_id, round(scale, 6) AS scale6,
+      |  CAST(len(list_filter(q, v -> abs(v) = 127.0)) AS BIGINT) AS n_sat,
+      |  round(list_max(list_transform(range(1, len(x) + 1),
+      |    i -> abs(x[i] - q[i] * scale))), 6) AS max_err6
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q74_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql),
+      "symmetric int8 quantization audit: scale, saturation, max recon error"),
     Op("q45_ann_ivf", annIvf, None,
       "ANN top-10 via IVF coarse-quantizer probe (label centroids)"),
     Op("q46_embedding_neardup", embeddingNeardup, Some(embeddingNeardupSql),

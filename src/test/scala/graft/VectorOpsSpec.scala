@@ -26,6 +26,24 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: max recon error <= scale/2, saturation sane (q74)") {
+    val rows = VectorOps.embeddingQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val nSat = r.getLong(2)
+      val err = r.getDouble(3)
+      // floor(x/scale + 0.5) is within 0.5 quantization steps of x/scale,
+      // so reconstruction error is bounded by scale/2 (plus 6dp rounding)
+      assert(err <= scale / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: err $err > scale/2 ${scale / 2}")
+      // the max-|x| element quantizes to exactly +-127 -> at least one
+      // saturated element per vector; 64-dim -> never more than 64
+      assert(nSat >= 1 && nSat <= 64, s"vec ${r.getLong(0)}: n_sat $nSat")
+      assert(scale > 0)
+    }
+  }
+
   test("ANN LSH results are a subset of brute-force ranking with exact sims") {
     val brute = VectorOps.cosineTopK(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
