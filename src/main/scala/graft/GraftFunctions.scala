@@ -44,6 +44,8 @@ object GraftFunctions {
     "minhash_signature" -> { es =>
       Tx.MinHashSignature(es.head, intLit(es(1), "minhash_signature k")) },
     "rolling_hash64" -> { es => Tx.RollingHash64(es.head) },
+    // contract: the SECOND array must be ascending-sorted (array_sort
+    // order) — binary search over an unsorted array under-counts silently
     "sorted_intersect_count" -> { es =>
       Tx.SortedIntersectCount(es.head, es(1)) },
     "cosine_similarity" -> { es =>

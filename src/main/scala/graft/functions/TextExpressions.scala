@@ -143,6 +143,19 @@ object TextExpressions {
     * so distinct `left` first if set semantics are intended. */
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
+    // fail at ANALYSIS time on non-string arrays — this is registered as a
+    // user-facing SQL function, and binary-searching e.g. an int-backed
+    // ArrayData via getUTF8String would return silent garbage, not error
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_intersect_count requires (array<string>, array<string>)" +
+              s" arguments, got (${l.catalogString}, ${r.catalogString})")
+      }
     override def dataType: DataType = IntegerType
     override def nullSafeEval(a: Any, b: Any): Any =
       TextExpressions.sortedIntersectEval(

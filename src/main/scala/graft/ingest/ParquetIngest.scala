@@ -65,18 +65,16 @@ object ParquetIngest {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val rootUri = fs.makeQualified(p).toString
     // true iff any path component strictly below the probe root starts
-    // with '_' or '.' — Spark ignores those files/dirs when reading
+    // with '_' or '.' — Spark ignores those files/dirs when reading.
+    // listFiles returns already-qualified paths, so one string prefix
+    // strip per file suffices (no per-ancestor re-qualification).
+    val rootPrefix = fs.makeQualified(p).toString
     def hidden(f: Path): Boolean = {
-      var cur = f
-      var isHidden = false
-      while (cur != null && fs.makeQualified(cur).toString != rootUri) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) isHidden = true
-        cur = cur.getParent
-      }
-      isHidden
+      val s = f.toString
+      val rel = if (s.startsWith(rootPrefix)) s.substring(rootPrefix.length)
+        else f.getName // unexpected FS qualification: check the name only
+      rel.split('/').exists(n => n.startsWith("_") || n.startsWith("."))
     }
     val files =
       if (fs.getFileStatus(p).isDirectory) {

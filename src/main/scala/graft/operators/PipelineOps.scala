@@ -527,7 +527,7 @@ object PipelineOps extends OpCatalog {
 
   override val ops: Seq[Op] = Seq(
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
-      "TF-IDF salient-term extraction (top-1 per doc, integer-exact rank)"),
+      "TF-IDF salient-term extraction (top-1 per doc, rounded-score argmax)"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

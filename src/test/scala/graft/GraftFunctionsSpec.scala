@@ -77,6 +77,12 @@ class GraftFunctionsSpec extends SparkSpec {
       .withColumn("fast", TextExpressions.sortedIntersectCount(col("a"), col("b")))
       .withColumn("builtin", size(array_intersect(col("a"), col("b"))))
     assert(df.filter(col("fast") =!= col("builtin")).count() == 0)
+    // non-string arrays must fail at analysis, not return silent garbage
+    val bad = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(1, 2), array(1, 2))").collect()
+    }
+    assert(bad.getMessage.contains("array<string>") ||
+      bad.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
   test("non-literal k in minhash_signature is rejected with a clear error") {

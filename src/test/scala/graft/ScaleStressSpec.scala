@@ -146,33 +146,43 @@ class ScaleStressSpec extends SparkSpec {
     import graft.streaming.StreamingOps
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val docs = (0 until 3000).map { i =>
+    val docTexts = (0 until 3000).map { i =>
       (i.toLong, Seq.fill(40)(s"t${rnd.nextInt(5000)}").mkString(" "))
-    }.toDF("doc_id", "text")
-    def screenSlow(d: DataFrame, bench: DataFrame): DataFrame =
-      StreamingOps.contaminationScreen(d, bench)
-        .withColumnRenamed("n_shared", "n_fast")
-        .join(d.withColumn("w", split(lower(col("text")), " "))
-          .filter(size(col("w")) >= 8)
-          .withColumn("grams", array_distinct(TextOps.wordGramExpr(8)))
-          .crossJoin(bench.select(col("bench_grams")))
-          .withColumn("n_slow",
-            size(array_intersect(col("grams"), col("bench_grams"))))
-          .select(col("doc_id"), col("n_slow")), "doc_id")
+    }
+    val docs = docTexts.toDF("doc_id", "text")
+    // slow path over ALL docs (no >0 filter), fast path LEFT-joined onto
+    // it with missing-row ⇒ 0 — so a broken fast path that under-counts
+    // or drops contaminated docs cannot hide behind the screen's filter
+    def agreement(bench: DataFrame): DataFrame =
+      docs.withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 8)
+        .withColumn("grams", array_distinct(TextOps.wordGramExpr(8)))
+        .crossJoin(bench.select(col("bench_grams")))
+        .withColumn("n_slow",
+          size(array_intersect(col("grams"), col("bench_grams"))))
+        .select(col("doc_id"), col("n_slow"))
+        .join(StreamingOps.contaminationScreen(docs, bench)
+          .withColumnRenamed("n_shared", "n_fast"), Seq("doc_id"), "left")
+        .withColumn("n_fast", coalesce(col("n_fast"), lit(0)))
     Seq(200, 3200).foreach { benchDocs =>
-      val bench = (0 until benchDocs).map { i =>
+      // bench = fresh noise docs PLUS borrowed corpus texts (every 10th
+      // doc) — planted overlaps make the agreement check non-vacuous
+      val bench = ((0 until benchDocs).map { i =>
         (100000L + i, Seq.fill(40)(s"t${rnd.nextInt(5000)}").mkString(" "))
-      }.toDF("doc_id", "text")
+      } ++ docTexts.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (200000L + id, t) }).toDF("doc_id", "text")
       val gramSet = StreamingOps.benchmarkGramSet(bench)
-      val both = screenSlow(docs, gramSet).cache()
+      val both = agreement(gramSet).cache()
       try {
+        assert(both.filter(col("n_slow") > 0).count() >= 300,
+          "planted overlaps missing — the agreement check would be vacuous")
         val disagree = both.filter(col("n_fast") =!= col("n_slow")).count()
         assert(disagree == 0, s"fast/slow screens disagree on $disagree docs")
         val t0 = System.nanoTime()
         StreamingOps.contaminationScreen(docs, gramSet)
           .agg(sum(col("n_shared"))).collect()
         val tFast = (System.nanoTime() - t0) / 1e9
-        info(f"bench=$benchDocs docs (~${benchDocs * 33} grams): " +
+        info(f"bench=$benchDocs+300 docs (~${benchDocs * 33 + 9900} grams): " +
           f"fast screen $tFast%.2f s")
       } finally both.unpersist()
     }
