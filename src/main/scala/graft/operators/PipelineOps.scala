@@ -454,13 +454,35 @@ object PipelineOps extends OpCatalog {
     * Scale: a pure per-row map (regex count + replace) feeding one
     * partial-agg shuffle of ≤#sources groups — the cheapest possible
     * shape; the scrub itself never shuffles. */
+  /** The PII pattern set and scrub transform — ONE definition shared by
+    * batch q73 and the streaming ingest-time twin
+    * ([[graft.streaming.StreamingOps.piiScrubStream]]), so the
+    * spec-asserted stream==batch equivalence can't silently drift (same
+    * rationale as [[TextOps.wordGramExpr]]). Patterns are in the
+    * RE2 ∩ Java-regex common subset. */
+  private[graft] val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private[graft] val PhoneRe = "[0-9]{3}-[0-9]+"
+  private[graft] val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  private[graft] def nMatches(c: org.apache.spark.sql.Column, re: String) =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Redact email → IP → phone, in that order (email first so its digits
+    * don't feed the digit-run patterns; IP before phone since both are
+    * digit runs and IP's dotted form must win). */
+  private[graft] def scrubExpr(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+
+  /** Total PII matches (all three patterns) in a text column. */
+  private[graft] def piiCountExpr(c: org.apache.spark.sql.Column) =
+    nMatches(c, EmailRe) + nMatches(c, PhoneRe) + nMatches(c, IpRe)
+
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val emailRe = "[a-z0-9]+@[a-z0-9.]+"
-    val phoneRe = "[0-9]{3}-[0-9]+"
-    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
-    def nMatches(c: org.apache.spark.sql.Column, re: String) =
-      size(regexp_extract_all(c, lit(re), lit(0)))
+    val emailRe = EmailRe
+    val phoneRe = PhoneRe
+    val ipRe = IpRe
     val planted = Tables.documents(spark, sfDir)
       .withColumn("ptext", concat(col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
@@ -472,11 +494,7 @@ object PipelineOps extends OpCatalog {
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)), lit(".1")))
           .otherwise(lit(""))))
-      // email first (its digits would otherwise feed the phone/IP counts),
-      // then IP before phone (both are digit runs; IP's dots go first)
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(regexp_replace(col("ptext"),
-          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .withColumn("scrubbed", scrubExpr(col("ptext")))
     planted
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -485,9 +503,7 @@ object PipelineOps extends OpCatalog {
         // the three patterns are mutually exclusive on any text: phone
         // needs a '-', IP needs 3 '.'-separated digit runs, email an '@'
         sum(nMatches(col("ptext"), phoneRe).cast("long")).as("n_phones"),
-        sum((nMatches(col("scrubbed"), emailRe) +
-          nMatches(col("scrubbed"), phoneRe) +
-          nMatches(col("scrubbed"), ipRe)).cast("long")).as("n_residual"))
+        sum(piiCountExpr(col("scrubbed")).cast("long")).as("n_residual"))
       .orderBy(col("source"))
   }
 

@@ -135,6 +135,21 @@ object StreamingOps {
       .agg(array_sort(collect_list(col("gram"))).as("bench_grams"))
       .withColumn("join_key", lit(1))
 
+  /** Stateless ingest-time PII scrub — the streaming twin of q73's scrub
+    * stage: each arriving document is emitted with its PII match count and
+    * redacted text. A pure per-row map (no watermark, no state store,
+    * append-mode), so it runs at ingest rate; the pattern set and
+    * replacement order are [[graft.operators.PipelineOps]]'s — ONE shared
+    * definition, so the spec-asserted stream==batch equivalence can't
+    * drift. Aggregating redaction counts per source (batch q73's output
+    * shape) belongs downstream of the scrub in a streaming deployment. */
+  def piiScrubStream(docs: DataFrame): DataFrame = {
+    import graft.operators.PipelineOps
+    docs.select(col("doc_id"),
+      PipelineOps.piiCountExpr(col("text")).as("n_redacted"),
+      PipelineOps.scrubExpr(col("text")).as("scrubbed"))
+  }
+
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */
   def runToMemory(stream: DataFrame, name: String,

@@ -134,6 +134,39 @@ class StreamingSpec extends SparkSpec {
       "screen must flag exactly the docs q69 attributes")
   }
 
+  test("streaming PII scrub == batch scrub, zero residual on planted markers") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // planted PII + clean docs; mixed across two micro-batches
+    val rows = Seq(
+      (1L, "call me at 555-0142 or mail root12@example.org today"),
+      (2L, "server at 10.0.12.7 and backup at 192.168.0.1"),
+      (3L, "no pii in this perfectly ordinary sentence"),
+      (4L, "a@b.c then 777-9 then 8.8.8.8 all three kinds"),
+      (5L, "almost pii: 12-34 (short prefix) and name at host (spaced)"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows.take(2))
+    mem.addData(rows.drop(2))
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.piiScrubStream(mem.toDF().toDF("doc_id", "text")),
+      "pii_scrub_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val batch = StreamingOps.piiScrubStream(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(streamed == batch, "append-mode scrub must equal the batch scrub")
+    assert(streamed.map(_._2) == Seq(2, 2, 0, 3, 0), s"counts: ${streamed.map(_._2)}")
+    // scrub completeness: re-counting on the scrubbed text finds nothing
+    val residual = StreamingOps.piiScrubStream(
+      streamed.map(r => (r._1, r._3)).toDF("doc_id", "text"))
+      .agg(sum(col("n_redacted"))).collect()(0).getLong(0)
+    assert(residual == 0, s"scrubbed text still matches PII patterns: $residual")
+    assert(streamed(0)._3.contains("<PHONE>") && streamed(0)._3.contains("<EMAIL>"))
+    assert(streamed(1)._3.contains("<IP>") && !streamed(1)._3.contains("10.0.12.7"))
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
