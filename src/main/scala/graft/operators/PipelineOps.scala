@@ -224,9 +224,8 @@ object PipelineOps extends OpCatalog {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("word").as("top_word"),
         col("cnt").as("top_word_cnt"), col("sum_len"))
-    val tris = d.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("tri"))
+    val tris = d.select(col("doc_id"),
+      explode(TextOps.wordGramExpr(3)).as("tri"))
     val tc = tris.groupBy(col("doc_id"), col("tri"))
       .agg(count(lit(1)).as("cnt"))
     val triAgg = tc.groupBy(col("doc_id"))
@@ -480,9 +479,6 @@ object PipelineOps extends OpCatalog {
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val emailRe = EmailRe
-    val phoneRe = PhoneRe
-    val ipRe = IpRe
     val planted = Tables.documents(spark, sfDir)
       .withColumn("ptext", concat(col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
@@ -498,17 +494,19 @@ object PipelineOps extends OpCatalog {
     planted
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(nMatches(col("ptext"), emailRe).cast("long")).as("n_emails"),
-        sum(nMatches(col("ptext"), ipRe).cast("long")).as("n_ips"),
+        sum(nMatches(col("ptext"), EmailRe).cast("long")).as("n_emails"),
+        sum(nMatches(col("ptext"), IpRe).cast("long")).as("n_ips"),
         // the three patterns are mutually exclusive on any text: phone
         // needs a '-', IP needs 3 '.'-separated digit runs, email an '@'
-        sum(nMatches(col("ptext"), phoneRe).cast("long")).as("n_phones"),
+        sum(nMatches(col("ptext"), PhoneRe).cast("long")).as("n_phones"),
         sum(piiCountExpr(col("scrubbed")).cast("long")).as("n_residual"))
       .orderBy(col("source"))
   }
 
+  // the regex literals are INTERPOLATED from the same constants the Spark
+  // side uses — editing a pattern in one dialect only is impossible
   private val piiScrubSql =
-    """WITH planted AS (
+    s"""WITH planted AS (
       |  SELECT source,
       |    text ||
       |      CASE WHEN doc_id % 3 = 0
@@ -522,21 +520,19 @@ object PipelineOps extends OpCatalog {
       |scrub AS (
       |  SELECT source, ptext,
       |    regexp_replace(regexp_replace(regexp_replace(ptext,
-      |      '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
-      |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
-      |      '[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS scrubbed
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '$IpRe', '<IP>', 'g'),
+      |      '$PhoneRe', '<PHONE>', 'g') AS scrubbed
       |  FROM planted)
       |SELECT source, count(*) AS n_docs,
-      |  CAST(sum(len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z0-9.]+'))) AS BIGINT)
+      |  CAST(sum(len(regexp_extract_all(ptext, '$EmailRe'))) AS BIGINT)
       |    AS n_emails,
-      |  CAST(sum(len(regexp_extract_all(ptext,
-      |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))) AS BIGINT) AS n_ips,
-      |  CAST(sum(len(regexp_extract_all(ptext, '[0-9]{3}-[0-9]+'))) AS BIGINT)
+      |  CAST(sum(len(regexp_extract_all(ptext, '$IpRe'))) AS BIGINT) AS n_ips,
+      |  CAST(sum(len(regexp_extract_all(ptext, '$PhoneRe'))) AS BIGINT)
       |    AS n_phones,
-      |  CAST(sum(len(regexp_extract_all(scrubbed, '[a-z0-9]+@[a-z0-9.]+'))
-      |    + len(regexp_extract_all(scrubbed, '[0-9]{3}-[0-9]+'))
-      |    + len(regexp_extract_all(scrubbed,
-      |        '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))) AS BIGINT) AS n_residual
+      |  CAST(sum(len(regexp_extract_all(scrubbed, '$EmailRe'))
+      |    + len(regexp_extract_all(scrubbed, '$PhoneRe'))
+      |    + len(regexp_extract_all(scrubbed, '$IpRe'))) AS BIGINT) AS n_residual
       |FROM scrub
       |GROUP BY source
       |ORDER BY source""".stripMargin

@@ -38,12 +38,11 @@ object TextOps extends OpCatalog {
   /** Distinct 3-gram word shingles: order-sensitive near-dup features.
     * Docs shorter than 3 tokens yield an EMPTY set (guard needed: Spark's
     * `sequence(1, 0)` counts DOWN, which would fabricate bogus shingles;
-    * DuckDB's `range(1, len-1)` is empty there — both sides must agree). */
+    * DuckDB's `range(1, len-1)` is empty there — both sides must agree).
+    * The gram construction itself is the shared [[wordGramExpr]]. */
   private val shingles: Column = array_distinct(
-    expr("IF(size(w) >= 3, " +
-      "transform(sequence(1, size(w) - 2), " +
-      "i -> concat_ws(' ', w[i-1], w[i], w[i+1])), " +
-      "CAST(array() AS ARRAY<STRING>))"))
+    when(size(col("w")) >= 3, wordGramExpr(3))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
 
   /** Space-joined n-word grams over an ARRAY<STRING> column named `w` —
     * the single source of the gram definition shared by the batch

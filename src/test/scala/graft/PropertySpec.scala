@@ -188,4 +188,21 @@ class PropertySpec extends AnyFunSuite {
         (sa.intersect(sa).size.toDouble / sa.union(sa).size) == 1.0
     })
   }
+
+  test("sorted-intersect law: binary search == per-occurrence set membership") {
+    // right side sorted in UTF8String BINARY order (what array_sort emits)
+    // — not Java String (UTF-16) order, which differs on multi-byte chars;
+    // the generator mixes empty, ASCII, and multi-byte tokens to cover that
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const(""),
+      Gen.const("é"), Gen.const("日本"), Gen.const("zé"))
+    check(Prop.forAll(Gen.listOf(word), Gen.listOf(word)) { (a, b) =>
+      val sortedB = b.distinct.map(UTF8String.fromString)
+        .sortWith(_.compareTo(_) < 0)
+      val got = TextExpressions.sortedIntersectEval(
+        new GenericArrayData(a.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(sortedB.toArray[Any]))
+      got == a.count(b.toSet)
+    })
+  }
 }
