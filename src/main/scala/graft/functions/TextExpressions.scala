@@ -174,7 +174,11 @@ object TextExpressions {
 
   /** Static eval for SortedIntersectCount's generated code. */
   def sortedIntersectEval(a: ArrayData, b: ArrayData): Int = {
-    val m = b.numElements()
+    var m = b.numElements()
+    // `array_sort` places nulls LAST: clamp the search below any trailing
+    // nulls rather than NPE on a null slot (registered as a user-facing SQL
+    // function, so the right array is not guaranteed null-free)
+    while (m > 0 && b.isNullAt(m - 1)) m -= 1
     var count = 0
     var i = 0
     while (i < a.numElements()) {

@@ -72,8 +72,20 @@ object ParquetIngest {
     val rootPrefix = fs.makeQualified(p).toString
     def hidden(f: Path): Boolean = {
       val s = f.toString
-      val rel = if (s.startsWith(rootPrefix)) s.substring(rootPrefix.length)
-        else f.getName // unexpected FS qualification: check the name only
+      val rel =
+        if (s.startsWith(rootPrefix)) s.substring(rootPrefix.length)
+        else {
+          // unexpected FS qualification: fall back to walking every path
+          // component (ancestor DIRS included — a `.staging/part.parquet`
+          // leaf has an unsuspicious name but a hidden parent)
+          var cur = f
+          val names = scala.collection.mutable.ListBuffer.empty[String]
+          while (cur != null && cur.getName.nonEmpty) {
+            names += cur.getName
+            cur = cur.getParent
+          }
+          names.mkString("/")
+        }
       rel.split('/').exists(n => n.startsWith("_") || n.startsWith("."))
     }
     val files =

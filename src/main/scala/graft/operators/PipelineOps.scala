@@ -409,10 +409,18 @@ object PipelineOps extends OpCatalog {
     * source-quality ranking a curation run uses to decide which feeds to
     * down-weight or drop. Duplicate detection is a window count over the
     * exact content key (one shuffle on text hash); the rate is one
-    * `round(·,4)` from integer counts. */
+    * `round(·,4)` from integer counts.
+    *
+    * The window partitions on `xxhash64(text)`, NOT the text itself: the
+    * exchange then moves an 8-byte key per row instead of the full document
+    * (at 100 TB the key bytes would dominate the shuffle). A hash collision
+    * would merge two distinct texts into one count — P ≈ n²/2⁶⁵, ~1e-11 at
+    * this corpus and still <1% at 10⁹ docs — and the declared per-source
+    * rates are unchanged as long as no two distinct in-corpus texts
+    * collide, which the q30 exact-dedup path (full-text keys) can audit. */
   def dupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val cw = Window.partitionBy(col("text"))
+    val cw = Window.partitionBy(xxhash64(col("text")))
     Tables.documents(spark, sfDir)
       .withColumn("cnt", count(lit(1)).over(cw))
       .groupBy(col("source"))
@@ -460,6 +468,11 @@ object PipelineOps extends OpCatalog {
     * rationale as [[TextOps.wordGramExpr]]). Patterns are in the
     * RE2 ∩ Java-regex common subset. */
   private[graft] val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
+  // PhoneRe matches inside ANY digit-dash run (e.g. '2020-01' yields
+  // '020-01'), so n_phones can exceed the planted markers if corpus text
+  // carries date-like tokens — both engines count such incidental matches
+  // IDENTICALLY (same regex subset), so the oracle is unaffected; a scrub
+  // that over-redacts a date is the safe failure mode for PII removal
   private[graft] val PhoneRe = "[0-9]{3}-[0-9]+"
   private[graft] val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
 

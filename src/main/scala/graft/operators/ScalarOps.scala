@@ -247,7 +247,15 @@ object ScalarOps extends OpCatalog {
     * the flags are deterministically true on both sides: a real
     * cross-engine check that each engine's sketch honors its error bound.
     * `ScalarOpsSpec` additionally bounds Spark's raw GK estimates by the
-    * rank-error guarantee (accuracy=1000 → ε=0.001 rank error). */
+    * rank-error guarantee (accuracy=1000 → ε=0.001 rank error).
+    *
+    * Known fragility, accepted: the declared-oracle hash depends on BOTH
+    * engines' sketches landing within the 5% tolerance. Spark's GK bound is
+    * deterministic, but DuckDB's t-digest is not contractually so under
+    * parallel aggregation — if an oracle run at a larger SF ever shows a
+    * flag flip, the remedy is to widen the tolerance or demote q67 to
+    * rows-only + spec (the GK rank-error law in ScalarOpsSpec is the real
+    * correctness check; the flags are a cross-engine smoke signal). */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     def withinTol(approx: org.apache.spark.sql.Column,

@@ -158,7 +158,7 @@ object TextOps extends OpCatalog {
     exactNeardupFromShingled(shingled(spark, sfDir), 0.8)
   }
 
-  /** PPJoin candidate pairs `(id_a, id_b, sh_a, sh_b)` of a shingle base at
+  /** PPJoin candidate id-pairs `(id_a, id_b)` of a shingle base at
     * threshold `t` — the pre-verification surface, split out so
     * `ScaleStressSpec` can measure candidate-set growth against corpus
     * size (the property that makes this the non-n² plan at 100 TB). */
@@ -173,34 +173,41 @@ object TextOps extends OpCatalog {
       .groupBy(col("lang"), col("doc_id"))
       .agg(expr("transform(array_sort(collect_list(struct(f, s))), x -> x.s)")
         .as("by_rarity"))
+    // Ids-only through the prefix shuffle: carrying the shingle arrays here
+    // would move each doc's full payload |pfx|× (≈26× at t=0.8 on ~130
+    // shingles) through the exchange; the verify joins arrays back ONCE,
+    // post-distinct — the same shape as [[minhashFromShingled]].
     val d = base.join(ordered, Seq("lang", "doc_id"))
       // prefix length for threshold t: |s| - ceil(t*|s|) + 1
       .withColumn("pfx",
         expr(s"slice(by_rarity, 1, n - CAST(ceil($t * n) AS INT) + 1)"))
-    d.select(col("lang"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"), col("n").as("n_a"),
-        explode(col("pfx")).as("p"))
+      .select(col("lang"), col("doc_id"), col("n"), explode(col("pfx")).as("p"))
+    d.select(col("lang"), col("doc_id").as("id_a"), col("n").as("n_a"),
+        col("p"))
       .join(d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
-          col("sh").as("sh_b"), col("n").as("n_b"),
-          explode(col("pfx")).as("p_b")),
+          col("n").as("n_b"), col("p").as("p_b")),
         col("lang") === col("lang_b") && col("p") === col("p_b") &&
           col("id_a") < col("id_b") &&
           // length-ratio bound: jac >= t requires min/max >= t
           col("n_a") * t <= col("n_b") && col("n_b") * t <= col("n_a"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact set-similarity join (PPJoin candidates + exact Jaccard verify)
     * over any shingle base — the parameterized core of q32. */
-  private[graft] def exactNeardupFromShingled(base: DataFrame, t: Double): DataFrame =
+  private[graft] def exactNeardupFromShingled(base: DataFrame, t: Double): DataFrame = {
+    val byId = base.select(col("doc_id"), col("sh"))
     prefixCandidates(base, t)
+      .join(byId.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(byId.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jac") >= t)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   private val neardupShingleSql =
     """WITH d AS (

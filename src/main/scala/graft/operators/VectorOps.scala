@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.{GraftSession, Memo, Op, OpCatalog, Tables}
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -189,33 +189,108 @@ object VectorOps extends OpCatalog {
       |ORDER BY sums.label""".stripMargin
 
   // ---------------------------------------------------------------- q45
-  /** ANN via IVF-style coarse quantization (E13 alternate scale path):
-    * label centroids act as the coarse codebook (an honest stand-in for
-    * k-means cells — at scale the codebook is trained once and broadcast);
-    * the query probes its nearest centroid and searches only that
-    * partition. Deterministic; spec checks exactness within the probed
-    * cell. At scale the corpus is PARTITIONED BY cell — the probe reads
-    * 1/nlist of the data (partition pruning), vs q43's hash-bucket route. */
+  /** Assign each vector to its nearest codebook centroid (cosine, with a
+    * deterministic lowest-cell tiebreak). One broadcast-map pass over the
+    * corpus + a partial-aggregated `max` of a lexicographic struct — no
+    * window sort, and the embedding rides inside the struct so no join-back
+    * is needed. Returns `(vec_id, cell, embedding)`. */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        VectorExpressions.cosineSimilarity(col("embedding"), col("centroid"))
+          .as("csim"),
+        (-col("cell")).as("neg_cell"), col("cell").as("cell"),
+        col("embedding").as("embedding")).as("scored"))
+      .groupBy(col("vec_id"))
+      // lexicographic max: highest csim, then (via neg_cell) LOWEST cell —
+      // embedding never participates in the comparison (neg_cell is unique)
+      .agg(max(col("scored")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.embedding").as("embedding"))
+
+  /** Deterministic farthest-point (k-center greedy) seeding for the Lloyd
+    * iterations: seed 0 is the lowest vec_id; each next seed is the vector
+    * with the SMALLEST max-cosine to the seeds chosen so far (lowest-id
+    * tiebreak). RNG-free and spread-out — naive "first k ids" seeding
+    * collapses when those ids happen to share a cluster, and k-means++
+    * needs randomness. Each round is one broadcast-map pass over the corpus
+    * plus a partial-agg max; k is small, so k-1 passes is the offline
+    * training cost IVF always pays. */
+  private def farthestPointSeeds(e: DataFrame, k: Int): DataFrame = {
+    var seeds = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    for (_ <- 1 until k) {
+      val next = e
+        .crossJoin(broadcast(seeds.select(col("embedding").as("s_emb"))))
+        .select(col("vec_id"), col("embedding"),
+          VectorExpressions.cosineSimilarity(col("embedding"), col("s_emb"))
+            .as("cs"))
+        .groupBy(col("vec_id"))
+        // embedding is constant per vec_id; min() just carries it through
+        .agg(max(col("cs")).as("closeness"), min(col("embedding")).as("embedding"))
+        .orderBy(col("closeness").asc, col("vec_id").asc)
+        .limit(1)
+        .select(col("vec_id"), col("embedding"))
+      seeds = seeds.union(next).localCheckpoint()
+    }
+    seeds
+  }
+
+  /** Trained IVF coarse codebook: farthest-point seeding then `iters` Lloyd
+    * iterations, all expressed as DataFrame aggregations — deterministic
+    * (no RNG anywhere; ties in assignment break to the lowest cell) and
+    * independent of any label column. Each iteration is one assignment pass
+    * (broadcast centroids, partial-agg argmax) and one centroid update
+    * (posexplode to (cell, pos) — map-side combined, so the update shuffle
+    * carries ~k·dim partial sums, not the corpus). `localCheckpoint`
+    * truncates lineage between iterations (k rows — without it iteration i
+    * replays every prior pass each time its plan is referenced). */
+  private[graft] def ivfCodebook(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val corpus = e.filter(col("vec_id") =!= 0)
+    var cents = farthestPointSeeds(corpus, k)
+      .withColumn("cell", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+      .select(col("cell"), col("embedding").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      cents = assignCells(corpus, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
+          "x -> CAST(x.c AS FLOAT))").as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** ANN via IVF coarse quantization (E13 alternate scale path): a TRAINED
+    * k-means codebook (seeded Lloyd iterations, [[ivfCodebook]] — no
+    * dependence on the label column); the query probes its nearest centroid
+    * and searches only that cell. Deterministic; spec checks exactness
+    * within the probed cell and recall vs brute force. At scale the corpus
+    * is PARTITIONED BY cell — the probe reads 1/nlist of the data
+    * (partition pruning), vs q43's hash-bucket route; training is the
+    * once-per-corpus offline step IVF always pays, and the codebook (k·dim
+    * floats) broadcasts. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val e = emb(spark, sfDir)
-    // centroid per label as array<float> (codebook — tiny, broadcastable)
-    val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))")
-        .as("centroid"))
+    val cents = Memo.cached(spark, s"vectorops:ivf_codebook:$sfDir") {
+      ivfCodebook(e, k = 8, iters = 3)
+    }
     val q = queryVec(spark, sfDir)
-    // probe: nearest centroid to the query (10 rows — driver-side is fine,
-    // but keep it in-plan: top-1 via orderBy/limit)
+    // probe: nearest centroid to the query (k rows — in-plan top-1)
     val bestCell = cents.crossJoin(broadcast(q))
-      .select(col("label").as("cell"),
+      .select(col("cell"),
         VectorExpressions.cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(1)
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(bestCell), col("label") === col("cell"))
+      .select(col("cell"))
+    assignCells(e.filter(col("vec_id") =!= 0), cents)
+      .join(broadcast(bestCell), "cell")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)

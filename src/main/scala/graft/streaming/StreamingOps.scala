@@ -31,6 +31,20 @@ object StreamingOps {
       .select(unix_millis(col("window.start")).as("win_start"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes with a 2-hour watermark (the
+    * streaming twin of batch q22 — E16's sliding variant). Each event lands
+    * in two overlapping windows; state is per-(window) and dropped once the
+    * watermark passes the window end, so overlap multiplies state by
+    * window/slide (2×), not unboundedly. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessions via the native `session_window` operator (E17):
     * 30-minute gap, per user — ONE stateful aggregation, so the transform
     * is legal as an actual streaming query (Spark rejects a second

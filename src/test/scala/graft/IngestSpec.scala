@@ -63,6 +63,8 @@ class IngestSpec extends SparkSpec {
       .write.partitionBy("category").parquet(s"$dir/part")
     val probe = ParquetIngest.probe(spark, s"$dir/part")
     assert(probe.numRows == 10, s"partitioned probe rows: ${probe.numRows}")
+    assert(probe.numRows == spark.read.parquet(s"$dir/part").count(),
+      "probe must agree with what spark.read.parquet resolves")
     // spatial sniff still works via the first leaf footer (name fallback:
     // Spark writes no 'geo' key)
     assert(probe.spatial.exists(_.fromFallback))

@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sliding counts == batch sliding counts (MemoryStream)") {
+    import spark.implicits._
+    val rows = eventsBatch.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamDf = mem.toDF()
+      .toDF("ts", "user_id", "event_type", "value", "event_id")
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.slidingCounts(streamDf), "sliding_test")
+      .orderBy("win_start").collect().toSeq
+    val batch = StreamingOps.slidingCounts(eventsBatch)
+      .orderBy("win_start").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // overlap sanity: sliding emits ~2x the tumbling window count
+    val tumbling = StreamingOps.tumblingCounts(eventsBatch).count()
+    assert(streamed.length > tumbling,
+      "1h/30m sliding windows must outnumber 1h tumbling windows")
+  }
+
   test("session_window batch result == lag+cumsum sessionization (q23)") {
     // roll the per-session rows up per user (downstream of the single
     // stateful agg — see StreamingOps.sessionCounts scaladoc)

@@ -86,6 +86,48 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq == ivf.toSeq)
   }
 
+  test("trained IVF codebook: label-free, recovers planted clusters, probe recall >= 0.9") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 8 well-separated clusters of 40 vectors each — NO label column, so
+    // this also proves the codebook no longer depends on one existing
+    val rnd = new scala.util.Random(19)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat * 5f))
+    val rows = for (c <- 0 until 8; j <- 0 until 40) yield {
+      val v = centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+      ((c * 40 + j + 1).toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cb = VectorOps.ivfCodebook(e, k = 8, iters = 3)
+    // a trained codebook with farthest-point seeds must keep all 8 cells
+    // populated on this corpus (naive first-k-ids seeding collapses: ids
+    // 1..8 all sit in cluster 0)
+    val cellSizes = VectorOps.assignCells(e, cb)
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    assert(cellSizes.length == 8, s"expected 8 live cells, got ${cellSizes.length}")
+    assert(cellSizes.forall(n => n >= 30 && n <= 50),
+      s"cells should track the planted 40-vector clusters: ${cellSizes.toSeq}")
+    // probe recall vs brute force, querying a member of one cluster
+    val qe = e.filter(col("vec_id") === 1).select(col("embedding").as("q_emb"))
+    def sims(df: DataFrame): DataFrame = df.crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+    val brute = sims(e.filter(col("vec_id") =!= 1))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val bestCell = cb.crossJoin(broadcast(qe))
+      .select(col("cell"),
+        VectorExpressions.cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("cell")).limit(1).select(col("cell"))
+    val probed = sims(VectorOps.assignCells(e.filter(col("vec_id") =!= 1), cb)
+        .join(broadcast(bestCell), "cell"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(probed).size / 10.0
+    assert(recall >= 0.9, s"IVF probe recall $recall < 0.9 on planted clusters")
+  }
+
   test("blocked embedding near-dup: sound vs exact, high recall on planted dups") {
     import spark.implicits._
     def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
@@ -117,8 +159,12 @@ class VectorOpsSpec extends SparkSpec {
     val recall = blocked.size.toDouble / exact.size
     assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
     // the real fixture (1 sparse pair at sf0.01, 0 at sf0.001): blocked
-    // stays sound there too, and deterministic across runs
-    val fixtureExact = pairs(VectorOps.embeddingNeardup(spark, sfDir))
+    // stays sound there too, and deterministic across runs. Compare against
+    // the UNBOUNDED exact pairs — the declared q46 is bounded to
+    // vec_id < 1000, which only coincides with the full corpus at sf0.001
+    val fixtureExact = pairs(VectorOps.exactPairs(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      threshold = 0.5))
     val fixtureBlocked = pairs(VectorOps.embeddingNeardupLsh(spark, sfDir))
     fixtureBlocked.foreach { case (ids, sim) =>
       assert(fixtureExact.get(ids).contains(sim)) }
