@@ -65,7 +65,19 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Cast(es(1),
         org.apache.spark.sql.types.IntegerType)) },
     "ngrams" -> { es =>
-      graft.functions.NGramGenerator(es.head, intLit(es(1), "ngrams n")) })
+      graft.functions.NGramGenerator(es.head, intLit(es(1), "ngrams n")) },
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain as public
+    // Catalyst classes but leaves them OFF the SQL registry (they back the
+    // runtime row-level filter). The engine surfaces them as functions —
+    // the incremental-dedup seen-set sketch (q77) is exactly their shape.
+    // might_contain's bloom side must be a constant or scalar subquery
+    // (enforced by its own checkInputDataTypes).
+    "bloom_filter_agg" -> { es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es.head, es(1), es(2)).toAggregateExpression() },
+    "might_contain" -> { es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es.head, es(1)) })
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -34,6 +34,20 @@ object Tables {
   * All settings are runtime SQL confs (safe to set on a live session).
   */
 object GraftSession {
+  /** Spread a small-file scan across the session's cores ahead of a
+    * CPU-heavy per-row stage (explode / lambda / regex over every token).
+    * The fixture tables are single parquet files with ONE row group, so
+    * Spark hands the whole scan to ONE task — and a non-shuffling pipeline
+    * after it (explode → map-side partial agg) stays on that one core no
+    * matter how many are idle. Hash-repartitioning on the row key is a
+    * kilobyte-scale shuffle here, is deterministic, and lets a downstream
+    * groupBy whose keys contain the spread key reuse the exchange. At
+    * cluster scale inputs arrive in thousands of splits and this becomes a
+    * cheap no-op-sized insurance, not a cost. */
+  def spread(df: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

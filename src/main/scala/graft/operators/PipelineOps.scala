@@ -25,7 +25,7 @@ object PipelineOps extends OpCatalog {
   /** Exploded (doc_id, word) tokens — same lower+space-split contract as
     * [[TextOps]] (`string_split(lower(text), ' ')` on the DuckDB side). */
   private def tok(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("word"))
 
@@ -209,7 +209,7 @@ object PipelineOps extends OpCatalog {
     * whole redundant corpus-sized exchange). Linear, no wide rows. */
   def repetitionQuality(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val d = Tables.documents(spark, sfDir)
+    val d = GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
     val words = d.select(col("doc_id"), explode(col("w")).as("word"))
@@ -283,7 +283,7 @@ object PipelineOps extends OpCatalog {
     * Nothing quadratic: cost is linear in corpus grams + true overlaps. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val grams = Tables.documents(spark, sfDir)
+    val grams = GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
@@ -444,6 +444,99 @@ object PipelineOps extends OpCatalog {
       |  GROUP BY source)
       |ORDER BY dup_rate DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Character-trigram language-model scoring — the CCNet/KenLM-style
+    * perplexity quality filter, the classic statistical gate of a web-scale
+    * curation run: train a per-language char-trigram model on the corpus,
+    * then score each document by its mean surprisal (bits per trigram)
+    * under ITS OWN language's model; unusually high-surprisal documents are
+    * the gibberish/off-language candidates a funnel drops. Output is the
+    * per-(lang, source) surprisal profile — the view a curator ranks feeds
+    * by.
+    *
+    * Scale shape: the model is one map-combined shuffle at (lang, trigram)
+    * granularity and its size is bounded by |alphabet|³ per language (a few
+    * 10k rows — NOT corpus-sized), so the scoring join BROADCASTS the model
+    * and scoring itself is a per-row map over exploded trigrams feeding one
+    * partial-agg shuffle per granularity (doc, then (lang, source)). No
+    * smoothing term is needed because the scored corpus IS the training
+    * corpus (every observed trigram has mass); a production split-corpus
+    * variant adds Laplace smoothing to the same plan.
+    *
+    * Determinism: probabilities are integer-count ratios; `log2` agrees to
+    * the last ulp or so across engines and per-doc means accumulate ~1e-15
+    * relative error, absorbed by the 4-dp rounding (policy: round(·,4) when
+    * float error ≪ 5e-5). */
+  def trigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    // ONE explode pass, immediately collapsed to per-(doc, trigram) counts:
+    // the shuffle carries ~200 distinct trigrams per doc instead of every
+    // character position, and the model/score branches both reuse it (the
+    // model is a second, vocabulary-sized agg over these counts — its map
+    // side combines to |alphabet|³ rows per partition)
+    // memoized: the model branch and the scoring branch both read it, and
+    // without the cache the explode+agg pass runs once per branch
+    val docTri = graft.Memo.cached(spark, s"pipelineops:doc_tri:$sfDir") {
+      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+        // trigrams via a char array, NOT substring(t, i, 3): UTF8String
+        // substring seeks from the string start (variable-width encoding),
+        // so a per-position substring loop is O(len²) per document — split
+        // once and index the array (O(1) per element) instead
+        // (bound on length(t), not size(ch): split-by-empty-pattern can
+        // emit a trailing empty element depending on the regex engine)
+        .withColumn("ch", split(col("t"), ""))
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(expr("transform(sequence(1, length(t) - 2), " +
+            "i -> concat(ch[i-1], ch[i], ch[i+1]))")).as("tri"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("tri"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val model = docTri.groupBy(col("lang"), col("tri"))
+      .agg(sum(col("c")).as("cnt"))
+    val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+    val probs = model.join(totals, "lang")
+      .select(col("lang"), col("tri"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+    docTri
+      .join(broadcast(probs), Seq("lang", "tri"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      // instance-mean surprisal as a count-weighted mean over distinct
+      // trigrams — algebraically identical to the oracle's per-instance
+      // avg; the c·log2 vs repeated-addition float difference is ~1e-15,
+      // absorbed by the 4-dp rounding like every double in this file
+      .agg((sum(col("c") * -log2(col("p"))) / sum(col("c"))).as("bits"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("bits")), 4).as("avg_bits"),
+        round(max(col("bits")), 4).as("max_bits"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val trigramLmScoreSql =
+    """WITH tris AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_transform(range(1, length(t) - 1), i -> t[i:i+2])) AS tri
+      |  FROM (SELECT doc_id, lang, source, lower(text) AS t FROM documents
+      |        WHERE length(text) >= 3)),
+      |model AS (
+      |  SELECT lang, tri, count(*) AS cnt FROM tris GROUP BY lang, tri),
+      |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM model GROUP BY lang),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, t.source,
+      |    avg(-log2(CAST(m.cnt AS DOUBLE) / CAST(x.tot AS DOUBLE))) AS bits
+      |  FROM tris t
+      |  JOIN model m ON t.lang = m.lang AND t.tri = m.tri
+      |  JOIN tot x ON t.lang = x.lang
+      |  GROUP BY t.doc_id, t.lang, t.source)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  round(avg(bits), 4) AS avg_bits, round(max(bits), 4) AS max_bits
+      |FROM scored
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- q73
   /** PII scrub (redaction primitive): count and redact email / phone /
     * IPv4 patterns per source, with a residual column proving the scrub
@@ -492,7 +585,8 @@ object PipelineOps extends OpCatalog {
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val planted = Tables.documents(spark, sfDir)
+    // three regex passes per row: spread so they don't run on one core
+    val planted = GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("ptext", concat(col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
           concat(lit(" user"), col("doc_id"), lit("@example.com")))
@@ -570,5 +664,7 @@ object PipelineOps extends OpCatalog {
     Op("q72_dup_rate_by_source", dupRateBySource, Some(dupRateBySourceSql),
       "exact-duplicate rate per source (source-quality ranking)"),
     Op("q73_pii_scrub", piiScrub, Some(piiScrubSql),
-      "PII redaction: email/phone/IP counts + zero-residual scrub proof"))
+      "PII redaction: email/phone/IP counts + zero-residual scrub proof"),
+    Op("q75_trigram_lm_score", trigramLmScore, Some(trigramLmScoreSql),
+      "char-trigram LM surprisal per (lang, source) — the perplexity quality filter"))
 }

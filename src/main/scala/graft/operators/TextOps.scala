@@ -32,7 +32,7 @@ object TextOps extends OpCatalog {
     * assumed of the corpus) so token-level ops behave on mixed-case input;
     * every DuckDB oracle mirrors it with `lower(text)`. */
   private def toks(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("w", split(lower(col("text")), " "))
 
   /** Distinct 3-gram word shingles: order-sensitive near-dup features.
@@ -68,7 +68,8 @@ object TextOps extends OpCatalog {
     * core behind [[shingled]], also driven directly by `ScaleStressSpec`
     * over planted-duplicate corpora. */
   private[graft] def shingledOf(docs: DataFrame): DataFrame =
-    docs.withColumn("w", split(lower(col("text")), " "))
+    GraftSession.spread(docs, col("doc_id"))
+      .withColumn("w", split(lower(col("text")), " "))
       .select(col("lang"), col("doc_id"), array_sort(shingles).as("sh"))
       .withColumn("n", size(col("sh")))
 
@@ -591,9 +592,113 @@ object TextOps extends OpCatalog {
       |ORDER BY n DESC, ngram
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Repeated-span detection — the exact-substring dedup signal (the
+    * "Deduplicating Training Data Makes Language Models Better" shape,
+    * token-windowed rather than suffix-array): 15-token contiguous spans
+    * occurring in ≥ 2 distinct documents, top-20 by reach. These are the
+    * boilerplate/template runs a span-level deduper would excise even when
+    * whole documents are NOT duplicates (this corpus has zero exact-dup
+    * texts yet ~900 cross-doc spans).
+    *
+    * Scale shape: explode is linear in corpus tokens; the group-by is one
+    * map-combined shuffle; `TakeOrderedAndProject` keeps the top-20 frontier
+    * per partition (no global sort). The declared query shuffles the span
+    * STRING because the output includes it and the oracle must see the same
+    * key; the at-scale variant groups on `rolling_hash64(span)` (8-byte
+    * keys, the q72 trick) and joins the winning spans' text back. */
+  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val n = 15
+    GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(wordGramExpr(n)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span"))
+      .limit(20)
+  }
+
+  private val repeatedSpansSql =
+    """SELECT span, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 13),
+      |      i -> array_to_string(w[i:i+14], ' '))) AS span
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+      |  WHERE len(w) >= 15)
+      |GROUP BY span
+      |HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, span
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Incremental dedup against a seen-set Bloom sketch — the cross-batch
+    * form of exact dedup: an arriving batch is screened against a compact
+    * sketch of everything already ingested, without joining the historical
+    * corpus. Uses Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (public Catalyst classes that back the
+    * runtime row-level filter; the engine registers them as SQL functions —
+    * see [[graft.GraftFunctions]]). The fixture has no exact duplicates
+    * (q30), so the batch PLANTS re-deliveries of every 10th seen document —
+    * q73's planted-marker pattern — and the output audits the sketch:
+    * flagged/true-dup/false-positive/false-negative counts (false negatives
+    * are structurally impossible for a Bloom filter; the audit proves it).
+    *
+    * Scale shape: the sketch is built by one aggregation whose partial
+    * states OR-merge (order-free, deterministic bits), lands as ONE bounded
+    * binary (128 KB here) via scalar subquery, and broadcasts into a
+    * per-row predicate — the arriving batch never shuffles and the seen
+    * corpus is read once to build the sketch. The exact-join audit columns
+    * exist only to measure the sketch; a production screen keeps the
+    * predicate and drops the join. Not oracle-declared (DuckDB cannot
+    * reproduce Spark's bloom bit layout); spec-gated instead. */
+  def incrementalDedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val redelivered = seen.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val arriving = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(redelivered)
+    seen.createOrReplaceTempView("graft_q77_seen")
+    arriving.createOrReplaceTempView("graft_q77_arriving")
+    // might_contain requires its bloom side to be constant-foldable — the
+    // scalar subquery evaluates once and broadcasts the sketch
+    val flagged = spark.sql(
+      """SELECT a.doc_id, a.text,
+        |  might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(text), 100000L, 1048576L)
+        |     FROM graft_q77_seen),
+        |    xxhash64(a.text)) AS maybe_seen
+        |FROM graft_q77_arriving a""".stripMargin)
+    val dups = arriving
+      .join(seen.select(col("text")).distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    flagged.join(dups, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_dup"))
+      .agg(count(lit(1)).as("n_arriving"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
+        sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("maybe_seen") && !col("is_dup"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("maybe_seen") && col("is_dup"), 1L).otherwise(0L))
+          .as("n_false_neg"))
+      .withColumn("fp_rate", round(col("n_false_pos") /
+        (col("n_arriving") - col("n_true_dups")).cast("double"), 4))
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("q62_bigram_freq", bigramFreq, Some(bigramFreqSql),
       "custom Generator (UDTF): bigram frequency top-20"),
+    Op("q76_repeated_spans", repeatedSpans, Some(repeatedSpansSql),
+      "cross-doc repeated 15-token spans (exact substring-dedup signal)"),
+    Op("q77_incremental_dedup_bloom", incrementalDedupBloom, None,
+      "arriving-batch dedup screen vs seen-set Bloom sketch, with audit"),
     Op("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components (large-star/small-star)"),
     Op("q61_token_estimate", tokenEstimate, Some(tokenEstimateSql),

@@ -33,6 +33,42 @@ class TextOpsSpec extends SparkSpec {
       s"simhash missed most near-dups: found=$sim exact=$exactIds")
   }
 
+  test("bloom incremental dedup: no false negatives, planted dups all flagged (q77)") {
+    val r = TextOps.incrementalDedupBloom(spark, sfDir).collect()(0)
+    val nArriving = r.getLong(0)
+    val nTrueDups = r.getLong(1)
+    val nFlagged = r.getLong(2)
+    val nFalsePos = r.getLong(3)
+    val nFalseNeg = r.getLong(4)
+    val fpRate = r.getDouble(5)
+    // expected planted re-deliveries: seen (even ids) with doc_id % 10 == 0
+    val expectedDups = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    val nOdd = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(2)) === 1).count()
+    assert(nArriving == nOdd + expectedDups)
+    assert(nTrueDups == expectedDups,
+      s"planted re-deliveries must be the only exact dups: $nTrueDups != $expectedDups")
+    assert(nFalseNeg == 0, "a Bloom filter can never produce a false negative")
+    assert(nFlagged >= nTrueDups)
+    assert(fpRate <= 0.05, s"fp rate $fpRate above 5% with 128 KB bits")
+    assert(nFalsePos == nFlagged - nTrueDups)
+    // deterministic across runs (partial sketches OR-merge, order-free)
+    assert(TextOps.incrementalDedupBloom(spark, sfDir).collect()(0) == r)
+  }
+
+  test("repeated-span and trigram-LM oracles are non-vacuous on the fixture") {
+    // the q63 lesson: an oracle comparing 0 == 0 rows proves nothing
+    val spans = TextOps.repeatedSpans(spark, sfDir)
+    assert(spans.count() == 20, "fixture must produce a full top-20 span list")
+    assert(spans.filter(col("n_docs") >= 2).count() == 20)
+    val lm = graft.operators.PipelineOps.trigramLmScore(spark, sfDir)
+    assert(lm.count() > 0)
+    // surprisal is positive and bounded by log2 of the model size
+    val bad = lm.filter(col("avg_bits") <= 0 || col("avg_bits") > 20).count()
+    assert(bad == 0, "bits-per-trigram must lie in (0, 20]")
+  }
+
   test("fingerprints are deterministic and content-keyed") {
     import spark.implicits._
     val df = Seq(
