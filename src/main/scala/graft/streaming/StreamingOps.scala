@@ -164,6 +164,40 @@ object StreamingOps {
       PipelineOps.scrubExpr(col("text")).as("scrubbed"))
   }
 
+  /** Serialized Bloom sketch of a seen corpus's content hashes — the
+    * companion of [[bloomScreenStream]] (and the streaming counterpart of
+    * batch q77's in-plan scalar subquery). The sketch is BOUNDED by its
+    * numBits parameter (128 KB here) no matter how large the seen corpus
+    * is, so collecting it to the driver is the sketch pattern — one bounded
+    * aggregation result, not a data collect — and it then rides into the
+    * stream as a literal. Partial per-partition filters OR-merge
+    * (order-free), so the bytes are deterministic. */
+  def seenSketch(seen: DataFrame): Array[Byte] = {
+    graft.GraftSession.tune(seen.sparkSession) // registers bloom_filter_agg
+    seen
+      .selectExpr("bloom_filter_agg(xxhash64(text), 100000L, 1048576L) AS bf")
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Stateless ingest-time dedup screen — the streaming deployment of the
+    * q77 Bloom screen: each arriving document is tested against the seen
+    * sketch and only NOVEL documents survive. A pure per-row predicate (no
+    * watermark, no state store, append mode), so it runs at ingest rate
+    * with O(1) memory regardless of how much history the sketch summarizes.
+    * A Bloom filter has no false negatives, so every true re-delivery is
+    * dropped; the accepted cost is that ~fpp of genuinely novel docs are
+    * dropped too (mis-flagged as seen) — for corpus curation that trade is
+    * almost always right, and fpp is set by the sketch's bits/items.
+    * `docs`: streaming or batch (doc_id LONG, text STRING). */
+  def bloomScreenStream(docs: DataFrame, sketch: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val maybeSeen = GraftBridge.column(BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(col("text")))))
+    docs.filter(!maybeSeen).select(col("doc_id"), col("text"))
+  }
+
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */
   def runToMemory(stream: DataFrame, name: String,

@@ -159,6 +159,43 @@ class StreamingSpec extends SparkSpec {
       "screen must flag exactly the docs q69 attributes")
   }
 
+  test("streaming Bloom dedup screen == batch, drops every re-delivery, stateless") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val sketch = StreamingOps.seenSketch(seen)
+    // arriving: the odd docs (novel — fixture has no exact dups) plus
+    // planted re-deliveries of every 10th seen doc under fresh ids
+    val redelivered = seen.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val arriving = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(redelivered)
+    val rows = arriving.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.bloomScreenStream(mem.toDF().toDF("doc_id", "text"), sketch),
+      "bloom_screen_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    val batch = StreamingOps.bloomScreenStream(arriving, sketch)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "append-mode screen must equal the batch screen")
+    // no false negatives: every planted re-delivery is dropped
+    val replantedIds = redelivered.collect().map(_.getLong(0)).toSet
+    assert(streamed.intersect(replantedIds).isEmpty,
+      "a Bloom screen can never pass a true re-delivery")
+    // survivors are novel docs, minus at most fpp of them (mis-flags)
+    val novelIds = rows.map(_._1).toSet -- replantedIds
+    assert(streamed.subsetOf(novelIds))
+    assert(streamed.size >= (novelIds.size * 0.95).toInt,
+      s"screen dropped too many novel docs: ${streamed.size}/${novelIds.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming PII scrub == batch scrub, zero residual on planted markers") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
