@@ -54,6 +54,35 @@ object Multimodal {
         .cast("int").as("sample_rate"))
   }
 
+  /** Ingest raw media FILES via Spark's `binaryFile` source — the shape
+    * 100 TB of media actually arrives in (a directory tree of image/audio/
+    * video files), vs [[packMedia]]'s in-table fixture. The source lists
+    * files in parallel, carries (path, modificationTime, length, content),
+    * prunes with `pathGlobFilter` at listing time (skipped files are never
+    * opened), and assigns files to tasks by size buckets — so ingest
+    * parallelism scales with file count, no driver loop. Output is the same
+    * MediaRow schema as packMedia: kind dispatched on file extension,
+    * media_id a deterministic content-path hash, pixel/rate metadata zero
+    * until the decode stage ([[extractFeatures]]) fills it — so the whole
+    * downstream pipeline (features/frames/resize) runs unchanged on
+    * file-ingested corpora. */
+  def ingestBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val kind = element_at(
+      map(lit("jpg"), lit("image"), lit("png"), lit("image"),
+        lit("wav"), lit("audio"), lit("mp4"), lit("video")),
+      lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
+    spark.read.format("binaryFile")
+      // listing-time prune; Hadoop globs are case-sensitive, so both cases
+      // are spelled out (media trees mix them)
+      .option("pathGlobFilter", "*.{jpg,png,wav,mp4,JPG,PNG,WAV,MP4}")
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        kind.as("kind"),
+        col("content").as("media"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+  }
+
   /** STUB decoder — stands in for libjpeg/libsndfile/ffmpeg, which are
     * not in this container. Deterministic features of the raw bytes; a real
     * build replaces only this function body. */

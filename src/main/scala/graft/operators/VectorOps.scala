@@ -388,6 +388,56 @@ object VectorOps extends OpCatalog {
       |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Semantic dedup endgame (SemDeDup-shape): embedding-cosine near-dup
+    * PAIRS → connected-component CLUSTERS → canonical keep-list — the
+    * embedding-graph twin of q60's text-pair clustering, sharing
+    * [[GraphOps.connectedComponents]] (alternating large-star/small-star,
+    * O(log n) materializing rounds, no driver-side data).
+    *
+    * Pair source here is the exact bounded all-pairs form (q46's shape,
+    * threshold 0.35 so the component structure is non-trivial on the
+    * testdata); at 100 TB the pair source swaps to [[lshPairs]] — the
+    * banded equi-join path — and the CC stage downstream is IDENTICAL,
+    * which is the point of factoring it. The `vec_id < 1000` bound caps the
+    * declared query's nested-loop cost regardless of corpus size, exactly
+    * as documented on [[embeddingNeardup]].
+    * Oracle: exact pairs in SQL + a recursive CTE computing the same
+    * transitive closure (q60's oracle pattern). */
+  def semanticDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val pairs = exactPairs(
+      emb(spark, sfDir).filter(col("vec_id") < 1000), threshold = 0.35)
+    GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("canon").as("canon_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDedupClustersSql =
+    """WITH RECURSIVE dims AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id < 1000),
+      |sums AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+      |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM sums
+      |  WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.35),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, b AS reachable FROM edges
+      |  UNION
+      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a)
+      |SELECT node AS vec_id,
+      |  CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q74
   /** Symmetric int8 quantization audit — THE storage-compression primitive
     * of a 100 TB embedding store (float32 → int8 is 4× fewer bytes on
@@ -458,5 +508,8 @@ object VectorOps extends OpCatalog {
     Op("q43_ann_lsh", annLsh, None,
       "ANN top-10 via random-hyperplane LSH bucket (scale path)"),
     Op("q44_vector_sum_agg", vectorSumAgg, Some(vectorSumAggSql),
-      "typed Aggregator UDAF: elementwise vector sum per label"))
+      "typed Aggregator UDAF: elementwise vector sum per label"),
+    Op("q78_semantic_dedup_clusters", semanticDedupClusters,
+      Some(semanticDedupClustersSql),
+      "embedding near-dup pairs -> connected-component clusters (SemDeDup shape, shared star machinery)"))
 }

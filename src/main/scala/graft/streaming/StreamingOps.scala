@@ -62,6 +62,35 @@ object StreamingOps {
         unix_millis(col("session_window.start")).as("sess_start"),
         col("sess_events"))
 
+  /** Watermarked stream–stream interval join: attribute each click to the
+    * same user's view events in the preceding hour. This is the one join
+    * shape where BOTH sides are unbounded, and it is only legal (and only
+    * bounded) because (a) both sides carry a watermark and (b) the join
+    * condition constrains the two event times to a finite interval — Spark
+    * derives from the pair exactly how long a buffered row can still find a
+    * match and evicts it afterwards, so per-side state is O(arrival rate ×
+    * interval), independent of stream age. Both inputs keyed on `user_id`:
+    * the join is a state-store equi-join on the key, with the interval as a
+    * post-filter — no cross-stream broadcast, no unbounded buffer. Works
+    * identically on batch frames (an equi+range join), which is how
+    * `StreamingSpec` cross-checks it. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"),
+        col("view_id"), col("click_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   /** Streaming exact dedup (north-star dedup, unbounded form):
     * `dropDuplicatesWithinWatermark` on the event key — unlike plain
     * `dropDuplicates("event_id")` (whose state NEVER evicts when the

@@ -23,6 +23,35 @@ class MultimodalSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("binaryFile ingest: glob-pruned file tree -> MediaRow shape -> decode") {
+    val dir = Files.createTempDirectory("graft_files")
+    val payloads = Map(
+      "a.jpg" -> Array[Byte](1, 2, 3, 4),
+      "b.wav" -> Array.tabulate(200)(i => (i % 97).toByte),
+      "c.mp4" -> Array.tabulate(1024)(i => (i * 7 % 251).toByte),
+      "D.PNG" -> Array[Byte](9, 8, 7)) // extension match is case-insensitive
+    payloads.foreach { case (n, b) => Files.write(dir.resolve(n), b) }
+    Files.write(dir.resolve("notes.txt"), Array[Byte](1)) // glob-excluded
+    val got = Multimodal.ingestBinaryFiles(spark, dir.toString)
+    // same columns/types as the in-table fixture (nullability flags differ
+    // by construction path and are irrelevant to the shared downstream)
+    assert(got.schema.map(f => (f.name, f.dataType))
+      == media.schema.map(f => (f.name, f.dataType)))
+    val rows = got.collect().map(r =>
+      (r.getString(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(rows == Set(
+      ("image", payloads("a.jpg").toSeq), ("audio", payloads("b.wav").toSeq),
+      ("video", payloads("c.mp4").toSeq), ("image", payloads("D.PNG").toSeq)),
+      s"unexpected ingest rows: ${rows.map(_._1)}")
+    // ids are deterministic and distinct; decode runs unchanged downstream
+    assert(got.select("media_id").distinct().count() == 4)
+    val feats = Multimodal.extractFeatures(got).collect()
+    assert(feats.length == 4)
+    val bytesById = got.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    feats.foreach(f => assert(f.n_bytes == bytesById(f.media_id).length))
+  }
+
   test("stub decode is deterministic and byte-faithful") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq

@@ -102,6 +102,38 @@ class StreamingSpec extends SparkSpec {
       "watermark-passed sessions must be emitted in append mode")
   }
 
+  test("stream-stream interval join == batch interval join (view->click attribution)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def typed(t: String) = eventsBatch.filter(col("event_type") === t)
+    def rowsOf(t: String) = typed(t).collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val memV = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+    val memC = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+    // two micro-batches per side so matches span batch boundaries
+    for ((mem, rows) <- Seq(memV -> rowsOf("view"), memC -> rowsOf("click"))) {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq)
+      mem.addData(b2.toSeq)
+    }
+    val names = Seq("ts", "user_id", "event_type", "value", "event_id")
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.viewClickJoin(
+        memV.toDF().toDF(names: _*), memC.toDF().toDF(names: _*)),
+      "interval_join_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val batch = StreamingOps.viewClickJoin(typed("view"), typed("click"))
+      .orderBy("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture must produce view->click matches")
+  }
+
   test("streaming dropDuplicates removes re-delivered events (dedup with watermark)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

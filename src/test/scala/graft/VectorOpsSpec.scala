@@ -207,6 +207,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(naive(fixed, 8, 0) == 136)
   }
 
+  test("semantic dedup clusters == driver-side union-find on the same pairs (q78)") {
+    // independent ground truth: collect the exact pair list (308 nodes /
+    // 56 components at sf0.001) and run a plain union-find in Scala
+    val pairRows = VectorOps.exactPairs(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 1000),
+      threshold = 0.35)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.length > 100, s"fixture too sparse: ${pairRows.length} pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairRows.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => (n, find(n))).sortBy(_._1).toSeq
+    val got = VectorOps.semanticDedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    val nClusters = expected.map(_._2).distinct.size
+    assert(nClusters > 1 && nClusters < nodes.length,
+      s"degenerate fixture: $nClusters components over ${nodes.length} nodes")
+    // star rounds are deterministic: a second run is identical
+    assert(VectorOps.semanticDedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
+  }
+
   test("vector-sum Aggregator equals manual elementwise sum") {
     import spark.implicits._
     val df = Seq(
