@@ -33,7 +33,15 @@ private[graft] object GraphOps {
     * `pairs` must expose long-id columns `aCol`/`bCol`; orientation and
     * duplicate edges are normalized here. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
+      : DataFrame =
+    ccWithRounds(pairs, aCol, bCol)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took —
+    * exposed so `ScaleStressSpec` can MEASURE the O(log n) convergence
+    * claim (a diameter-d chain must converge in ~log d rounds, where plain
+    * min-label propagation needs d). */
+  private[graft] def ccWithRounds(pairs: DataFrame, aCol: String,
+      bCol: String): (DataFrame, Int) = {
     // canonical orientation: u > v (both star steps preserve it)
     var cur = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
@@ -61,9 +69,10 @@ private[graft] object GraphOps {
         "impossible for graphs below 2^25 nodes; inputs are corrupt")
     // fixpoint = disjoint stars rooted at component minima: every non-root
     // node appears exactly once as u with its root as v; roots only as v.
-    cur.select(col("u").as("node"), col("v").as("canon"))
+    (cur.select(col("u").as("node"), col("v").as("canon"))
       .union(cur.select(col("v").as("node"), col("v").as("canon"))
-        .distinct())
+        .distinct()),
+      round)
   }
 
   /** Large-star step: for each center, re-point strictly larger neighbors

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *   text  40+200 docs:  cands/doc = 0.143, recall 0.9750
   *   text 400+2000 docs: cands/doc = 0.143 (flat under 10×), recall 0.9875
   *   emb  300 vecs: recall 0.7800;  1500 vecs: recall 0.8267 (theory ≈0.84)
+  *   CC star rounds: 64-node chain = 7, 512-node chain = 10 (8× diameter
+  *   → +3 rounds = log2(8); min-label propagation would need +448)
   */
 class ScaleStressSpec extends SparkSpec {
 
@@ -186,5 +188,33 @@ class ScaleStressSpec extends SparkSpec {
           f"fast screen $tFast%.2f s")
       } finally both.unpersist()
     }
+  }
+
+  test("connected components converge in O(log n) rounds on a long chain") {
+    // the claim behind GraphOps (q60/q78): large-star/small-star needs
+    // ~log(n) materializing rounds where plain min-label propagation needs
+    // DIAMETER rounds. A chain is the worst case — measure it: a 64-node
+    // path and a 512-node path (8× the diameter) must both collapse to one
+    // component, with the round count growing by ~log, not ~diameter.
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val rounds = Seq(64, 512).map { n =>
+      // path 0-1-2-...-(n-1), ids scrambled by a fixed bijection so the
+      // chain isn't pre-sorted toward its minimum (the easy orientation)
+      def scramble(i: Long) = (i * 2654435761L) % 1000003L
+      val edges = (0L until (n - 1L)).map(i => (scramble(i), scramble(i + 1)))
+        .toDF("id_a", "id_b")
+      val (cc, r) = GraphOps.ccWithRounds(edges, "id_a", "id_b")
+      val canons = cc.select(col("canon")).distinct().collect()
+      assert(canons.length == 1, s"chain n=$n split into ${canons.length} components")
+      assert(cc.count() == n, s"chain n=$n: every node labeled exactly once")
+      info(s"chain n=$n: $r star rounds")
+      r
+    }
+    // log2(512/64) = 3 extra doublings; allow slack but forbid linear
+    // growth (diameter grew by 448 — propagation would need ~448 more rounds)
+    assert(rounds(1) <= rounds(0) + 6,
+      s"round growth ${rounds(0)} -> ${rounds(1)} is not logarithmic")
+    assert(rounds(1) <= 14, s"512-chain took ${rounds(1)} rounds")
   }
 }

@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
       "watermark-passed sessions must be emitted in append mode")
   }
 
+  test("stateful streaming runs on the RocksDB state store (production backend)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The default HDFSBackedStateStoreProvider keeps every key in executor
+    // heap — at 100 TB-scale state (billions of dedup keys, wide session
+    // maps) the production choice is the RocksDB provider: state lives
+    // off-heap/on-disk per partition and memory stays bounded. Same query,
+    // same results — asserted here by re-running the tumbling agg against
+    // the batch answer with the provider swapped.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventsBatch.collect().map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getLong(4)))
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double, Long)]
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq)
+      mem.addData(b2.toSeq)
+      val streamed = StreamingOps.runToMemory(
+        StreamingOps.tumblingCounts(
+          mem.toDF().toDF("ts", "user_id", "event_type", "value", "event_id")),
+        "rocksdb_tumbling_test")
+        .orderBy("win_start").collect().toSeq
+      val batch = StreamingOps.tumblingCounts(eventsBatch)
+        .orderBy("win_start").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join == batch interval join (view->click attribution)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
