@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * deterministic stratified sampling, a quality-filter funnel, a length
   * histogram, Gopher-style repetition signals, a benchmark-contamination
   * check, a training-mix budget, a sequence-packing plan, a
-  * duplicate-rate-by-source ranking, and a PII scrubber — the
+  * duplicate-rate-by-source ranking, a PII scrubber, a char-trigram LM
+  * perplexity gate, and a linear quality-classifier inference pass — the
   * compose-into-a-curation-run shapes a 100 TB corpus pipeline needs
   * around the dedup/similarity ladder in [[TextOps]]/[[VectorOps]].
   *
-  * All ten are oracle-declared: every predicate and score is either pure
+  * All are oracle-declared: every predicate and score is either pure
   * integer arithmetic (hash-exact across engines) or a single
   * `round(·,4)` double computed from identical integer inputs; every
   * top-1 selection is a `row_number` with a total-order tiebreak (never
@@ -644,7 +645,87 @@ object PipelineOps extends OpCatalog {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Linear quality-classifier inference as pure column math — the
+    * fasttext-style learned quality gate (the DataComp/FineWeb-shape
+    * curation component): hash each token into one of 64 feature buckets,
+    * sum the buckets' weights, squash through a logistic, keep docs that
+    * score positive. The "model" here is a deterministic weight table
+    * (a fixed integer mix of the bucket id standing in for trained
+    * weights — swapping in real weights changes one arithmetic literal,
+    * not the plan), because what this operator demonstrates is the
+    * INFERENCE shape: classifier scoring at corpus scale as a map-only
+    * pass — no UDF, no model server, no shuffle before the final
+    * per-(lang, source) rollup.
+    *
+    * Cross-engine determinism: bucket and weight are pure integer
+    * arithmetic (hash-exact in both engines); each doc's weight sum stays
+    * INTEGER until the one double division feeding the logistic, so the
+    * keep decision (`wsum > 0`) is integer-exact and `avg`'s float
+    * accumulation is absorbed by round(·,4) — this file's standard policy.
+    *
+    * Scale shape: tokenize+score is map-only (nested higher-order
+    * aggregates, no explode — the per-doc token array never leaves its
+    * row); the ONLY shuffle is the ≤ |lang|·|source| rollup. At 100 TB
+    * this is the cheapest possible plan: one scan, partial aggs map-side.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val scored = GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(lower(col("text")), " ").as("w"))
+      // per-token: bucket = (char-position polynomial + 7·len) mod 64;
+      // weight = ((bucket · 2654435761) mod 1001) − 500  ∈ [−500, 500]
+      // IF guards the empty token ("" from repeated spaces): Spark's
+      // sequence(1, 0) is the DESCENDING [1, 0], not [] — the oracle's
+      // range(1, 1) IS empty, so the polynomial must short-circuit to 0
+      // on both sides rather than evaluate over different index sets
+      .withColumn("wsum", expr(
+        """aggregate(w, 0L, (acc, word) -> acc +
+          |  ((((IF(length(word) = 0, 0L,
+          |      aggregate(transform(sequence(1, length(word)),
+          |          i -> CAST(ascii(substring(word, i, 1)) * i * i AS BIGINT)),
+          |        0L, (a, x) -> a + x))
+          |     + 7L * length(word)) % 64L) * 2654435761L) % 1001L) - 500L)""".stripMargin))
+      .withColumn("n", size(col("w")))
+    scored.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("wsum") > 0, 1L).otherwise(0L)).as("n_keep"),
+        round(avg(lit(1.0) /
+          (lit(1.0) + exp(lit(-4.0) * col("wsum") /
+            (lit(1000.0) * col("n"))))), 4).as("avg_p"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 4))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val qualityClassifierSql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang, source, len(w) AS n, unnest(w) AS word FROM docs),
+      |feat AS (
+      |  SELECT doc_id, lang, source, n,
+      |    ((((coalesce(list_sum(list_transform(range(1, length(word) + 1),
+      |          i -> CAST(ascii(word[i:i]) * i * i AS BIGINT))), 0)
+      |       + 7 * length(word)) % 64) * 2654435761) % 1001) - 500 AS wt
+      |  FROM tok),
+      |doc AS (
+      |  SELECT doc_id, lang, source, max(n) AS n,
+      |    CAST(sum(wt) AS BIGINT) AS wsum
+      |  FROM feat GROUP BY doc_id, lang, source)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  round(avg(1.0 / (1.0 + exp(-4.0 * wsum / (1000.0 * n)))), 4) AS avg_p,
+      |  round(CAST(sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS keep_rate
+      |FROM doc GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q79_quality_classifier", qualityClassifier, Some(qualityClassifierSql),
+      "linear (fasttext-shape) quality-classifier inference: hashed-bucket weights, logistic score, keep rate"),
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
       "TF-IDF salient-term extraction (top-1 per doc, rounded-score argmax)"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),

@@ -70,4 +70,40 @@ class LayoutSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "F").count()
     assert(expect > 0 && pruned.count() == expect)
   }
+
+  test("shard writer: bounded files per language, sorted rows, pruned reads") {
+    import graft.ingest.ShardWriter
+    val dir = Files.createTempDirectory("graft_shards").toString + "/out"
+    val docs = Tables.documents(spark, sfDir)
+    ShardWriter.writeShards(docs, dir, shardsPerLang = 4)
+    // one directory per language
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(_.getName).sorted.toSeq
+    assert(langDirs == langs.map("lang=" + _))
+    // the small-file bound: ≤ shardsPerLang files per language no matter
+    // the input parallelism (the writer's repartition is what enforces it)
+    langDirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= 4,
+        s"$d has ${files.length} files (shardsPerLang = 4)")
+      // id-sorted within every file -> tight doc_id row-group stats
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"unsorted doc_ids in ${f.getName}")
+      }
+    }
+    // nothing lost, and per-language reads prune at the scan
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val scan = back.filter(col("lang") === langs.head)
+      .queryExecution.executedPlan.toString
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("lang")),
+      s"expected a lang PartitionFilter on the shard scan:\n$scan")
+  }
 }

@@ -217,4 +217,35 @@ class ScaleStressSpec extends SparkSpec {
       s"round growth ${rounds(0)} -> ${rounds(1)} is not logarithmic")
     assert(rounds(1) <= 14, s"512-chain took ${rounds(1)} rounds")
   }
+
+  test("connected components == union-find on random graphs across densities") {
+    // seeded sweep over sparse (forest-ish), critical (~1 edge/node), and
+    // dense (supercritical giant-component) regimes — the three phases
+    // where a star-contraction bug would show differently
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(30, 80); mPerNode <- Seq(0.3, 1.0, 2.5)) {
+      val edges = Seq.fill((n * mPerNode).toInt max 1)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2) // self-loops carry no connectivity
+      if (edges.nonEmpty) {
+        val got = GraphOps.connectedComponents(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(x => (x, find(x))).toMap
+        assert(got == expected, s"n=$n m/node=$mPerNode")
+      }
+    }
+  }
 }
