@@ -64,6 +64,54 @@ object VectorOps extends OpCatalog {
       |ORDER BY sim DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Hybrid filtered vector search — the retrieval pattern every RAG /
+    * curation stack runs: a METADATA predicate (here: substantial
+    * documents, `n_chars >= 300`) restricts the candidate set BEFORE the
+    * similarity ranking, via the documents↔embeddings key join. Pure
+    * vector search (q40) ranks the whole corpus; the hybrid form ranks
+    * only qualifying rows — at 100 TB the predicate prunes at the parquet
+    * scan (`PushedFilters` on n_chars) so the expensive cosine never runs
+    * on filtered-out rows, the doc→embedding equi-join shuffles ids+
+    * vectors once (broadcast at small SF, SMJ at scale — result is
+    * strategy-independent), the ONE query vector broadcasts, and top-k is
+    * `TakeOrderedAndProject` (per-partition frontier, no global sort). */
+  def filteredCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val good = Tables.documents(spark, sfDir)
+      .filter(col("n_chars") >= 300)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    emb(spark, sfDir).filter(col("vec_id") =!= 0)
+      .join(good, "vec_id")
+      .crossJoin(broadcast(queryVec(spark, sfDir)))
+      .select(col("vec_id"), col("lang"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val filteredCosineTopKSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |good AS (
+      |  SELECT doc_id AS vec_id, lang FROM documents WHERE n_chars >= 300),
+      |prods AS (
+      |  SELECT e.vec_id, g.lang,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e JOIN good g ON e.vec_id = g.vec_id, q
+      |  WHERE e.vec_id <> 0),
+      |sims AS (
+      |  SELECT vec_id, lang,
+      |    sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY vec_id, lang)
+      |SELECT vec_id, lang,
+      |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |       ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |FROM sims
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q41
   /** Per-label L2-norm stats: posexplode-free elementwise aggregate via
     * higher-order functions; doubles rounded at 4dp. */
@@ -511,5 +559,8 @@ object VectorOps extends OpCatalog {
       "typed Aggregator UDAF: elementwise vector sum per label"),
     Op("q78_semantic_dedup_clusters", semanticDedupClusters,
       Some(semanticDedupClustersSql),
-      "embedding near-dup pairs -> connected-component clusters (SemDeDup shape, shared star machinery)"))
+      "embedding near-dup pairs -> connected-component clusters (SemDeDup shape, shared star machinery)"),
+    Op("q80_filtered_cosine_topk", filteredCosineTopK,
+      Some(filteredCosineTopKSql),
+      "hybrid filtered vector search: metadata predicate + key join + cosine top-10"))
 }

@@ -11,7 +11,8 @@ class PlanRobustnessSpec extends SparkSpec {
   private val joinQueries = Seq(
     "q03_join_broadcast_dim", "q04_join_large", "q05_multi_join",
     "q06_semi_join", "q07_anti_join", "q15_brand_revenue",
-    "q29_salted_join", "q49_range_join", "q24_asof_join")
+    "q29_salted_join", "q49_range_join", "q24_asof_join",
+    "q80_filtered_cosine_topk")
 
   test("join results are identical with broadcasting disabled (SMJ plans)") {
     val queries = SparkEntry.queries
@@ -39,7 +40,8 @@ class PlanRobustnessSpec extends SparkSpec {
       "q70_training_mix",       // crossJoin(broadcast(1-row total-tokens scalar))
       "q27_approx_distinct",    // 3-row exact × 3-row HLL side join (broadcast)
       "q40_cosine_topk",        // crossJoin(broadcast(the single query vector))
-      "q45_ann_ivf"             // crossJoin(broadcast(the single query vector))
+      "q45_ann_ivf",            // crossJoin(broadcast(the single query vector))
+      "q80_filtered_cosine_topk" // crossJoin(broadcast(the single query vector))
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(
