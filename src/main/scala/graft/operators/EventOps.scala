@@ -218,7 +218,95 @@ object EventOps extends OpCatalog {
       |GROUP BY cohort
       |ORDER BY cohort""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Ordered funnel conversion — signup → first view AFTER signup → first
+    * purchase AFTER that view. The sequential-pattern query every product
+    * analytics stack runs; formulated as a cascade of per-user
+    * min-timestamp aggregations (stage k+1 filters on stage k's time),
+    * NOT a row-pattern scan: each stage is one user-keyed agg plus one
+    * user-keyed equi-join, so all three stages reuse the same hash
+    * partitioning and the filtered stage frames shrink monotonically —
+    * AQE broadcasts them as they fall under the threshold. Counts only
+    * integer epoch-millis comparisons — cross-engine exact. */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = eventsMs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ms"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t0"))
+    val v = e.filter(col("event_type") === "view").join(s, "user_id")
+      .filter(col("ms") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val p = e.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("ms") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+    Seq(s -> "1_signup", v -> "2_view_after_signup",
+        p -> "3_purchase_after_view")
+      .map { case (df, stage) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  private val funnelConversionSql =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |v AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t1 FROM events e
+      |  JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'view' AND epoch_ms(e.ts) >= s.t0
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= v.t1
+      |  GROUP BY e.user_id)
+      |SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+      |UNION ALL
+      |SELECT '2_view_after_signup', CAST(count(*) AS BIGINT) FROM v
+      |UNION ALL
+      |SELECT '3_purchase_after_view', CAST(count(*) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Weekly retention cohorts: users grouped by the epoch-week of their
+    * FIRST event; retention cell (cohort_week, week_offset) counts the
+    * cohort's users active k whole weeks after their own first event.
+    * Two shuffles, both on user_id (first-event agg + join back — the
+    * exchange is reused), then one agg on the tiny (cohort, offset) grid.
+    * All integer epoch-millis division — cross-engine exact. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val week = 604800000L // 7 * 86400000 ms
+    val e = eventsMs(spark, sfDir).select(col("user_id"), col("ms"))
+    val first = e.groupBy(col("user_id")).agg(min(col("ms")).as("t0"))
+    e.join(first, "user_id")
+      .select(col("user_id"),
+        expr(s"t0 div ${week}L").as("cohort_week"),
+        expr(s"(ms - t0) div ${week}L").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH first AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events GROUP BY user_id)
+      |SELECT f.t0 // 604800000 AS cohort_week,
+      |  (epoch_ms(e.ts) - f.t0) // 604800000 AS week_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN first f ON e.user_id = f.user_id
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q81_funnel_conversion", funnelConversion, Some(funnelConversionSql),
+      "ordered funnel: signup -> view-after -> purchase-after user counts"),
+    Op("q82_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),
+      "weekly retention cohorts relative to each user's first event"),
     Op("q20_json_extract", jsonExtract, Some(jsonExtractSql),
       "JSON field extraction + agg over events.props"),
     Op("q21_event_tumbling", eventTumbling, Some(eventTumblingSql),
