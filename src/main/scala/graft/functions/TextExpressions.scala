@@ -201,6 +201,51 @@ object TextExpressions {
     count
   }
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * canonical first stage of a text-curation pipeline: visually identical
+    * strings with different code-point sequences ("e"+U+0301 vs "é") must
+    * hash/dedup/tokenize identically, so everything downstream (exact
+    * dedup q30, shingle near-dup q32, token stats q35) assumes NFC input.
+    * Spark has no normalization built-in; this wraps `java.text.Normalizer`
+    * (the JDK's UAX #15 implementation) as a codegen'd expression with an
+    * allocation-free fast path for already-normalized text — at 100 TB the
+    * overwhelmingly common case (ASCII is NFC by construction), so the
+    * scan stays a near-zero-cost per-row check. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nfc_normalize requires a string argument, got ${other.catalogString}")
+      }
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.nfcEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.nfcEval($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+    override def prettyName: String = "nfc_normalize"
+  }
+
+  /** Static eval for NfcNormalize's generated code. `isNormalized` is a
+    * single scan with no allocation (and short-circuits on the Latin-1
+    * fast path), so already-NFC rows return the INPUT UTF8String as-is. */
+  def nfcEval(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   // Column-level wrappers (Spark 4: Column ↔ Expression via GraftBridge)
   import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
@@ -209,4 +254,5 @@ object TextExpressions {
   def rollingHash64(c: Column): Column = toCol(RollingHash64(toExpr(c)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
 }

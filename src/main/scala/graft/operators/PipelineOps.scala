@@ -538,6 +538,114 @@ object PipelineOps extends OpCatalog {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Unicode text normalization — the stage every curation pipeline runs
+    * FIRST, because everything downstream (exact dedup q30, shingle
+    * near-dup q32, token stats q35, contamination q69) assumes visually
+    * identical text is byte-identical: NFC canonical composition
+    * ([[graft.functions.TextExpressions.NfcNormalize]], a codegen'd JDK
+    * `Normalizer` wrapper with an allocation-free already-normalized fast
+    * path), control/zero-width stripping, unicode-space mapping, and
+    * whitespace-run collapse. The synthetic corpus is pure ASCII — a
+    * normalizer declared over the raw text would "pass" vacuously (q73's
+    * planted-marker rationale) — so the query PLANTS deterministic
+    * denormalized markers by doc_id (every 3rd doc a combining-acute
+    * sequence NFC composes, every 5th a multi-space run, every 7th a
+    * BEL + zero-width pair, every 11th an NBSP; identical construction in
+    * both engines) and proves the cleanup with byte counts and a
+    * zero-residual column. Regexes stay in the RE2 ∩ Java common subset
+    * (`\x{..}` classes only); byte lengths compare via UTF-8 (`octet_length`
+    * / DuckDB `strlen`) because code-unit vs grapheme "length" semantics
+    * differ across engines while bytes never do.
+    *
+    * Scale: a pure per-row map (one normalizer + three regex passes)
+    * feeding one partial-agg shuffle of ≤#sources groups — the same
+    * cheapest-possible shape as q73; ASCII rows (the 100 TB common case)
+    * short-circuit in `isNormalized` without allocating. */
+  // shared by the Spark plan and the DuckDB oracle via interpolation —
+  // editing one dialect only is impossible (q73's single-definition rule)
+  private[graft] val CombAcute = "\u0301" // combining acute: NFC-composes into the preceding 'e'
+  private[graft] val Bell = "\u0007"   // C0 control (stripped)
+  private[graft] val Zwsp = "\u200B"   // zero-width space (stripped)
+  private[graft] val Nbsp = "\u00A0"   // no-break space (mapped to ' ')
+  private[graft] val CtrlZwRe =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}\\x{200B}-\\x{200D}\\x{FEFF}]"
+  private[graft] val UniSpaceRe = "[\\x{A0}\\x{2000}-\\x{200A}\\x{202F}\\x{3000}]"
+  private[graft] val WsRunRe = "[ \\t\\n\\r]+"
+
+  /** The normalization transform itself — NFC, strip, map, collapse, trim
+    * (shared definition so a streaming twin can reuse it verbatim). */
+  private[graft] def normalizeExpr(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      graft.functions.TextExpressions.nfcNormalize(c),
+      CtrlZwRe, ""), UniSpaceRe, " "), WsRunRe, " "))
+
+  def normalizeText(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val planted = GraftSession.spread(
+        Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("ptext", concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(s" cafe$CombAcute"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("  two   spaces "))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(s" x$Bell${Zwsp}y"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(s"${Nbsp}nb"))
+          .otherwise(lit(""))))
+      .withColumn("norm", normalizeExpr(col("ptext")))
+    val nfc = graft.functions.TextExpressions.nfcNormalize _
+    planted
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("ptext"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(octet_length(col("ptext")).cast("long")).as("bytes_raw"),
+        sum(octet_length(col("norm")).cast("long")).as("bytes_norm"),
+        sum(when(nfc(col("ptext")) =!= col("ptext"), 1L).otherwise(0L))
+          .as("n_nonnfc"),
+        // idempotence proof: a second normalization pass finds nothing —
+        // still NFC, no control/zero-width, no unicode space, no "  " run
+        sum(when(nfc(col("norm")) =!= col("norm"), 1L).otherwise(0L)
+          + when(col("norm").rlike(CtrlZwRe), 1L).otherwise(0L)
+          + when(col("norm").rlike(UniSpaceRe), 1L).otherwise(0L)
+          + when(col("norm").rlike("  "), 1L).otherwise(0L))
+          .as("n_residual"))
+      .orderBy(col("source"))
+  }
+
+  // regex/marker literals INTERPOLATED from the Spark-side constants; note
+  // DuckDB string literals are standard-SQL (no backslash escapes), so the
+  // Java-escaped `\x{..}` patterns pass through to RE2 verbatim
+  private val normalizeTextSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, source, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' cafe$CombAcute' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN '  two   spaces ' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' x${Bell}${Zwsp}y' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN '${Nbsp}nb' ELSE '' END AS ptext
+       |  FROM documents),
+       |n AS (
+       |  SELECT source, ptext,
+       |    trim(regexp_replace(regexp_replace(regexp_replace(
+       |      nfc_normalize(ptext),
+       |      '$CtrlZwRe', '', 'g'), '$UniSpaceRe', ' ', 'g'),
+       |      '$WsRunRe', ' ', 'g')) AS norm
+       |  FROM planted)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN norm <> ptext THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_changed,
+       |  CAST(sum(strlen(ptext)) AS BIGINT) AS bytes_raw,
+       |  CAST(sum(strlen(norm)) AS BIGINT) AS bytes_norm,
+       |  CAST(sum(CASE WHEN nfc_normalize(ptext) <> ptext THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_nonnfc,
+       |  CAST(sum((CASE WHEN nfc_normalize(norm) <> norm THEN 1 ELSE 0 END)
+       |    + (CASE WHEN regexp_matches(norm, '$CtrlZwRe') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN regexp_matches(norm, '$UniSpaceRe') THEN 1 ELSE 0 END)
+       |    + (CASE WHEN regexp_matches(norm, '  ') THEN 1 ELSE 0 END))
+       |    AS BIGINT) AS n_residual
+       |FROM n GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q73
   /** PII scrub (redaction primitive): count and redact email / phone /
     * IPv4 patterns per source, with a residual column proving the scrub
@@ -747,5 +855,7 @@ object PipelineOps extends OpCatalog {
     Op("q73_pii_scrub", piiScrub, Some(piiScrubSql),
       "PII redaction: email/phone/IP counts + zero-residual scrub proof"),
     Op("q75_trigram_lm_score", trigramLmScore, Some(trigramLmScoreSql),
-      "char-trigram LM surprisal per (lang, source) — the perplexity quality filter"))
+      "char-trigram LM surprisal per (lang, source) — the perplexity quality filter"),
+    Op("q83_normalize_text", normalizeText, Some(normalizeTextSql),
+      "unicode normalization: NFC + control/zero-width strip + space mapping + ws collapse, byte-count + zero-residual proof"))
 }

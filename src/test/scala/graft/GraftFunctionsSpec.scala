@@ -85,6 +85,47 @@ class GraftFunctionsSpec extends SparkSpec {
       bad.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("nfc_normalize: composition, idempotence, fast path, nulls, types") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // canonical composition: "e" + U+0301 composes to the single code
+    // point U+00E9, shrinking the string by one UTF-16 unit
+    val composed = Seq("cafe\u0301").toDF("s")
+      .select(graft.functions.TextExpressions.nfcNormalize(col("s")).as("n"))
+      .collect()(0).getString(0)
+    assert(composed == "caf\u00e9" && composed.length == 4)
+    // agreement with the JDK reference on randomized combining-mark soup
+    val rnd = new scala.util.Random(11)
+    val marks = Seq('\u0301', '\u0300', '\u0308', '\u0327')
+    val strs = Seq.fill(200)(Seq.fill(rnd.nextInt(12))(
+      if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar
+      else marks(rnd.nextInt(marks.size))).mkString)
+    val out = strs.toDF("s")
+      .select(col("s"), graft.functions.TextExpressions.nfcNormalize(col("s")).as("n"))
+      .collect()
+    out.foreach { row =>
+      val expect = java.text.Normalizer.normalize(
+        row.getString(0), java.text.Normalizer.Form.NFC)
+      assert(row.getString(1) == expect, s"mismatch on ${row.getString(0)}")
+    }
+    // idempotence: a second pass is the identity
+    val idem = strs.toDF("s")
+      .select(graft.functions.TextExpressions.nfcNormalize(col("s")).as("n"))
+      .select(graft.functions.TextExpressions.nfcNormalize(col("n")).as("n2"),
+        col("n"))
+      .filter(col("n2") =!= col("n"))
+    assert(idem.count() == 0)
+    // null in, null out; non-string arg fails at analysis
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize(42)").collect()
+    }
+    assert(bad.getMessage.contains("string") ||
+      bad.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("non-literal k in minhash_signature is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -116,6 +116,24 @@ class TextOpsSpec extends SparkSpec {
       (2L, 0, "x y")))
   }
 
+  test("q83 normalization is non-vacuous and leaves zero residual") {
+    // the q63 lesson again: the corpus is pure ASCII, so the planted
+    // markers must actually exercise every cleanup path — changed rows
+    // exist, NFC composition shrank bytes, and a second pass finds nothing
+    val r = graft.operators.PipelineOps.normalizeText(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val changed = r.map(_.getAs[Long]("n_changed")).sum
+    val nonnfc = r.map(_.getAs[Long]("n_nonnfc")).sum
+    val residual = r.map(_.getAs[Long]("n_residual")).sum
+    val bytesRaw = r.map(_.getAs[Long]("bytes_raw")).sum
+    val bytesNorm = r.map(_.getAs[Long]("bytes_norm")).sum
+    assert(changed > 0, "planted markers must change documents")
+    assert(nonnfc > 0, "planted combining marks must be non-NFC pre-pass")
+    assert(residual == 0, "normalization must be idempotent (zero residual)")
+    assert(bytesNorm < bytesRaw,
+      "composition + stripping must shrink the corpus byte count")
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
