@@ -302,7 +302,53 @@ object EventOps extends OpCatalog {
       |GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Markov transition matrix over per-user event sequences — P(next event
+    * type | current event type), the behavioral-model fingerprint behind
+    * session analysis, anomaly scoring, and next-action prediction. One
+    * `lead` window per user gives each event its successor; the
+    * (from, to) pair counts aggregate to a ≤|types|² grid; the row
+    * probability is a window sum OVER THAT GRID (a few dozen rows), never
+    * the event stream. Ordering is total — (epoch-ms, event_id) — so the
+    * successor of every event is engine-independent even under same-ms
+    * ties. Scale: ONE shuffle of the events on user_id (the window),
+    * map-side partial agg to the grid, and a broadcast-sized window after
+    * — the same single-heavy-exchange shape as q24's as-of join. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val grid = eventsMs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    grid
+      .withColumn("p", round(col("cnt") /
+        sum(col("cnt")).over(Window.partitionBy(col("from_type")))
+          .cast("double"), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS to_type
+      |  FROM events),
+      |grid AS (
+      |  SELECT from_type, to_type, count(*) AS cnt FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, cnt,
+      |  round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+      |    AS p
+      |FROM grid
+      |ORDER BY from_type, to_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q85_event_transitions", eventTransitions, Some(eventTransitionsSql),
+      "Markov next-event transition matrix: per-user lead window + grid-level probabilities"),
     Op("q81_funnel_conversion", funnelConversion, Some(funnelConversionSql),
       "ordered funnel: signup -> view-after -> purchase-after user counts"),
     Op("q82_retention_cohorts", retentionCohorts, Some(retentionCohortsSql),

@@ -363,6 +363,49 @@ object TextOps extends OpCatalog {
       |ORDER BY n DESC, word
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** EXACT heavy hitters via a Misra–Gries candidate prefilter — every
+    * token holding ≥ 1/32 of all token occurrences, with exact counts and
+    * shares. The declared OUTPUT is plain SQL (the oracle computes it with
+    * a full GROUP BY); the Spark PLAN never builds the full vocabulary
+    * aggregate: pass 1 reduces each partition to a k=64-counter
+    * [[graft.functions.MisraGriesAggregator]] summary (guaranteed to
+    * contain every item above n/(k+1) < n/32 — so candidates ⊇ answers,
+    * see the aggregator's scaladoc for the 1982/PODS-2012 provenance),
+    * pass 2 exact-counts ONLY tokens surviving a broadcast semi-join
+    * against the ≤64 candidates. At 100 TB pass 1 shuffles a few KB of
+    * summaries and pass 2 a ≤64-key aggregate — vs the full-vocabulary
+    * (billions of distinct keys) shuffle the naive form pays. The final
+    * integer threshold compare (`cnt·32 ≥ n`) and one `round(·,4)` share
+    * keep the output hash-exact cross-engine. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    import org.apache.spark.sql.functions.udaf
+    val words = toks(spark, sfDir).select(explode(col("w")).as("word"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(64))
+    val cands = words.agg(mg(col("word")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("word"))
+    val total = words.agg(count(lit(1)).as("n"))
+    words.join(broadcast(cands), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 32 >= col("n"))
+      .select(col("word"), col("cnt"),
+        round(col("cnt") / col("n").cast("double"), 4).as("share"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  private val heavyHittersSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT word, count(*) AS cnt,
+      |  round(count(*) / CAST(n AS DOUBLE), 4) AS share
+      |FROM tok CROSS JOIN tot
+      |GROUP BY word, n
+      |HAVING count(*) * 32 >= n
+      |ORDER BY cnt DESC, word""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** Quality scoring per language (north-star): type-token ratio, stopword
     * ratio, chars-per-token — the length/punct/stopword heuristics of
@@ -452,6 +495,75 @@ object TextOps extends OpCatalog {
       .select(col("node").as("doc_id"), col("canon").as("canon_id"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------- q86
+  /** Cluster representatives — the KEEP decision that completes the dedup
+    * ladder: pairs (q32) → clusters (q60) → one surviving document per
+    * cluster. The representative is the cluster's best document by a
+    * total-order policy (longest `n_chars`, then smallest `doc_id` — ties
+    * can never be engine-ambiguous), reported with the cluster size and
+    * how many documents the decision drops. This is the row a 100 TB
+    * dedup run actually writes back out; q60's labels alone don't tell a
+    * pipeline WHICH copy to keep.
+    *
+    * Scale: the CC stage is q60's (O(log n) star rounds); the keep pass
+    * adds one equi-join of the cluster labels against the docs table (the
+    * labels side is only the docs that appear in any near-dup pair —
+    * vastly smaller than the corpus, AQE broadcasts it) and one window
+    * over canon_id, whose partitions are cluster-sized (bounded, small).
+    * No new corpus-wide shuffle. */
+  def clusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val labels = GraphOps.connectedComponents(
+        neardupShingle(spark, sfDir), "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val byCanon = Window.partitionBy(col("canon_id"))
+    labels.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(
+        byCanon.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(byCanon))
+      .filter(col("rn") === 1)
+      .select(col("canon_id"), col("doc_id").as("rep_doc_id"),
+        col("source").as("rep_source"), col("n_chars").as("rep_chars"),
+        col("cluster_size"),
+        (col("cluster_size") - 1L).as("n_dropped"))
+      .orderBy(col("canon_id"))
+  }
+
+  private val clusterRepresentativesSql =
+    """WITH RECURSIVE sh_docs AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh_docs a
+      |  JOIN sh_docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) /
+      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, b AS reachable FROM edges
+      |  UNION
+      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+      |labels AS (
+      |  SELECT node AS doc_id,
+      |    CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
+      |  FROM reach GROUP BY node),
+      |ranked AS (
+      |  SELECT l.canon_id, l.doc_id, d.source, d.n_chars,
+      |    row_number() OVER (PARTITION BY l.canon_id
+      |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY l.canon_id) AS cluster_size
+      |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+      |SELECT canon_id, doc_id AS rep_doc_id, source AS rep_source,
+      |  n_chars AS rep_chars, cluster_size,
+      |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+      |FROM ranked WHERE rn = 1
+      |ORDER BY canon_id""".stripMargin
 
   private val dedupClustersSql =
     """WITH RECURSIVE sh_docs AS (
@@ -635,6 +747,9 @@ object TextOps extends OpCatalog {
       "cross-doc repeated 15-token spans (exact substring-dedup signal)"),
     Op("q77_incremental_dedup_bloom", incrementalDedupBloom, None,
       "arriving-batch dedup screen vs seen-set Bloom sketch, with audit"),
+    Op("q86_cluster_representatives", clusterRepresentatives,
+      Some(clusterRepresentativesSql),
+      "keep-best-per-cluster: dedup clusters -> one representative doc by (n_chars, doc_id) policy"),
     Op("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "near-dup pairs -> connected components (large-star/small-star)"),
     Op("q61_token_estimate", tokenEstimate, Some(tokenEstimateSql),
@@ -651,6 +766,8 @@ object TextOps extends OpCatalog {
       "SimHash banded Hamming candidate pairs (<=6 bits)"),
     Op("q35_token_stats", tokenStats, Some(tokenStatsSql),
       "per-doc token counts / TTR / mean token length"),
+    Op("q84_heavy_hitters", heavyHitters, Some(heavyHittersSql),
+      "exact heavy hitters (≥1/32 of tokens) via Misra-Gries candidate prefilter + bounded second pass"),
     Op("q36_word_freq", wordFreq, Some(wordFreqSql),
       "global word frequency top-20 (explode + agg)"),
     Op("q37_quality_score", qualityScore, Some(qualityScoreSql),

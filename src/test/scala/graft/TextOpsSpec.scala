@@ -134,6 +134,92 @@ class TextOpsSpec extends SparkSpec {
       "composition + stripping must shrink the corpus byte count")
   }
 
+  test("Misra-Gries guarantee holds where eviction actually happens") {
+    // the fixture vocabulary (31 words) is smaller than k=64, so q84's
+    // oracle never exercises eviction — prove the containment guarantee
+    // on a corpus with vocab >> k: 10 hot tokens (1000 occurrences each)
+    // among 5000 cold tokens (1-3 each), shuffled across 8 partitions so
+    // both reduce-time decrements AND merge-time cuts fire
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val k = 64
+    val rnd = new scala.util.Random(13)
+    val hot = (0 until 10).map(i => s"hot_$i")
+    val cold = (0 until 5000).map(i => s"cold_$i")
+    val tokens = rnd.shuffle(
+      hot.flatMap(t => Seq.fill(1000)(t)) ++
+        cold.flatMap(t => Seq.fill(1 + rnd.nextInt(3))(t)))
+    val n = tokens.size.toLong
+    val truth = tokens.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val summary = tokens.toDF("word").repartition(8)
+      .agg(mg(col("word")).as("s"))
+      .collect()(0).getAs[Map[String, Long]]("s")
+    assert(summary.size <= k, s"summary overflowed: ${summary.size} > $k")
+    // containment: every item with true count > n/(k+1) survives
+    val threshold = n / (k + 1)
+    hot.foreach(t => assert(summary.contains(t),
+      s"$t (count 1000 > n/(k+1)=$threshold) missing from summary"))
+    // estimates are lower bounds with additive error <= n/(k+1)
+    summary.foreach { case (t, est) =>
+      val truthCnt = truth(t)
+      assert(est <= truthCnt, s"$t estimate $est exceeds truth $truthCnt")
+      assert(truthCnt - est <= threshold,
+        s"$t undercount ${truthCnt - est} exceeds n/(k+1)=$threshold")
+    }
+    // end-to-end: the two-pass q84 plan equals the brute-force exact form
+    val viaOp = graft.operators.TextOps.heavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val brute = graft.operators.TextOps.wordFreq(spark, sfDir) // top-20 exact
+    val total = brute.sparkSession.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .count()
+    val bruteHh = brute.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (_, c) => c * 32 >= total }.toSeq
+    // q84 returns ALL heavy hitters; top-20 exact covers at least the
+    // top-20 of them — every brute row must appear identically in q84
+    bruteHh.foreach(row => assert(viaOp.contains(row),
+      s"brute-force heavy hitter $row missing from q84"))
+  }
+
+  test("q86 representatives: one per cluster, member of it, argmax policy") {
+    val labels = TextOps.dedupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = graft.operators.TextOps.clusterRepresentatives(spark, sfDir)
+      .collect()
+    assert(reps.map(_.getAs[Long]("canon_id")).toSet == byCluster.keySet,
+      "exactly one representative per q60 cluster")
+    reps.foreach { r =>
+      val canon = r.getAs[Long]("canon_id")
+      val rep = r.getAs[Long]("rep_doc_id")
+      val members = byCluster(canon)
+      assert(members.contains(rep), s"rep $rep not in cluster $canon")
+      assert(r.getAs[Long]("cluster_size") == members.size)
+      // keep policy: no member has more chars, and ties resolve to min id
+      val best = members.maxBy(d => (docs(d), -d))
+      assert(rep == best, s"cluster $canon kept $rep, policy says $best")
+    }
+  }
+
+  test("q85 transition probabilities are a valid row-stochastic matrix") {
+    val rows = graft.operators.EventOps.eventTransitions(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (from, grp) =>
+      val total = grp.map(_.getAs[Double]("p")).sum
+      // per-cell round(·,4) keeps the row sum within n_cells·5e-5 of 1
+      assert(math.abs(total - 1.0) <= grp.length * 5e-5,
+        s"row $from sums to $total")
+      grp.foreach(r => assert(r.getAs[Double]("p") > 0.0))
+    }
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
