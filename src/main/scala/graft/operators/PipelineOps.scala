@@ -538,6 +538,59 @@ object PipelineOps extends OpCatalog {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Temperature-scaled sampling weights per (lang, source) cell — the
+    * alpha-sampling rule multilingual LM training uses to upsample
+    * low-resource slices (p_i^α / Σ p_j^α with α = 0.7, the
+    * XLM-R-family setting): raw token share p, adjusted sampling weight
+    * q, and the resulting boost factor q/p (>1 means the cell is seen
+    * more often than its natural share). Extends q70's mix budget with
+    * the resampling math a training loader actually consumes.
+    *
+    * Scale: one corpus aggregate to the (lang, source) grid (map-side
+    * partial), then windows over THAT GRID only (a few dozen rows — the
+    * whole-frame window never sees the corpus). Float policy: `pow` is
+    * last-ulp-platform-dependent, but p is exact (integer-count divide),
+    * the α-power sum spans ~dozens of cells, so relative error stays
+    * ~1e-15 ≪ the round(·,4) tolerance — the documented cross-engine
+    * rounding rule. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val all = Window.partitionBy() // grid-sized frame only (see scaladoc)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("tokens"))
+      .withColumn("p", col("tokens") / sum(col("tokens")).over(all))
+      .withColumn("pa", pow(col("p"), 0.7))
+      .withColumn("q", col("pa") / sum(col("pa")).over(all))
+      .select(col("lang"), col("source"), col("tokens"),
+        round(col("p"), 4).as("p_natural"),
+        round(col("q"), 4).as("q_sampled"),
+        round(col("q") / col("p"), 4).as("boost"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val mixtureWeightsSql =
+    """WITH cell AS (
+      |  SELECT lang, source,
+      |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang, source),
+      |shares AS (
+      |  SELECT lang, source, tokens,
+      |    tokens / CAST(sum(tokens) OVER () AS DOUBLE) AS p
+      |  FROM cell),
+      |adj AS (
+      |  SELECT lang, source, tokens, p,
+      |    pow(p, 0.7) / sum(pow(p, 0.7)) OVER () AS q
+      |  FROM shares)
+      |SELECT lang, source, tokens,
+      |  round(p, 4) AS p_natural, round(q, 4) AS q_sampled,
+      |  round(q / p, 4) AS boost
+      |FROM adj
+      |ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- q83
   /** Unicode text normalization — the stage every curation pipeline runs
     * FIRST, because everything downstream (exact dedup q30, shingle
@@ -856,6 +909,8 @@ object PipelineOps extends OpCatalog {
       "PII redaction: email/phone/IP counts + zero-residual scrub proof"),
     Op("q75_trigram_lm_score", trigramLmScore, Some(trigramLmScoreSql),
       "char-trigram LM surprisal per (lang, source) — the perplexity quality filter"),
+    Op("q87_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
+      "temperature (alpha=0.7) sampling weights per (lang,source): natural share, adjusted share, boost"),
     Op("q83_normalize_text", normalizeText, Some(normalizeTextSql),
       "unicode normalization: NFC + control/zero-width strip + space mapping + ws collapse, byte-count + zero-residual proof"))
 }

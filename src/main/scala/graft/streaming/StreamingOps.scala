@@ -193,6 +193,23 @@ object StreamingOps {
       PipelineOps.scrubExpr(col("text")).as("scrubbed"))
   }
 
+  /** Stateless ingest-time unicode normalization — the streaming twin of
+    * q83's cleanup stage: each arriving document is emitted with its
+    * normalized text and a changed flag. A pure per-row map (no
+    * watermark, no state store, append-mode); the transform is
+    * [[graft.operators.PipelineOps.normalizeExpr]] — ONE shared
+    * definition (q73's single-definition rule), so the spec-asserted
+    * stream==batch equivalence can't drift. In a deployment this runs
+    * FIRST in the ingest chain, so the dedup/screen stages downstream
+    * see canonical bytes. */
+  def normalizeStream(docs: DataFrame): DataFrame = {
+    import graft.operators.PipelineOps
+    docs.select(col("doc_id"), col("text"),
+      PipelineOps.normalizeExpr(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        (col("norm") =!= col("text")).as("changed"))
+  }
+
   /** Serialized Bloom sketch of a seen corpus's content hashes — the
     * companion of [[bloomScreenStream]] (and the streaming counterpart of
     * batch q77's in-plan scalar subquery). The sketch is BOUNDED by its

@@ -340,6 +340,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1)._3.contains("<IP>") && !streamed(1)._3.contains("10.0.12.7"))
   }
 
+  test("streaming normalization == batch, idempotent on its own output") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // denormalized markers of every q83 class + an already-clean doc
+    val rows = Seq(
+      (1L, "composed cafe\u0301 here"),  // combining acute
+      (2L, "gaps   between    words"),      // multi-space runs
+      (3L, "bell\u0007and\u200Bzero-width"), // control + zero-width
+      (4L, "hard\u00A0space"),            // NBSP
+      (5L, "already clean ascii"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows.take(3))
+    mem.addData(rows.drop(3))
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.normalizeStream(mem.toDF().toDF("doc_id", "text")),
+      "normalize_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    val batch = StreamingOps.normalizeStream(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(streamed == batch, "append-mode normalize must equal batch")
+    assert(streamed.map(_._3) == Seq(true, true, true, true, false))
+    assert(streamed(0)._2 == "composed caf\u00e9 here")
+    assert(streamed(1)._2 == "gaps between words")
+    assert(streamed(2)._2 == "bellandzero-width")
+    assert(streamed(3)._2 == "hard space")
+    // a second pass over normalized output changes nothing
+    val second = StreamingOps.normalizeStream(
+      streamed.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+      .filter(col("changed")).count()
+    assert(second == 0, "normalization must be idempotent")
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

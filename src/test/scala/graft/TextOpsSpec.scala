@@ -220,6 +220,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q87 alpha-sampling: shares normalize, boosts compress toward uniform") {
+    val rows = graft.operators.PipelineOps.mixtureWeights(spark, sfDir)
+      .collect()
+    assert(rows.length > 1)
+    val sumQ = rows.map(_.getAs[Double]("q_sampled")).sum
+    assert(math.abs(sumQ - 1.0) <= rows.length * 5e-5,
+      s"adjusted shares must sum to 1, got $sumQ")
+    // alpha < 1 moves every cell toward uniform: the largest natural
+    // share is downsampled, the smallest upsampled
+    val byP = rows.sortBy(_.getAs[Double]("p_natural"))
+    assert(byP.last.getAs[Double]("boost") < 1.0,
+      "highest-resource cell must be downsampled")
+    assert(byP.head.getAs[Double]("boost") > 1.0,
+      "lowest-resource cell must be upsampled")
+    rows.foreach(r => assert(r.getAs[Double]("boost") > 0.0))
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
