@@ -346,7 +346,70 @@ object EventOps extends OpCatalog {
       |FROM grid
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Event-rate anomaly detection: hours whose event count exceeds the
+    * type's mean by >3 sample standard deviations — the ops-monitoring
+    * shape (error-burst / traffic-spike detection) run as a batch sweep.
+    *
+    * The anomaly PREDICATE is evaluated in pure integer arithmetic so the
+    * flagged row set is hash-exact cross-engine (a float z > 3.0 filter
+    * could flap on a boundary row):
+    * `cnt > a + 3·sd` with `a = S/n`, `sd² = (nQ − S²)/(n(n−1))` is
+    * equivalent (for cnt·n > S) to `(cnt·n − S)²·(n−1) > 9·n·(nQ − S²)`
+    * — all BIGINT terms from integer counts. Reported z itself is the
+    * one float, `round(·,4)` per policy. Long headroom: |cnt·n| must stay
+    * below ~1.7e6·√n; at hour-grain this holds to ~billions of events
+    * per type — past that, swap the compare to DECIMAL(38) (Spark) /
+    * HUGEINT (DuckDB) without changing the algebra.
+    *
+    * Scale: one shuffle to the (type, hour) grid (map-side partial), one
+    * ≤|types| aggregate joined back broadcast — the event stream is
+    * never windowed or re-shuffled. */
+  def anomalyHours(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val h = eventsMs(spark, sfDir)
+      .select(col("event_type"), expr("ms div 3600000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val s = h.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"),
+        count(lit(1)).as("n"))
+    val d = col("cnt") * col("n") - col("s") // (cnt − mean)·n, integer
+    h.join(broadcast(s), "event_type")
+      .filter(d > 0 &&
+        d * d * (col("n") - 1) > lit(9) * col("n") *
+          (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("hour"), col("cnt"),
+        round((col("cnt") - col("s") / col("n").cast("double")) /
+          sqrt((col("n") * col("q") - col("s") * col("s")) /
+            (col("n") * (col("n") - 1)).cast("double")), 4).as("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val anomalyHoursSql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY event_type, hour),
+      |s AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS s,
+      |    CAST(sum(cnt * cnt) AS BIGINT) AS q,
+      |    count(*) AS n
+      |  FROM h GROUP BY event_type)
+      |SELECT h.event_type, h.hour, h.cnt,
+      |  round((h.cnt - s.s / CAST(s.n AS DOUBLE)) /
+      |    sqrt((s.n * s.q - s.s * s.s) /
+      |      CAST(s.n * (s.n - 1) AS DOUBLE)), 4) AS z
+      |FROM h JOIN s USING (event_type)
+      |WHERE (h.cnt * s.n - s.s) > 0
+      |  AND (h.cnt * s.n - s.s) * (h.cnt * s.n - s.s) * (s.n - 1)
+      |      > 9 * s.n * (s.n * s.q - s.s * s.s)
+      |ORDER BY event_type, hour""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q88_anomaly_hours", anomalyHours, Some(anomalyHoursSql),
+      "event-rate anomaly sweep: hours >3 sample sd above their type mean, integer-exact predicate"),
     Op("q85_event_transitions", eventTransitions, Some(eventTransitionsSql),
       "Markov next-event transition matrix: per-user lead window + grid-level probabilities"),
     Op("q81_funnel_conversion", funnelConversion, Some(funnelConversionSql),

@@ -538,6 +538,47 @@ object PipelineOps extends OpCatalog {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Per-source quality deciles via `ntile(10)` — the
+    * bucket-then-inspect shape of corpus triage (which decile do I cut
+    * at?), and the one ranking window family (ntile) the catalog didn't
+    * yet exercise. Deciles are per SOURCE over a TOTAL order
+    * (n_chars DESC, doc_id ASC), so tile assignment is engine-exact: the
+    * SQL-standard ntile (equal tiles, remainder to the leading tiles) is
+    * what both engines implement, and no two rows compare equal under the
+    * tiebreak. Output per (source, decile): doc count and the decile's
+    * char range — integer-exact throughout, no float at all.
+    *
+    * Scale: one shuffle on source (the window), then a map-side partial
+    * agg to the ≤10·|sources| grid. Per-source window partitions are
+    * corpus-sized/|sources| — at extreme skew, pre-aggregate to
+    * (source, n_chars) counts first; documented, not needed here. */
+  def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  private val qualityDecilesSql =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ntile(10) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id ASC) AS decile
+      |  FROM documents)
+      |SELECT source, decile, count(*) AS n_docs,
+      |  max(n_chars) AS max_chars, min(n_chars) AS min_chars
+      |FROM ranked
+      |GROUP BY source, decile
+      |ORDER BY source, decile""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Temperature-scaled sampling weights per (lang, source) cell — the
     * alpha-sampling rule multilingual LM training uses to upsample
@@ -909,6 +950,8 @@ object PipelineOps extends OpCatalog {
       "PII redaction: email/phone/IP counts + zero-residual scrub proof"),
     Op("q75_trigram_lm_score", trigramLmScore, Some(trigramLmScoreSql),
       "char-trigram LM surprisal per (lang, source) — the perplexity quality filter"),
+    Op("q89_quality_deciles", qualityDeciles, Some(qualityDecilesSql),
+      "per-source quality deciles (ntile over total order): doc counts + char ranges, integer-exact"),
     Op("q87_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),
       "temperature (alpha=0.7) sampling weights per (lang,source): natural share, adjusted share, boost"),
     Op("q83_normalize_text", normalizeText, Some(normalizeTextSql),

@@ -237,6 +237,49 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("boost") > 0.0))
   }
 
+  test("q88 integer anomaly predicate == the float z>3 definition") {
+    // recompute hourly grids driver-side and check the flagged set equals
+    // the straightforward floating-point definition it encodes
+    val flagged = graft.operators.EventOps.anomalyHours(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(flagged.nonEmpty, "fixture must contain natural 3-sigma hours")
+    val hours = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour"))
+      .groupBy(col("event_type"), col("hour")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hours.groupBy(_._1).toSeq.flatMap { case (tpe, grp) =>
+      val n = grp.length.toDouble
+      val mean = grp.map(_._3).sum / n
+      val varS = grp.map(c => math.pow(c._3 - mean, 2)).sum / (n - 1)
+      grp.toSeq.filter(c => c._3 - mean > 3 * math.sqrt(varS))
+        .map(c => (tpe, c._2))
+    }.toSet
+    assert(flagged == expected,
+      s"integer predicate diverged: only-op=${flagged -- expected} only-float=${expected -- flagged}")
+    graft.operators.EventOps.anomalyHours(spark, sfDir).collect()
+      .foreach(r => assert(r.getAs[Double]("z") > 3.0))
+  }
+
+  test("q89 deciles are balanced, complete, and monotonically ordered") {
+    val rows = graft.operators.PipelineOps.qualityDeciles(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (source, grp) =>
+      assert(grp.map(_._2).sorted.toSeq == (1 to 10),
+        s"$source missing deciles")
+      val sizes = grp.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$source tiles unbalanced: ${sizes.toSeq}")
+      // ordered DESC by chars: each decile's min >= the next decile's max
+      val byTile = grp.sortBy(_._2)
+      byTile.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._5 >= lo._4,
+          s"$source decile ${hi._2} min ${hi._5} < decile ${lo._2} max ${lo._4}")
+      }
+    }
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
