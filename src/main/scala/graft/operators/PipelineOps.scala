@@ -538,6 +538,61 @@ object PipelineOps extends OpCatalog {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Sliding-window document chunking — the RAG/embedding-ingestion
+    * primitive: split each document into 32-token chunks on a 24-token
+    * stride (8 tokens of overlap so no boundary context is lost), one
+    * output row per chunk with its token span and exact character count.
+    * The chunk grammar is fully deterministic — starts are
+    * `0, 24, 48, … < n_tok`, the tail chunk may be short — so both
+    * engines enumerate identical rows; chunk text is reconstructed by
+    * the same 1-based inclusive slice + single-space join in both
+    * dialects and compared via its length.
+    *
+    * Scale: a generate-only plan — explode of an arithmetic sequence per
+    * row (no join, no window); output is ~n_tok/stride rows per doc and
+    * the only shuffle is the output sort. At 100 TB this is the map
+    * stage feeding the embedding model; the chunk rows carry (doc_id,
+    * span) coordinates, not duplicated text, until the encoder needs the
+    * bytes. */
+  def chunkPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val chunk = 32
+    val stride = 24
+    GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), col("n_tok") - 1, lit(stride))))
+      .withColumn("len_tok",
+        least(lit(chunk), col("n_tok") - col("start_tok")))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("len_tok").cast("long").as("len_tok"),
+        length(array_join(
+          slice(col("w"), col("start_tok") + 1, col("len_tok")), " "))
+          .cast("long").as("chunk_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkPlanSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w, len(w) AS n_tok,
+      |    unnest(range(0, len(w), 24)) AS start_tok
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(least(32, n_tok - start_tok) AS BIGINT) AS len_tok,
+      |  CAST(length(array_to_string(
+      |    w[start_tok + 1 : start_tok + least(32, n_tok - start_tok)], ' '))
+      |    AS BIGINT) AS chunk_chars
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- q89
   /** Per-source quality deciles via `ntile(10)` — the
     * bucket-then-inspect shape of corpus triage (which decile do I cut
@@ -950,6 +1005,8 @@ object PipelineOps extends OpCatalog {
       "PII redaction: email/phone/IP counts + zero-residual scrub proof"),
     Op("q75_trigram_lm_score", trigramLmScore, Some(trigramLmScoreSql),
       "char-trigram LM surprisal per (lang, source) — the perplexity quality filter"),
+    Op("q90_chunk_plan", chunkPlan, Some(chunkPlanSql),
+      "sliding-window RAG chunking: 32-token chunks, 24-token stride, span + exact char accounting"),
     Op("q89_quality_deciles", qualityDeciles, Some(qualityDecilesSql),
       "per-source quality deciles (ntile over total order): doc counts + char ranges, integer-exact"),
     Op("q87_mixture_weights", mixtureWeights, Some(mixtureWeightsSql),

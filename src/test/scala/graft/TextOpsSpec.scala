@@ -280,6 +280,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q90 chunks tile every document: full coverage, fixed stride, exact chars") {
+    val chunks = graft.operators.PipelineOps.chunkPlan(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.nonEmpty && docs.keySet == chunks.map(_._1).toSet)
+    chunks.groupBy(_._1).foreach { case (docId, grp) =>
+      val w = docs(docId)
+      val byIdx = grp.sortBy(_._2)
+      // stride law: starts are 0, 24, 48, ...; idx dense from 0
+      byIdx.zipWithIndex.foreach { case ((_, idx, start, len, chars), i) =>
+        assert(idx == i && start == 24L * i)
+        assert(len == math.min(32L, w.length - start), s"doc $docId len")
+        // exact reconstruction: chars == joined slice length
+        val text = w.slice(start.toInt, (start + len).toInt).mkString(" ")
+        assert(chars == text.length, s"doc $docId chunk $idx chars")
+      }
+      // coverage law: last chunk reaches the end of the token array
+      val (_, _, lastStart, lastLen, _) = byIdx.last
+      assert(lastStart + lastLen == w.length, s"doc $docId tail coverage")
+    }
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
