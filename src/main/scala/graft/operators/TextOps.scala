@@ -406,6 +406,60 @@ object TextOps extends OpCatalog {
       |HAVING count(*) * 32 >= n
       |ORDER BY cnt DESC, word""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Vocabulary growth curve (Heaps'-law profile) — distinct BIGRAM
+    * vocabulary as the corpus grows, the saturation signal tokenizer
+    * training (BPE merges operate on pairs) and dedup-quality monitoring
+    * both read. Bigram vocabulary, not unigram: the fixture's 31-word
+    * unigram vocabulary saturates inside the first bucket (a vacuous
+    * one-row curve — the q63 lesson), while its ~900 bigrams keep
+    * arriving for most of the corpus. The naive formulation (count
+    * distinct grams over every prefix) is quadratic in prefixes; this is
+    * the one-pass form: the bucket where each GRAM FIRST APPEARS (one
+    * min-agg on gram) gives per-bucket new-gram counts, and the running
+    * sum of those IS the curve — `cum_vocab(b) = Σ_{b'≤b} new(b')`.
+    *
+    * Buckets are 10-doc id ranges (deterministic, not time- or
+    * partition-dependent). Scale: one gram explode → min-agg shuffle on
+    * gram (vocabulary-sized, map-combined), one ≤#buckets agg, one
+    * window over the tiny bucket frame. Never a prefix-by-prefix rescan. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val firstSeen = toks(spark, sfDir)
+      .filter(size(col("w")) >= 2) // wordGramExpr caller contract
+      .select(col("doc_id"), explode(wordGramExpr(2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(expr("doc_id div 10")).as("bucket"))
+    firstSeen
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+      .withColumn("cum_vocab",
+        sum(col("new_grams")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
+  private val vocabGrowthSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM d),
+      |first_seen AS (
+      |  SELECT gram, min(doc_id // 10) AS bucket FROM g GROUP BY gram),
+      |per_bucket AS (
+      |  SELECT bucket, count(*) AS new_grams FROM first_seen GROUP BY bucket)
+      |SELECT bucket, new_grams,
+      |  CAST(sum(new_grams) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_vocab
+      |FROM per_bucket
+      |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** Quality scoring per language (north-star): type-token ratio, stopword
     * ratio, chars-per-token — the length/punct/stopword heuristics of
@@ -766,6 +820,8 @@ object TextOps extends OpCatalog {
       "SimHash banded Hamming candidate pairs (<=6 bits)"),
     Op("q35_token_stats", tokenStats, Some(tokenStatsSql),
       "per-doc token counts / TTR / mean token length"),
+    Op("q91_vocab_growth", vocabGrowth, Some(vocabGrowthSql),
+      "Heaps'-law vocabulary growth curve via per-word first-occurrence buckets (one pass, no prefix rescans)"),
     Op("q84_heavy_hitters", heavyHitters, Some(heavyHittersSql),
       "exact heavy hitters (≥1/32 of tokens) via Misra-Gries candidate prefilter + bounded second pass"),
     Op("q36_word_freq", wordFreq, Some(wordFreqSql),

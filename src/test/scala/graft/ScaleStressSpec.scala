@@ -190,6 +190,45 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries two-pass stays exact and candidate-bounded under 10x growth") {
+    // q84's scale claim: the candidate set the exact second pass must
+    // aggregate is bounded by k REGARDLESS of corpus/vocabulary size,
+    // while the answer stays exactly the full-groupBy answer. Zipf-ish
+    // corpora at 1x and 10x, vocab growing with the corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val k = 64
+    for (scale <- Seq(1, 10)) {
+      val rnd = new scala.util.Random(77 + scale)
+      val hot = (0 until 12).map(i => s"hot_$i")
+      val coldVocab = 3000 * scale
+      val tokens = rnd.shuffle(
+        hot.flatMap(t => Seq.fill(400 * scale)(t)) ++
+          (0 until coldVocab).flatMap(i =>
+            Seq.fill(1 + rnd.nextInt(3))(s"cold_$i")))
+      val df = tokens.toDF("word").repartition(8)
+      val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+      val cands = df.agg(mg(col("word")).as("s"))
+        .select(explode(map_keys(col("s"))).as("word"))
+      val nCands = cands.count()
+      assert(nCands <= k, s"scale $scale: $nCands candidates > k=$k")
+      // two-pass (q84's plan shape) == full groupBy, exactly
+      val n = tokens.size.toLong
+      val twoPass = df.join(broadcast(cands), "word")
+        .groupBy("word").count()
+        .filter(col("count") * 32 >= n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val full = df.groupBy("word").count()
+        .filter(col("count") * 32 >= n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(twoPass == full,
+        s"scale $scale: two-pass result diverged from full groupBy")
+      assert(full.nonEmpty, s"scale $scale: degenerate fixture, no heavy hitters")
+      info(s"scale ${scale}x: n=$n vocab=${coldVocab + 12} " +
+        s"candidates=$nCands (bounded by k=$k), ${full.size} heavy hitters")
+    }
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     // the claim behind GraphOps (q60/q78): large-star/small-star needs
     // ~log(n) materializing rounds where plain min-label propagation needs

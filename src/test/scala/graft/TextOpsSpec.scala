@@ -306,6 +306,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q91 growth curve: monotone, positive arrivals, totals match brute force") {
+    val curve = graft.operators.TextOps.vocabGrowth(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.length > 1, "growth curve must have multiple points")
+    assert(curve.head._1 == 0L, "corpus start must introduce vocabulary")
+    curve.foreach { case (_, nw, _) => assert(nw > 0) }
+    // cumulative law + monotonicity
+    curve.foldLeft(0L) { case (acc, (_, nw, cum)) =>
+      assert(cum == acc + nw); cum
+    }
+    // brute force: total distinct bigrams over the whole corpus
+    val brute = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
+        .as("g"))
+      .distinct().count()
+    assert(curve.last._3 == brute,
+      s"curve total ${curve.last._3} != brute-force vocab $brute")
+  }
+
   test("dedup is idempotent (property, SURVEY §5.2-3)") {
     val once = TextOps.dedupKeyed(spark, sfDir)
     val keys = once.select("lang", "source").collect().toSet
