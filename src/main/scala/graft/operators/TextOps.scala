@@ -372,8 +372,8 @@ object TextOps extends OpCatalog {
     * [[graft.functions.MisraGriesAggregator]] summary (guaranteed to
     * contain every item above n/(k+1) < n/32 — so candidates ⊇ answers,
     * see the aggregator's scaladoc for the 1982/PODS-2012 provenance),
-    * pass 2 exact-counts ONLY tokens surviving a broadcast semi-join
-    * against the ≤64 candidates. At 100 TB pass 1 shuffles a few KB of
+    * pass 2 exact-counts ONLY tokens surviving a codegen'd In-filter on
+    * the ≤64 candidates. At 100 TB pass 1 shuffles a few KB of
     * summaries and pass 2 a ≤64-key aggregate — vs the full-vocabulary
     * (billions of distinct keys) shuffle the naive form pays. The final
     * integer threshold compare (`cnt·32 ≥ n`) and one `round(·,4)` share
@@ -383,15 +383,23 @@ object TextOps extends OpCatalog {
     import org.apache.spark.sql.functions.udaf
     val words = toks(spark, sfDir).select(explode(col("w")).as("word"))
     val mg = udaf(new graft.functions.MisraGriesAggregator(64))
-    val cands = words.agg(mg(col("word")).as("sketch"))
-      .select(explode(map_keys(col("sketch"))).as("word"))
-    val total = words.agg(count(lit(1)).as("n"))
-    words.join(broadcast(cands), "word")
+    // ONE pass computes both the sketch and the exact total, and its
+    // single BOUNDED result row (a ≤64-entry map + a long) comes back to
+    // the driver — the sketch pattern (q77's rationale: one bounded
+    // aggregation result, not a data collect; `df.stat`'s own sketch
+    // functions work the same way). The candidates then prune pass 2 as
+    // a codegen'd In-filter — no join at all — so the corpus is scanned
+    // exactly twice and nothing corpus-sized ever converges anywhere.
+    val pass1 = words
+      .agg(mg(col("word")).as("sketch"), count(lit(1)).as("n"))
+      .collect()(0)
+    val cands = pass1.getAs[Map[String, Long]]("sketch").keys.toSeq
+    val n = pass1.getAs[Long]("n")
+    words.filter(col("word").isin(cands: _*))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * 32 >= col("n"))
+      .filter(col("cnt") * 32 >= n)
       .select(col("word"), col("cnt"),
-        round(col("cnt") / col("n").cast("double"), 4).as("share"))
+        round(col("cnt") / n.toDouble, 4).as("share"))
       .orderBy(col("cnt").desc, col("word"))
   }
 
