@@ -538,7 +538,89 @@ object VectorOps extends OpCatalog {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Per-label centroid-outlier audit — the semantic-filter shape
+    * (SemDeDup/DataComp family): each vector's cosine to its label
+    * centroid, rolled up per label with the most-outlying vector
+    * identified. Flags mislabeled/noise embeddings before they poison
+    * dedup thresholds or training mixes.
+    *
+    * Float policy (the q44 argument, one step further): centroid = exact
+    * per-dim sum (typed Aggregator, double) / count; the cosine runs
+    * entirely IN DOUBLE inside one row via sequential higher-order folds
+    * (`zip_with` + `aggregate`) — cross-engine skew is ~1e-15 relative
+    * (vs ~1e-6 had the centroid been cast back to float32 for the
+    * codegen'd float cosine, which WOULD flap a 4dp rounding across 2k
+    * rows). The argmin is `min(struct(cos4, vec_id))` on the ROUNDED
+    * value with the id tiebreak (q63's rule) — and being a plain `min`,
+    * it partial-aggregates map-side; no per-label window over the corpus.
+    *
+    * Scale: one ≤|labels|-row centroid agg (map-combined) broadcast back,
+    * a per-row map for the cosine, one final ≤|labels| agg. */
+  def centroidOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val vecSum = udaf(graft.functions.VectorSumAggregator)
+    val cents = emb(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(vecSum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
+      .select(col("label"), expr("transform(vsum, s -> s / n)").as("c"))
+    val scored = emb(spark, sfDir)
+      .join(broadcast(cents), "label")
+      .withColumn("x", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(x, c, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("nx", expr(
+        "aggregate(x, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+      .withColumn("nc", expr(
+        "aggregate(c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+      .withColumn("cos",
+        when(col("nx") > 0 && col("nc") > 0,
+          col("dot") / sqrt(col("nx") * col("nc"))).otherwise(lit(0.0)))
+      .withColumn("cos4", round(col("cos"), 4))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        min(struct(col("cos4"), col("vec_id"))).as("m"))
+      .select(col("label"), col("n_vecs"), col("avg_cos"),
+        col("m.vec_id").as("outlier_vec_id"),
+        col("m.cos4").as("outlier_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val centroidOutliersSql =
+    """WITH dims AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i),
+      |nc AS (SELECT label, sum(c * c) AS nc FROM cents GROUP BY label),
+      |scored AS (
+      |  SELECT d.vec_id, d.label,
+      |    sum(d.v * c.c) AS dot, sum(d.v * d.v) AS nx
+      |  FROM dims d JOIN cents c ON d.label = c.label AND d.i = c.i
+      |  GROUP BY d.vec_id, d.label),
+      |cosv AS (
+      |  SELECT s.vec_id, s.label,
+      |    CASE WHEN s.nx > 0 AND n.nc > 0
+      |         THEN s.dot / sqrt(s.nx * n.nc) ELSE 0.0 END AS cos
+      |  FROM scored s JOIN nc n ON s.label = n.label),
+      |ranked AS (
+      |  SELECT label, vec_id, cos, round(cos, 4) AS cos4,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY round(cos, 4) ASC, vec_id ASC) AS rn
+      |  FROM cosv)
+      |SELECT c.label, count(*) AS n_vecs,
+      |  round(avg(c.cos), 4) AS avg_cos,
+      |  min(r.vec_id) AS outlier_vec_id,
+      |  min(r.cos4) AS outlier_cos
+      |FROM cosv c JOIN ranked r ON c.label = r.label AND r.rn = 1
+      |GROUP BY c.label
+      |ORDER BY c.label""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q92_centroid_outliers", centroidOutliers, Some(centroidOutliersSql),
+      "per-label centroid cosine audit + most-outlying vector (SemDeDup-style semantic filter)"),
     Op("q74_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql),
       "symmetric int8 quantization audit: scale, saturation, max recon error"),
     Op("q45_ann_ivf", annIvf, None,

@@ -238,6 +238,41 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
   }
 
+  test("q92 centroid outliers: bounds, argmin agreement, label coverage") {
+    val rows = VectorOps.centroidOutliers(spark, sfDir).collect()
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(0)).toSet == labels, "every label audited")
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos")
+      val out = r.getAs[Double]("outlier_cos")
+      assert(avg >= -1.0001 && avg <= 1.0001)
+      assert(out <= avg + 1e-9, s"label ${r.getInt(0)}: outlier $out > avg $avg")
+    }
+    // argmin agreement with a driver-side brute force for one label
+    import org.apache.spark.sql.functions.udaf
+    val lbl = labels.min
+    val vecSum = udaf(VectorSumAggregator)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label") === lbl)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    val dim = vecs.head._2.length
+    val cent = (0 until dim).map(i => vecs.map(_._2(i)).sum / vecs.length)
+    def cos(x: Array[Double]) = {
+      val dot = x.indices.map(i => x(i) * cent(i)).sum
+      val nx = x.map(v => v * v).sum
+      val nc = cent.map(v => v * v).sum
+      if (nx > 0 && nc > 0) dot / math.sqrt(nx * nc) else 0.0
+    }
+    val brute = vecs.map { case (id, x) =>
+      (BigDecimal(cos(x)).setScale(4, BigDecimal.RoundingMode.HALF_UP), id)
+    }.min
+    val got = rows.find(_.getInt(0) == lbl).get
+    assert(got.getAs[Long]("outlier_vec_id") == brute._2,
+      s"label $lbl argmin: op ${got.getAs[Long]("outlier_vec_id")} vs brute ${brute._2}")
+  }
+
   test("vector-sum Aggregator equals manual elementwise sum") {
     import spark.implicits._
     val df = Seq(
