@@ -1,11 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Development helper: Verify for a NAMED SUBSET of queries — same output
-  * layout (`outDir/<name>.parquet` + `oracle_sql.json`), so the local
-  * DuckDB compare scripts work unchanged while iterating on one operator
-  * without paying the full 70+-query sweep.
+/** Development helper: [[Verify]] for a NAMED SUBSET of queries — same
+  * output layout (`outDir/<name>.parquet` + `oracle_sql.json`), so
+  * `tools/check.py` works unchanged while iterating on one operator
+  * without paying the full catalog sweep. All session/dump/escape
+  * plumbing is [[VerifyCommon]]'s — shared with Verify by construction.
   *
   * Usage: runMain graft.VerifyOne <sfDir> <outDir> <q1> [q2 ...]
   */
@@ -14,37 +13,16 @@ object VerifyOne {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = VerifyCommon.session()
     new java.io.File(outDir).mkdirs()
     val unknown = names.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      VerifyCommon.dump(spark, sfDir, outDir, name, fn)
       println(s"[verify-one] wrote $name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ", ", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      json.getBytes("UTF-8"))
+    VerifyCommon.writeOracleJson(outDir,
+      SparkEntry.oracleSql.filter(kv => names(kv._1)))
     spark.stop()
   }
 }

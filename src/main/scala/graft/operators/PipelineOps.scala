@@ -700,9 +700,11 @@ object PipelineOps extends OpCatalog {
     * planted-marker rationale) — so the query PLANTS deterministic
     * denormalized markers by doc_id (every 3rd doc a combining-acute
     * sequence NFC composes, every 5th a multi-space run, every 7th a
-    * BEL + zero-width pair, every 11th an NBSP; identical construction in
-    * both engines) and proves the cleanup with byte counts and a
-    * zero-residual column. Regexes stay in the RE2 ∩ Java common subset
+    * BEL + zero-width pair, every 11th an NBSP, every 13th a
+    * composition-BLOCKER — base letter + zero-width + combining mark,
+    * which only normalizes correctly if stripping runs before NFC;
+    * identical construction in both engines) and proves the cleanup with
+    * byte counts and a zero-residual column. Regexes stay in the RE2 ∩ Java common subset
     * (`\x{..}` classes only); byte lengths compare via UTF-8 (`octet_length`
     * / DuckDB `strlen`) because code-unit vs grapheme "length" semantics
     * differ across engines while bytes never do.
@@ -722,12 +724,21 @@ object PipelineOps extends OpCatalog {
   private[graft] val UniSpaceRe = "[\\x{A0}\\x{2000}-\\x{200A}\\x{202F}\\x{3000}]"
   private[graft] val WsRunRe = "[ \\t\\n\\r]+"
 
-  /** The normalization transform itself — NFC, strip, map, collapse, trim
-    * (shared definition so a streaming twin can reuse it verbatim). */
+  /** The normalization transform itself — STRIP, then NFC, then map,
+    * collapse, trim (shared definition so a streaming twin can reuse it
+    * verbatim). Order matters: stripping must run BEFORE NFC, because a
+    * stripped character sitting between a base letter and a combining
+    * mark (e.g. "e" + ZWSP + U+0301) blocks canonical composition — that
+    * sequence is already NFC, so NFC-first would be a no-op, the strip
+    * would then expose the decomposed pair, and the output would violate
+    * the operator's own everything-downstream-assumes-NFC contract
+    * (found by review; the zero-residual column would catch it on real
+    * Unicode input, and the %13 planted marker now exercises it). */
   private[graft] def normalizeExpr(c: org.apache.spark.sql.Column) =
-    trim(regexp_replace(regexp_replace(regexp_replace(
-      graft.functions.TextExpressions.nfcNormalize(c),
-      CtrlZwRe, ""), UniSpaceRe, " "), WsRunRe, " "))
+    trim(regexp_replace(regexp_replace(
+      graft.functions.TextExpressions.nfcNormalize(
+        regexp_replace(c, CtrlZwRe, "")),
+      UniSpaceRe, " "), WsRunRe, " "))
 
   def normalizeText(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
@@ -741,6 +752,10 @@ object PipelineOps extends OpCatalog {
         when(pmod(col("doc_id"), lit(7)) === 0, lit(s" x$Bell${Zwsp}y"))
           .otherwise(lit("")),
         when(pmod(col("doc_id"), lit(11)) === 0, lit(s"${Nbsp}nb"))
+          .otherwise(lit("")),
+        // composition-blocker: base + stripped char + combining mark —
+        // already NFC as-is; only strip-BEFORE-NFC composes it correctly
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(s" e$Zwsp$CombAcute"))
           .otherwise(lit(""))))
       .withColumn("norm", normalizeExpr(col("ptext")))
     val nfc = graft.functions.TextExpressions.nfcNormalize _
@@ -772,13 +787,15 @@ object PipelineOps extends OpCatalog {
        |    || CASE WHEN doc_id % 3 = 0 THEN ' cafe$CombAcute' ELSE '' END
        |    || CASE WHEN doc_id % 5 = 0 THEN '  two   spaces ' ELSE '' END
        |    || CASE WHEN doc_id % 7 = 0 THEN ' x${Bell}${Zwsp}y' ELSE '' END
-       |    || CASE WHEN doc_id % 11 = 0 THEN '${Nbsp}nb' ELSE '' END AS ptext
+       |    || CASE WHEN doc_id % 11 = 0 THEN '${Nbsp}nb' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' e$Zwsp$CombAcute' ELSE '' END
+       |      AS ptext
        |  FROM documents),
        |n AS (
        |  SELECT source, ptext,
-       |    trim(regexp_replace(regexp_replace(regexp_replace(
-       |      nfc_normalize(ptext),
-       |      '$CtrlZwRe', '', 'g'), '$UniSpaceRe', ' ', 'g'),
+       |    trim(regexp_replace(regexp_replace(
+       |      nfc_normalize(regexp_replace(ptext, '$CtrlZwRe', '', 'g')),
+       |      '$UniSpaceRe', ' ', 'g'),
        |      '$WsRunRe', ' ', 'g')) AS norm
        |  FROM planted)
        |SELECT source, count(*) AS n_docs,

@@ -372,8 +372,8 @@ object TextOps extends OpCatalog {
     * [[graft.functions.MisraGriesAggregator]] summary (guaranteed to
     * contain every item above n/(k+1) < n/32 — so candidates ⊇ answers,
     * see the aggregator's scaladoc for the 1982/PODS-2012 provenance),
-    * pass 2 exact-counts ONLY tokens surviving a codegen'd In-filter on
-    * the ≤64 candidates. At 100 TB pass 1 shuffles a few KB of
+    * pass 2 exact-counts ONLY tokens surviving a map-membership filter
+    * against the broadcast 1-row sketch (≤64 candidates). At 100 TB pass 1 shuffles a few KB of
     * summaries and pass 2 a ≤64-key aggregate — vs the full-vocabulary
     * (billions of distinct keys) shuffle the naive form pays. The final
     * integer threshold compare (`cnt·32 ≥ n`) and one `round(·,4)` share
@@ -383,23 +383,26 @@ object TextOps extends OpCatalog {
     import org.apache.spark.sql.functions.udaf
     val words = toks(spark, sfDir).select(explode(col("w")).as("word"))
     val mg = udaf(new graft.functions.MisraGriesAggregator(64))
-    // ONE pass computes both the sketch and the exact total, and its
-    // single BOUNDED result row (a ≤64-entry map + a long) comes back to
-    // the driver — the sketch pattern (q77's rationale: one bounded
-    // aggregation result, not a data collect; `df.stat`'s own sketch
-    // functions work the same way). The candidates then prune pass 2 as
-    // a codegen'd In-filter — no join at all — so the corpus is scanned
-    // exactly twice and nothing corpus-sized ever converges anywhere.
-    val pass1 = words
-      .agg(mg(col("word")).as("sketch"), count(lit(1)).as("n"))
-      .collect()(0)
-    val cands = pass1.getAs[Map[String, Long]]("sketch").keys.toSeq
-    val n = pass1.getAs[Long]("n")
-    words.filter(col("word").isin(cands: _*))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * 32 >= n)
+    // ONE pass computes both the sketch and the exact total in a single
+    // 1-row frame (a ≤64-entry map + a long), which broadcasts into
+    // pass 2 — the in-plan form of the sketch pattern (q77's bloom
+    // scalar subquery is the same idea). Keeping it one frame matters
+    // twice over: the plan stays LAZY (an eager collect here made
+    // graft.Explain run the full corpus job just to print a plan), and
+    // a single consumer means column pruning can't split the aggregate
+    // into sketch-only/count-only copies that re-scan the corpus (the
+    // ReuseExchange failure the previous two-frame version hit). The
+    // cross join is a broadcast of ONE row; the map_contains_key filter
+    // prunes pass 2 to ≤64 keys, so the corpus is scanned exactly twice
+    // and nothing corpus-sized ever converges anywhere.
+    val pass1 = words.agg(mg(col("word")).as("sketch"),
+      count(lit(1)).as("n"))
+    words.crossJoin(broadcast(pass1))
+      .filter(expr("map_contains_key(sketch, word)"))
+      .groupBy(col("word"), col("n")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 32 >= col("n"))
       .select(col("word"), col("cnt"),
-        round(col("cnt") / n.toDouble, 4).as("share"))
+        round(col("cnt") / col("n").cast("double"), 4).as("share"))
       .orderBy(col("cnt").desc, col("word"))
   }
 
@@ -594,8 +597,14 @@ object TextOps extends OpCatalog {
       .orderBy(col("canon_id"))
   }
 
-  private val clusterRepresentativesSql =
-    """WITH RECURSIVE sh_docs AS (
+  /** The shingle→pairs→edges→transitive-closure CTE chain shared by the
+    * q60 and q86 oracles — ONE definition (the q73/q83 single-definition
+    * rule): the 0.8 Jaccard threshold, the 3-shingle construction, and
+    * the closure must change in lockstep with the Spark plan both
+    * queries reuse (`neardupShingle` + `GraphOps`), or an edit to one
+    * dialect copy would silently desync the other's oracle. */
+  private val ccOracleCtes =
+    """sh_docs AS (
       |  SELECT doc_id, lang,
       |    list_distinct(list_transform(range(1, len(w) - 1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -610,45 +619,33 @@ object TextOps extends OpCatalog {
       |reach AS (
       |  SELECT a AS node, b AS reachable FROM edges
       |  UNION
-      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
-      |labels AS (
-      |  SELECT node AS doc_id,
-      |    CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
-      |  FROM reach GROUP BY node),
-      |ranked AS (
-      |  SELECT l.canon_id, l.doc_id, d.source, d.n_chars,
-      |    row_number() OVER (PARTITION BY l.canon_id
-      |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
-      |    count(*) OVER (PARTITION BY l.canon_id) AS cluster_size
-      |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
-      |SELECT canon_id, doc_id AS rep_doc_id, source AS rep_source,
-      |  n_chars AS rep_chars, cluster_size,
-      |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
-      |FROM ranked WHERE rn = 1
-      |ORDER BY canon_id""".stripMargin
+      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a)""".stripMargin
+
+  private val clusterRepresentativesSql =
+    s"""WITH RECURSIVE $ccOracleCtes,
+       |labels AS (
+       |  SELECT node AS doc_id,
+       |    CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
+       |  FROM reach GROUP BY node),
+       |ranked AS (
+       |  SELECT l.canon_id, l.doc_id, d.source, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.canon_id
+       |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY l.canon_id) AS cluster_size
+       |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+       |SELECT canon_id, doc_id AS rep_doc_id, source AS rep_source,
+       |  n_chars AS rep_chars, cluster_size,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rn = 1
+       |ORDER BY canon_id""".stripMargin
 
   private val dedupClustersSql =
-    """WITH RECURSIVE sh_docs AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh_docs a
-      |  JOIN sh_docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) /
-      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b, id_a FROM pairs),
-      |reach AS (
-      |  SELECT a AS node, b AS reachable FROM edges
-      |  UNION
-      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a)
-      |SELECT node AS doc_id,
-      |  CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
-      |FROM reach
-      |GROUP BY node
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE $ccOracleCtes
+       |SELECT node AS doc_id,
+       |  CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q61
   /** Token counting two ways (north-star): whitespace tokens vs a BPE-ish

@@ -564,6 +564,10 @@ object VectorOps extends OpCatalog {
       .groupBy(col("label"))
       .agg(vecSum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
       .select(col("label"), expr("transform(vsum, s -> s / n)").as("c"))
+      // centroid norm is constant per label — computed ONCE here on the
+      // ≤|labels|-row frame, not per corpus row (the oracle's nc CTE)
+      .withColumn("nc", expr(
+        "aggregate(c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
     val scored = emb(spark, sfDir)
       .join(broadcast(cents), "label")
       .withColumn("x", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
@@ -571,8 +575,6 @@ object VectorOps extends OpCatalog {
         "aggregate(zip_with(x, c, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .withColumn("nx", expr(
         "aggregate(x, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
-      .withColumn("nc", expr(
-        "aggregate(c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
       .withColumn("cos",
         when(col("nx") > 0 && col("nc") > 0,
           col("dot") / sqrt(col("nx") * col("nc"))).otherwise(lit(0.0)))

@@ -40,6 +40,7 @@ class PlanRobustnessSpec extends SparkSpec {
       "q70_training_mix",       // crossJoin(broadcast(1-row total-tokens scalar))
       "q27_approx_distinct",    // 3-row exact × 3-row HLL side join (broadcast)
       "q40_cosine_topk",        // crossJoin(broadcast(the single query vector))
+      "q84_heavy_hitters",      // crossJoin(broadcast(1-row sketch+total frame))
       "q45_ann_ivf",            // crossJoin(broadcast(the single query vector))
       "q80_filtered_cosine_topk" // crossJoin(broadcast(the single query vector))
     )
