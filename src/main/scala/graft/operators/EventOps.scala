@@ -365,25 +365,41 @@ object EventOps extends OpCatalog {
     * Scale: one shuffle to the (type, hour) grid (map-side partial), one
     * ≤|types| aggregate joined back broadcast — the event stream is
     * never windowed or re-shuffled. */
+  /** The integer-exact >3-sample-sd predicate over columns
+    * (cnt, s=Σcnt, q=Σcnt², n) — ONE definition (q73's rule) shared by
+    * batch q88 and the streaming screen twin
+    * ([[graft.streaming.StreamingOps.anomalyScreenStream]]). */
+  private[graft] def anomalyPredicate: org.apache.spark.sql.Column = {
+    val d = col("cnt") * col("n") - col("s") // (cnt − mean)·n, integer
+    d > 0 &&
+      d * d * (col("n") - 1) > lit(9) * col("n") *
+        (col("n") * col("q") - col("s") * col("s"))
+  }
+
+  /** The reported z score (the one rounded float) for rows with the
+    * stats columns attached — shared with the streaming twin. */
+  private[graft] def zScoreExpr: org.apache.spark.sql.Column =
+    round((col("cnt") - col("s") / col("n").cast("double")) /
+      sqrt((col("n") * col("q") - col("s") * col("s")) /
+        (col("n") * (col("n") - 1)).cast("double")), 4)
+
+  /** Per-type integer stat triple (s, q, n) over an hourly-count grid. */
+  private[graft] def hourStats(h: DataFrame): DataFrame =
+    h.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"),
+        count(lit(1)).as("n"))
+
   def anomalyHours(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val h = eventsMs(spark, sfDir)
       .select(col("event_type"), expr("ms div 3600000").as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"))
-    val s = h.groupBy(col("event_type"))
-      .agg(sum(col("cnt")).as("s"),
-        sum(col("cnt") * col("cnt")).as("q"),
-        count(lit(1)).as("n"))
-    val d = col("cnt") * col("n") - col("s") // (cnt − mean)·n, integer
-    h.join(broadcast(s), "event_type")
-      .filter(d > 0 &&
-        d * d * (col("n") - 1) > lit(9) * col("n") *
-          (col("n") * col("q") - col("s") * col("s")))
+    h.join(broadcast(hourStats(h)), "event_type")
+      .filter(anomalyPredicate)
       .select(col("event_type"), col("hour"), col("cnt"),
-        round((col("cnt") - col("s") / col("n").cast("double")) /
-          sqrt((col("n") * col("q") - col("s") * col("s")) /
-            (col("n") * (col("n") - 1)).cast("double")), 4).as("z"))
+        zScoreExpr.as("z"))
       .orderBy(col("event_type"), col("hour"))
   }
 

@@ -210,6 +210,26 @@ object StreamingOps {
         (col("norm") =!= col("text")).as("changed"))
   }
 
+  /** Stream-static anomaly screen — the streaming twin of q88's sweep:
+    * arriving pre-aggregated (event_type, hour, cnt) rows (e.g. an
+    * upstream tumbling count) are flagged against STATIC per-type stats
+    * computed from history, via a stateless broadcast join — the
+    * contamination-screen pattern (no watermark, no state store; the
+    * stats side is ≤|types| rows). Predicate and z-score are
+    * [[graft.operators.EventOps]]'s integer-exact definitions — ONE
+    * shared definition, so the spec-asserted stream==batch equivalence
+    * can't drift. In production the stats frame refreshes on a cadence
+    * (each refresh is a new broadcast); the arriving side never
+    * re-shuffles. */
+  def anomalyScreenStream(hourCounts: DataFrame, stats: DataFrame)
+      : DataFrame = {
+    import graft.operators.EventOps
+    hourCounts.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour"), col("cnt"),
+        EventOps.anomalyPredicate.as("is_anomaly"),
+        EventOps.zScoreExpr.as("z"))
+  }
+
   /** Serialized Bloom sketch of a seen corpus's content hashes — the
     * companion of [[bloomScreenStream]] (and the streaming counterpart of
     * batch q77's in-plan scalar subquery). The sketch is BOUNDED by its

@@ -375,6 +375,39 @@ class StreamingSpec extends SparkSpec {
     assert(second == 0, "normalization must be idempotent")
   }
 
+  test("streaming anomaly screen == batch q88 flags, stateless across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    GraftSession.tune(spark)
+    // the real hourly grid from the fixture, split across micro-batches;
+    // stats computed from the same history (the static side)
+    val grid = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = graft.operators.EventOps.hourStats(grid)
+    val rows = grid.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.anomalyScreenStream(
+        mem.toDF().toDF("event_type", "hour", "cnt"), stats),
+      "anomaly_screen_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    assert(streamed.length == rows.length, "screen is a per-row map")
+    val streamedFlagged = streamed.filter(_._3).map(t => (t._1, t._2)).toSet
+    val batchFlagged = graft.operators.EventOps.anomalyHours(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamedFlagged == batchFlagged,
+      s"stream flags != q88: only-stream=${streamedFlagged -- batchFlagged} only-batch=${batchFlagged -- streamedFlagged}")
+    assert(streamedFlagged.nonEmpty)
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
