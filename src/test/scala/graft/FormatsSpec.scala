@@ -42,6 +42,27 @@ class FormatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("text source round-trip: one line per document (raw-corpus ingestion)") {
+    // the most common LLM-corpus wire format after jsonl: one document
+    // per line. Write documents' text out, read back with the `text`
+    // source, prove byte-level fidelity (modulo line order — the text
+    // source has no key, so content-sort both sides)
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+    docs.write.text(s"$dir/txt")
+    val back = spark.read.text(s"$dir/txt").select(col("value").as("text"))
+    assert(back.count() == docs.count())
+    assert(back.orderBy("text").collect().toSeq ==
+      docs.orderBy("text").collect().toSeq)
+    // and the jsonl form: json-lines round-trip with doc keys preserved
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    keyed.write.json(s"$dir/jsonl")
+    val backJ = spark.read.schema(keyed.schema).json(s"$dir/jsonl")
+    assert(backJ.orderBy("doc_id").collect().toSeq ==
+      keyed.orderBy("doc_id").collect().toSeq)
+  }
+
   test("map-typed columns: build, access, transform, parquet round-trip") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val withMap = Tables.events(spark, sfDir)

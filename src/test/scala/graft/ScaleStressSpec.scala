@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *   emb  300 vecs: recall 0.7800;  1500 vecs: recall 0.8267 (theory ≈0.84)
   *   CC star rounds: 64-node chain = 7, 512-node chain = 10 (8× diameter
   *   → +3 rounds = log2(8); min-label propagation would need +448)
+  *   MG two-pass: candidates ≤ 64 at BOTH 1× (n≈11k, vocab 3k) and 10×
+  *   (n≈108k, vocab 30k); two-pass heavy hitters == full groupBy exactly
   */
 class ScaleStressSpec extends SparkSpec {
 
