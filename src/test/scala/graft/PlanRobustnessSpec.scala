@@ -12,7 +12,9 @@ class PlanRobustnessSpec extends SparkSpec {
     "q03_join_broadcast_dim", "q04_join_large", "q05_multi_join",
     "q06_semi_join", "q07_anti_join", "q15_brand_revenue",
     "q29_salted_join", "q49_range_join", "q24_asof_join",
-    "q80_filtered_cosine_topk")
+    "q80_filtered_cosine_topk",
+    "q86_cluster_representatives", // labels↔docs equi-join
+    "q92_centroid_outliers")       // centroids↔embeddings equi-join
 
   test("join results are identical with broadcasting disabled (SMJ plans)") {
     val queries = SparkEntry.queries
