@@ -126,6 +126,41 @@ class GraftFunctionsSpec extends SparkSpec {
       bad.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("custom expressions: interpreted eval == generated code") {
+    // every custom expression implements BOTH nullSafeEval and doGenCode;
+    // a divergence between the two is the classic custom-Expression bug
+    // (works in tests, breaks when codegen kicks in, or vice versa).
+    // Evaluate the same inputs under CODEGEN_ONLY and NO_CODEGEN factory
+    // modes and require identical results.
+    GraftFunctions.register(spark)
+    val exprs = Seq(
+      "simhash64(array('a','b','c'))",
+      "minhash_signature(array('x','y','z'), 8)",
+      "rolling_hash64('the quick brown fox')",
+      "nfc_normalize('cafe" + "\u0301" + " and x" + "\u0007" + "y')",
+      "sorted_intersect_count(array('b','a'), array('a','c'))",
+      "round(cosine_similarity(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6)",
+      "hyperplane_bucket(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 8)",
+      "st_x(st_point(3.25, -1.5))",
+      "st_srid(st_set_srid(st_point(1.0, 2.0), 4326))")
+    val sql = exprs.mkString("SELECT ", ", ", "")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.sql(sql).collect()(0).toSeq
+    }
+    try {
+      val gen = run("CODEGEN_ONLY")
+      val interp = run("NO_CODEGEN")
+      assert(gen == interp,
+        s"codegen/interpreted divergence:\n  codegen: $gen\n  interp:  $interp")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("non-literal k in minhash_signature is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
