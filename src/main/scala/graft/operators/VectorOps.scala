@@ -579,13 +579,25 @@ object VectorOps extends OpCatalog {
         when(col("nx") > 0 && col("nc") > 0,
           col("dot") / sqrt(col("nx") * col("nc"))).otherwise(lit(0.0)))
       .withColumn("cos4", round(col("cos"), 4))
-    scored.groupBy(col("label"))
+    // argmin as min over a PACKED LONG rather than min(struct(...)):
+    // a struct-typed agg buffer forces SortAggregate (a per-partition
+    // sort of the corpus by label); a long buffer keeps the rollup in
+    // HashAggregate. Packing is order-preserving for the lexicographic
+    // (cos4, vec_id) order: cos4 has exactly 4 decimals so
+    // round(cos4·10⁴) is an exact integer in [-10⁴, 10⁴], shifted left
+    // 40 bits and added to vec_id ∈ [0, 2⁴⁰) — arithmetic shift and
+    // low-bit mask invert it exactly for either sign. 2⁴⁰ ≈ 1.1e12 ids
+    // of headroom. The one-row-per-vector math is unchanged.
+    val packed = round(col("cos4") * 10000).cast("long") * lit(1L << 40) +
+      col("vec_id")
+    scored.withColumn("p", packed)
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("cos")), 4).as("avg_cos"),
-        min(struct(col("cos4"), col("vec_id"))).as("m"))
+        min(col("p")).as("p"))
       .select(col("label"), col("n_vecs"), col("avg_cos"),
-        col("m.vec_id").as("outlier_vec_id"),
-        col("m.cos4").as("outlier_cos"))
+        expr(s"p & ${(1L << 40) - 1}L").as("outlier_vec_id"),
+        (expr("p >> 40").cast("double") / 10000.0).as("outlier_cos"))
       .orderBy(col("label"))
   }
 
