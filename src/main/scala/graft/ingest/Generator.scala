@@ -32,8 +32,11 @@ object Generator {
           .as("geometry", crsMd))
   }
 
-  /** O21: parquet sink for the fixture (`generate_data.py:21`). */
+  /** O21: parquet sink for the fixture (`generate_data.py:21`). Emits true
+    * GeoParquet: the `geo` footer key is stamped like the reference's
+    * `gdf.to_parquet`, so write→probe detects the geometry column from the
+    * footer (O3), not the name fallback (O10). */
   def writeFixture(spark: SparkSession, path: String, n: Long = 10L,
       seed: Long = 42L): Unit =
-    fixture(spark, n, seed).write.mode("overwrite").parquet(path)
+    ParquetIngest.writeSpatial(fixture(spark, n, seed), path)
 }

@@ -1,0 +1,128 @@
+package graft.ingest
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.ParquetIngest.SpatialInfo
+
+/** GeoParquet `geo` footer metadata on WRITE (SURVEY.md §2.1 O21).
+  *
+  * The reference's fixture writer emits true GeoParquet — `gdf.to_parquet`
+  * stamps the `geo` key-value footer (`generate_data.py:21`), which its own
+  * probe then reads back (`app.py:72-77`). Spark's parquet writer has no
+  * user hook for file-level key-value metadata, so we post-stamp: after the
+  * distributed write commits, each part file's footer is rewritten with the
+  * `geo` key added. The rewrite is a byte-level row-group copy
+  * (`ParquetFileWriter.appendFile`) — no page decode, no re-encode, cost is
+  * one sequential copy of the file — and runs as one Spark task per file,
+  * so a 10k-file dataset stamps with 10k-way parallelism, not a driver loop.
+  *
+  * With this, a write→probe round-trip detects the geometry column from the
+  * footer itself (O3 path), not the `geometry`-name fallback (O10): rename
+  * the column and detection survives, exactly like the reference.
+  */
+object GeoParquetFooter {
+
+  private val GeoKey = "geo"
+
+  /** GeoParquet 1.0.0 metadata JSON for one primary geometry column.
+    * CRS: an `authority:code` string (our probe's normal form) becomes the
+    * minimal PROJJSON identifier object — the part both our own
+    * [[ParquetIngest.parseGeoMetadata]] and geopandas' reader key on;
+    * anything else rides through as a raw string. */
+  def geoJson(si: SpatialInfo): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0.0")
+    root.put("primary_column", si.geometryColumn)
+    val colNode = root.putObject("columns").putObject(si.geometryColumn)
+    colNode.put("encoding", si.encoding)
+    colNode.putArray("geometry_types")
+    si.crs match {
+      case AuthorityCode(auth, code) =>
+        val id = colNode.putObject("crs").putObject("id")
+        id.put("authority", auth)
+        id.put("code", code)
+      case other => colNode.put("crs", other)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private object AuthorityCode {
+    def unapply(crs: String): Option[(String, Int)] = crs.split(':') match {
+      case Array(auth, code) if code.forall(_.isDigit) && code.nonEmpty =>
+        Some((auth, code.toInt))
+      case _ => None
+    }
+  }
+
+  /** Stamp the `geo` key into every part file under `dir` (or the single
+    * file at `dir`). Idempotent: re-stamping overwrites the key, so append
+    * writes may re-stamp previously stamped files safely. */
+  def attach(spark: SparkSession, dir: String, si: SpatialInfo): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          // same hidden-file filter as the probe: skip _temporary/.staging
+          val hidden = f.getName.startsWith("_") || f.getName.startsWith(".")
+          if (f.getName.endsWith(".parquet") && !hidden) buf += f.toString
+        }
+        buf.toSeq
+      } else Seq(root.toString)
+    if (files.isEmpty) return
+    // Hadoop Configuration is not serializable; ship it as entries and
+    // rebuild per task (iteration yields defaults + overrides).
+    val confEntries = hconf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val json = geoJson(si)
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 256))
+      .foreach { file =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        stampFile(conf, new Path(file), json)
+      }
+  }
+
+  /** Rewrite one parquet file with `geo` added to its key-value footer.
+    * Row groups are copied byte-for-byte (no decode); existing key-value
+    * entries (e.g. Spark's schema key) are preserved. Writes to a hidden
+    * sibling temp file, then renames over the original — a crash leaves
+    * either the old file or a hidden temp Spark's reader ignores. */
+  private[ingest] def stampFile(conf: Configuration, file: Path,
+      geoJson: String): Unit = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val (schema, existingKv) =
+      try {
+        val md = reader.getFooter.getFileMetaData
+        (md.getSchema, md.getKeyValueMetaData)
+      } finally reader.close()
+    val merged = new java.util.HashMap[String, String](existingKv)
+    merged.put(GeoKey, geoJson)
+    val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong,
+      org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+    writer.start()
+    writer.appendFile(HadoopInputFile.fromPath(file, conf))
+    writer.end(merged)
+    val fs = file.getFileSystem(conf)
+    fs.delete(file, false)
+    if (!fs.rename(tmp, file))
+      throw new java.io.IOException(s"geo footer stamp: rename $tmp -> $file failed")
+  }
+}

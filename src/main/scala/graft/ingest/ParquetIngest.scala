@@ -212,6 +212,19 @@ object ParquetIngest {
 
   final case class IngestReport(rowsWritten: Long)
 
+  /** O21: parquet write that preserves spatial-ness on disk. If the frame
+    * carries spatial column metadata ([[spatialOf]]), the committed part
+    * files are post-stamped with the GeoParquet `geo` footer key
+    * ([[GeoParquetFooter]]) — the reference's `gdf.to_parquet` does the
+    * same (`generate_data.py:21`), and its probe reads it back
+    * (`app.py:72-77`). Plain frames write plain parquet. */
+  def writeSpatial(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.write.mode(mode).parquet(path)
+    spatialOf(df).foreach(si =>
+      GeoParquetFooter.attach(df.sparkSession, path, si))
+  }
+
   /** O11: driver-side DDL pre-actions, run in order before the write. */
   private def runPreActions(
       url: String,
@@ -284,7 +297,7 @@ object ParquetIngest {
     try {
       sink match {
         case ParquetSink(path) =>
-          observed.write.mode(mode).parquet(path)
+          writeSpatial(observed, path, mode)
         case JdbcSink(url, table, props, preActions) =>
           runPreActions(url, props, preActions)
           observed.write.mode(mode).jdbc(url, table, props)

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.functions.SpatialExpressions
-import graft.ingest.{Generator, ParquetIngest}
+import graft.ingest.{Generator, GeoParquetFooter, ParquetIngest}
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -42,9 +42,9 @@ class IngestSpec extends SparkSpec {
 
   test("name-based spatial fallback + CRS metadata attach end-to-end") {
     val dir = tmp()
-    Generator.writeFixture(spark, s"$dir/fixture", n = 10)
-    // Spark does not write a GeoParquet 'geo' footer → probe must take the
-    // geometry-name fallback path (reference O10)
+    // a PLAIN Spark write (not writeFixture, which stamps the 'geo' footer):
+    // no footer key → probe must take the geometry-name fallback (O10)
+    Generator.fixture(spark, n = 10).write.parquet(s"$dir/fixture")
     val probe = ParquetIngest.probe(spark, s"$dir/fixture")
     assert(probe.numRows == 10)
     assert(probe.spatial.exists(_.fromFallback))
@@ -66,10 +66,47 @@ class IngestSpec extends SparkSpec {
     assert(probe.numRows == spark.read.parquet(s"$dir/part").count(),
       "probe must agree with what spark.read.parquet resolves")
     // spatial sniff still works via the first leaf footer (name fallback:
-    // Spark writes no 'geo' key)
+    // the partitioned re-write above is a plain Spark write, no 'geo' key)
     assert(probe.spatial.exists(_.fromFallback))
     // partition-key columns live in directory names, not footers
     assert(probe.columns.contains("geometry") && !probe.columns.contains("category"))
+  }
+
+  test("GeoParquet 'geo' footer on write: renamed geometry column round-trips with NO name fallback (O21)") {
+    val dir = tmp()
+    // rename the geometry column — the O10 name fallback CANNOT detect it;
+    // only a real footer key can (reference writes one, generate_data.py:21)
+    val md = new MetadataBuilder()
+      .putString("crs", "EPSG:4326").putString("encoding", "WKB").build()
+    val spatial = Generator.fixture(spark, n = 10)
+      .withColumnRenamed("geometry", "geom_wkb")
+      .withColumn("geom_wkb", col("geom_wkb").as("geom_wkb", md))
+    ParquetIngest.writeSpatial(spatial, s"$dir/geo")
+    val probe = ParquetIngest.probe(spark, s"$dir/geo")
+    assert(probe.spatial.exists(s => s.geometryColumn == "geom_wkb" &&
+      !s.fromFallback && s.crs == "EPSG:4326" && s.encoding == "WKB"),
+      s"footer-based detection failed: ${probe.spatial}")
+    // read() attaches CRS metadata to the renamed column
+    val back = ParquetIngest.read(spark, s"$dir/geo")
+    assert(ParquetIngest.spatialOf(back).exists(_.geometryColumn == "geom_wkb"))
+    // data survives the footer rewrite byte-for-byte (row groups copied)
+    assert(back.count() == 10)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L).toSeq)
+  }
+
+  test("writeFixture emits true GeoParquet; parseGeoMetadata parses our own output") {
+    val dir = tmp()
+    Generator.writeFixture(spark, s"$dir/fixture", n = 10)
+    val probe = ParquetIngest.probe(spark, s"$dir/fixture")
+    assert(probe.spatial.exists(s =>
+      s.geometryColumn == "geometry" && !s.fromFallback))
+    // Spark's own reader is unbothered by the extra footer key
+    assert(spark.read.parquet(s"$dir/fixture").count() == 10)
+    // writer/parser agreement on a non-default CRS too
+    val si = ParquetIngest.SpatialInfo("g", "EPSG:3857", "WKB", fromFallback = false)
+    assert(ParquetIngest.parseGeoMetadata(GeoParquetFooter.geoJson(si))
+      .contains(si))
   }
 
   test("probe ignores hidden (_/. prefixed) files and dirs, like Spark's reader") {
