@@ -503,24 +503,62 @@ object TextOps extends OpCatalog {
       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q38
-  /** Content fingerprints (north-star document fingerprinting): rolling
-    * hash (order-sensitive) + SimHash (order-insensitive) per doc. Not
-    * oracle-declared (engine-specific hashes); spec asserts determinism and
-    * that equal texts ⇒ equal fingerprints. */
+  /** Content fingerprints (north-star document fingerprinting): the
+    * engine's polynomial rolling hash (order-sensitive, custom codegen
+    * expression) + md5 per doc. BOTH columns are hash-exact against
+    * DuckDB: md5 exists in both engines, and the rolling hash's
+    * `h = h*31 + signed_byte (mod 2^64)` recurrence over UTF-8 bytes is
+    * replayed in the oracle with HUGEINT `list_reduce` arithmetic — so the
+    * fingerprint MECHANISM itself is oracle-verified, not just spec'd.
+    * (SimHash, whose XXH64 token hash DuckDB cannot reproduce, is declared
+    * through q34_simhash_pairs and the determinism specs instead.) */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     toks(spark, sfDir)
       .select(col("doc_id"),
         TextExpressions.rollingHash64(col("text")).as("content_fp"),
-        TextExpressions.simhash64(col("w")).as("simhash_fp"))
+        md5(col("text")).as("md5_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replay of [[graft.functions.TextExpressions.rollingHashEval]]:
+    * UTF-8 bytes via `hex(encode(text))`, Java's SIGNED byte values
+    * (b≥128 → b-256), wrap-around mod 2^64 in HUGEINT, final two's-
+    * complement fold back to BIGINT. */
+  private val fingerprintsSql =
+    """WITH b AS (
+      |  SELECT doc_id, md5(text) AS md5_fp,
+      |         upper(hex(encode(text))) AS hx,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, md5_fp,
+      |    list_reduce(
+      |      list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(range(1, nb + 1), i ->
+      |          CAST(CASE WHEN (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |                       + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) >= 128
+      |               THEN (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |                       + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) - 256
+      |               ELSE (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |                       + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) END AS HUGEINT))),
+      |      (acc, x) -> ((acc * 31 + x) % 18446744073709551616::HUGEINT
+      |                   + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS h0
+      |  FROM b)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN h0 >= 9223372036854775808::HUGEINT
+      |       THEN h0 - 18446744073709551616::HUGEINT ELSE h0 END AS BIGINT) AS content_fp,
+      |  md5_fp
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q39
   /** Language-ID heuristic (north-star): stopword-profile voting over a
     * tiny per-language marker list, argmax with deterministic tiebreak.
-    * Output is a lang × predicted confusion matrix. Not oracle-declared
-    * (the profiles are engine constants, not data); spec-verified. */
+    * Output is a lang × predicted confusion matrix. Oracle-declared: the
+    * profiles are LITERALS, so the whole query is plain SQL — the struct
+    * argmax (max of (score, plang) pairs, ties to the greatest language
+    * tag) replays in DuckDB as `list_sort(structs)[last]`. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     // Public-knowledge marker words per language; the testdata's text is
@@ -545,6 +583,22 @@ object TextOps extends OpCatalog {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
   }
+
+  /** DuckDB twin of [[langId]]: same profiles, same (score, plang)
+    * lexicographic tiebreak — Spark's `greatest` over structs ==
+    * ascending `list_sort`'s last element. */
+  private val langIdSql =
+    """WITH d AS (SELECT lang, string_split(lower(text), ' ') AS w FROM documents),
+      |s AS (SELECT lang, list_sort([
+      |  {'score': len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))), 'plang': 'en'},
+      |  {'score': len(list_filter(w, x -> list_contains(['el','la','de','y','que'], x))), 'plang': 'es'},
+      |  {'score': len(list_filter(w, x -> list_contains(['der','die','und','das','ist'], x))), 'plang': 'de'},
+      |  {'score': len(list_filter(w, x -> list_contains(['le','la','de','et','les'], x))), 'plang': 'fr'},
+      |  {'score': len(list_filter(w, x -> list_contains(['de','shi','le','bu','wo'], x))), 'plang': 'zh'}])[5] AS best
+      |FROM d)
+      |SELECT lang, best.plang AS predicted, count(*) AS n
+      |FROM s GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
 
   // ---------------------------------------------------------------- q60
   /** Dedup endgame: near-dup PAIRS (q32) → connected-component CLUSTERS →
@@ -833,8 +887,8 @@ object TextOps extends OpCatalog {
       "global word frequency top-20 (explode + agg)"),
     Op("q37_quality_score", qualityScore, Some(qualityScoreSql),
       "per-lang quality heuristics (TTR, stopword ratio)"),
-    Op("q38_fingerprints", fingerprints, None,
-      "rolling-hash + SimHash content fingerprints per doc"),
-    Op("q39_lang_id", langId, None,
-      "stopword-profile language-ID confusion matrix"))
+    Op("q38_fingerprints", fingerprints, Some(fingerprintsSql),
+      "rolling-hash + md5 content fingerprints per doc (rolling hash replayed hash-exactly in the DuckDB oracle)"),
+    Op("q39_lang_id", langId, Some(langIdSql),
+      "stopword-profile language-ID confusion matrix (literal profiles -> plain-SQL oracle)"))
 }
