@@ -551,9 +551,12 @@ object VectorOps extends OpCatalog {
     * (`zip_with` + `aggregate`) — cross-engine skew is ~1e-15 relative
     * (vs ~1e-6 had the centroid been cast back to float32 for the
     * codegen'd float cosine, which WOULD flap a 4dp rounding across 2k
-    * rows). The argmin is `min(struct(cos4, vec_id))` on the ROUNDED
-    * value with the id tiebreak (q63's rule) — and being a plain `min`,
-    * it partial-aggregates map-side; no per-label window over the corpus.
+    * rows). The argmin is a plain `min` over (cos4, vec_id) PACKED into
+    * one BIGINT (exact-integer cos4·10⁴ shifted 40 bits + vec_id; see
+    * the inline note below) with the id tiebreak (q63's rule) — and
+    * being a long-buffered `min`, it partial-aggregates map-side AND
+    * stays in HashAggregate (a struct-typed buffer would fall back to
+    * SortAggregate); no per-label window over the corpus.
     *
     * Scale: one ≤|labels|-row centroid agg (map-combined) broadcast back,
     * a per-row map for the cosine, one final ≤|labels| agg. */
@@ -587,9 +590,14 @@ object VectorOps extends OpCatalog {
     // round(cos4·10⁴) is an exact integer in [-10⁴, 10⁴], shifted left
     // 40 bits and added to vec_id ∈ [0, 2⁴⁰) — arithmetic shift and
     // low-bit mask invert it exactly for either sign. 2⁴⁰ ≈ 1.1e12 ids
-    // of headroom. The one-row-per-vector math is unchanged.
-    val packed = round(col("cos4") * 10000).cast("long") * lit(1L << 40) +
-      col("vec_id")
+    // of headroom; an id OUTSIDE that range would silently corrupt both
+    // the ordering and the unpacked id, so it raises instead.
+    val packed = when(
+      col("vec_id") >= 0 && col("vec_id") < (1L << 40),
+      round(col("cos4") * 10000).cast("long") * lit(1L << 40) + col("vec_id"))
+      .otherwise(raise_error(concat(
+        lit("q92 packed argmin requires 0 <= vec_id < 2^40; got "),
+        col("vec_id").cast("string"))))
     scored.withColumn("p", packed)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),

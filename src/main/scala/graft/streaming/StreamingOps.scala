@@ -227,7 +227,11 @@ object StreamingOps {
     hourCounts.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("hour"), col("cnt"),
         EventOps.anomalyPredicate.as("is_anomaly"),
-        EventOps.zScoreExpr.as("z"))
+        // a type with n=1 in the static stats has zero variance-degrees
+        // (n*(n-1) = 0): batch q88 never evaluates z there because it
+        // filters on the predicate first, but the screen emits EVERY row,
+        // so guard the division rather than emit NaN
+        when(col("n") > 1, EventOps.zScoreExpr).as("z"))
   }
 
   /** Serialized Bloom sketch of a seen corpus's content hashes — the

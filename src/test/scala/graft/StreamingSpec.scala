@@ -408,6 +408,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamedFlagged.nonEmpty)
   }
 
+  test("anomaly screen with n=1 stats emits null z, not NaN") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // a type whose whole history is ONE hour: variance degrees n*(n-1)=0.
+    // Batch q88 never hits this (predicate filters first); the screen
+    // emits every row, so z must be null-guarded rather than 0/0
+    val stats = Seq(("solo", 7L, 49L, 1L), ("busy", 30L, 250L, 4L))
+      .toDF("event_type", "s", "q", "n")
+    val mem = MemoryStream[(String, Long, Long)]
+    mem.addData(Seq(("solo", 100L, 7L), ("busy", 100L, 25L)))
+    val out = StreamingOps.runToMemory(
+      StreamingOps.anomalyScreenStream(
+        mem.toDF().toDF("event_type", "hour", "cnt"), stats),
+      "anomaly_screen_n1_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.isNullAt(4))).toMap
+    assert(out("solo"), "n=1 type must emit null z")
+    assert(!out("busy"), "n>1 type must still emit a real z")
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
