@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline IVF index artifact (E13; the precompute pattern behind q45).
+  *
+  * In-query codebook training ([[VectorOps.annIvf]] memoizes it per
+  * session) is fine at bench scale, but it is offline-training cost
+  * riding in a query: at 100 TB the index is built ONCE and served many
+  * times. This object factors that step into an explicit parquet
+  * artifact with the layout a real IVF deployment uses:
+  *
+  *   `<path>/codebook/`     — (cell, centroid), ≤ nlist rows
+  *   `<path>/assignments/`  — (vec_id, embedding) PARTITIONED BY cell
+  *
+  * Partitioning the assignments by cell is the point: a probe filters on
+  * ONE cell value, so the parquet scan partition-prunes to ~1/nlist of
+  * the corpus — the serving read is `corpus/√n` rows, with no training,
+  * no full-corpus assignment pass, and no shuffle in the probe plan.
+  * Parameters derive from corpus stats ([[AnnParams.ivfCells]]).
+  *
+  * Reference scope note: the reference app imports parquet; this is the
+  * engine-side artifact produced/consumed by the same parquet machinery
+  * (`ParquetIngest`'s sinks could ship it anywhere a table goes).
+  */
+object IvfIndex {
+
+  /** Train a codebook with derived nlist (≈√n) over `(vec_id, embedding)`
+    * rows. One count + seeding + 3 Lloyd iterations; deterministic. */
+  def train(e: DataFrame, iters: Int = 3): DataFrame =
+    VectorOps.ivfCodebook(e, AnnParams.ivfCells(e.count()), iters)
+
+  /** Build the full index at `path`: train, then materialize every
+    * vector's cell assignment partitioned by cell. The assignment pass is
+    * the one full-corpus job serving probes never re-pay. */
+  def build(e: DataFrame, path: String, iters: Int = 3): Unit = {
+    val cb = train(e, iters).localCheckpoint()
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    VectorOps.assignCells(e, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  def loadCodebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebook")
+
+  /** Serve one query vector from a built index: broadcast the ≤nlist-row
+    * codebook, pick the nearest cell in-plan, scan ONLY that cell's
+    * partition (partition-pruned — `.explain` shows the single-cell
+    * PartitionFilters), exact cosine top-10 inside it. `q` is a 1-row
+    * frame with column `q_emb`. */
+  def probe(spark: SparkSession, path: String, q: DataFrame): DataFrame = {
+    val cb = loadCodebook(spark, path)
+    val bestCell = cb.crossJoin(broadcast(q))
+      .select(col("cell"),
+        graft.functions.VectorExpressions
+          .cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(1)
+      .select(col("cell"))
+    spark.read.parquet(s"$path/assignments")
+      .join(broadcast(bestCell), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorExpressions
+          .cosineSimilarity(col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+}

@@ -183,14 +183,27 @@ object VectorOps extends OpCatalog {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Corpus row count for parameter derivation — one row-group-metadata
+    * count job, memoized per (session, table) alongside the frames Memo
+    * already keeps so repeated ANN calls don't re-count. */
+  private def corpusSize(spark: SparkSession, sfDir: String): Long =
+    Memo.cached(spark, s"vectorops:corpus_size:$sfDir") {
+      import spark.implicits._
+      Seq(emb(spark, sfDir).count()).toDF("n")
+    }.head().getLong(0)
+
   // ---------------------------------------------------------------- q43
-  /** ANN via random-hyperplane LSH (E13 scale path): 8-bit deterministic
-    * bucket per vector (a precomputable partition key at scale), exact
-    * cosine only within the query's bucket. Not oracle-declared
+  /** ANN via random-hyperplane LSH (E13 scale path): a deterministic
+    * sign-bit bucket per vector (a precomputable partition key at
+    * scale), exact cosine only within the query's bucket. The bucket
+    * width is DERIVED from the corpus size ([[AnnParams.lshBits]]:
+    * 2^bits ≈ n/40, so the probed bucket averages ~4× a top-10 frontier
+    * regardless of corpus scale — the round-4 fixed 8 bits left ~8-row
+    * buckets that couldn't reliably fill top-10). Not oracle-declared
     * (engine-specific hashing); `VectorOpsSpec` measures recall vs q40. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val bits = 8
+    val bits = AnnParams.lshBits(corpusSize(spark, sfDir))
     val bucketed = emb(spark, sfDir)
       .withColumn("bucket", VectorExpressions.hyperplaneBucket(col("embedding"), bits))
     val qb = bucketed.filter(col("vec_id") === 0)
@@ -284,18 +297,37 @@ object VectorOps extends OpCatalog {
     seeds
   }
 
-  /** Trained IVF coarse codebook: farthest-point seeding then `iters` Lloyd
+  /** Deterministic pseudo-random seeding for LARGE k: the k lowest
+    * `xxhash64(vec_id)` ranks — ONE top-k pass regardless of k.
+    * Farthest-point seeding is quality-optimal but costs k−1 sequential
+    * corpus passes; at the √n-derived cell counts ([[AnnParams.ivfCells]])
+    * that pass count itself becomes the bottleneck (k=45 at the 2k
+    * fixture, k=10⁴+ at real corpora), so beyond a small k the standard
+    * compromise is a spread pseudo-random sample refined by the Lloyd
+    * iterations — the same reasoning as k-means|| oversampling, minus
+    * the RNG (the hash is the fixed "randomness"). */
+  private def hashSeeds(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Trained IVF coarse codebook: deterministic seeding then `iters` Lloyd
     * iterations, all expressed as DataFrame aggregations — deterministic
     * (no RNG anywhere; ties in assignment break to the lowest cell) and
-    * independent of any label column. Each iteration is one assignment pass
+    * independent of any label column. Seeding is farthest-point for small
+    * k (k−1 broadcast passes, spread-optimal) and the one-pass
+    * [[hashSeeds]] sample above it. Each iteration is one assignment pass
     * (broadcast centroids, partial-agg argmax) and one centroid update
     * (posexplode to (cell, pos) — map-side combined, so the update shuffle
     * carries ~k·dim partial sums, not the corpus). `localCheckpoint`
     * truncates lineage between iterations (k rows — without it iteration i
-    * replays every prior pass each time its plan is referenced). */
+    * replays every prior pass each time its plan is referenced). A Lloyd
+    * round can empty a cell (no vector assigns to it); empty cells drop,
+    * so the returned codebook has ≤ k rows — callers probe whatever cells
+    * exist. */
   private[graft] def ivfCodebook(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val corpus = e.filter(col("vec_id") =!= 0)
-    var cents = farthestPointSeeds(corpus, k)
+    var cents = (if (k <= 16) farthestPointSeeds(corpus, k)
+                 else hashSeeds(corpus, k))
       .withColumn("cell", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
         .cast("int"))
@@ -316,28 +348,41 @@ object VectorOps extends OpCatalog {
 
   /** ANN via IVF coarse quantization (E13 alternate scale path): a TRAINED
     * k-means codebook (seeded Lloyd iterations, [[ivfCodebook]] — no
-    * dependence on the label column); the query probes its nearest centroid
-    * and searches only that cell. Deterministic; spec checks exactness
-    * within the probed cell and recall vs brute force. At scale the corpus
-    * is PARTITIONED BY cell — the probe reads 1/nlist of the data
-    * (partition pruning), vs q43's hash-bucket route; training is the
-    * once-per-corpus offline step IVF always pays, and the codebook (k·dim
-    * floats) broadcasts. */
+    * dependence on the label column) with the cell count DERIVED from the
+    * corpus ([[AnnParams.ivfCells]]: nlist ≈ √n, the FAISS sizing rule —
+    * 45 cells at the 2k fixture, not the round-4 fixed 8); the query
+    * probes its nearest centroid and searches only that cell.
+    * Deterministic; spec checks exactness within the probed cell and
+    * recall vs brute force. At scale the corpus is PARTITIONED BY cell —
+    * the probe reads 1/nlist of the data (partition pruning), vs q43's
+    * hash-bucket route; training is the once-per-corpus offline step IVF
+    * always pays ([[IvfIndex]] materializes it as a parquet artifact so
+    * serving probes never train), and the codebook (k·dim floats)
+    * broadcasts. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val e = emb(spark, sfDir)
-    val cents = Memo.cached(spark, s"vectorops:ivf_codebook:$sfDir") {
-      ivfCodebook(e, k = 8, iters = 3)
+    val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
+    val cents = Memo.cached(spark, s"vectorops:ivf_codebook:$sfDir:k=$k") {
+      ivfCodebook(e, k, iters = 3)
     }
-    val q = queryVec(spark, sfDir)
-    // probe: nearest centroid to the query (k rows — in-plan top-1)
+    ivfProbe(e.filter(col("vec_id") =!= 0), queryVec(spark, sfDir), cents)
+  }
+
+  /** Pure IVF probe against an already-trained codebook: nearest centroid
+    * to the query (≤k rows, in-plan top-1), then exact cosine top-10
+    * within that cell only. Shared by the declared q45 (codebook memoized
+    * in-session) and [[IvfIndex]]'s artifact path (codebook loaded from
+    * parquet) — training never rides in THIS plan. */
+  private[graft] def ivfProbe(corpus: DataFrame, q: DataFrame,
+      cents: DataFrame): DataFrame = {
     val bestCell = cents.crossJoin(broadcast(q))
       .select(col("cell"),
         VectorExpressions.cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(1)
       .select(col("cell"))
-    assignCells(e.filter(col("vec_id") =!= 0), cents)
+    assignCells(corpus, cents)
       .join(broadcast(bestCell), "cell")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -378,13 +423,18 @@ object VectorOps extends OpCatalog {
 
   // ---------------------------------------------------------------- q48
   /** Embedding-cosine near-dup via banded hyperplane-LSH blocking — the
-    * 100 TB path that q46's all-pairs baseline is the oracle for. B=8
-    * independent bands of r=4 hyperplane sign bits each (disjoint planes
+    * 100 TB path that q46's all-pairs baseline is the oracle for. B
+    * independent bands of r hyperplane sign bits each (disjoint planes
     * via `planeOffset`); a pair is a candidate iff all r bits agree in at
     * least one band, then candidates get the identical exact-cosine verify
-    * as q46. Collision probability for cosine s is 1-(1-p^4)^8 with
-    * p = 1-acos(s)/π: ≈0.83 at s=0.5, ≈0.96 at s=0.7, →1 beyond — recall
-    * is measured against q46 in `VectorOpsSpec`.
+    * as q46. The (B, r) shape is DERIVED from the corpus
+    * ([[AnnParams.bandedLsh]]): r = ⌈log₂ n⌉ keeps random-pair candidates
+    * linear in n, and B inverts the banding recall formula for ≥0.9
+    * recall at the 0.5 threshold — at the 2k fixture that is 198×11 (the
+    * round-4 fixed 8×4 gave ~0.84 recall at the boundary AND an n²/16
+    * random-candidate rate that only looked linear because n was small).
+    * Recall at boundary similarity is measured against exact pairs with
+    * the derived parameters at two corpus sizes in `ScaleStressSpec`.
     *
     * Scale shape: the band shuffle moves only (band, bucket, vec_id) — ids,
     * not vectors; candidate pairs are distinct-ed BEFORE the embeddings are
@@ -393,7 +443,9 @@ object VectorOps extends OpCatalog {
     * — no nested-loop anywhere, linear in candidates, tunable by (B, r). */
   def embeddingNeardupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    lshPairs(emb(spark, sfDir), threshold = 0.5)
+    val (bands, rowBits) =
+      AnnParams.bandedLsh(corpusSize(spark, sfDir), threshold = 0.5)
+    lshPairs(emb(spark, sfDir), threshold = 0.5, bands = bands, bits = rowBits)
   }
 
   /** Banded-LSH blocked near-dup core — q48's body, reusable by specs. */

@@ -123,22 +123,30 @@ class ScaleStressSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
   }
 
-  test("banded hyperplane-LSH recall at boundary cosine tracks banding theory") {
-    // theory: p = 1-acos(0.51)/π ≈ 0.670, recall = 1-(1-p^4)^8 ≈ 0.84
+  test("banded hyperplane-LSH recall holds at boundary cosine with DERIVED params at both sizes") {
+    // AnnParams.bandedLsh targets recall >= 0.9 at the 0.5 threshold; the
+    // planted pairs sit at boundary s=0.51 where banding is weakest. The
+    // round-4 FIXED 8×4 shape measured 0.78 at n=300 — under corpus growth
+    // a fixed shape drifts; the derived shape must hold its target at
+    // both sizes (floor 0.8 = target − planted-sample noise margin).
+    import graft.operators.AnnParams
     val measured = Seq(300, 1500).map { n =>
       val e = embCorpus(n, s = 0.51)
       val exact = pairSet(VectorOps.exactPairs(e, threshold = 0.5))
       val planted = (0 until n / 2).map(g => (2L * g, 2L * g + 1)).toSet
       assert(planted.subsetOf(exact), "exact must find every planted pair")
-      val lsh = pairSet(VectorOps.lshPairs(e, threshold = 0.5))
+      val (bands, rowBits) = AnnParams.bandedLsh(n, threshold = 0.5)
+      val lsh = pairSet(VectorOps.lshPairs(e, threshold = 0.5,
+        bands = bands, bits = rowBits))
       assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (sound)")
       val recall = (lsh & planted).size.toDouble / planted.size
-      info(f"emb n=$n planted=${planted.size} recall=$recall%.4f")
+      val predicted = AnnParams.bandedRecall(bands, rowBits, 0.51)
+      info(f"emb n=$n bands=$bands rowBits=$rowBits planted=${planted.size} " +
+        f"recall=$recall%.4f (theory $predicted%.4f)")
+      assert(predicted >= 0.9, f"derived shape predicts $predicted%.3f < target")
       recall
     }
-    // banding theory says ~0.84 at the boundary; demand a safe floor well
-    // above what a broken bucketer would produce, at both sizes
-    measured.foreach(r => assert(r >= 0.7, f"boundary recall $r%.3f < 0.7"))
+    measured.foreach(r => assert(r >= 0.8, f"boundary recall $r%.3f < 0.8"))
   }
 
   test("contamination screen per-doc cost is benchmark-size-insensitive (sorted intersect)") {
