@@ -41,15 +41,26 @@ object AnnParams {
 
   /** Banded hyperplane-LSH shape for q48-style near-dup blocking:
     * `(bands, rowBits)` such that a boundary pair at cosine `threshold`
-    * is caught with probability ≥ `targetRecall`, while random
-    * (near-orthogonal) pairs stay rare enough that the candidate set is
-    * LINEAR in corpus size:
+    * is caught with probability ≥ `targetRecall`, at balanced cost.
     *
-    *  - rowBits r = ⌈log₂ n⌉: a random pair agrees on one sign bit with
-    *    probability ~1/2, so it collides in a band with probability
-    *    ~(1/2)^r ≈ 1/n — expected random candidates ≈ bands·n, never n².
-    *  - bands b = ⌈ln(1−R) / ln(1−p^r)⌉ with p = 1 − acos(threshold)/π:
-    *    the inversion of the banding recall formula R = 1−(1−p^r)^b.
+    * For each candidate r, the band count that meets the target is
+    * b(r) = ⌈ln(1−R) / ln(1−p^r)⌉ with p = 1 − acos(threshold)/π (the
+    * inversion of the banding recall formula R = 1−(1−p^r)^b); the
+    * per-vector work of the shape is then
+    *
+    *   cost(r) ≈ b(r) · (r  +  n/2^r)
+    *              hashing    expected random-pair candidates per band
+    *              (r plane    (a random pair agrees per sign bit w.p.
+    *               dots)       ~1/2 → collides in an r-bit band w.p.
+    *                           ~2^-r → ~n/2^r collision partners)
+    *
+    * and rowBits is the argmin over r ∈ [2, 24]. Pinning candidates
+    * linear at any hash price (r = ⌈log₂ n⌉) buys rare candidates with
+    * enormous band counts at low thresholds; the argmin lands where one
+    * more bit stops paying for itself — at the 2k fixture / threshold
+    * 0.5 / recall 0.9 that is 39 bands × 7 bits (vs the round-4 fixed
+    * 8×4, whose boundary recall was only ~0.84 and whose 4-bit bands
+    * caught a CONSTANT 1/16 of all n² random pairs).
     *
     * The LSH exponent is real and worth stating: for fixed threshold,
     * b grows ≈ n^ρ with ρ = ln(1/p)/ln 2 — ≈0.58 at cosine 0.5 but only
@@ -57,20 +68,23 @@ object AnnParams {
     * production semantic dedup runs at 0.9+ where b stays small. The
     * 0.5-threshold fixture queries deliberately sit at the hard end.
     *
-    * Clamps: r ∈ [2, 24], b ∈ [1, 256]. The b-clamp is a visible cap:
-    * when it binds, achieved recall is 1−(1−p^r)^256 < R — callers that
-    * must not silently under-recall should check [[bandedRecall]]. */
-  def bandedLsh(n: Long, threshold: Double, targetRecall: Double = 0.9): (Int, Int) = {
+    * Clamps: r ∈ [2, 24], b ∈ [1, `maxBands`] (default 256). The b-clamp
+    * is a visible cap: when it binds, achieved recall is below R —
+    * callers that must not silently under-recall check [[bandedRecall]]
+    * (the spec suite does exactly that). */
+  def bandedLsh(n: Long, threshold: Double, targetRecall: Double = 0.9,
+      maxBands: Int = 256): (Int, Int) = {
     require(threshold > -1.0 && threshold < 1.0, s"cosine threshold: $threshold")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall: $targetRecall")
-    val r = math.max(2, math.min(24,
-      math.ceil(math.log(math.max(2.0, n.toDouble)) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(threshold) / math.Pi
-    val pr = math.pow(p, r)
-    val b =
-      if (pr >= 1.0) 1
-      else math.max(1, math.min(256,
-        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pr)).toInt))
+    def bandsFor(r: Int): Double = {
+      val pr = math.pow(p, r)
+      if (pr >= 1.0) 1.0
+      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pr))
+    }
+    val nD = math.max(2.0, n.toDouble)
+    val r = (2 to 24).minBy(r => bandsFor(r) * (r + nD / math.pow(2.0, r)))
+    val b = math.max(1, math.min(maxBands, bandsFor(r).toInt))
     (b, r)
   }
 

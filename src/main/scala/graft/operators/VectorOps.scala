@@ -405,7 +405,41 @@ object VectorOps extends OpCatalog {
     * directly on the corpora they plant. */
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    exactPairs(emb(spark, sfDir).filter(col("vec_id") < 1000), threshold = 0.5)
+    exactPairs(declaredSlice(spark, sfDir, "q46"), threshold = 0.5)
+  }
+
+  /** Rows the bounded baselines' `vec_id < 1000` slice ignores, and the
+    * corpus total — ONE pushed-filter count per (session, table),
+    * memoized. (First attempt used `Dataset.observe` metrics riding the
+    * scan, but AQE's empty-relation propagation replaces a 0-row join
+    * with `EmptyRelationExec`, and the CollectMetrics node — with its
+    * accumulator — vanishes from the final plan exactly when q46 finds
+    * no pairs; an explicit audit count cannot be optimized away.) */
+  private[graft] def declaredSliceOverflow(spark: SparkSession,
+      sfDir: String): (Long, Long) = {
+    val row = Memo.cached(spark, s"vectorops:slice_overflow:$sfDir") {
+      emb(spark, sfDir).select(
+        sum(when(col("vec_id") >= 1000, 1L).otherwise(0L)).as("beyond"),
+        count(lit(1)).as("total"))
+    }.head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** The bounded baselines' corpus slice — the declared `vec_id < 1000`
+    * cap must never be a silent one: every q46/q78 declaration audits
+    * how many rows the slice ignores and says so on the engine log
+    * (WARN), pointing at q93 — the declared query that covers the full
+    * corpus. The audit count is memoized, so the signal costs one small
+    * aggregate per session, not one per execution. */
+  private def declaredSlice(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val (beyond, total) = declaredSliceOverflow(spark, sfDir)
+    if (beyond > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$name: declared slice vec_id < 1000 ignores $beyond of $total " +
+          "corpus rows (bounded exact baseline by design); " +
+          "q93_semantic_dedup_lsh covers the unbounded corpus")
+    emb(spark, sfDir).filter(col("vec_id") < 1000)
   }
 
   /** Exact all-pairs cosine near-dup core over any (vec_id, embedding)
@@ -428,11 +462,12 @@ object VectorOps extends OpCatalog {
     * via `planeOffset`); a pair is a candidate iff all r bits agree in at
     * least one band, then candidates get the identical exact-cosine verify
     * as q46. The (B, r) shape is DERIVED from the corpus
-    * ([[AnnParams.bandedLsh]]): r = ⌈log₂ n⌉ keeps random-pair candidates
-    * linear in n, and B inverts the banding recall formula for ≥0.9
-    * recall at the 0.5 threshold — at the 2k fixture that is 198×11 (the
-    * round-4 fixed 8×4 gave ~0.84 recall at the boundary AND an n²/16
-    * random-candidate rate that only looked linear because n was small).
+    * ([[AnnParams.bandedLsh]]): B inverts the banding recall formula for
+    * ≥0.9 recall at the 0.5 threshold and r balances hashing against
+    * random-candidate cost — 39×7 at the 2k fixture (the round-4 fixed
+    * 8×4 gave ~0.84 recall at the boundary AND its 4-bit bands caught a
+    * constant 1/16 of all n² random pairs, which only looked linear
+    * because n was small).
     * Recall at boundary similarity is measured against exact pairs with
     * the derived parameters at two corpus sizes in `ScaleStressSpec`.
     *
@@ -499,15 +534,36 @@ object VectorOps extends OpCatalog {
     * threshold 0.35 so the component structure is non-trivial on the
     * testdata); at 100 TB the pair source swaps to [[lshPairs]] — the
     * banded equi-join path — and the CC stage downstream is IDENTICAL,
-    * which is the point of factoring it. The `vec_id < 1000` bound caps the
-    * declared query's nested-loop cost regardless of corpus size, exactly
-    * as documented on [[embeddingNeardup]].
+    * which is the point of factoring it; [[semanticDedupLsh]] (q93)
+    * declares exactly that unbounded form. The `vec_id < 1000` bound caps
+    * the declared query's nested-loop cost regardless of corpus size and
+    * is observation-metered, never silent ([[declaredSlice]]).
     * Oracle: exact pairs in SQL + a recursive CTE computing the same
     * transitive closure (q60's oracle pattern). */
   def semanticDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val pairs = exactPairs(
-      emb(spark, sfDir).filter(col("vec_id") < 1000), threshold = 0.35)
+    val pairs = exactPairs(declaredSlice(spark, sfDir, "q78"), threshold = 0.35)
+    GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("canon").as("canon_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------- q93
+  /** q78's scale-path twin over the UNBOUNDED corpus: the pair source is
+    * [[lshPairs]] (banded equi-join blocking, corpus-derived shape at
+    * recall target 0.99) instead of the bounded exact nested-loop — the
+    * form that actually ships at 100 TB, declared as its own query so no
+    * declared entry has to ignore rows beyond the q46/q78 slice. The CC
+    * stage downstream is byte-identical to q78's ([[GraphOps]] star
+    * rounds), which is the point of the factoring. Not oracle-declared
+    * (engine hyperplane hashes); `VectorOpsSpec` asserts its cluster set
+    * EQUALS the exact-source clusters on the full fixture corpus. */
+  def semanticDedupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val (bands, rowBits) = AnnParams.bandedLsh(corpusSize(spark, sfDir),
+      threshold = 0.35, targetRecall = 0.999)
+    val pairs = lshPairs(emb(spark, sfDir), threshold = 0.35,
+      bands = bands, bits = rowBits)
     GraphOps.connectedComponents(pairs, "id_a", "id_b")
       .select(col("node").as("vec_id"), col("canon").as("canon_id"))
       .orderBy(col("vec_id"))
@@ -716,6 +772,8 @@ object VectorOps extends OpCatalog {
     Op("q78_semantic_dedup_clusters", semanticDedupClusters,
       Some(semanticDedupClustersSql),
       "embedding near-dup pairs -> connected-component clusters (SemDeDup shape, shared star machinery)"),
+    Op("q93_semantic_dedup_lsh", semanticDedupLsh, None,
+      "q78's unbounded scale-path twin: banded-LSH pair source -> identical CC stage (spec: cluster set == exact source)"),
     Op("q80_filtered_cosine_topk", filteredCosineTopK,
       Some(filteredCosineTopKSql),
       "hybrid filtered vector search: metadata predicate + key join + cosine top-10"))

@@ -26,11 +26,12 @@ class IvfIndexSpec extends SparkSpec {
         assert(AnnParams.bandedRecall(b, r, t) >= 0.9,
           s"n=$n t=$t -> ($b,$r) misses target")
     }
-    // the documented exponent story: high thresholds need FAR fewer bands
-    val (bLow, _) = AnnParams.bandedLsh(2000, 0.5)
-    val (bHigh, _) = AnnParams.bandedLsh(2000, 0.95)
-    assert(bHigh * 10 < bLow,
-      s"bands at 0.95 ($bHigh) should be ≪ bands at 0.5 ($bLow)")
+    // the documented exponent story: high thresholds need FAR less work
+    // (bands × bits, the per-vector hash volume)
+    val (bLow, rLow) = AnnParams.bandedLsh(2000, 0.5)
+    val (bHigh, rHigh) = AnnParams.bandedLsh(2000, 0.95)
+    assert(bHigh * rHigh * 4 < bLow * rLow,
+      s"work at 0.95 ($bHigh×$rHigh) should be ≪ work at 0.5 ($bLow×$rLow)")
   }
 
   test("built index round-trips: artifact probe == in-query q45, partition-pruned") {

@@ -238,6 +238,44 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
   }
 
+  test("q46/q78 declared slice is audit-counted, never silent") {
+    // at sf0.001 all 500 ids sit inside the vec_id<1000 slice; at sf0.1
+    // half the corpus (ids 1000-1999) is beyond it — the audit count the
+    // q46/q78 declarations log must report exactly that ignored volume.
+    // (Dataset.observe was tried first and is structurally unreliable
+    // here: AQE empty-relation propagation deletes the CollectMetrics
+    // node from the final plan whenever q46 finds no pairs.)
+    assert(VectorOps.declaredSliceOverflow(spark, sfDir) == (0L, 500L))
+    assert(VectorOps.declaredSliceOverflow(spark, "/root/testdata/sf0.1")
+      == (1000L, 2000L))
+    // and the declarations go through the audited path without disturbing
+    // results (q46's oracle-checked output is built on the same slice)
+    assert(VectorOps.embeddingNeardup(spark, "/root/testdata/sf0.1").collect()
+      .nonEmpty)
+  }
+
+  test("q93 LSH-sourced clusters == exact-sourced clusters on the full fixture") {
+    // the un-silencing companion: the UNBOUNDED scale-path query must
+    // reconstruct the same component structure the exact n² source gives
+    // on the whole corpus (deterministic hashes -> a stable equality, not
+    // a probabilistic bound; per-pair recall target is 0.99 and CC closes
+    // over surviving redundant paths)
+    val exact = GraphOps_cc(VectorOps.exactPairs(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      threshold = 0.35))
+    val lsh = VectorOps.semanticDedupLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh == exact,
+      s"cluster sets differ: lsh=${lsh.size} rows, exact=${exact.size} rows")
+    assert(exact.map(_._2).distinct.size > 1, "degenerate fixture")
+  }
+
+  private def GraphOps_cc(pairs: org.apache.spark.sql.DataFrame) =
+    graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("canon").as("canon_id"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
   test("q92 centroid outliers: bounds, argmin agreement, label coverage") {
     val rows = VectorOps.centroidOutliers(spark, sfDir).collect()
     val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
