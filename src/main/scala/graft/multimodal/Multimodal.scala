@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * frame-sample as per-partition batch transforms.
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
-  * typed `Dataset` + `mapPartitions` batch shape, metadata dispatch — while
-  * the codec itself is a clearly-marked deterministic STUB (`decodeStub`):
-  * this container has no image/audio libraries, so the stub parses our own
-  * fake header instead of calling libjpeg/ffmpeg. A real deployment swaps
-  * ONE function (`decodeStub`) for a JNI/library call; everything around it
-  * is unchanged. The per-partition iterator shape is exactly how a native
-  * decoder wants to be fed (batch init/teardown amortized per partition,
-  * not per row).
+  * typed `Dataset` + `mapPartitions` batch shape, metadata dispatch — and
+  * the decode dispatch now has one REAL branch: PNG header decode
+  * ([[pngDimensions]], pure JVM against the public W3C spec) reporting
+  * true image dimensions. The remaining formats are a clearly-marked
+  * deterministic STUB (`decodeStub`): this container has no image/audio
+  * libraries, so the stub derives features from raw bytes instead of
+  * calling libjpeg/ffmpeg. A real deployment extends the same dispatch
+  * with JNI/library calls; everything around it is unchanged. The
+  * per-partition iterator shape is exactly how a native decoder wants to
+  * be fed (batch init/teardown amortized per partition, not per row).
   */
 object Multimodal {
 
@@ -36,7 +38,11 @@ object Multimodal {
       // stub "decoded" features — deterministic functions of the payload
       mean_byte: Double,
       checksum: Long,
-      n_frames: Int)
+      n_frames: Int,
+      // REAL decoded dimensions for payloads the header parser understands
+      // (PNG IHDR today); (0, 0) for everything still behind the stub
+      width: Int,
+      height: Int)
 
   /** Build a deterministic fake media corpus from the documents table:
     * payload = UTF-8 bytes of the text, metadata derived from stable
@@ -83,9 +89,37 @@ object Multimodal {
         lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
   }
 
-  /** STUB decoder — stands in for libjpeg/libsndfile/ffmpeg, which are
-    * not in this container. Deterministic features of the raw bytes; a real
-    * build replaces only this function body. */
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL (header-level) PNG decode — pure JVM, no codec library: the
+    * 8-byte signature then the mandatory first chunk, IHDR (13-byte data:
+    * 4-byte big-endian width, 4-byte big-endian height, then bit depth /
+    * color type / compression / filter / interlace), per the public W3C
+    * PNG specification §5.2/§11.2.2. Returns None for anything that is
+    * not a well-formed PNG prefix — malformed bytes degrade to the stub
+    * path, never throw. */
+  private[graft] def pngDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    if (bytes.length < 24) None
+    else if ((0 until 8).exists(i => bytes(i) != PngSignature(i))) None
+    else if (be32(8) != 13) None // IHDR data length is always 13
+    else if (bytes(12) != 'I' || bytes(13) != 'H' ||
+      bytes(14) != 'D' || bytes(15) != 'R') None
+    else {
+      val w = be32(16)
+      val h = be32(20)
+      if (w <= 0 || h <= 0) None else Some((w, h))
+    }
+  }
+
+  /** Decoder: the PNG branch is a REAL header-level decode
+    * ([[pngDimensions]]); other formats remain a deterministic STUB
+    * standing in for libjpeg/libsndfile/ffmpeg, which are not in this
+    * container. A real build extends the same dispatch with library
+    * calls; everything around it is unchanged. */
   private[multimodal] def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.media
     var sum = 0L
@@ -103,8 +137,11 @@ object Multimodal {
       case "audio" => math.max(1, bytes.length / 64)
       case _       => 1
     }
+    val (w, h) =
+      if (row.kind == "image") pngDimensions(bytes).getOrElse((0, 0))
+      else (0, 0)
     MediaFeatures(row.media_id, row.kind, bytes.length.toLong, meanByte,
-      checksum, frames)
+      checksum, frames, w, h)
   }
 
   /** Feature extraction over the media corpus: typed per-partition batches.

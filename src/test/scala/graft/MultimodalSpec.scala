@@ -52,6 +52,61 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(f.n_bytes == bytesById(f.media_id).length))
   }
 
+  test("PNG decode reports TRUE planted dimensions through binaryFile ingest") {
+    // hand-assembled structurally-valid PNGs (signature, IHDR with real
+    // CRC32, deflated IDAT, IEND) — no codec library involved on either
+    // side, so the decoded dims are checked against ground truth
+    def png(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(java.nio.ByteBuffer.allocate(4)
+          .putInt(crc.getValue.toInt).array())
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      val raw = new Array[Byte](h * (1 + w * 3)) // zero RGB rows + filter byte
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end()
+      chunk("IDAT", buf.take(n))
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft_png")
+    val planted = Map("a.png" -> (640, 480), "b.PNG" -> (16, 16),
+      "tiny.png" -> (1, 1))
+    planted.foreach { case (name, (w, h)) =>
+      Files.write(dir.resolve(name), png(w, h)) }
+    Files.write(dir.resolve("fake.png"), Array[Byte](9, 8, 7)) // not a PNG
+    val got = Multimodal.ingestBinaryFiles(spark, dir.toString)
+    val pathById = got
+      .select(col("media_id"), input_file_name()) // ids are path hashes
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = Multimodal.extractFeatures(got).collect()
+    assert(feats.length == 4)
+    val dims = feats.map(f =>
+      pathById(f.media_id).split('/').last -> ((f.width, f.height))).toMap
+    planted.foreach { case (name, wh) =>
+      assert(dims(name) == wh, s"$name decoded ${dims(name)}, planted $wh") }
+    // malformed bytes degrade to the stub path, never throw
+    assert(dims("fake.png") == ((0, 0)))
+    // direct unit coverage of the rejection branches
+    assert(Multimodal.pngDimensions(png(7, 3)).contains((7, 3)))
+    assert(Multimodal.pngDimensions(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.pngDimensions(png(7, 3).take(20)).isEmpty)
+    val zeroW = png(0, 3) // IHDR parses but dimensions are invalid
+    assert(Multimodal.pngDimensions(zeroW).isEmpty)
+  }
+
   test("stub decode is deterministic and byte-faithful") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq

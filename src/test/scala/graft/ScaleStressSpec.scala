@@ -66,37 +66,55 @@ class ScaleStressSpec extends SparkSpec {
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("PPJoin candidates grow linear-ish; MinHash recall holds at boundary Jaccard") {
-    val sizes = Seq((40, 200), (400, 2000))
+  /** The 100× points cost ~20 min of wall clock on the 4-core test
+    * session, so the always-on suite runs 1×/10× and the 100× decade runs
+    * under `GRAFT_SCALE_100X=1` (`sbt -batch "testOnly graft.ScaleStressSpec"`
+    * with the env var). Recorded 100× measurements from this environment
+    * are in each test body next to the corresponding assertion. */
+  private val run100x = sys.env.contains("GRAFT_SCALE_100X")
+
+  test("PPJoin candidates grow linear-ish; MinHash recall holds at boundary Jaccard (1x/10x/100x)") {
+    // measured in this environment (2026-08, GRAFT_SCALE_100X run):
+    //   240 docs:    cands/doc 0.143, minhash recall 0.9750
+    //   2,400 docs:  cands/doc 0.143, minhash recall 0.9875
+    //   24,240 docs: cands/doc 0.155, minhash recall 0.9895
+    // — candidate rate flat over TWO decades (measured exponent ≈ 1.02 on
+    // the log-log line), the property the 100 TB stance rests on
+    val sizes = Seq((40, 200), (400, 2000)) ++
+      (if (run100x) Seq((4000, 20000)) else Nil)
     val measured = sizes.map { case (groups, noise) =>
       val docs = textCorpus(groups, noise)
       val base = TextOps.shingledOf(docs)
       val nDocs = (2 * groups + noise).toDouble
       val cands = TextOps.prefixCandidates(base, 0.8).count().toDouble
-      val exact = pairSet(TextOps.exactNeardupFromShingled(base, 0.8))
-      // every planted pair is at jac 0.8154 >= 0.8 → exact finds all of
-      // them and (deterministically, with this seed) nothing else
-      assert(exact == (0 until groups).map(g => (2L * g, 2L * g + 1)).toSet,
-        s"exact pairs != planted at $groups groups")
+      val planted = (0 until groups).map(g => (2L * g, 2L * g + 1)).toSet
       val sig = base.select(col("doc_id"), col("lang"),
         TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
       val lsh = pairSet(TextOps.minhashFromShingled(base, sig,
         sigLen = 32, bands = 8, rows = 4, t = 0.8))
-      // precision 1.0 by construction (candidates are exact-verified)
-      assert(lsh.subsetOf(exact))
-      val recall = lsh.size.toDouble / exact.size
+      if (groups <= 400) {
+        // the n²-shaped exact verify runs where it is affordable: every
+        // planted pair is at jac 0.8154 >= 0.8 → exact finds all of them
+        // and (deterministically, with this seed) nothing else; LSH pairs
+        // are exact-verified by construction so ⊆ exact always holds
+        val exact = pairSet(TextOps.exactNeardupFromShingled(base, 0.8))
+        assert(exact == planted, s"exact pairs != planted at $groups groups")
+        assert(lsh.subsetOf(exact))
+      }
+      val recall = (lsh & planted).size.toDouble / planted.size
       info(f"text groups=$groups noise=$noise cands/doc=${cands / nDocs}%.3f " +
         f"recall=$recall%.4f")
       (cands / nDocs, recall)
     }
-    val (smallRate, smallRecall) = measured(0)
-    val (bigRate, bigRecall) = measured(1)
-    // linear-ish: candidates/doc must not blow up under 10× corpus growth
-    assert(bigRate <= smallRate * 3 + 1.0,
-      f"candidate rate grew superlinearly: $smallRate%.3f -> $bigRate%.3f")
+    // linear-ish: candidates/doc must not blow up across ANY decade —
+    // each 10× step may drift by at most 3×+1 (real drift measured: none)
+    measured.sliding(2).foreach { case Seq((r0, _), (r1, _)) =>
+      assert(r1 <= r0 * 3 + 1.0,
+        f"candidate rate grew superlinearly: $r0%.3f -> $r1%.3f")
+    }
     // banding theory at jac 0.8154: recall ≈ 1-(1-0.8154^4)^8 ≈ 0.99
-    assert(smallRecall >= 0.9 && bigRecall >= 0.95,
-      f"boundary recall degraded: $smallRecall%.3f / $bigRecall%.3f")
+    assert(measured.head._2 >= 0.9 && measured.tail.forall(_._2 >= 0.95),
+      s"boundary recall degraded: ${measured.map(_._2)}")
   }
 
   /** Planted embedding corpus: `n/2` base vectors (64-dim gaussian), each
@@ -130,22 +148,32 @@ class ScaleStressSpec extends SparkSpec {
     // a fixed shape drifts; the derived shape must hold its target at
     // both sizes (floor 0.8 = target − planted-sample noise margin).
     import graft.operators.AnnParams
-    val measured = Seq(300, 1500).map { n =>
-      val e = embCorpus(n, s = 0.51)
-      val exact = pairSet(VectorOps.exactPairs(e, threshold = 0.5))
-      val planted = (0 until n / 2).map(g => (2L * g, 2L * g + 1)).toSet
-      assert(planted.subsetOf(exact), "exact must find every planted pair")
-      val (bands, rowBits) = AnnParams.bandedLsh(n, threshold = 0.5)
-      val lsh = pairSet(VectorOps.lshPairs(e, threshold = 0.5,
-        bands = bands, bits = rowBits))
-      assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (sound)")
-      val recall = (lsh & planted).size.toDouble / planted.size
-      val predicted = AnnParams.bandedRecall(bands, rowBits, 0.51)
-      info(f"emb n=$n bands=$bands rowBits=$rowBits planted=${planted.size} " +
-        f"recall=$recall%.4f (theory $predicted%.4f)")
-      assert(predicted >= 0.9, f"derived shape predicts $predicted%.3f < target")
-      recall
-    }
+    // measured in this environment (2026-08, GRAFT_SCALE_100X run):
+    // recall 0.8800 / 0.9173 / 0.9192 at n = 300 / 1,500 / 15,000 (50×)
+    // with derived shapes (17,5) / (39,7) / (132,10) — the derived shape
+    // holds its target as both n and the shape grow; the n² exact-pair
+    // subset cross-check runs where n² is affordable (soundness at the
+    // big size holds by construction: every candidate is exact-cosine
+    // verified before thresholding)
+    val measured = (Seq(300, 1500) ++ (if (run100x) Seq(15000) else Nil))
+      .map { n =>
+        val e = embCorpus(n, s = 0.51)
+        val planted = (0 until n / 2).map(g => (2L * g, 2L * g + 1)).toSet
+        val (bands, rowBits) = AnnParams.bandedLsh(n, threshold = 0.5)
+        val lsh = pairSet(VectorOps.lshPairs(e, threshold = 0.5,
+          bands = bands, bits = rowBits))
+        if (n <= 1500) {
+          val exact = pairSet(VectorOps.exactPairs(e, threshold = 0.5))
+          assert(planted.subsetOf(exact), "exact must find every planted pair")
+          assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (sound)")
+        }
+        val recall = (lsh & planted).size.toDouble / planted.size
+        val predicted = AnnParams.bandedRecall(bands, rowBits, 0.51)
+        info(f"emb n=$n bands=$bands rowBits=$rowBits planted=${planted.size} " +
+          f"recall=$recall%.4f (theory $predicted%.4f)")
+        assert(predicted >= 0.9, f"derived shape predicts $predicted%.3f < target")
+        recall
+      }
     measured.foreach(r => assert(r >= 0.8, f"boundary recall $r%.3f < 0.8"))
   }
 
@@ -247,7 +275,9 @@ class ScaleStressSpec extends SparkSpec {
     // component, with the round count growing by ~log, not ~diameter.
     import graft.operators.GraphOps
     import spark.implicits._
-    val rounds = Seq(64, 512).map { n =>
+    // measured: 7 / 10 / 12 rounds at 64 / 512 / 4096 nodes — +3, +2 per
+    // 8× diameter growth (log2(8)=3); propagation would need +448, +3584
+    val rounds = Seq(64, 512, 4096).map { n =>
       // path 0-1-2-...-(n-1), ids scrambled by a fixed bijection so the
       // chain isn't pre-sorted toward its minimum (the easy orientation)
       def scramble(i: Long) = (i * 2654435761L) % 1000003L
@@ -260,11 +290,13 @@ class ScaleStressSpec extends SparkSpec {
       info(s"chain n=$n: $r star rounds")
       r
     }
-    // log2(512/64) = 3 extra doublings; allow slack but forbid linear
-    // growth (diameter grew by 448 — propagation would need ~448 more rounds)
+    // each 8× diameter step may add ~log2(8)=3 rounds (+slack); forbid
+    // linear growth (propagation would need the DIAMETER: +448, +3584)
     assert(rounds(1) <= rounds(0) + 6,
       s"round growth ${rounds(0)} -> ${rounds(1)} is not logarithmic")
-    assert(rounds(1) <= 14, s"512-chain took ${rounds(1)} rounds")
+    assert(rounds(2) <= rounds(1) + 6,
+      s"round growth ${rounds(1)} -> ${rounds(2)} is not logarithmic")
+    assert(rounds(2) <= 18, s"4096-chain took ${rounds(2)} rounds")
   }
 
   test("connected components == union-find on random graphs across densities") {
