@@ -6,26 +6,28 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-stress measurements for the dedup/LSH family on planted-duplicate
-  * corpora ~10× the fixture size (generated in-test, deterministic seed —
-  * nothing shipped). Two properties, each at two corpus sizes, that the
-  * production comments claim and this spec demonstrates:
+  * corpora up to TWO DECADES above the fixture size (generated in-test,
+  * deterministic seed — nothing shipped). Two properties the production
+  * comments claim and this spec demonstrates:
   *
   *  1. q32's PPJoin candidate set grows LINEAR-ISH in corpus size
-  *     (candidates/doc roughly constant under 10× growth) — the property
+  *     (candidates/doc constant under 10× and 100× growth) — the property
   *     that makes prefix filtering the non-n² plan at 100 TB.
   *  2. q33 / q48 banding recall at BOUNDARY similarity — planted text dups
   *     at Jaccard ≈ 0.815 (inside the 0.78–0.82 band where 8×4 MinHash
   *     banding degrades fastest) and planted embedding dups at cosine
-  *     ≈ 0.51 (threshold 0.5) — stays at/above the banding-theory
-  *     prediction: 1-(1-s^4)^8 ≈ 0.99 for s=jac 0.815; 1-(1-p^4)^8 ≈ 0.84
-  *     for p = 1-acos(0.51)/π.
+  *     ≈ 0.51 (threshold 0.5, derived `AnnParams.bandedLsh` shapes) —
+  *     stays at/above the banding-theory prediction at every size.
   *
-  * Measured in this environment (seeded, reproducible):
-  *   text  40+200 docs:  cands/doc = 0.143, recall 0.9750
-  *   text 400+2000 docs: cands/doc = 0.143 (flat under 10×), recall 0.9875
-  *   emb  300 vecs: recall 0.7800;  1500 vecs: recall 0.8267 (theory ≈0.84)
-  *   CC star rounds: 64-node chain = 7, 512-node chain = 10 (8× diameter
-  *   → +3 rounds = log2(8); min-label propagation would need +448)
+  * Measured in this environment (seeded, reproducible; 100× points under
+  * GRAFT_SCALE_100X=1 — see [[run100x]]):
+  *   text 240 / 2,400 / 24,240 docs: cands/doc 0.143 / 0.143 / 0.143
+  *   (log-log exponent 1.00), minhash recall 0.9750 / 0.9875 / 0.9918
+  *   emb n=300/1,500/15,000, derived shapes (17,5)/(39,7)/(132,10):
+  *   recall 0.8867 / 0.9147 / 0.9081 (theory 0.916 / 0.914 / 0.913)
+  *   CC star rounds: 64 / 512 / 4096-node chains = 7 / 10 / 12 (each 8×
+  *   diameter step adds ~log2(8)=3 rounds; min-label propagation would
+  *   need +448 and +3584)
   *   MG two-pass: candidates ≤ 64 at BOTH 1× (n≈11k, vocab 3k) and 10×
   *   (n≈108k, vocab 30k); two-pass heavy hitters == full groupBy exactly
   */
@@ -77,9 +79,9 @@ class ScaleStressSpec extends SparkSpec {
     // measured in this environment (2026-08, GRAFT_SCALE_100X run):
     //   240 docs:    cands/doc 0.143, minhash recall 0.9750
     //   2,400 docs:  cands/doc 0.143, minhash recall 0.9875
-    //   24,240 docs: cands/doc 0.155, minhash recall 0.9895
-    // — candidate rate flat over TWO decades (measured exponent ≈ 1.02 on
-    // the log-log line), the property the 100 TB stance rests on
+    //   24,240 docs: cands/doc 0.143, minhash recall 0.9918
+    // — candidate rate EXACTLY flat over two decades (measured log-log
+    // exponent 1.00), the property the 100 TB stance rests on
     val sizes = Seq((40, 200), (400, 2000)) ++
       (if (run100x) Seq((4000, 20000)) else Nil)
     val measured = sizes.map { case (groups, noise) =>
@@ -149,12 +151,12 @@ class ScaleStressSpec extends SparkSpec {
     // both sizes (floor 0.8 = target − planted-sample noise margin).
     import graft.operators.AnnParams
     // measured in this environment (2026-08, GRAFT_SCALE_100X run):
-    // recall 0.8800 / 0.9173 / 0.9192 at n = 300 / 1,500 / 15,000 (50×)
-    // with derived shapes (17,5) / (39,7) / (132,10) — the derived shape
-    // holds its target as both n and the shape grow; the n² exact-pair
-    // subset cross-check runs where n² is affordable (soundness at the
-    // big size holds by construction: every candidate is exact-cosine
-    // verified before thresholding)
+    // recall 0.8867 / 0.9147 / 0.9081 at n = 300 / 1,500 / 15,000 (50×)
+    // vs theory 0.9156 / 0.9135 / 0.9130, derived shapes (17,5) / (39,7)
+    // / (132,10) — the derived shape holds its target as both n and the
+    // shape grow; the n² exact-pair subset cross-check runs where n² is
+    // affordable (soundness at the big size holds by construction: every
+    // candidate is exact-cosine verified before thresholding)
     val measured = (Seq(300, 1500) ++ (if (run100x) Seq(15000) else Nil))
       .map { n =>
         val e = embCorpus(n, s = 0.51)
