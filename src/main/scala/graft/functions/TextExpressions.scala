@@ -9,14 +9,64 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Custom Catalyst expressions for document fingerprinting (SURVEY.md §2.3
   * E11/E12 scale path; north-star text-analysis ops). Native expressions
   * rather than Scala UDFs: no Row boxing/encoding per call, null handling
-  * from `UnaryExpression`, and an upgrade path to `doGenCode`. All hashing
-  * uses Spark's own XXH64 (`org.apache.spark.sql.catalyst.expressions.XXH64`)
-  * so results are deterministic across JVMs/partitions.
+  * from `UnaryExpression`, and an upgrade path to `doGenCode`.
+  *
+  * Base hash: the low 8 bytes of MD5 read little-endian — bit-for-bit
+  * `md5_number_lower()` in DuckDB — so every fingerprint built on it
+  * (SimHash bits, MinHash permutation minima) is replayable by the SQL
+  * oracle, not just deterministic. MinHash then derives its k
+  * "permutations" from ONE base hash via affine universal hashing
+  * `(a_i·h + b_i) mod (2^61−1)` (Carter–Wegman; the Mersenne modulus
+  * admits a two-multiply fold reduction) instead of k seeded hash passes —
+  * one digest per shingle regardless of k, and plain integer arithmetic
+  * the oracle reproduces in HUGEINT.
   */
 object TextExpressions {
 
-  private[functions] def hashToken(t: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, seed)
+  /** 2^61 − 1 (Mersenne prime): modulus of the MinHash permutation family. */
+  val MersenneP: Long = 2305843009213693951L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian u64 of md5 bytes 8..15 (as the same 64 bits in a signed
+    * long) — exactly DuckDB's `md5_number_lower(s)`, the bridge that makes
+    * q33/q34 hash-exact against the oracle. */
+  private[functions] def md5Low64(t: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    (d(8) & 0xffL) | ((d(9) & 0xffL) << 8) | ((d(10) & 0xffL) << 16) |
+      ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 32) |
+      ((d(13) & 0xffL) << 40) | ((d(14) & 0xffL) << 48) |
+      ((d(15) & 0xffL) << 56)
+  }
+
+  /** Largest signature length the precomputed coefficient tables cover. */
+  val MaxMinhashK: Int = 64
+
+  // affine coefficients a_i = (2i+1)·C1 mod p, b_i = i·C2 mod p (C1/C2 the
+  // 64-bit golden-ratio / xxhash-prime odd constants; any fixed odd
+  // multipliers work — these are replicated verbatim in the q33 oracle SQL)
+  private val PermA: Array[Long] = Array.tabulate(MaxMinhashK)(i =>
+    ((BigInt(2 * i + 1) * BigInt("11400714819323198485")) mod
+      BigInt(MersenneP)).toLong)
+  private val PermB: Array[Long] = Array.tabulate(MaxMinhashK)(i =>
+    ((BigInt(i) * BigInt("14029467366897019727")) mod
+      BigInt(MersenneP)).toLong)
+
+  /** `(a·b) mod (2^61−1)` for a, b ∈ [0, 2^61): 128-bit product via
+    * `multiplyHigh`, then the Mersenne fold `2^64 ≡ 8 (mod p)`. */
+  private def mulModP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // operands < 2^61, sign bits clear
+    val lo = a * b
+    var r = hi * 8L + java.lang.Long.remainderUnsigned(lo, MersenneP) // < 2^62
+    if (r >= MersenneP) r -= MersenneP
+    if (r >= MersenneP) r -= MersenneP
+    r
+  }
 
   /** 64-bit SimHash of a token array: per-bit majority vote over token
     * hashes. Near-identical token multisets → small Hamming distance. */
@@ -44,7 +94,7 @@ object TextExpressions {
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = hashToken(arr.getUTF8String(i), 0L)
+        val h = md5Low64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -62,9 +112,13 @@ object TextExpressions {
     fp
   }
 
-  /** MinHash signature: `k` permutation minima over token hashes (seeded
-    * XXH64 stands in for k independent permutations). Input array<string>,
-    * output array<long> of length k. Empty input → array of Long.MaxValue. */
+  /** MinHash signature: `k` permutation minima over token hashes, the
+    * permutations being affine maps `(a_i·h + b_i) mod (2^61−1)` of ONE
+    * md5-derived base hash per token (k ≤ [[MaxMinhashK]]). Input
+    * array<string>, output array<long> of length k with every element in
+    * [0, 2^61−1). Empty input → array of Long.MaxValue (sentinel; callers
+    * filter empty token sets before banding so sentinel signatures never
+    * collide into one giant bucket). */
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -83,15 +137,19 @@ object TextExpressions {
 
   /** Static eval used by MinHashSignature's generated code. */
   def minhashEval(arr: ArrayData, k: Int): ArrayData = {
+    require(k <= MaxMinhashK,
+      s"minhash_signature k=$k exceeds the coefficient table ($MaxMinhashK)")
     val sig = Array.fill[Long](k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val t = arr.getUTF8String(i)
+        val h =
+          java.lang.Long.remainderUnsigned(md5Low64(arr.getUTF8String(i)), MersenneP)
         var p = 0
         while (p < k) {
-          val h = hashToken(t, p.toLong)
-          if (h < sig(p)) sig(p) = h
+          var v = mulModP(PermA(p), h) + PermB(p) // < 2^62, no overflow
+          if (v >= MersenneP) v -= MersenneP
+          if (v < sig(p)) sig(p) = v
           p += 1
         }
       }

@@ -228,18 +228,27 @@ object TextOps extends OpCatalog {
   /** Near-dup via MinHash LSH (E12 scale path): 32-permutation signatures,
     * 8 bands × 4 rows. Candidates = pairs sharing any band bucket (shuffle
     * on band keys — linear, no n² join); candidates are then verified with
-    * the exact shingle Jaccard. Same schema as q32. Not oracle-declared
-    * (DuckDB has no XXH64); `TextOpsSpec` asserts q33 ⊆ q32 (precision 1.0
-    * by construction) and measures recall. */
+    * the exact shingle Jaccard. Same schema as q32. Oracle-declared: the
+    * md5-based affine permutation family (see
+    * [[graft.functions.TextExpressions.minhashEval]]) is replayed exactly
+    * in DuckDB via `md5_number_lower` + HUGEINT arithmetic, so signatures,
+    * band buckets, candidates and the verified output all hash-match.
+    * `TextOpsSpec` additionally asserts q33 ⊆ q32 (precision 1.0 by
+    * construction) and measures recall. */
   def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     // signature frame is memoized: the banded candidate join reads it from
-    // BOTH sides, and the 32-hash/token MinHash pass is the query's real
-    // cost — pay it once per (session, path)
+    // BOTH sides, and the per-shingle MinHash pass is the query's real
+    // cost — pay it once per (session, path). Empty shingle sets are
+    // dropped BEFORE banding: their all-sentinel signatures would
+    // otherwise collide into one bucket whose candidate count is quadratic
+    // in the number of short docs (the oracle drops them implicitly —
+    // unnest of an empty list yields no rows).
     val base = shingled(spark, sfDir)
     val sig = Memo.cached(spark, s"textops:minhash_sig:$sfDir") {
-      base.select(col("doc_id"), col("lang"),
-        TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
+      base.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextExpressions.minhashSignature(col("sh"), 32).as("sig"))
     }
     minhashFromShingled(base, sig, sigLen = 32, bands = 8, rows = 4, t = 0.8)
   }
@@ -259,9 +268,13 @@ object TextOps extends OpCatalog {
     // Band join carries ONLY (band, bucket, lang, id) — the shingle arrays
     // would otherwise be shuffled bands× over; candidates join back to the
     // (id → shingles) side for verification, so array bytes move once.
+    // The bucket is the band's VALUE slice (rows longs), not a re-hash of
+    // it: candidate semantics are exactly "share a band tuple" — what the
+    // DuckDB oracle replays — with no re-hash collision term; the key is
+    // rows×8 bytes vs 8, a wash against the (id, lang) payload.
     val banded = sig.select(col("doc_id"), col("lang"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+          s"b -> slice(sig, b * $rows + 1, $rows))"))
           .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("lang"))
@@ -284,18 +297,62 @@ object TextOps extends OpCatalog {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB replay of q33: identical shingles (q32's CTE), base hash
+    * `md5_number_lower` ≡ [[graft.functions.TextExpressions.md5Low64]],
+    * the same affine coefficients mod 2^61−1 (HUGEINT products are exact:
+    * a,h < 2^61 → a·h < 2^122 < 2^127), band tuples grouped `i // 4`
+    * matching the engine's `slice(sig, b*4+1, 4)`, then the exact-Jaccard
+    * verify shared with q32. */
+  private val neardupMinhashSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
+      |hh AS (
+      |  SELECT doc_id, lang,
+      |    md5_number_lower(g)::HUGEINT % 2305843009213693951 AS h
+      |  FROM (SELECT doc_id, lang, unnest(sh) AS g FROM d)),
+      |perm AS (
+      |  SELECT doc_id, lang, i,
+      |    min((((2*i+1)::HUGEINT * 11400714819323198485) % 2305843009213693951 * h
+      |         + (i::HUGEINT * 14029467366897019727) % 2305843009213693951)
+      |        % 2305843009213693951) AS v
+      |  FROM hh CROSS JOIN range(32) t(i) GROUP BY doc_id, lang, i),
+      |bnd AS (
+      |  SELECT doc_id, lang, i // 4 AS band, list(v ORDER BY i) AS bsig
+      |  FROM perm GROUP BY doc_id, lang, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jac, 4) AS jac FROM (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) /
+      |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jac
+      |  FROM cand c JOIN d x ON x.doc_id = c.id_a JOIN d y ON y.doc_id = c.id_b)
+      |WHERE jac >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q34
   /** SimHash fingerprints (E12, cheapest signal): 64-bit fingerprint per
     * doc via a custom Catalyst expression; near-dup candidates share one of
     * four 16-bit Hamming bands. Output: candidate pairs + Hamming distance
-    * ≤ 6. Not oracle-declared (engine-specific hash); spec-verified. */
+    * ≤ 6. Oracle-declared: the md5-based bit-majority fingerprint, the
+    * 16-bit band split and the xor/bit_count Hamming verify are all
+    * replayed exactly in DuckDB (`md5_number_lower`, HUGEINT bit
+    * arithmetic, two's-complement fold). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     // fingerprints are 8 bytes/doc; memoized so the self-join's two
-    // branches don't each recompute the shingle+simhash pass
+    // branches don't each recompute the shingle+simhash pass. Empty
+    // shingle sets are dropped BEFORE banding: fp=0 for every such doc, so
+    // they'd all pair with each other at Hamming 0 (quadratic in short
+    // docs; the oracle drops them implicitly via unnest of empty lists).
     val d = Memo.cached(spark, s"textops:simhash_fp:$sfDir") {
-      shingled(spark, sfDir).select(col("doc_id"), col("lang"),
-        TextExpressions.simhash64(col("sh")).as("fp"))
+      shingled(spark, sfDir).filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("lang"),
+          TextExpressions.simhash64(col("sh")).as("fp"))
     }
     // id+fp only through the band shuffle (fp is 8 bytes — cheap enough to
     // carry, saving the verify-side join q33 needs for its big arrays)
@@ -316,6 +373,45 @@ object TextOps extends OpCatalog {
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** DuckDB replay of q34: same shingles, `md5_number_lower` base hash,
+    * per-bit majority vote in HUGEINT, two's-complement fold to the signed
+    * BIGINT fingerprint (q38's pattern), 16-bit bands extracted from the
+    * UNSIGNED value (the engine's `shiftright(fp,48) & 65535` masks away
+    * the sign-extension, so the two agree on every band), and xor +
+    * bit_count Hamming — DuckDB's bit_count on BIGINT is two's-complement,
+    * matching Spark's. */
+  private val simhashPairsSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
+      |hh AS (
+      |  SELECT doc_id, lang, md5_number_lower(g)::HUGEINT AS u
+      |  FROM (SELECT doc_id, lang, unnest(sh) AS g FROM d)),
+      |bits AS (
+      |  SELECT doc_id, lang, b,
+      |    sum(CASE WHEN (u // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+      |  FROM hh CROSS JOIN range(64) t(b) GROUP BY doc_id, lang, b),
+      |fps AS (
+      |  SELECT doc_id, lang, fpu,
+      |    CAST(CASE WHEN fpu >= 9223372036854775808::HUGEINT
+      |         THEN fpu - 18446744073709551616::HUGEINT ELSE fpu END AS BIGINT) AS fp
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS fpu
+      |    FROM bits GROUP BY doc_id, lang)),
+      |bnd AS (
+      |  SELECT doc_id, lang, fp, band,
+      |    (fpu // (1::HUGEINT << (16 * band))) % 65536 AS chunk
+      |  FROM fps CROSS JOIN range(4) t(band))
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM bnd a JOIN bnd b ON a.band = b.band AND a.chunk = b.chunk
+      |  AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q35
   /** Per-document token stats (E14 / north-star token counting): token
@@ -510,8 +606,8 @@ object TextOps extends OpCatalog {
     * `h = h*31 + signed_byte (mod 2^64)` recurrence over UTF-8 bytes is
     * replayed in the oracle with HUGEINT `list_reduce` arithmetic — so the
     * fingerprint MECHANISM itself is oracle-verified, not just spec'd.
-    * (SimHash, whose XXH64 token hash DuckDB cannot reproduce, is declared
-    * through q34_simhash_pairs and the determinism specs instead.) */
+    * (SimHash gets the same treatment through q34_simhash_pairs, whose
+    * md5-based fingerprint is likewise replayed in its oracle.) */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     toks(spark, sfDir)
@@ -873,10 +969,10 @@ object TextOps extends OpCatalog {
       "keyed dedup with deterministic survivor (row_number=1)"),
     Op("q32_neardup_shingle", neardupShingle, Some(neardupShingleSql),
       "near-dup pairs: 3-gram shingle Jaccard >= 0.8, lang-blocked"),
-    Op("q33_neardup_minhash", neardupMinhashLsh, None,
-      "near-dup pairs via MinHash LSH (8x4 bands) + exact verify — scale path"),
-    Op("q34_simhash_pairs", simhashPairs, None,
-      "SimHash banded Hamming candidate pairs (<=6 bits)"),
+    Op("q33_neardup_minhash", neardupMinhashLsh, Some(neardupMinhashSql),
+      "near-dup pairs via MinHash LSH (8x4 bands, md5-affine permutation family replayed in the oracle) + exact verify — scale path"),
+    Op("q34_simhash_pairs", simhashPairs, Some(simhashPairsSql),
+      "SimHash banded Hamming candidate pairs (<=6 bits, md5 bit-majority fingerprint replayed in the oracle)"),
     Op("q35_token_stats", tokenStats, Some(tokenStatsSql),
       "per-doc token counts / TTR / mean token length"),
     Op("q91_vocab_growth", vocabGrowth, Some(vocabGrowthSql),
