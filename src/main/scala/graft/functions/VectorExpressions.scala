@@ -70,12 +70,20 @@ object VectorExpressions {
   }
 
   /** Random-hyperplane LSH bucket of a float vector: `nBits` sign bits of
-    * dot products against pseudo-random Rademacher (±1) hyperplanes. The
-    * hyperplane components are bits of XXH64(dim-block, seed=plane) — fully
-    * deterministic, no stored model, any dimension. Vectors with high cosine
-    * similarity collide in buckets with high probability (SimHash LSH family
-    * for angular distance). `planeOffset` shifts the plane seeds so banded
-    * variants (B independent bucket tables) draw disjoint hyperplanes. */
+    * dot products against pseudo-random GAUSSIAN hyperplanes. Components
+    * are Box–Muller transforms of XXH64 counter hashes (seeded by plane
+    * index, `StrictMath` for cross-JVM determinism) — no stored model, any
+    * dimension; plane vectors are precomputed once per JVM and cached, so
+    * the hot path is a plain dot product. Vectors with high cosine
+    * similarity collide with probability exactly `1 − θ/π` per bit
+    * (Goemans–Williamson / Charikar SimHash analysis) — the guarantee the
+    * banding-formula parameter derivation in `AnnParams` inverts. The
+    * previous Rademacher (±1 bits of one hash word) family was measurably
+    * biased for structured fixture vectors: global sign-agreement matched
+    * 1 − θ/π but disagreements anti-clustered across plane indices, so
+    * banded shapes missed boundary pairs far above the formula rate.
+    * `planeOffset` shifts the plane seeds so banded variants (B
+    * independent bucket tables) draw disjoint hyperplanes. */
   case class HyperplaneBucket(child: Expression, nBits: Int,
       planeOffset: Int = 0) extends UnaryExpression {
     require(nBits > 0 && nBits <= 30, "nBits must be in 1..30")
@@ -95,24 +103,46 @@ object VectorExpressions {
     override def prettyName: String = "hyperplane_bucket"
   }
 
+  // plane cache: (global plane index, dim) → Gaussian direction. Filled
+  // once per JVM (executors derive identical planes — pure function of the
+  // key), read lock-free on the hot path. Size is tiny: even a 256-band ×
+  // 10-bit shape over 64 dims is 2,560 vectors ≈ 1.3 MB.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  /** Deterministic Gaussian plane `q` for dimension `dim`: component `i`
+    * is Box–Muller over two counter-mode XXH64 draws. StrictMath keeps
+    * log/cos bit-identical across JVMs/architectures, so every executor
+    * derives the same plane with no broadcast. */
+  private[functions] def plane(q: Int, dim: Int): Array[Double] = {
+    val key = (q.toLong << 32) | (dim.toLong & 0xffffffffL)
+    var g = planeCache.get(key)
+    if (g == null) {
+      g = Array.tabulate(dim) { i =>
+        // u1 ∈ (0, 1] (never 0 → log defined); u2 ∈ [0, 1)
+        val u1 = ((XXH64.hashLong(i.toLong, 2L * q) >>> 11) + 1).toDouble *
+          1.1102230246251565e-16
+        val u2 = (XXH64.hashLong(i.toLong, 2L * q + 1) >>> 11).toDouble *
+          1.1102230246251565e-16
+        StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+          StrictMath.cos(2.0 * Math.PI * u2)
+      }
+      planeCache.putIfAbsent(key, g)
+    }
+    g
+  }
+
   /** Static eval used by HyperplaneBucket's generated code. */
   def hyperplaneEval(input: ArrayData, nBits: Int, planeOffset: Int): Int = {
     val v = floatsOf(input)
     var bucket = 0
     var p = 0
     while (p < nBits) {
+      val g = plane(planeOffset + p, v.length)
       var s = 0.0
       var i = 0
-      var word = 0L
       while (i < v.length) {
-        // 64 ±1 components per XXH64 word; the word depends only on the
-        // 64-element block index and the plane, so hash once per block
-        // boundary, not per element (64x fewer hash calls on the q43/q48
-        // hot path; buckets are bit-identical)
-        if ((i & 63) == 0)
-          word = XXH64.hashLong((i >> 6).toLong, (planeOffset + p).toLong)
-        val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
-        s += sign * v(i)
+        s += g(i) * v(i)
         i += 1
       }
       if (s > 0) bucket |= (1 << p)

@@ -71,8 +71,21 @@ object AnnParams {
     * Clamps: r ∈ [2, 24], b ∈ [1, `maxBands`] (default 256). The b-clamp
     * is a visible cap: when it binds, achieved recall is below R —
     * callers that must not silently under-recall check [[bandedRecall]]
-    * (the spec suite does exactly that). */
-  def bandedLsh(n: Long, threshold: Double, targetRecall: Double = 0.9,
+    * (the spec suite does exactly that).
+    *
+    * Default target is 0.98, not 0.9: declared queries are user-facing
+    * deduplication output, and a 1-in-10 boundary miss is a visible wrong
+    * answer on a deterministic corpus (round 5 hit exactly this — the
+    * sf0.01 fixture's one true pair at cosine 0.513 fell in the 0.9
+    * shape's 9% miss mass). 0.9 → 0.98 costs ln(.02)/ln(.1) ≈ 1.7× bands.
+    * Multi-probe banding (probe Hamming≤1 buckets, Lv et al. 2007) was
+    * evaluated as the alternative: at this operating point (threshold 0.5,
+    * p = 2/3, r = 7) it cuts bands 65 → 13 but each probe-side vector
+    * emits (1+r)× keys and random-pair collisions rise (1+r)/2^r per
+    * band — total cost modeled ≈ 1.2× the single-probe shape, so the
+    * simpler family stays. (At HIGH thresholds multi-probe wins; worth
+    * revisiting if a 0.9+-threshold declared query ever needs bands cut.) */
+  def bandedLsh(n: Long, threshold: Double, targetRecall: Double = 0.98,
       maxBands: Int = 256): (Int, Int) = {
     require(threshold > -1.0 && threshold < 1.0, s"cosine threshold: $threshold")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall: $targetRecall")

@@ -463,11 +463,13 @@ object VectorOps extends OpCatalog {
     * least one band, then candidates get the identical exact-cosine verify
     * as q46. The (B, r) shape is DERIVED from the corpus
     * ([[AnnParams.bandedLsh]]): B inverts the banding recall formula for
-    * ≥0.9 recall at the 0.5 threshold and r balances hashing against
-    * random-candidate cost — 39×7 at the 2k fixture (the round-4 fixed
+    * ≥0.98 recall at the 0.5 threshold and r balances hashing against
+    * random-candidate cost — 65×7 at the 2k fixture (the round-4 fixed
     * 8×4 gave ~0.84 recall at the boundary AND its 4-bit bands caught a
     * constant 1/16 of all n² random pairs, which only looked linear
-    * because n was small).
+    * because n was small; the first derived shape targeted 0.9 and
+    * promptly dropped the sf0.01 fixture's one boundary pair — a declared
+    * query gets the high target).
     * Recall at boundary similarity is measured against exact pairs with
     * the derived parameters at two corpus sizes in `ScaleStressSpec`.
     *

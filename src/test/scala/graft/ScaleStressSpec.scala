@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   * Measured in this environment (seeded, reproducible; 100× points under
   * GRAFT_SCALE_100X=1 — see [[run100x]]):
   *   text 240 / 2,400 / 24,240 docs: cands/doc 0.143 / 0.143 / 0.143
-  *   (log-log exponent 1.00), minhash recall 0.9750 / 0.9875 / 0.9918
-  *   emb n=300/1,500/15,000, derived shapes (17,5)/(39,7)/(132,10):
-  *   recall 0.8867 / 0.9147 / 0.9081 (theory 0.916 / 0.914 / 0.913)
+  *   (log-log exponent 1.00), minhash recall 1.0000 / 0.9925 / 0.9908
+  *   (round-5 md5-affine permutation family — the DuckDB-replayable one)
+  *   emb n=300/1,500/15,000, derived shapes (28,5)/(65,7)/(224,10) at
+  *   the 0.98 target: recall 0.9800 / 0.9840 / 0.9840 (theory 0.983 /
+  *   0.983 / 0.984 — the Gaussian-plane family tracks the banding
+  *   formula to 3 decimals where the old Rademacher one sat 3–9 points
+  *   under it and once missed a declared fixture pair outright)
   *   CC star rounds: 64 / 512 / 4096-node chains = 7 / 10 / 12 (each 8×
   *   diameter step adds ~log2(8)=3 rounds; min-label propagation would
   *   need +448 and +3584)
@@ -144,19 +148,20 @@ class ScaleStressSpec extends SparkSpec {
   }
 
   test("banded hyperplane-LSH recall holds at boundary cosine with DERIVED params at both sizes") {
-    // AnnParams.bandedLsh targets recall >= 0.9 at the 0.5 threshold; the
+    // AnnParams.bandedLsh targets recall >= 0.98 at the 0.5 threshold; the
     // planted pairs sit at boundary s=0.51 where banding is weakest. The
     // round-4 FIXED 8×4 shape measured 0.78 at n=300 — under corpus growth
     // a fixed shape drifts; the derived shape must hold its target at
-    // both sizes (floor 0.8 = target − planted-sample noise margin).
+    // both sizes (floor 0.9 = target − planted-sample noise margin).
     import graft.operators.AnnParams
-    // measured in this environment (2026-08, GRAFT_SCALE_100X run):
-    // recall 0.8867 / 0.9147 / 0.9081 at n = 300 / 1,500 / 15,000 (50×)
-    // vs theory 0.9156 / 0.9135 / 0.9130, derived shapes (17,5) / (39,7)
-    // / (132,10) — the derived shape holds its target as both n and the
-    // shape grow; the n² exact-pair subset cross-check runs where n² is
-    // affordable (soundness at the big size holds by construction: every
-    // candidate is exact-cosine verified before thresholding)
+    // measured in this environment (2026-08, GRAFT_SCALE_100X run,
+    // Gaussian planes + 0.98 target): recall 0.9800 / 0.9840 / 0.9840 at
+    // n = 300 / 1,500 / 15,000 (50×) vs theory 0.9830 / 0.9831 / 0.9841,
+    // derived shapes (28,5) / (65,7) / (224,10) — measurement sits on the
+    // formula line at every size; the n² exact-pair subset cross-check
+    // runs where n² is affordable (soundness at the big size holds by
+    // construction: every candidate is exact-cosine verified before
+    // thresholding)
     val measured = (Seq(300, 1500) ++ (if (run100x) Seq(15000) else Nil))
       .map { n =>
         val e = embCorpus(n, s = 0.51)
@@ -173,10 +178,10 @@ class ScaleStressSpec extends SparkSpec {
         val predicted = AnnParams.bandedRecall(bands, rowBits, 0.51)
         info(f"emb n=$n bands=$bands rowBits=$rowBits planted=${planted.size} " +
           f"recall=$recall%.4f (theory $predicted%.4f)")
-        assert(predicted >= 0.9, f"derived shape predicts $predicted%.3f < target")
+        assert(predicted >= 0.98, f"derived shape predicts $predicted%.3f < target")
         recall
       }
-    measured.foreach(r => assert(r >= 0.8, f"boundary recall $r%.3f < 0.8"))
+    measured.foreach(r => assert(r >= 0.9, f"boundary recall $r%.3f < 0.9"))
   }
 
   test("contamination screen per-doc cost is benchmark-size-insensitive (sorted intersect)") {

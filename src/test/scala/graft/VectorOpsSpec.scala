@@ -171,21 +171,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs(VectorOps.embeddingNeardupLsh(spark, sfDir)) == fixtureBlocked)
   }
 
-  test("hyperplane bucket: block-hoisted hash is bit-identical to per-element spec") {
+  test("hyperplane bucket: cached-plane eval is bit-identical to the definitional form") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    // the definitional (unhoisted) form: one XXH64 call per element — the
-    // production eval hoists the word per 64-element block; buckets must
-    // be bit-identical for every vector length, including non-multiples
-    // of 64 and >1 blocks
+    // the definitional form, spelled out independently of the production
+    // code: plane q's component i is Box–Muller over two counter-mode
+    // XXH64 draws (seeds 2q and 2q+1), StrictMath transcendentals; the
+    // production eval reads a per-JVM plane cache — buckets must be
+    // bit-identical for every vector length and plane offset
     def naive(v: Array[Float], nBits: Int, planeOffset: Int): Int = {
       var bucket = 0
       for (p <- 0 until nBits) {
+        val q = planeOffset + p
         var s = 0.0
         for (i <- v.indices) {
-          val word = XXH64.hashLong((i >> 6).toLong, (planeOffset + p).toLong)
-          val sign = if (((word >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
-          s += sign * v(i)
+          val u1 = ((XXH64.hashLong(i.toLong, 2L * q) >>> 11) + 1).toDouble *
+            1.1102230246251565e-16
+          val u2 = (XXH64.hashLong(i.toLong, 2L * q + 1) >>> 11).toDouble *
+            1.1102230246251565e-16
+          val g = StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+            StrictMath.cos(2.0 * Math.PI * u2)
+          s += g * v(i)
         }
         if (s > 0) bucket |= (1 << p)
       }
@@ -200,11 +206,36 @@ class VectorOpsSpec extends SparkSpec {
           == naive(v, bits, off), s"len=$len bits=$bits off=$off")
       }
     }
-    // fixed-vector golden: pins the seed/word layout across refactors
+    // fixed-vector golden: pins the plane derivation across refactors
     val fixed = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val fixedAd = new GenericArrayData(fixed.map(x => x: Any))
-    assert(VectorExpressions.hyperplaneEval(fixedAd, 8, 0) == 136)
-    assert(naive(fixed, 8, 0) == 136)
+    val golden = VectorExpressions.hyperplaneEval(fixedAd, 8, 0)
+    assert(golden == naive(fixed, 8, 0))
+    assert(golden == 80, s"golden bucket drifted: $golden")
+    // collision law the AnnParams derivation inverts: for Gaussian planes
+    // sign-agreement of a pair at angle θ is exactly 1 − θ/π; check the
+    // empirical rate over many planes for a known-angle pair (±3σ band)
+    val a = Array.tabulate(64)(i => math.cos(i * 0.37).toFloat)
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val b0 = Array.tabulate(64)(i => math.sin(i * 0.59 + 1).toFloat)
+    val aU = a.map(_ / na)
+    val dotAb = aU.zip(b0).map { case (x, y) => x * y.toDouble }.sum
+    val orth = b0.zip(aU).map { case (y, x) => y - (dotAb * x).toFloat }
+    val no = math.sqrt(orth.map(x => x.toDouble * x).sum)
+    val s0 = 0.5128
+    val pair = aU.zip(orth).map { case (x, y) =>
+      (s0 * x + math.sqrt(1 - s0 * s0) * y / no).toFloat }
+    val adA = new GenericArrayData(aU.map(x => x.toFloat: Any))
+    val adB = new GenericArrayData(pair.map(x => x: Any))
+    val trials = 4000
+    val agree = (0 until trials).count { q =>
+      VectorExpressions.hyperplaneEval(adA, 1, q) ==
+        VectorExpressions.hyperplaneEval(adB, 1, q)
+    }.toDouble / trials
+    val pTheory = 1.0 - math.acos(s0) / math.Pi
+    val sigma = math.sqrt(pTheory * (1 - pTheory) / trials)
+    assert(math.abs(agree - pTheory) <= 3 * sigma,
+      f"sign-agreement $agree%.4f vs theory $pTheory%.4f (3σ=${3 * sigma}%.4f)")
   }
 
   test("semantic dedup clusters == driver-side union-find on the same pairs (q78)") {
