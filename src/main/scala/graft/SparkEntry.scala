@@ -16,6 +16,7 @@ object SparkEntry {
     operators.EventOps,
     operators.TextOps,
     operators.PipelineOps,
+    operators.CurationOps,
     operators.VectorOps,
     operators.IngestOps,
     operators.MultimodalOps)

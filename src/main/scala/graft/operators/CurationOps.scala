@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{GraftSession, Op, OpCatalog, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators for the curation pipeline (round 5):
+  * per-source document caps, cross-doc boilerplate n-gram detection,
+  * deterministic content-hash train/valid/test splits, and the token
+  * frequency spectrum — the "who gets into the corpus, and how is it
+  * carved up" layer that sits above [[TextOps]]' dedup ladder in a web-
+  * scale ingest (reference scope: the importer loads whole files
+  * verbatim, `app.py:96-106`; these govern WHAT is worth loading).
+  *
+  * All four are oracle-declared: every decision predicate is integer
+  * arithmetic (LCG / md5-hex-nibble hashes, `k·df ≥ n` threshold forms)
+  * so both engines agree bit-for-bit, and every emitted double is one
+  * `round(·, 4)` of a ratio of exact integers.
+  */
+object CurationOps extends OpCatalog {
+
+  /** Exploded (source, doc_id, word) tokens — same lower+space-split
+    * contract as [[TextOps]]/[[PipelineOps]] (`string_split(lower(text),
+    * ' ')` on the DuckDB side). */
+  private def tok(spark: SparkSession, sfDir: String): DataFrame =
+    GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        split(lower(col("text")), " ").as("w"))
+
+  // ---------------------------------------------------------------- q94
+  /** Per-source document cap — the domain-cap of a web crawl curation run
+    * (no single site may contribute more than CAP documents). Survivors
+    * are chosen by a deterministic hash priority, NOT arrival order, so
+    * the kept set is stable under corpus re-partitioning and re-runs:
+    * priority `h = (doc_id·1103515245 + 12345) mod 1e9+7` (the fixture
+    * LCG family q64 established), total-ordered by `(h, doc_id)`.
+    *
+    * Scale shape: a per-key top-K is the canonical SKEWED window — one
+    * hot domain (the real distribution is Zipfian) would naively sort its
+    * entire partition on one task. Spark's `InferWindowGroupLimit` rule
+    * makes the declarative form skew-safe BY ITSELF: the `rn ≤ CAP`
+    * filter over a `row_number` window compiles to a
+    * `WindowGroupLimit(Partial)` BELOW the exchange (each map task keeps
+    * only its local top-CAP per source, a bounded-heap pass) and a
+    * `Final` one above it, so the hot key's reducer receives at most
+    * tasks·CAP rows, never the domain's full row count. A hand-salted
+    * two-level window was written first and benchmarked structurally: it
+    * produces the identical kept set but adds a whole extra exchange on
+    * `(source, salt)` — the optimizer's map-side prune already IS the
+    * salting. `CurationOpsSpec` pins the Partial-below-exchange plan
+    * shape so a regression (e.g. a non-rank predicate defeating the
+    * rule) fails loudly. */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    sourceCapOf(Tables.documents(spark, sfDir), cap = 150)
+  }
+
+  /** Core of q94 over any (source, doc_id) frame — spec entry point. */
+  private[graft] def sourceCapOf(docs: DataFrame, cap: Int): DataFrame = {
+    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+      lit(1000000007L))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.select(col("source"), col("doc_id")).withColumn("h", h)
+      .withColumn("rn", row_number().over(global).cast("long"))
+      .filter(col("rn") <= cap)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val sourceCapSql =
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id*1103515245 + 12345) % 1000000007, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 150
+      |ORDER BY source, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** Cross-doc boilerplate n-grams per source: token 3-grams shared by
+    * many documents of the SAME source are navigation chrome / legal
+    * footers / templating, not content (the line-level dedup insight of
+    * CCNet, at shingle granularity because the fixture corpus is
+    * single-line). Reports each source's top-3 grams by document
+    * frequency with the boilerplate verdict `5·df ≥ n_src` (df-rate
+    * ≥ 20%) — in INTEGER form, so the flag is hash-exact cross-engine.
+    *
+    * Scale: distinct-(source, doc, gram) then two aggs — all shuffles
+    * key on gram-bearing composites (no hot single key); the per-source
+    * doc-count side is sources-sized and broadcast by AQE. The top-3
+    * window sees vocabulary-sized rows per source, never corpus-sized. */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val grams = tok(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.NGramGenerator.ngrams(col("w"), 3)
+          .as(Seq("pos", "ngram")))
+      .select(col("source"), col("doc_id"), col("ngram"))
+      .distinct()
+    val df = grams.groupBy(col("source"), col("ngram"))
+      .agg(count(lit(1)).as("df"))
+    val nSrc = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val top = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("ngram").asc)
+    df.join(nSrc, "source")
+      .withColumn("rn", row_number().over(top))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("ngram"), col("df"), col("n_src"),
+        round(col("df") / col("n_src").cast("double"), 4).as("df_rate"),
+        (col("df") * 5 >= col("n_src")).as("is_boilerplate"))
+      .orderBy(col("source"), col("df").desc, col("ngram"))
+  }
+
+  private val boilerplateNgramsSql =
+    """WITH tok AS (
+      |  SELECT source, doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+      |  FROM tok),
+      |df AS (SELECT source, ngram, count(*) AS df FROM g GROUP BY 1, 2),
+      |ns AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT df.source, ngram, df, n_src,
+      |    row_number() OVER (PARTITION BY df.source
+      |      ORDER BY df DESC, ngram) AS rn
+      |  FROM df JOIN ns ON df.source = ns.source)
+      |SELECT source, ngram, df, n_src,
+      |  round(df / CAST(n_src AS DOUBLE), 4) AS df_rate,
+      |  df * 5 >= n_src AS is_boilerplate
+      |FROM r WHERE rn <= 3
+      |ORDER BY source, df DESC, ngram""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Deterministic train/valid/test split audit. Assignment hashes the
+    * CONTENT, not the row id: bucket = last-4-hex-nibbles of md5(text)
+    * mod 100 → <90 train, <95 valid, else test — so a document keeps its
+    * split across re-shards, re-crawls and pipeline re-runs (the
+    * leakage-safety property; an id- or position-based split reassigns
+    * docs whenever upstream ordering changes, silently moving training
+    * text into eval). Reports per-(split, lang) counts and the
+    * within-lang share — the stratification audit that shows a pure
+    * hash split self-stratifies at corpus scale.
+    *
+    * Cross-engine: md5 hex is identical in both engines (q38
+    * established); the nibble slice is parsed with `conv(·,16,10)` /
+    * `'0x·'::BIGINT`, integer thereafter. Scale: one scan, one agg;
+    * the window runs over ≤ |splits|·|langs| rows. */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    splitAssignOf(Tables.documents(spark, sfDir))
+  }
+
+  /** Core of q96 over any (text, lang) frame — spec entry point. */
+  private[graft] def splitAssignOf(docs: DataFrame): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
+    val lang = Window.partitionBy(col("lang"))
+    docs
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(lang))
+      .select(col("split"), col("lang"), col("n"), col("lang_total"),
+        round(col("n") / col("lang_total").cast("double"), 4).as("share"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val splitAssignSql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT CASE WHEN bucket < 90 THEN 'train'
+      |              WHEN bucket < 95 THEN 'valid'
+      |              ELSE 'test' END AS split, lang FROM b),
+      |c AS (SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT split, lang, n,
+      |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+      |  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4)
+      |    AS share
+      |FROM c ORDER BY split, lang""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Token frequency spectrum (frequency-of-frequencies): for each corpus
+    * frequency c, how many word types occur exactly c times. The hapax
+    * row (c=1) over the vocabulary total is the classic OCR-garbage /
+    * tokenizer-damage tripwire, and the spectrum's Zipf tail is what
+    * vocabulary-size planning reads. Share is each row's fraction of the
+    * vocabulary.
+    *
+    * Scale: the spectrum is two map-side-combining aggs (corpus → word
+    * counts → count-of-counts); the frame entering the second agg is
+    * vocabulary-sized and its output is O(distinct frequencies) — tiny.
+    * The vocabulary total rides in as a broadcast 1-row frame (q63's N
+    * pattern), not a global window. */
+  def tokenFreqSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val wc = tok(spark, sfDir)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val vocab = wc.agg(count(lit(1)).as("vocab"))
+    wc.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(vocab))
+      .select(col("freq"), col("n_types"), col("vocab"),
+        round(col("n_types") / col("vocab").cast("double"), 4).as("share"))
+      .orderBy(col("freq"))
+  }
+
+  private val tokenFreqSpectrumSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+      |sp AS (SELECT freq, count(*) AS n_types FROM wc GROUP BY 1),
+      |v AS (SELECT count(*) AS vocab FROM wc)
+      |SELECT freq, n_types, vocab,
+      |  round(n_types / CAST(vocab AS DOUBLE), 4) AS share
+      |FROM sp, v ORDER BY freq""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("q94_source_cap", sourceCap, Some(sourceCapSql),
+      "per-source document cap by deterministic hash priority (salted two-level window, domain-cap shape)"),
+    Op("q95_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql),
+      "cross-doc boilerplate 3-grams per source (CCNet line-dedup shape at shingle granularity)"),
+    Op("q96_split_assign", splitAssign, Some(splitAssignSql),
+      "content-hash train/valid/test split with per-lang stratification audit (leakage-safe md5 buckets)"),
+    Op("q97_token_freq_spectrum", tokenFreqSpectrum, Some(tokenFreqSpectrumSql),
+      "token frequency spectrum + hapax share (Zipf / vocabulary diagnostics)"))
+}

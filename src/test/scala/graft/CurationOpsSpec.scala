@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Laws for the corpus-governance operators (q94–q97) that the DuckDB
+  * oracles cannot see: the salted-window equivalence under skew, split
+  * stability under re-partitioning, and the spectrum's conservation
+  * identities.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("q94: cap is map-side pruned — Partial WindowGroupLimit sits BELOW the exchange") {
+    import spark.implicits._
+    // one hot source (Zipf head) + several small ones
+    val docs = ((1L to 4000L).map(i => (i, "hot")) ++
+      (4001L to 4400L).map(i => (i, s"cold${i % 7}"))).toDF("doc_id", "source")
+    val cap = 50
+    val out = CurationOps.sourceCapOf(docs, cap)
+    // skew-safety evidence: InferWindowGroupLimit must keep each map
+    // task's contribution to a hot source bounded at CAP before any
+    // shuffle — if the rank predicate ever stops qualifying (e.g. a
+    // non-row_number rank or a rewritten filter), the Partial node
+    // vanishes and the hot key's reducer sees the full domain again
+    val plan = out.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0, s"no WindowGroupLimit in plan:\n$plan")
+    assert(plan.contains("Partial"), s"no Partial (map-side) group limit:\n$plan")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.count(_._1 == "hot") == cap)
+    assert(rows.groupBy(_._1).values.forall(_.length <= cap))
+    // survivor set for the hot source = the cap smallest (h, doc_id)
+    val h = (id: Long) => ((id * 1103515245L + 12345L) % 1000000007L + 1000000007L) % 1000000007L
+    val expectHot = (1L to 4000L).sortBy(id => (h(id), id)).take(cap).toSet
+    assert(rows.filter(_._1 == "hot").map(_._2).toSet == expectHot)
+  }
+
+  test("q94: kept set is stable under input re-partitioning (hash priority, not arrival order)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = CurationOps.sourceCapOf(docs, cap = 20).collect().toSeq
+    val b = CurationOps.sourceCapOf(docs.repartition(13).sortWithinPartitions(col("n_chars")), cap = 20)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("q95: top-3 per source; integer flag agrees with the 20% rate it encodes") {
+    val out = CurationOps.boilerplateNgrams(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length <= 3))
+    rows.foreach { r =>
+      val df = r.getLong(2); val n = r.getLong(3)
+      assert(r.getBoolean(5) == (df * 5 >= n))
+      assert(math.abs(r.getDouble(4) - df.toDouble / n) < 5e-5)
+    }
+  }
+
+  test("q96: assignment is a pure function of content — stable under re-partition + shares sum to 1") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = CurationOps.splitAssignOf(docs).collect().toSeq
+    // same corpus, violently re-ordered and re-keyed upstream (doc_id
+    // dropped entirely): assignment hashes content, so nothing may move
+    val b = CurationOps.splitAssignOf(
+      docs.drop("doc_id").repartition(17).sortWithinPartitions(col("n_chars")))
+      .collect().toSeq
+    assert(a == b)
+    val perLang = a.groupBy(_.getString(1))
+    perLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
+      // train must dominate (the 90% bucket) at every lang at this SF
+      val train = rows.find(_.getString(0) == "train").map(_.getLong(2)).getOrElse(0L)
+      assert(train * 2 > rows.head.getLong(3), s"train share too small: $rows")
+    }
+  }
+
+  test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
+    val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
+    val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .count()
+    val vocab = sp.head.getLong(2)
+    assert(sp.map(r => r.getLong(0) * r.getLong(1)).sum == tokens)
+    assert(sp.map(_.getLong(1)).sum == vocab)
+    assert(sp.forall(r => r.getLong(2) == vocab))
+  }
+}
