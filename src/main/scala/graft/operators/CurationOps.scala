@@ -226,6 +226,152 @@ object CurationOps extends OpCatalog {
       |  round(n_types / CAST(vocab AS DOUBLE), 4) AS share
       |FROM sp, v ORDER BY freq""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Greedy k-center diversity coreset over the embedding corpus — the
+    * coverage-maximizing sample of coreset-selection literature (pick
+    * the point farthest from everything picked so far; the k selected
+    * centers 2-approximate the optimal k-center cover). Reports each
+    * seed with the covering radius at its selection (the max-min
+    * distance it closed) and how many corpus vectors assign to it.
+    *
+    * Cross-engine determinism is the interesting part: selection argmax
+    * and assignment argmin both order by the ROUNDED distance
+    * `(round(d², 4), vec_id)` — the q63 rule: rank on the exact value
+    * you output, with a total-order integer tiebreak — so last-ulp sum
+    * differences between engines can never flip a pick. Distances are
+    * squared L2 computed in-row over doubles (no cross-row float
+    * accumulation); the oracle replays all 8 selection steps as
+    * mechanically-generated SQL CTEs.
+    *
+    * Scale: greedy k-center is O(n·k) scans BY DESIGN — each iteration
+    * is one broadcast-literal compare + `TakeOrderedAndProject` (never a
+    * full sort), and the running min-distance column updates in place
+    * with `least(...)`, checkpointed per round like the IVF trainer. At
+    * 100 TB the same loop runs over a uniform sample or the
+    * [[IvfIndex]] centroid table (coreset-of-coreset), and k stays
+    * human-sized; the assignment pass is one broadcast of k·dim floats
+    * and a packed-long argmin that stays in HashAggregate (q92's
+    * pattern). The k driver-side 1-row collects are the k-centroids
+    * broadcast pattern, not a data collect. */
+  def diversityCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    diversityCoresetOf(Tables.embeddings(spark, sfDir), k = 8)
+  }
+
+  private def sqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Core of q98 over any (vec_id, embedding) frame — spec entry point. */
+  private[graft] def diversityCoresetOf(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val corpus = e.select(col("vec_id"), col("embedding")).localCheckpoint()
+    def embOf(row: org.apache.spark.sql.Row): Array[Float] =
+      row.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // seed 1: smallest vec_id (pure convention, total-ordered)
+    val first = corpus.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centers = Vector((1, first.getLong(0), Option.empty[Double], embOf(first)))
+    var frame = corpus
+      .withColumn("mind", sqDist(col("embedding"), typedlit(centers.head._4)))
+      .localCheckpoint()
+    for (rank <- 2 to k) {
+      val next = frame
+        .orderBy(round(col("mind"), 4).desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      val emb = embOf(next)
+      centers :+= ((rank, next.getLong(0),
+        Some(math.round(next.getDouble(2) * 10000.0) / 10000.0), emb))
+      frame = frame
+        .withColumn("mind",
+          least(col("mind"), sqDist(col("embedding"), typedlit(emb))))
+        .localCheckpoint()
+    }
+    val centerDf = broadcast(
+      centers.map { case (r, id, rad, em) => (r.toLong, id, rad, em) }
+        .toDF("seed_rank", "center_id", "radius", "center_emb"))
+    // assignment: packed (round(d²,4)·1e4, seed_rank) argmin per vector —
+    // stays in HashAggregate (k ≤ 15 fits the low nibble)
+    val packed = corpus.crossJoin(centerDf)
+      .select(col("vec_id"), col("seed_rank"),
+        (round(round(sqDist(col("embedding"), col("center_emb")), 4) *
+          lit(10000.0), 0).cast("long") * 16L + col("seed_rank")).as("pk"))
+      .groupBy(col("vec_id")).agg(min(col("pk")).as("pk"))
+      .select(pmod(col("pk"), lit(16L)).as("seed_rank"))
+      .groupBy(col("seed_rank")).agg(count(lit(1)).as("n_assigned"))
+    centerDf.select(col("seed_rank"), col("center_id"), col("radius"))
+      .join(packed, Seq("seed_rank"), "left")
+      .select(col("seed_rank"), col("center_id"), col("radius"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+      .orderBy(col("seed_rank"))
+  }
+
+  /** Mechanically-generated 8-step replay of the greedy selection: CTE
+    * `c<i>` picks step i's argmax of the running min-distance `m<i-1>`
+    * by `(round(mind,4) DESC, vec_id)`, `d<i>`/`m<i>` fold the new
+    * center's distances in with `least`. */
+  private val diversityCoresetSql: String = {
+    val steps = (2 to 8).map { i =>
+      s"""d$i AS (
+         |  SELECT a.vec_id, sum((a.v - b.v)*(a.v - b.v)) AS d
+         |  FROM dims a JOIN dims b ON a.i = b.i
+         |    AND b.vec_id = (SELECT id FROM c$i)
+         |  GROUP BY a.vec_id),
+         |m$i AS (
+         |  SELECT m.vec_id, least(m.mind, d$i.d) AS mind
+         |  FROM m${i - 1} m JOIN d$i ON m.vec_id = d$i.vec_id)""".stripMargin
+    }
+    val picks = (2 to 8).map { i =>
+      s"""c$i AS (
+         |  SELECT vec_id AS id, round(mind, 4) AS r FROM m${i - 1}
+         |  ORDER BY round(mind, 4) DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    // interleave: c2 needs m1; d2/m2 need c2; c3 needs m2; ...
+    val chain = (2 to 8).map(i => picks(i - 2) + ",\n" + steps(i - 2))
+      .mkString(",\n")
+    val centerRows = (2 to 8)
+      .map(i => s"UNION ALL SELECT $i, (SELECT id FROM c$i), (SELECT r FROM c$i)")
+      .mkString("\n")
+    s"""WITH dims AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |c1 AS (SELECT min(vec_id) AS id FROM embeddings),
+       |d1 AS (
+       |  SELECT a.vec_id, sum((a.v - b.v)*(a.v - b.v)) AS d
+       |  FROM dims a JOIN dims b ON a.i = b.i
+       |    AND b.vec_id = (SELECT id FROM c1)
+       |  GROUP BY a.vec_id),
+       |m1 AS (SELECT vec_id, d AS mind FROM d1),
+       |$chain,
+       |centers AS (
+       |  SELECT 1 AS seed_rank, (SELECT id FROM c1) AS center_id,
+       |    CAST(NULL AS DOUBLE) AS radius
+       |$centerRows),
+       |cd AS (
+       |  SELECT a.vec_id, c.seed_rank,
+       |    sum((a.v - b.v)*(a.v - b.v)) AS d
+       |  FROM dims a
+       |  JOIN centers c ON true
+       |  JOIN dims b ON b.vec_id = c.center_id AND a.i = b.i
+       |  GROUP BY a.vec_id, c.seed_rank),
+       |asg AS (
+       |  SELECT vec_id, seed_rank,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(d, 4), seed_rank) AS rn
+       |  FROM cd)
+       |SELECT c.seed_rank, c.center_id, c.radius,
+       |  CAST(coalesce(count(a.vec_id), 0) AS BIGINT) AS n_assigned
+       |FROM centers c
+       |LEFT JOIN (SELECT * FROM asg WHERE rn = 1) a ON a.seed_rank = c.seed_rank
+       |GROUP BY c.seed_rank, c.center_id, c.radius
+       |ORDER BY c.seed_rank""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (salted two-level window, domain-cap shape)"),
@@ -234,5 +380,7 @@ object CurationOps extends OpCatalog {
     Op("q96_split_assign", splitAssign, Some(splitAssignSql),
       "content-hash train/valid/test split with per-lang stratification audit (leakage-safe md5 buckets)"),
     Op("q97_token_freq_spectrum", tokenFreqSpectrum, Some(tokenFreqSpectrumSql),
-      "token frequency spectrum + hapax share (Zipf / vocabulary diagnostics)"))
+      "token frequency spectrum + hapax share (Zipf / vocabulary diagnostics)"),
+    Op("q98_diversity_coreset", diversityCoreset, Some(diversityCoresetSql),
+      "greedy k-center diversity coreset (k=8): rounded-key selection replayed step-by-step in the oracle, packed-argmin assignment"))
 }

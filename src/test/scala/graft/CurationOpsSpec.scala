@@ -75,6 +75,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q98: coreset == driver-side brute-force greedy; radii non-increasing; counts conserve") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = CurationOps.diversityCoresetOf(e, k = 8).collect()
+    assert(out.length == 8)
+    // brute-force replay with the same rounded-key selection rule
+    val vecs = e.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    var centers = Vector(vecs.head)
+    var mind = vecs.map(v => d2(v._2, vecs.head._2))
+    var expect = Vector[(Long, Option[Double])]((vecs.head._1, None))
+    for (_ <- 2 to 8) {
+      val pick = vecs.indices.minBy(i => (-r4(mind(i)), vecs(i)._1))
+      expect :+= ((vecs(pick)._1, Some(r4(mind(pick)))))
+      centers :+= vecs(pick)
+      mind = vecs.indices.map(i =>
+        math.min(mind(i), d2(vecs(i)._2, vecs(pick)._2))).toArray
+    }
+    assert(out.map(r => (r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toVector == expect)
+    // greedy law: each step closes a smaller (or equal) gap
+    val radii = out.drop(1).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getLong(3)).sum == e.count())
+    assert(out.map(_.getLong(1)).distinct.length == 8)
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")

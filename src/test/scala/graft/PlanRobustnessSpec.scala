@@ -44,7 +44,9 @@ class PlanRobustnessSpec extends SparkSpec {
       "q40_cosine_topk",        // crossJoin(broadcast(the single query vector))
       "q84_heavy_hitters",      // crossJoin(broadcast(1-row sketch+total frame))
       "q45_ann_ivf",            // crossJoin(broadcast(the single query vector))
-      "q80_filtered_cosine_topk" // crossJoin(broadcast(the single query vector))
+      "q80_filtered_cosine_topk", // crossJoin(broadcast(the single query vector))
+      "q97_token_freq_spectrum",  // crossJoin(broadcast(1-row vocab-total scalar))
+      "q98_diversity_coreset"     // crossJoin(broadcast(k=8 selected centers))
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(
