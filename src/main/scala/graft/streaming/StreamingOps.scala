@@ -106,6 +106,40 @@ object StreamingOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  final case class DocArrival(doc_id: Long, source: String)
+  final case class CapState(admitted: Long)
+  final case class AdmittedDoc(source: String, doc_id: Long)
+
+  /** Streaming twin of q94's per-source cap, as ADMISSION CONTROL: a
+    * stream cannot rank by global hash priority (ranking needs the whole
+    * corpus), so the streaming semantics are "first CAP arrivals per
+    * source win" — the ingest-quota rule a crawl frontier actually
+    * enforces online. `flatMapGroupsWithState` keeps ONE long per source
+    * (admitted-so-far); each micro-batch admits in doc_id order (the
+    * iterator's order is not contractual, so sorting the micro-batch
+    * group makes replays deterministic) and emits only admitted docs.
+    * Once a source hits its cap the state stops growing and later
+    * arrivals are dropped at the group head — O(#sources) total state,
+    * forever. `StreamingSpec` proves stream==batch: fed doc_id-ordered
+    * micro-batches, the admitted set equals the batch
+    * `row_number over (source ORDER BY doc_id) ≤ cap`. */
+  def sourceCapStream(docs: Dataset[DocArrival], cap: Int): Dataset[AdmittedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[CapState, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocArrival], state: GroupState[CapState]) =>
+          val prev = state.getOption.map(_.admitted).getOrElse(0L)
+          val room = math.max(0L, cap - prev).toInt
+          val admitted =
+            if (room == 0) Seq.empty
+            else rows.toSeq.sortBy(_.doc_id).take(room)
+          if (admitted.nonEmpty) state.update(CapState(prev + admitted.length))
+          admitted.iterator.map(d => AdmittedDoc(source, d.doc_id))
+      }
+  }
+
   final case class UserEvent(event_id: Long, user_id: Long, ms: Long,
       event_type: String)
   final case class UserState(nEvents: Long, lastMs: Long)

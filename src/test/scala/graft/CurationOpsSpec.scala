@@ -107,6 +107,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length == 8)
   }
 
+  test("q94 streaming twin: stateful admission cap == batch first-cap-by-arrival, state survives batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DocArrival
+    implicit val sc = spark.sqlContext
+    val cap = 20
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => DocArrival(r.getLong(0), r.getString(1)))
+    // two micro-batches in doc_id order: per source, batch-1 ids < batch-2
+    // ids, so "first cap arrivals" == "cap smallest doc_ids"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocArrival]
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sourceCapStream(mem.toDS(), cap).toDF(), "sourcecap_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // cap actually binds across the batch boundary: no source over cap,
+    // and at least one source admitted rows from BOTH micro-batches
+    val perSource = streamed.groupBy(_._1).view.mapValues(_.size)
+    assert(perSource.values.forall(_ <= cap))
+    val boundary = b1.map(_.doc_id).max
+    assert(streamed.exists(_._2 > boundary) || docs.length / 2 >= cap * perSource.size,
+      "second micro-batch never admitted — the state law went untested")
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
