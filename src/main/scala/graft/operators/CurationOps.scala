@@ -372,6 +372,92 @@ object CurationOps extends OpCatalog {
        |ORDER BY c.seed_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  /** The composed curation run — every governance stage in one declared
+    * plan, in production order: quality gate (q65's integer-form
+    * predicates: `n_chars ≥ 200`, `n_tok ≥ 30`, `3·n_tok ≤ Σlen ≤
+    * 12·n_tok`) → exact content dedup (first-doc_id survivor per
+    * `lower(text)`, q31's policy) → per-source cap (q94's LCG-priority
+    * rule, cap 100) → content-hash split (q96's md5 buckets) → per-
+    * (split, lang) doc and token counts. The point is operator
+    * COMPOSITION: four window/filter stages chain in one plan with no
+    * materialization between them, every decision integer-exact so the
+    * whole pipeline is one oracle CTE chain.
+    *
+    * Scale: one scan; the dedup window keys on the content hash, the cap
+    * window on source (both `WindowGroupLimit`-prunable rank-1/rank-≤k
+    * filters), the final rollup is a grid-sized agg. Stage order
+    * matters at 100 TB and is the cheap-first order a real run uses:
+    * the map-only quality gate drops rows BEFORE any shuffle, dedup
+    * halves the cap window's input, and the split hash touches only
+    * survivors. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("sum_len",
+        expr("aggregate(w, 0, (acc, x) -> acc + length(x))"))
+      .filter(col("n_chars") >= 200 && col("n_tok") >= 30 &&
+        col("sum_len") >= col("n_tok") * 3 &&
+        col("sum_len") <= col("n_tok") * 12)
+    val dedup = Window.partitionBy(lower(col("text"))).orderBy(col("doc_id"))
+    val capW = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(1000000007L)), col("doc_id"))
+    val bucket = pmod(
+      conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
+    d.withColumn("drn", row_number().over(dedup)).filter(col("drn") === 1)
+      .withColumn("crn", row_number().over(capW)).filter(col("crn") <= 100)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val curationPipelineSql =
+    """WITH base AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |    string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |quality AS (
+      |  SELECT doc_id, text, lang, source,
+      |    len(w) AS n_tok,
+      |    list_sum(list_transform(w, x -> len(x))) AS sum_len
+      |  FROM base
+      |  WHERE n_chars >= 200 AND len(w) >= 30
+      |    AND list_sum(list_transform(w, x -> len(x))) >= len(w) * 3
+      |    AND list_sum(list_transform(w, x -> len(x))) <= len(w) * 12),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT quality.*,
+      |      row_number() OVER (PARTITION BY lower(text)
+      |        ORDER BY doc_id) AS drn
+      |    FROM quality)
+      |  WHERE drn = 1),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT dedup.*,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY (doc_id*1103515245 + 12345) % 1000000007,
+      |          doc_id) AS crn
+      |    FROM dedup)
+      |  WHERE crn <= 100),
+      |assigned AS (
+      |  SELECT lang, n_tok,
+      |    CASE WHEN ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 < 90
+      |           THEN 'train'
+      |         WHEN ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 < 95
+      |           THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM capped)
+      |SELECT split, lang, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM assigned GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (salted two-level window, domain-cap shape)"),
@@ -382,5 +468,7 @@ object CurationOps extends OpCatalog {
     Op("q97_token_freq_spectrum", tokenFreqSpectrum, Some(tokenFreqSpectrumSql),
       "token frequency spectrum + hapax share (Zipf / vocabulary diagnostics)"),
     Op("q98_diversity_coreset", diversityCoreset, Some(diversityCoresetSql),
-      "greedy k-center diversity coreset (k=8): rounded-key selection replayed step-by-step in the oracle, packed-argmin assignment"))
+      "greedy k-center diversity coreset (k=8): rounded-key selection replayed step-by-step in the oracle, packed-argmin assignment"),
+    Op("q99_curation_pipeline", curationPipeline, Some(curationPipelineSql),
+      "composed curation run: quality gate -> exact dedup -> source cap -> content-hash split -> per-(split,lang) doc/token counts"))
 }

@@ -144,6 +144,21 @@ class CurationOpsSpec extends SparkSpec {
       "second micro-batch never admitted — the state law went untested")
   }
 
+  test("q99: the composed pipeline reads documents ONCE (no stage re-scans)") {
+    val out = CurationOps.curationPipeline(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "BatchScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, saw $scans:\n$plan")
+    // the length-floor predicate must reach the parquet reader
+    assert(plan.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"quality gate not pushed to scan:\n$plan")
+    // all four stages live: output non-empty and train dominates
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("valid", 0L))
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
