@@ -458,6 +458,70 @@ object CurationOps extends OpCatalog {
       |FROM assigned GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** Corpus snapshot diff — the incremental-processing primitive: given
+    * crawl v1 and crawl v2, classify every doc_id as added / removed /
+    * changed / unchanged by content hash, so downstream stages (dedup,
+    * embedding, indexing) re-run over `added ∪ changed` instead of the
+    * whole corpus. v2 is simulated from the fixture deterministically
+    * (the q77 planted-delivery precedent — the fixture has only one
+    * snapshot): docs with `doc_id % 89 = 0` are dropped, `% 97 = 0`
+    * rewritten, and re-crawls of `% 101 = 0` docs arrive as new ids
+    * (+1000000). Reports per-status doc counts and id ranges.
+    *
+    * Scale: ONE full-outer equi-join on the primary key — at 100 TB both
+    * snapshots are bucketed/partitioned by doc_id, so the diff is a
+    * co-partitioned zip with no shuffle; content compare is md5 (already
+    * stored in a real snapshot manifest, computed here). The rollup is
+    * a 4-row agg. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val v1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val base = Tables.documents(spark, sfDir)
+    val v2 = base
+      .filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(97L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h2"))
+      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text")).as("h2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("status"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 97 = 0 THEN text || ' rev2'
+      |             ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+      |  FROM documents WHERE doc_id % 101 = 0),
+      |diff AS (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.h1 IS NULL THEN 'added'
+      |         WHEN v2.h2 IS NULL THEN 'removed'
+      |         WHEN v1.h1 = v2.h2 THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT status, count(*) AS n_docs,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM diff GROUP BY status
+      |ORDER BY status""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (salted two-level window, domain-cap shape)"),
@@ -470,5 +534,7 @@ object CurationOps extends OpCatalog {
     Op("q98_diversity_coreset", diversityCoreset, Some(diversityCoresetSql),
       "greedy k-center diversity coreset (k=8): rounded-key selection replayed step-by-step in the oracle, packed-argmin assignment"),
     Op("q99_curation_pipeline", curationPipeline, Some(curationPipelineSql),
-      "composed curation run: quality gate -> exact dedup -> source cap -> content-hash split -> per-(split,lang) doc/token counts"))
+      "composed curation run: quality gate -> exact dedup -> source cap -> content-hash split -> per-(split,lang) doc/token counts"),
+    Op("q100_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
+      "corpus snapshot diff (added/removed/changed/unchanged by content hash) -- the incremental-processing primitive"))
 }

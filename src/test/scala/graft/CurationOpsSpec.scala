@@ -159,6 +159,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("valid", 0L))
   }
 
+  test("q100: diff statuses partition both snapshots; every planted class is live") {
+    val out = CurationOps.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val removed = docs.filter(col("doc_id") % 89 === 0).count()
+    val added = docs.filter(col("doc_id") % 101 === 0).count()
+    val changed = docs.filter(col("doc_id") % 89 =!= 0 &&
+      col("doc_id") % 97 === 0).count()
+    // v1 rows partition into unchanged/changed/removed; added is disjoint
+    assert(out.getOrElse("removed", 0L) == removed)
+    assert(out.getOrElse("added", 0L) == added)
+    assert(out.getOrElse("changed", 0L) == changed)
+    assert(out.getOrElse("unchanged", 0L) == n - removed - changed)
+    // non-vacuity: the fixture plants all four classes
+    assert(Seq("added", "removed", "changed", "unchanged")
+      .forall(s => out.getOrElse(s, 0L) > 0), s"dead status class: $out")
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
