@@ -522,6 +522,107 @@ object CurationOps extends OpCatalog {
       |FROM diff GROUP BY status
       |ORDER BY status""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  /** Tokenizer training: the first 10 BPE merge rules learned from the
+    * corpus (Sennrich et al. — THE subword-vocabulary construction every
+    * LLM pipeline runs before anything else sees a token id). Classic
+    * formulation: train on the WORD-FREQUENCY table, not the corpus —
+    * one corpus-sized agg produces a vocabulary-sized (word, freq) frame
+    * (Heaps' law: ≪ corpus), and all 10 iterations run on that tiny
+    * frame. Each round counts adjacent symbol pairs weighted by word
+    * frequency, picks argmax `(count DESC, pair ASC)` — pure INTEGER
+    * ordering, no floats anywhere in this operator — and merges.
+    *
+    * Merging is string `replace` on a delimiter-anchored encoding chosen
+    * so both engines' non-overlapping left-to-right scan IS the BPE
+    * greedy-left merge: a word's symbols are encoded
+    * `|s1||s2||...||sn|`. A pattern `|a||b|` can only match at a symbol
+    * boundary (symbols never contain `|`, and mid-`||` alignment would
+    * need the left symbol to start with `|`), `aaa → (aa, a)` resolves
+    * left-first, and consecutive occurrences `abab` both merge because
+    * the matched trailing `|` is the FIRST char of the `||` separator —
+    * the replacement restores it, leaving the second `|` to lead the
+    * next match. The oracle replays all 10 rounds as generated CTEs
+    * over the identical encoding.
+    *
+    * Scale: one explode+agg per round over the vocabulary frame
+    * (checkpointed; plans stay flat); the argmax is a 1-row
+    * TakeOrderedAndProject collect (the k-centroids pattern). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    bpeMergesOf(
+      tok(spark, sfDir)
+        .select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")),
+      rounds = 10)
+  }
+
+  /** Core of q101 over any (word, freq) frame — spec entry point. */
+  private[graft] def bpeMergesOf(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var cur = wordFreq
+      .select(col("freq"),
+        concat(lit("|"), concat_ws("||", split(col("word"), "")), lit("|"))
+          .as("state"))
+      .localCheckpoint()
+    val rules = (1 to rounds).map { rank =>
+      val pick = cur
+        .select(col("freq"),
+          graft.functions.NGramGenerator.ngrams(
+            split(trim(col("state"), "|"), "\\|\\|"), 2).as(Seq("pos", "pair")))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val Array(l, r) = pick.getString(0).split(" ", 2)
+      cur = cur
+        .withColumn("state", org.apache.spark.sql.functions.replace(
+          col("state"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        .localCheckpoint()
+      (rank.toLong, l, r, l + r, pick.getLong(1))
+    }
+    rules.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Mechanically-generated 10-round replay of the BPE loop over the
+    * identical `|s1||s2||…|` encoding (see [[bpeMerges]]). */
+  private val bpeMergesSql: String = {
+    val steps = (1 to 10).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> syms[j] || ' ' || syms[j+1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(state, '|'), '||') AS syms
+         |          FROM s${i - 1}))
+         |  GROUP BY pair),
+         |k$i AS (
+         |  SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
+         |    cnt
+         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |s$i AS (
+         |  SELECT freq,
+         |    replace(state, '|' || k$i.l || '||' || k$i.r || '|',
+         |      '|' || k$i.l || k$i.r || '|') AS state
+         |  FROM s${i - 1}, k$i)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 10).map(i =>
+      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM k$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS word
+       |  FROM documents),
+       |s0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    '|' || array_to_string(string_split(word, ''), '||') || '|'
+       |      AS state
+       |  FROM tok GROUP BY word),
+       |$steps
+       |$rows
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (salted two-level window, domain-cap shape)"),
@@ -536,5 +637,7 @@ object CurationOps extends OpCatalog {
     Op("q99_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       "composed curation run: quality gate -> exact dedup -> source cap -> content-hash split -> per-(split,lang) doc/token counts"),
     Op("q100_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
-      "corpus snapshot diff (added/removed/changed/unchanged by content hash) -- the incremental-processing primitive"))
+      "corpus snapshot diff (added/removed/changed/unchanged by content hash) -- the incremental-processing primitive"),
+    Op("q101_bpe_merges", bpeMerges, Some(bpeMergesSql),
+      "tokenizer training: first 10 BPE merge rules from the word-frequency table, integer-exact, 10-round replayed oracle"))
 }

@@ -178,6 +178,22 @@ class CurationOpsSpec extends SparkSpec {
       .forall(s => out.getOrElse(s, 0L) > 0), s"dead status class: $out")
   }
 
+  test("q101: BPE merge semantics — greedy-left, consecutive merges, merged-symbol reuse") {
+    import spark.implicits._
+    // hand-traceable micro-corpus:
+    //   round 1: pairs (a,a)=6 [aaa x3, LEFT-first], (a,b)=4, (b,a)=2 → (a,a)
+    //            'aaa' must become (aa, a), NOT (a, aa)
+    //   round 2: (a,b)=4 [abab x2 BOTH occurrences], (aa,a)=3 → (a,b)
+    //   round 3: (aa,a)=3 vs (ab,ab)=2 → (aa,a) — merged symbols as units
+    val wf = Seq(("abab", 2L), ("aaa", 3L)).toDF("word", "freq")
+    val out = CurationOps.bpeMergesOf(wf, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 4L),
+      (3L, "aa", "a", 3L)))
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
