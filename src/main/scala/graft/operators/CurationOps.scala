@@ -548,13 +548,22 @@ object CurationOps extends OpCatalog {
     * Scale: one explode+agg per round over the vocabulary frame
     * (checkpointed; plans stay flat); the argmax is a 1-row
     * TakeOrderedAndProject collect (the k-centroids pattern). */
+  /** The corpus word-frequency table q101/q102 train on. */
+  private def wordFreq(spark: SparkSession, sfDir: String): DataFrame =
+    tok(spark, sfDir)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Trained rules, memoized per (session, corpus) so q101 and q102
+    * share one training run (the shingle-base precedent in TextOps). */
+  private def bpeRules(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cached(spark, s"curation:bpe_rules:$sfDir") {
+      bpeMergesOf(wordFreq(spark, sfDir), rounds = 10)
+    }
+
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    bpeMergesOf(
-      tok(spark, sfDir)
-        .select(explode(col("w")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq")),
-      rounds = 10)
+    bpeRules(spark, sfDir).orderBy(col("merge_rank"))
   }
 
   /** Core of q101 over any (word, freq) frame — spec entry point. */
@@ -585,9 +594,11 @@ object CurationOps extends OpCatalog {
       .orderBy(col("merge_rank"))
   }
 
-  /** Mechanically-generated 10-round replay of the BPE loop over the
-    * identical `|s1||s2||…|` encoding (see [[bpeMerges]]). */
-  private val bpeMergesSql: String = {
+  /** Shared WITH-chain replaying the 10 BPE rounds over the identical
+    * `|s1||s2||…|` encoding (see [[bpeMerges]]); `s10` is the fully
+    * merged per-word state, `k1..k10` the picked rules. Both the q101
+    * and q102 oracles append their own final SELECT. */
+  private val bpeChainSql: String = {
     val steps = (1 to 10).map { i =>
       s"""p$i AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -601,27 +612,83 @@ object CurationOps extends OpCatalog {
          |    cnt
          |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
          |s$i AS (
-         |  SELECT freq,
+         |  SELECT word, freq,
          |    replace(state, '|' || k$i.l || '||' || k$i.r || '|',
          |      '|' || k$i.l || k$i.r || '|') AS state
          |  FROM s${i - 1}, k$i)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to 10).map(i =>
-      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
-        s"l || r AS merged, cnt AS pair_count FROM k$i")
-      .mkString("\nUNION ALL ")
     s"""WITH tok AS (
        |  SELECT unnest(string_split(lower(text), ' ')) AS word
        |  FROM documents),
        |s0 AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |    '|' || array_to_string(string_split(word, ''), '||') || '|'
        |      AS state
        |  FROM tok GROUP BY word),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private val bpeMergesSql: String = {
+    val rows = (1 to 10).map(i =>
+      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM k$i")
+      .mkString("\nUNION ALL ")
+    s"""$bpeChainSql
        |$rows
        |ORDER BY merge_rank""".stripMargin
   }
+
+  // --------------------------------------------------------------- q102
+  /** Tokenizer application — what did the learned vocabulary BUY: apply
+    * q101's 10 merges to the word-frequency table and report the corpus
+    * compression ledger (whitespace tokens vs BPE tokens vs chars,
+    * tokens-per-word and chars-per-token). This is the
+    * train→apply→measure loop a tokenizer team actually runs; the
+    * training run is shared with q101 via the session memo.
+    *
+    * Scale: application is 10 chained per-row `replace`s over the
+    * vocabulary-sized frame (at serving time the merges would compile
+    * into a trie over raw text; on the word-frequency formulation the
+    * whole apply is vocabulary-sized), then one 1-row aggregate. Every
+    * count is integer-exact; the two ratios are single `round(·,4)`s of
+    * exact-integer quotients. */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val rules = bpeRules(spark, sfDir).orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wf = wordFreq(spark, sfDir)
+    var st = wf.withColumn("state",
+      concat(lit("|"), concat_ws("||", split(col("word"), "")), lit("|")))
+    for ((l, r) <- rules)
+      st = st.withColumn("state", org.apache.spark.sql.functions.replace(
+        col("state"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+    st.withColumn("n_sym",
+        size(split(trim(col("state"), "|"), "\\|\\|")).cast("long"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("ws_tokens"),
+        sum(col("freq") * col("n_sym")).as("bpe_tokens"),
+        sum(col("freq") * length(col("word"))).as("n_chars"))
+      .select(col("n_words"), col("ws_tokens"), col("bpe_tokens"),
+        col("n_chars"),
+        round(col("bpe_tokens") / col("ws_tokens").cast("double"), 4)
+          .as("tokens_per_word"),
+        round(col("n_chars") / col("bpe_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+  }
+
+  private val bpeApplySql: String =
+    s"""$bpeChainSql
+       |SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(freq) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(freq * len(string_split(trim(state, '|'), '||')))
+       |    AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(freq * len(word)) AS BIGINT) AS n_chars,
+       |  round(sum(freq * len(string_split(trim(state, '|'), '||')))
+       |    / CAST(sum(freq) AS DOUBLE), 4) AS tokens_per_word,
+       |  round(sum(freq * len(word))
+       |    / CAST(sum(freq * len(string_split(trim(state, '|'), '||')))
+       |        AS DOUBLE), 4) AS chars_per_token
+       |FROM s10""".stripMargin
 
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
@@ -639,5 +706,7 @@ object CurationOps extends OpCatalog {
     Op("q100_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
       "corpus snapshot diff (added/removed/changed/unchanged by content hash) -- the incremental-processing primitive"),
     Op("q101_bpe_merges", bpeMerges, Some(bpeMergesSql),
-      "tokenizer training: first 10 BPE merge rules from the word-frequency table, integer-exact, 10-round replayed oracle"))
+      "tokenizer training: first 10 BPE merge rules from the word-frequency table, integer-exact, 10-round replayed oracle"),
+    Op("q102_bpe_apply", bpeApply, Some(bpeApplySql),
+      "tokenizer application: corpus compression ledger under the learned merges (ws/bpe/char counts + ratios)"))
 }

@@ -194,6 +194,17 @@ class CurationOpsSpec extends SparkSpec {
       (3L, "aa", "a", 3L)))
   }
 
+  test("q102: compression ledger bounds — words <= bpe tokens < chars, ratios consistent") {
+    val r = CurationOps.bpeApply(spark, sfDir).collect()(0)
+    val (nWords, ws, bpe, chars) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ws <= bpe, "a word is at least one token")
+    assert(bpe < chars, "10 merges must compress below character count")
+    assert(nWords > 0 && ws > 0)
+    assert(math.abs(r.getDouble(4) - bpe.toDouble / ws) < 5e-5)
+    assert(math.abs(r.getDouble(5) - chars.toDouble / bpe) < 5e-5)
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
