@@ -575,21 +575,27 @@ object CurationOps extends OpCatalog {
         concat(lit("|"), concat_ws("||", split(col("word"), "")), lit("|"))
           .as("state"))
       .localCheckpoint()
-    val rules = (1 to rounds).map { rank =>
-      val pick = cur
+    val rules = (1 to rounds).iterator.map { rank =>
+      val picked = cur
         .select(col("freq"),
           graft.functions.NGramGenerator.ngrams(
             split(trim(col("state"), "|"), "\\|\\|"), 2).as(Seq("pos", "pair")))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()(0)
-      val Array(l, r) = pick.getString(0).split(" ", 2)
-      cur = cur
-        .withColumn("state", org.apache.spark.sql.functions.replace(
-          col("state"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
-        .localCheckpoint()
-      (rank.toLong, l, r, l + r, pick.getLong(1))
-    }
+        .limit(1).collect()
+      // a degenerate corpus (all words single-symbol) runs out of pairs
+      // before `rounds` — stop with the rules learned so far
+      if (picked.isEmpty) None
+      else {
+        val pick = picked(0)
+        val Array(l, r) = pick.getString(0).split(" ", 2)
+        cur = cur
+          .withColumn("state", org.apache.spark.sql.functions.replace(
+            col("state"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+          .localCheckpoint()
+        Some((rank.toLong, l, r, l + r, pick.getLong(1)))
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
     rules.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy(col("merge_rank"))
   }

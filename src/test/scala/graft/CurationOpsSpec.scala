@@ -194,6 +194,51 @@ class CurationOpsSpec extends SparkSpec {
       (3L, "aa", "a", 3L)))
   }
 
+  test("q101: engine BPE == plain-Scala reference trainer on random corpora (incl. degenerate)") {
+    import spark.implicits._
+    // reference trainer over symbol LISTS — no string encoding at all, so
+    // a delimiter-handling bug in the engine's replace-based merge cannot
+    // be mirrored here
+    def reference(words: Seq[(String, Long)], rounds: Int)
+        : Seq[(String, String, Long)] = {
+      var states = words.map { case (w, f) => (w.split("").toVector, f) }
+      (1 to rounds).iterator.map { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- states; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
+          states = states.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2 // greedy-left, non-overlapping
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+          Some((l, r, cnt))
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 3 + rng.nextInt(5)
+      val words = (1 to n).map { _ =>
+        val len = 1 + rng.nextInt(7) // len-1 words make degenerate corpora
+        (Seq.fill(len)(('a' + rng.nextInt(3)).toChar).mkString,
+          1L + rng.nextInt(5))
+      }.distinct
+      val engine = CurationOps.bpeMergesOf(words.toDF("word", "freq"), rounds = 3)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val expect = reference(words, rounds = 3)
+      assert(engine == expect, s"trial $trial corpus $words")
+    }
+  }
+
   test("q102: compression ledger bounds — words <= bpe tokens < chars, ratios consistent") {
     val r = CurationOps.bpeApply(spark, sfDir).collect()(0)
     val (nWords, ws, bpe, chars) =
