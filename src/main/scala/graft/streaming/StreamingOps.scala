@@ -140,6 +140,42 @@ object StreamingOps {
       }
   }
 
+  final case class DocVersion(doc_id: Long, content_hash: String)
+  final case class DocHashState(hash: String)
+  final case class DocChange(doc_id: Long, status: String)
+
+  /** Streaming twin of q100's snapshot diff, as a CDC upsert screen: docs
+    * arrive as (doc_id, content_hash) versions; per-key state remembers
+    * the last hash and each arrival is classified `added` (never seen) or
+    * `changed` (hash moved); unchanged re-deliveries are SUPPRESSED (the
+    * dedup-at-ingest behavior), and removal is not observable without
+    * tombstones — the batch diff owns that class. Within a micro-batch
+    * the group folds versions in arrival-iterator order reduced to the
+    * LAST hash per key after emitting the net status — one string of
+    * state per doc_id. State is O(#docs): the RocksDB provider (spec'd in
+    * `StreamingSpec`) is the production backend at corpus scale, exactly
+    * the SemDeDup-ingest state-store argument. `CurationOpsSpec` proves
+    * the two-batch replay emits exactly the batch diff's added∪changed
+    * id set with matching statuses. */
+  def changeScreenStream(docs: Dataset[DocVersion]): Dataset[DocChange] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DocHashState, DocChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[DocVersion], state: GroupState[DocHashState]) =>
+          val versions = rows.toSeq
+          val last = versions.last.content_hash
+          val prev = state.getOption.map(_.hash)
+          state.update(DocHashState(last))
+          prev match {
+            case None => Iterator(DocChange(docId, "added"))
+            case Some(h) if h != last => Iterator(DocChange(docId, "changed"))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   final case class UserEvent(event_id: Long, user_id: Long, ms: Long,
       event_type: String)
   final case class UserState(nEvents: Long, lastMs: Long)

@@ -250,6 +250,58 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - chars.toDouble / bpe) < 5e-5)
   }
 
+  test("q100 streaming twin: CDC change screen over two snapshots == batch diff's added+changed") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DocVersion
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // v1 and v2 exactly as q100 plants them, fed as two micro-batches
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => DocVersion(r.getLong(0), r.getString(1)))
+    val v2 = docs.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 97 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h"))
+      .unionAll(docs.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h")))
+      .collect().map(r => DocVersion(r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocVersion]
+    // two REAL micro-batches: v2 only becomes available after v1's batch
+    // is fully processed (a single addData-then-start would coalesce both
+    // into one batch and no group would ever see prior state)
+    val q = StreamingOps.changeScreenStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("changescreen_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val streamed = try {
+      mem.addData(v1.toSeq)
+      q.processAllAvailable()
+      mem.addData(v2.toSeq)
+      q.processAllAvailable()
+      spark.table("changescreen_test")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    } finally q.stop()
+    // batch truth from q100's classification (removal is batch-only)
+    val batch = CurationOps.snapshotDiff(spark, sfDir)
+    // batch-1 emissions: every v1 doc is 'added'; batch-2: q100's
+    // changed set plus the planted re-crawl ids as 'added'
+    val expectAdded = v1.map(_.doc_id).toSet ++
+      docs.filter(col("doc_id") % 101 === 0)
+        .collect().map(_.getLong(0) + 1000000L).toSet
+    val expectChanged = docs
+      .filter(col("doc_id") % 89 =!= 0 && col("doc_id") % 97 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.filter(_._2 == "added").map(_._1).toSet == expectAdded)
+    assert(streamed.filter(_._2 == "changed").map(_._1).toSet == expectChanged)
+    // cardinalities agree with the declared q100 rollup where comparable
+    val counts = batch.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.count(_._2 == "changed") == counts("changed"))
+    assert(streamed.count(_._2 == "added").toLong ==
+      counts("added") + v1.length)
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
