@@ -98,11 +98,27 @@ object GeoParquetFooter {
 
   /** Rewrite one parquet file with `geo` added to its key-value footer.
     * Row groups are copied byte-for-byte (no decode); existing key-value
-    * entries (e.g. Spark's schema key) are preserved. Writes to a hidden
-    * sibling temp file, then renames over the original — a crash leaves
-    * either the old file or a hidden temp Spark's reader ignores. */
-  private[ingest] def stampFile(conf: Configuration, file: Path,
+    * entries (e.g. Spark's schema key) are preserved.
+    *
+    * Loss-proof swap: the stamped copy is written to an attempt-unique
+    * hidden temp (so a speculative/retried task can never clobber another
+    * attempt's in-progress file), then the original is renamed to a hidden
+    * backup, the temp renamed into place, and the backup deleted last. At
+    * every instant the committed row data exists under either the original
+    * or the backup name — a crash at any point leaves a recoverable state,
+    * and a retry first restores an orphaned backup before re-stamping.
+    * Hidden (dot-prefixed) leftovers are ignored by Spark's reader. */
+  private[graft] def stampFile(conf: Configuration, file: Path,
       geoJson: String): Unit = {
+    val fs = file.getFileSystem(conf)
+    val backup = new Path(file.getParent, s".${file.getName}.geo.bak")
+    // Recover from a prior attempt that crashed between the two renames:
+    // the original was moved aside but the stamped temp never landed.
+    if (!fs.exists(file)) {
+      if (!fs.exists(backup) || !fs.rename(backup, file))
+        throw new java.io.IOException(
+          s"geo footer stamp: $file missing and backup $backup unrecoverable")
+    }
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     val (schema, existingKv) =
       try {
@@ -111,7 +127,8 @@ object GeoParquetFooter {
       } finally reader.close()
     val merged = new java.util.HashMap[String, String](existingKv)
     merged.put(GeoKey, geoJson)
-    val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
+    val attempt = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val tmp = new Path(file.getParent, s".${file.getName}.geo.$attempt.tmp")
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(tmp, conf), schema,
       ParquetFileWriter.Mode.OVERWRITE,
@@ -120,9 +137,15 @@ object GeoParquetFooter {
     writer.start()
     writer.appendFile(HadoopInputFile.fromPath(file, conf))
     writer.end(merged)
-    val fs = file.getFileSystem(conf)
-    fs.delete(file, false)
-    if (!fs.rename(tmp, file))
+    // A stale backup here means a prior attempt crashed AFTER its stamped
+    // copy landed (the original is the stamped file) — safe to drop.
+    if (fs.exists(backup)) fs.delete(backup, false)
+    if (!fs.rename(file, backup))
+      throw new java.io.IOException(s"geo footer stamp: rename $file -> $backup failed")
+    if (!fs.rename(tmp, file)) {
+      fs.rename(backup, file) // roll back; data was never at risk
       throw new java.io.IOException(s"geo footer stamp: rename $tmp -> $file failed")
+    }
+    fs.delete(backup, false)
   }
 }

@@ -698,7 +698,7 @@ object CurationOps extends OpCatalog {
 
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
-      "per-source document cap by deterministic hash priority (salted two-level window, domain-cap shape)"),
+      "per-source document cap by deterministic hash priority (rank<=cap window map-side pruned by WindowGroupLimit, domain-cap shape)"),
     Op("q95_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql),
       "cross-doc boilerplate 3-grams per source (CCNet line-dedup shape at shingle granularity)"),
     Op("q96_split_assign", splitAssign, Some(splitAssignSql),

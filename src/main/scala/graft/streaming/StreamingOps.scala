@@ -140,7 +140,7 @@ object StreamingOps {
       }
   }
 
-  final case class DocVersion(doc_id: Long, content_hash: String)
+  final case class DocVersion(doc_id: Long, seq: Long, content_hash: String)
   final case class DocHashState(hash: String)
   final case class DocChange(doc_id: Long, status: String)
 
@@ -149,10 +149,15 @@ object StreamingOps {
     * the last hash and each arrival is classified `added` (never seen) or
     * `changed` (hash moved); unchanged re-deliveries are SUPPRESSED (the
     * dedup-at-ingest behavior), and removal is not observable without
-    * tombstones — the batch diff owns that class. Within a micro-batch
-    * the group folds versions in arrival-iterator order reduced to the
-    * LAST hash per key after emitting the net status — one string of
-    * state per doc_id. State is O(#docs): the RocksDB provider (spec'd in
+    * tombstones — the batch diff owns that class. Each version carries a
+    * monotonic `seq` (source offset / crawl timestamp); within a
+    * micro-batch the group folds to the MAX-seq hash per key before
+    * emitting the net status — one string of state per doc_id. The
+    * iterator's order inside a group is not contractual, so folding by
+    * seq (not `versions.last`) keeps replay-after-failure deterministic
+    * when one doc_id carries several versions in the same batch — the
+    * same reason `sourceCapStream` sorts its group. State is O(#docs):
+    * the RocksDB provider (spec'd in
     * `StreamingSpec`) is the production backend at corpus scale, exactly
     * the SemDeDup-ingest state-store argument. `CurationOpsSpec` proves
     * the two-batch replay emits exactly the batch diff's added∪changed
@@ -165,7 +170,7 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (docId: Long, rows: Iterator[DocVersion], state: GroupState[DocHashState]) =>
           val versions = rows.toSeq
-          val last = versions.last.content_hash
+          val last = versions.maxBy(_.seq).content_hash
           val prev = state.getOption.map(_.hash)
           state.update(DocHashState(last))
           prev match {

@@ -258,14 +258,14 @@ class CurationOpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // v1 and v2 exactly as q100 plants them, fed as two micro-batches
     val v1 = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .collect().map(r => DocVersion(r.getLong(0), r.getString(1)))
+      .collect().map(r => DocVersion(r.getLong(0), 1L, r.getString(1)))
     val v2 = docs.filter(col("doc_id") % 89 =!= 0)
       .select(col("doc_id"),
         md5(when(col("doc_id") % 97 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text"))).as("h"))
       .unionAll(docs.filter(col("doc_id") % 101 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h")))
-      .collect().map(r => DocVersion(r.getLong(0), r.getString(1)))
+      .collect().map(r => DocVersion(r.getLong(0), 2L, r.getString(1)))
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[DocVersion]
     // two REAL micro-batches: v2 only becomes available after v1's batch
@@ -300,6 +300,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(streamed.count(_._2 == "changed") == counts("changed"))
     assert(streamed.count(_._2 == "added").toLong ==
       counts("added") + v1.length)
+  }
+
+  test("CDC screen: multi-version doc in ONE batch folds to max-seq hash deterministically") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DocVersion
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocVersion]
+    // seq 3 delivered BEFORE seq 1/2 in the same batch — fold must pick
+    // seq 3's hash regardless of iterator order, so the later re-delivery
+    // of hash "c" is suppressed (state already holds it)
+    val q = StreamingOps.changeScreenStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("changescreen_seq_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val out = try {
+      mem.addData(Seq(DocVersion(7L, 3L, "c"), DocVersion(7L, 1L, "a"),
+        DocVersion(7L, 2L, "b")))
+      q.processAllAvailable()
+      mem.addData(Seq(DocVersion(7L, 4L, "c")))
+      q.processAllAvailable()
+      spark.table("changescreen_seq_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    } finally q.stop()
+    assert(out == Seq((7L, "added")),
+      "net state must be the max-seq hash: re-delivery of 'c' is suppressed")
   }
 
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {

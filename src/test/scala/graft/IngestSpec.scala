@@ -109,6 +109,29 @@ class IngestSpec extends SparkSpec {
       .contains(si))
   }
 
+  test("stampFile recovers a swap crashed between renames: backup restored, no row lost") {
+    val dir = tmp()
+    Generator.writeFixture(spark, s"$dir/crash", n = 10)
+    val part = new java.io.File(s"$dir/crash").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head
+    // simulate the worst crash point: original moved to the hidden backup,
+    // stamped temp never landed — the data exists ONLY under the backup name
+    val bak = new java.io.File(part.getParent, s".${part.getName}.geo.bak")
+    assert(part.renameTo(bak))
+    val hconf = spark.sessionState.newHadoopConf()
+    val si = ParquetIngest.SpatialInfo("geometry", "EPSG:4326", "WKB",
+      fromFallback = false)
+    GeoParquetFooter.stampFile(hconf,
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      GeoParquetFooter.geoJson(si))
+    // retry restored the backup, re-stamped, and cleaned up
+    assert(part.exists()); assert(!bak.exists())
+    assert(spark.read.parquet(s"$dir/crash").count() == 10)
+    assert(ParquetIngest.probe(spark, s"$dir/crash").spatial
+      .exists(s => s.geometryColumn == "geometry" && !s.fromFallback))
+  }
+
   test("probe ignores hidden (_/. prefixed) files and dirs, like Spark's reader") {
     val dir = tmp()
     Generator.writeFixture(spark, s"$dir/data", n = 10)
