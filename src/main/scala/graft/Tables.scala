@@ -23,7 +23,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS). What the reader yields for it
+    * has CHANGED across Spark builds: with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` older readers produce a
+    * nanos-since-epoch LongType, while current 4.1.x ignores that legacy
+    * conf and produces TIMESTAMP_NTZ (nanos truncated to micros). Every
+    * event operator is written against the nanos-long contract, so this
+    * loader normalizes by dispatching on the READ schema (the reference's
+    * own dtype-dispatch move, `app.py:136` — dispatch on what arrived,
+    * not on what was configured): LongType passes through; a timestamp
+    * column is rebuilt as nanos. Sub-microsecond digits are lost on the
+    * NTZ path — immaterial here because every consumer floors to ms (as
+    * does the DuckDB oracle's `epoch_ms`). The NTZ→instant cast uses the
+    * session timezone, which every entry point pins to UTC. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000L"))
+      case TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
@@ -68,9 +97,10 @@ object GraftSession {
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     spark.conf.set("spark.sql.sources.useV1SourceList",
       "avro,csv,json,kafka,orc,text")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read it as a nanos-since-epoch LongType instead (event ops convert
-    // to ms/seconds explicitly — see operators.EventOps).
+    // events.ts is parquet TIMESTAMP(NANOS): older readers honor this
+    // legacy conf (nanos → LongType); current 4.1.x ignores it and yields
+    // TIMESTAMP_NTZ. Kept for the older path; [[Tables.events]] dispatches
+    // on the schema actually read, so event ops work under either reader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // custom expressions as SQL functions (simhash64, cosine_similarity,
     // st_point, ...) — idempotent

@@ -696,6 +696,180 @@ object CurationOps extends OpCatalog {
        |        AS DOUBLE), 4) AS chars_per_token
        |FROM s10""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Deterministic epoch shuffle — the training data-loader's global
+    * reshuffle as a PURE FUNCTION of (epoch, doc_id): key =
+    * md5("ep<epoch>:" || doc_id), shard = low-nibble bucket of the key,
+    * position = rank of (key, doc_id) within the shard. Changing the
+    * epoch prefix re-deals the whole corpus; nothing else (arrival
+    * order, partitioning, re-runs) can move a document — the
+    * reproducible-training-order property, same argument as q96's
+    * leakage-safe split. Output is the loader's manifest: which shard
+    * file, which offset.
+    *
+    * Scale: shard count is the file-count knob (≥ cluster cores in
+    * production so shards stay bounded — FIXED shard size, growing shard
+    * count); the in-shard rank is a `row_number` per shard partition —
+    * at write time the same order falls out of
+    * `repartition(shard).sortWithinPartitions(key)` with no window at
+    * all. Cross-engine: md5 hex + integer nibble parse (q96), rank ties
+    * broken by doc_id — bit-exact. */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    epochShuffleOf(Tables.documents(spark, sfDir), epoch = 1, shards = 16)
+  }
+
+  /** Core of q103 over any (doc_id) frame — spec entry point. */
+  private[graft] def epochShuffleOf(docs: DataFrame, epoch: Int,
+      shards: Int): DataFrame = {
+    val key = md5(concat(lit(s"ep$epoch:"), col("doc_id").cast("string")))
+    val inShard = Window.partitionBy(col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id")).withColumn("key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("key"), 29, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(inShard).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val epochShuffleSql =
+    """WITH k AS (
+      |  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS key
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, key,
+      |    ('0x' || substr(key, 29, 4))::BIGINT % 16 AS shard
+      |  FROM k)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** Robust per-lang length-outlier screen: median + MAD (median absolute
+    * deviation) instead of mean + sd, so the fences themselves cannot be
+    * dragged by the outliers they hunt (a handful of concatenation-bug
+    * megadocs shifts a mean far enough to hide itself; the median does
+    * not move). Flag: dev > 4.4478·MAD — the classic 3σ-equivalent
+    * (3 × 1.4826, the normal-consistency constant).
+    *
+    * Cross-engine: n_chars is integer, so the interpolated median is
+    * k or k.5 and deviations are exact binary doubles; MAD interpolates
+    * to quarters at worst — still exact — and `4.4478·MAD` is ONE IEEE
+    * multiply of identical operands in both engines, so the flagged SET
+    * is identical (the q88 "predicate must not flap" argument; both
+    * engines interpolate at rank p·(n−1)). Scale: two ≤|langs|-group
+    * aggs with the tiny stats frames broadcast back — the corpus is
+    * scanned, never sorted globally. */
+  def outlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    outlierMadOf(Tables.documents(spark, sfDir))
+  }
+
+  /** Core of q104 over any (lang, n_chars) frame — spec entry point. */
+  private[graft] def outlierMadOf(input: DataFrame): DataFrame = {
+    val docs = input.select(col("lang"), col("n_chars"))
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med_chars"))
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = dev.groupBy(col("lang"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_chars"))
+    dev.join(broadcast(mad), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med_chars")).as("med_chars"),
+        max(col("mad_chars")).as("mad_chars"),
+        sum(when(col("dev") > col("mad_chars") * lit(4.4478), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("lang"), col("n_docs"), col("med_chars"), col("mad_chars"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n_docs").cast("double"), 4)
+          .as("outlier_rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val outlierMadSql =
+    """WITH med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+      |  FROM documents GROUP BY lang),
+      |dev AS (
+      |  SELECT d.lang, abs(d.n_chars - m.med_chars) AS dev, m.med_chars
+      |  FROM documents d JOIN med m ON d.lang = m.lang),
+      |mad AS (
+      |  SELECT lang, quantile_cont(dev, 0.5) AS mad_chars
+      |  FROM dev GROUP BY lang)
+      |SELECT v.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(v.med_chars) AS med_chars, max(a.mad_chars) AS mad_chars,
+      |  CAST(sum(CASE WHEN v.dev > a.mad_chars * 4.4478 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  round(sum(CASE WHEN v.dev > a.mad_chars * 4.4478 THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 4) AS outlier_rate
+      |FROM dev v JOIN mad a ON v.lang = a.lang
+      |GROUP BY v.lang ORDER BY v.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+  /** Pairwise source content-overlap matrix: for every source pair, how
+    * many EXACT contents (md5 of text) they share, as a Jaccard over
+    * each side's distinct-content set — the "which feeds duplicate each
+    * other" read that decides crawl retirement and dedup priority
+    * upstream of q72's within-source dup rate. The full |sources|² grid
+    * is emitted (zero-overlap pairs included): absence of overlap is the
+    * finding.
+    *
+    * Scale: the only corpus-sized shuffles key on the 16-byte content
+    * hash (distinct + self-equi-join on h — never a nested loop); the
+    * per-source totals and the pair grid are |sources|-sized and
+    * broadcast. A hash shared by k sources expands to k(k−1)/2 grid
+    * cells, bounded by the grid itself. Integer counts; jaccard is one
+    * round(·,4) of an exact-integer ratio. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    sourceOverlapOf(Tables.documents(spark, sfDir))
+  }
+
+  /** Core of q106 over any (source, text) frame — spec entry point. */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val hs = docs
+      .select(col("source"), md5(col("text")).as("h")).distinct()
+    val per = hs.groupBy(col("source")).agg(count(lit(1)).as("nh"))
+    val inter = hs.select(col("source").as("src_a"), col("h"))
+      .join(hs.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val grid = per.select(col("source").as("src_a"), col("nh").as("nh_a"))
+      .crossJoin(broadcast(
+        per.select(col("source").as("src_b"), col("nh").as("nh_b"))))
+      .filter(col("src_a") < col("src_b"))
+    grid.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("nh_a"), col("nh_b"),
+        col("n_common"),
+        round(col("n_common") /
+          (col("nh_a") + col("nh_b") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH hs AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+      |per AS (SELECT source, count(*) AS nh FROM hs GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT pa.source AS src_a, pb.source AS src_b,
+      |  CAST(pa.nh AS BIGINT) AS nh_a, CAST(pb.nh AS BIGINT) AS nh_b,
+      |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+      |  round(coalesce(i.n_common, 0)
+      |    / CAST(pa.nh + pb.nh - coalesce(i.n_common, 0) AS DOUBLE), 4)
+      |    AS jaccard
+      |FROM per pa JOIN per pb ON pa.source < pb.source
+      |LEFT JOIN inter i ON i.src_a = pa.source AND i.src_b = pb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (rank<=cap window map-side pruned by WindowGroupLimit, domain-cap shape)"),
@@ -714,5 +888,11 @@ object CurationOps extends OpCatalog {
     Op("q101_bpe_merges", bpeMerges, Some(bpeMergesSql),
       "tokenizer training: first 10 BPE merge rules from the word-frequency table, integer-exact, 10-round replayed oracle"),
     Op("q102_bpe_apply", bpeApply, Some(bpeApplySql),
-      "tokenizer application: corpus compression ledger under the learned merges (ws/bpe/char counts + ratios)"))
+      "tokenizer application: corpus compression ledger under the learned merges (ws/bpe/char counts + ratios)"),
+    Op("q103_epoch_shuffle", epochShuffle, Some(epochShuffleSql),
+      "deterministic epoch shuffle: md5(epoch,doc) keyed shard + in-shard position -- the reproducible training-order manifest"),
+    Op("q104_outlier_mad", outlierMad, Some(outlierMadSql),
+      "robust per-lang length outliers via median + MAD (4.4478*MAD fence, outlier-proof statistics)"),
+    Op("q106_source_overlap", sourceOverlap, Some(sourceOverlapSql),
+      "pairwise source content-overlap matrix (Jaccard over distinct md5 contents, full grid incl. zero pairs)"))
 }

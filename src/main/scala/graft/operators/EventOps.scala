@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * a pivot. These are the batch embodiments of streaming semantics — the
   * same windows run under Structured Streaming in `graft.streaming`.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as nanos-since-
-  * epoch LongType (`spark.sql.legacy.parquet.nanosAsLong`, set in
-  * `GraftSession.tune`). All time arithmetic here is integer math on epoch
-  * millis — exact in both Spark and the DuckDB oracle, immune to
-  * timestamp-precision mismatches (SURVEY.md §7.4 risk 2).
+  * `events.ts` is parquet TIMESTAMP(NANOS); [[graft.Tables.events]]
+  * normalizes whatever the reader yields (nanos LongType on older Sparks
+  * honoring `nanosAsLong`, TIMESTAMP_NTZ on current 4.1.x) back to the
+  * nanos-long contract these operators are written against. All time
+  * arithmetic here is integer math on epoch millis — exact in both Spark
+  * and the DuckDB oracle, immune to timestamp-precision mismatches
+  * (SURVEY.md §7.4 risk 2).
   *
   * Scale notes: every operator shuffles once on its natural key (window
   * bucket / user_id); sessionization and as-of use analytic windows — a
@@ -423,6 +425,77 @@ object EventOps extends OpCatalog {
       |      > 9 * s.n * (s.n * s.q - s.s * s.s)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Top-10 within-session event-type trigram paths — the product-analytics
+    * "what do users actually do" read (q23's session semantics × q85's
+    * transition idea, extended to length-3 paths). Sessions use the same
+    * 30-minute-gap rule as q23; inside each session, consecutive
+    * (t1, t2, t3) triples are formed with two `lead`s, then counted on
+    * the ≤|types|³ grid.
+    *
+    * Scale: ONE user_id hash shuffle feeds every window here — the
+    * session-boundary windows cluster on user_id, and the per-session
+    * lead window clusters on (user_id, sess), which hash(user_id)
+    * already satisfies (ClusteredDistribution on a superset of the
+    * partitioning keys), so Spark inserts only a sort, not a second
+    * exchange. The trigram agg map-combines to the type-cube grid and
+    * the top-10 is a TakeOrderedAndProject, never a global sort. */
+  def eventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    eventPathsOf(eventsMs(spark, sfDir))
+  }
+
+  /** Core of q105 over any (user_id, event_id, event_type, ms) frame —
+    * spec entry point. */
+  private[graft] def eventPathsOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val sess = events
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ms"), col("event_id"))
+    sess
+      .withColumn("t1", col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
+  private val eventPathsSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, ms,
+      |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g),
+      |t AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id, sess
+      |      ORDER BY ms, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id, sess
+      |      ORDER BY ms, event_id) AS t3
+      |  FROM s)
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+      |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY t1, t2, t3
+      |ORDER BY n_paths DESC, t1, t2, t3
+      |LIMIT 10""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q88_anomaly_hours", anomalyHours, Some(anomalyHoursSql),
       "event-rate anomaly sweep: hours >3 sample sd above their type mean, integer-exact predicate"),
@@ -443,5 +516,7 @@ object EventOps extends OpCatalog {
     Op("q24_asof_join", asofJoin, Some(asofJoinSql),
       "as-of join: last prior click per purchase, analytic-window impl"),
     Op("q25_pivot", pivotCounts, Some(pivotCountsSql),
-      "pivot: event-type counts per user cohort"))
+      "pivot: event-type counts per user cohort"),
+    Op("q105_event_paths", eventPaths, Some(eventPathsSql),
+      "top-10 within-session event trigram paths (session rule of q23, one user_id shuffle, grid agg + top-k)"))
 }

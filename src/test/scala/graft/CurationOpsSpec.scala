@@ -329,6 +329,82 @@ class CurationOpsSpec extends SparkSpec {
       "net state must be the max-seq hash: re-delivery of 'c' is suppressed")
   }
 
+  test("q103: epoch shuffle is a permutation — unique (shard,pos), contiguous positions, doc set preserved") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = CurationOps.epochShuffleOf(docs, epoch = 1, shards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    assert(out.map(t => (t._2, t._3)).distinct.length == out.length,
+      "(shard, pos) must be unique — it is a file offset")
+    assert(out.forall(t => t._2 >= 0 && t._2 < 16))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "in-shard positions must be contiguous from 1")
+    }
+    assert(out.map(_._1).toSet ==
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("q103: changing the epoch re-deals; re-partitioning does not") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val e1 = CurationOps.epochShuffleOf(docs, epoch = 1, shards = 16).collect().toSeq
+    val e2 = CurationOps.epochShuffleOf(docs, epoch = 2, shards = 16).collect().toSeq
+    assert(e1.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet !=
+      e2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "a new epoch must deal a different order")
+    val shuffled = CurationOps.epochShuffleOf(
+      docs.repartition(13).sortWithinPartitions(col("n_chars")),
+      epoch = 1, shards = 16).collect().toSeq
+    assert(e1 == shuffled, "order is a pure function of (epoch, doc_id)")
+  }
+
+  test("q104: MAD fence catches outliers that MASK a mean+3sd fence") {
+    import spark.implicits._
+    // 17 docs near 100 chars + 3 concatenation-bug docs at 10k: the
+    // outliers inflate sd enough to hide themselves (mean+3sd ≈ 12.5k)
+    val lens = Seq.tabulate(17)(i => 95L + i) ++ Seq(10000L, 10000L, 10000L)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, "xx", n) }
+      .toDF("doc_id", "lang", "n_chars")
+    val out = CurationOps.outlierMadOf(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(4) == 3, "MAD fence must flag exactly the planted 3")
+    // the masking fact the operator exists for: classic mean+3sd flags NONE
+    val stats = docs.agg(avg(col("n_chars")), stddev(col("n_chars"))).head()
+    val fence = stats.getDouble(0) + 3 * stats.getDouble(1)
+    assert(lens.count(_ > fence) == 0, "mean+3sd must be masked on this data")
+  }
+
+  test("q104: fixture run — rates in [0,1], outliers consistent with reported fence") {
+    val out = CurationOps.outlierMad(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+  }
+
+  test("q106: planted overlap — exact Jaccard, zero pairs present, within-source dups don't inflate") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "t1"), ("A", "t1"), ("A", "t2"), ("A", "t3"),
+      ("B", "t2"), ("B", "t3"), ("B", "t4"), ("B", "t5"),
+      ("C", "t9"))
+      .toDF("source", "text")
+    val out = CurationOps.sourceOverlapOf(docs)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")),
+      "full grid including zero-overlap pairs")
+    assert(out(("A", "B")) == ((3L, 4L, 2L, 0.4)),
+      "A∩B = {t2,t3}, |A∪B| = 5; the duplicate t1 row must not inflate nh_a")
+    assert(out(("A", "C"))._3 == 0L && out(("A", "C"))._4 == 0.0)
+    assert(out(("B", "C"))._3 == 0L)
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+
+/** Laws for the batch event operators that their DuckDB oracles cannot
+  * see: q105's session-boundary semantics on planted timelines and its
+  * one-shuffle window plan shape.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  private def frame(rows: Seq[(Long, Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "event_type", "ms")
+  }
+
+  test("q105: trigrams never cross a session boundary") {
+    // one user, four events; 31-min gap before the fourth: session 1 is
+    // (a,b,c) -> one trigram, session 2 is just (d) -> none
+    val gap = 31 * 60 * 1000L
+    val events = frame(Seq(
+      (1L, 1L, "a", 0L),
+      (1L, 2L, "b", 60000L),
+      (1L, 3L, "c", 120000L),
+      (1L, 4L, "d", 120000L + gap)))
+    val out = EventOps.eventPathsOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", "b", "c", 1L)))
+  }
+
+  test("q105: within one session every consecutive triple counts, ties ordered deterministically") {
+    // a,b,c,d in one session -> (a,b,c) and (b,c,d); a second user
+    // repeats (a,b,c) so counts differ
+    val events = frame(Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 1000L),
+      (1L, 3L, "c", 2000L), (1L, 4L, "d", 3000L),
+      (2L, 5L, "a", 0L), (2L, 6L, "b", 1000L), (2L, 7L, "c", 2000L)))
+    val out = EventOps.eventPathsOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+  }
+
+  test("q105: the two window layers share ONE user_id exchange") {
+    val out = EventOps.eventPaths(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    // the session windows cluster on user_id and the lead window on
+    // (user_id, sess); hash(user_id) satisfies both, so exactly one
+    // exchange may carry user_id partitioning
+    val userExchanges = "Exchange hashpartitioning\\([^)]*user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected one user_id exchange, got $userExchanges:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // descending counts with full tiebreak
+    val keys = rows.map(r => (-r.getLong(3), r.getString(0), r.getString(1), r.getString(2)))
+    assert(keys.sameElements(keys.sorted))
+  }
+}
