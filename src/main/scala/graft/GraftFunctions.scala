@@ -55,6 +55,10 @@ object GraftFunctions {
       Vx.HyperplaneBucket(asFloatArray(es.head),
         intLit(es(1), "hyperplane_bucket bits"),
         if (es.size > 2) intLit(es(2), "hyperplane_bucket plane offset") else 0) },
+    "hyperplane_bands" -> { es =>
+      Vx.HyperplaneBands(asFloatArray(es.head),
+        intLit(es(1), "hyperplane_bands bands"),
+        intLit(es(2), "hyperplane_bands bits")) },
     "st_point" -> { es => Sp.StPoint(asDouble(es.head), asDouble(es(1))) },
     "st_x" -> { es => Sp.StX(es.head) },
     "st_y" -> { es => Sp.StY(es.head) },

@@ -151,8 +151,63 @@ object VectorExpressions {
     bucket
   }
 
+  /** ALL banded-LSH buckets of one vector in a single pass: element `b`
+    * is the `nBits`-bit bucket from disjoint planes
+    * `[b·nBits, (b+1)·nBits)` — value-identical to `bands` separate
+    * [[HyperplaneBucket]] calls with `planeOffset = b·nBits`, but the
+    * float array is materialized ONCE instead of once per band (a
+    * 128–256-band shape re-copied its input that many times per row) and
+    * the analyzer sees one expression instead of a `bands`-element
+    * array-of-structs tree. */
+  case class HyperplaneBands(child: Expression, bands: Int, nBits: Int)
+      extends UnaryExpression {
+    require(bands > 0, "bands must be positive")
+    require(nBits > 0 && nBits <= 30, "nBits must be in 1..30")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VectorExpressions.hyperplaneBandsEval(input.asInstanceOf[ArrayData],
+        bands, nBits)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.hyperplaneBandsEval($c, $bands, $nBits)")
+    override protected def withNewChildInternal(c: Expression): HyperplaneBands =
+      copy(child = c)
+    override def prettyName: String = "hyperplane_bands"
+  }
+
+  /** Static eval used by HyperplaneBands' generated code. */
+  def hyperplaneBandsEval(input: ArrayData, bands: Int,
+      nBits: Int): ArrayData = {
+    val v = floatsOf(input)
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0
+      var p = 0
+      while (p < nBits) {
+        val g = plane(b * nBits + p, v.length)
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          s += g(i) * v(i)
+          i += 1
+        }
+        if (s > 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def hyperplaneBucket(v: Column, nBits: Int, planeOffset: Int = 0): Column =
     toCol(HyperplaneBucket(toExpr(v), nBits, planeOffset))
+  def hyperplaneBands(v: Column, bands: Int, nBits: Int): Column =
+    toCol(HyperplaneBands(toExpr(v), bands, nBits))
 }

@@ -696,6 +696,90 @@ object CurationOps extends OpCatalog {
        |        AS DOUBLE), 4) AS chars_per_token
        |FROM s10""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Per-source corpus-composition drift between crawl snapshots — the
+    * monitoring read on top of q100's diff primitive: for every source,
+    * doc and token counts in v1 vs v2, the deltas, and the share-of-corpus
+    * shift. A feed silently collapsing (or flooding) between crawls moves
+    * its share; the drift table is what a 100 TB ingest pages somebody
+    * about. v2 is the SAME deterministic plant as q100 (docs `%89` drop,
+    * `%97` rewrite with " rev2", `%101` re-crawled under a new id), so the
+    * two queries describe one consistent pair of snapshots.
+    *
+    * Scale: two corpus scans (one per snapshot), each map-combining to a
+    * ≤|sources| grid; the join and share windows run on the grid only.
+    * Counts integer; shares/shifts one `round(·,4)` each. */
+  def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    def toks(c: org.apache.spark.sql.Column) = size(split(c, " ")).cast("long")
+    val base = Tables.documents(spark, sfDir)
+    val v1 = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_v1"),
+        sum(toks(col("text"))).as("tokens_v1"))
+    val v2rows = base
+      .filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      .select(col("source"),
+        when(pmod(col("doc_id"), lit(97L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .select(col("source"), col("text")))
+    val v2 = v2rows.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_v2"),
+        sum(toks(col("text"))).as("tokens_v2"))
+    val all = Window.partitionBy(lit(1))
+    v1.join(v2, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+        coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"),
+        coalesce(col("tokens_v1"), lit(0L)).as("tokens_v1"),
+        coalesce(col("tokens_v2"), lit(0L)).as("tokens_v2"))
+      .withColumn("doc_delta", col("n_docs_v2") - col("n_docs_v1"))
+      .withColumn("token_delta", col("tokens_v2") - col("tokens_v1"))
+      .withColumn("share_v1",
+        round(col("tokens_v1") / sum(col("tokens_v1")).over(all).cast("double"), 4))
+      .withColumn("share_v2",
+        round(col("tokens_v2") / sum(col("tokens_v2")).over(all).cast("double"), 4))
+      .withColumn("share_shift", round(
+        col("tokens_v2") / sum(col("tokens_v2")).over(all).cast("double") -
+          col("tokens_v1") / sum(col("tokens_v1")).over(all).cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val snapshotDriftSql =
+    """WITH v1 AS (
+      |  SELECT source, count(*) AS n_docs_v1,
+      |    sum(len(string_split(text, ' '))) AS tokens_v1
+      |  FROM documents GROUP BY source),
+      |v2rows AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 97 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT source, text FROM documents WHERE doc_id % 101 = 0),
+      |v2 AS (
+      |  SELECT source, count(*) AS n_docs_v2,
+      |    sum(len(string_split(text, ' '))) AS tokens_v2
+      |  FROM v2rows GROUP BY source),
+      |j AS (
+      |  SELECT coalesce(v1.source, v2.source) AS source,
+      |    coalesce(n_docs_v1, 0) AS n_docs_v1,
+      |    coalesce(n_docs_v2, 0) AS n_docs_v2,
+      |    coalesce(tokens_v1, 0) AS tokens_v1,
+      |    coalesce(tokens_v2, 0) AS tokens_v2
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.source = v2.source)
+      |SELECT source,
+      |  CAST(n_docs_v1 AS BIGINT) AS n_docs_v1,
+      |  CAST(n_docs_v2 AS BIGINT) AS n_docs_v2,
+      |  CAST(tokens_v1 AS BIGINT) AS tokens_v1,
+      |  CAST(tokens_v2 AS BIGINT) AS tokens_v2,
+      |  CAST(n_docs_v2 - n_docs_v1 AS BIGINT) AS doc_delta,
+      |  CAST(tokens_v2 - tokens_v1 AS BIGINT) AS token_delta,
+      |  round(tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE), 4) AS share_v1,
+      |  round(tokens_v2 / CAST(sum(tokens_v2) OVER () AS DOUBLE), 4) AS share_v2,
+      |  round(tokens_v2 / CAST(sum(tokens_v2) OVER () AS DOUBLE)
+      |    - tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE), 4) AS share_shift
+      |FROM j ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q103
   /** Deterministic epoch shuffle — the training data-loader's global
     * reshuffle as a PURE FUNCTION of (epoch, doc_id): key =
@@ -894,5 +978,7 @@ object CurationOps extends OpCatalog {
     Op("q104_outlier_mad", outlierMad, Some(outlierMadSql),
       "robust per-lang length outliers via median + MAD (4.4478*MAD fence, outlier-proof statistics)"),
     Op("q106_source_overlap", sourceOverlap, Some(sourceOverlapSql),
-      "pairwise source content-overlap matrix (Jaccard over distinct md5 contents, full grid incl. zero pairs)"))
+      "pairwise source content-overlap matrix (Jaccard over distinct md5 contents, full grid incl. zero pairs)"),
+    Op("q108_snapshot_drift", snapshotDrift, Some(snapshotDriftSql),
+      "per-source doc/token composition drift between crawl snapshots (q100's planted v2, share-shift monitoring)"))
 }

@@ -949,7 +949,63 @@ object TextOps extends OpCatalog {
         (col("n_arriving") - col("n_true_dups")).cast("double"), 4))
   }
 
+  // --------------------------------------------------------------- q107
+  /** Per-document character-entropy screen: the 20 lowest-entropy
+    * documents — the information-theoretic OCR-garbage / padding / binary-
+    * junk tripwire (a doc of one repeated char scores 0 bits; natural
+    * text sits near its language's ~4-bit char entropy; q97's hapax share
+    * reads the same damage at corpus level, this reads it per document).
+    * H = log2(n) − Σ c·log2(c) / n from exact per-char counts.
+    *
+    * Scale: explode is linear in corpus chars and immediately map-side
+    * combines to (doc, char) counts (alphabet-bounded per doc); the
+    * per-doc agg reuses nothing corpus-wide and the final top-20 is a
+    * TakeOrderedAndProject on the ROUNDED key (round(·,4), doc_id) —
+    * q63's ordering policy, so last-ulp `log2` skew cannot flip the
+    * cross-engine order. */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    charEntropyOf(
+      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
+  }
+
+  /** Core of q107 over any (doc_id, lang, text) frame — spec entry point. */
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // java regex may emit a trailing empty
+      .groupBy(col("doc_id"), col("lang"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(log2(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 4).as("entropy"))
+      .orderBy(col("entropy"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val charEntropySql =
+    """WITH chars AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, lang, ch, count(*) AS c FROM chars
+      |  WHERE ch <> '' GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang,
+      |  CAST(sum(c) AS BIGINT) AS n_chars_total,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |  round(log2(CAST(sum(c) AS DOUBLE))
+      |    - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
+      |    AS entropy
+      |FROM cnt GROUP BY doc_id, lang
+      |ORDER BY entropy, doc_id LIMIT 20""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q107_char_entropy", charEntropy, Some(charEntropySql),
+      "20 lowest char-entropy docs (OCR-garbage/padding tripwire, exact-count entropy, rounded-key ordering)"),
     Op("q62_bigram_freq", bigramFreq, Some(bigramFreqSql),
       "custom Generator (UDTF): bigram frequency top-20"),
     Op("q76_repeated_spans", repeatedSpans, Some(repeatedSpansSql),

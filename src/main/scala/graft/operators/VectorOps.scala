@@ -488,12 +488,13 @@ object VectorOps extends OpCatalog {
   /** Banded-LSH blocked near-dup core — q48's body, reusable by specs. */
   def lshPairs(e: DataFrame, threshold: Double, bands: Int = 8,
       bits: Int = 4): DataFrame = {
+    // one fused expression computes every band's bucket in a single pass
+    // over the vector (the per-band form re-materialized the float array
+    // once per band — 100+× per row at derived shapes); posexplode's
+    // position IS the band id, value-identical to the per-band planes
     val keyed = e.select(col("vec_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          VectorExpressions.hyperplaneBucket(col("embedding"), bits, b * bits)
-            .as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      posexplode(VectorExpressions.hyperplaneBands(col("embedding"), bands, bits)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     val cand = keyed.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
       .join(keyed.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
         Seq("band", "bucket"))

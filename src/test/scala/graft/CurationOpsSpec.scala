@@ -405,6 +405,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(("B", "C"))._3 == 0L)
   }
 
+  test("q108: drift totals reconcile with q100's diff classes; shares sum to 1") {
+    val drift = CurationOps.snapshotDrift(spark, sfDir).collect()
+    val diff = CurationOps.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1Total = drift.map(_.getLong(1)).sum
+    val v2Total = drift.map(_.getLong(2)).sum
+    // same planted v2 in both queries: doc-count movement must agree
+    assert(v2Total - v1Total ==
+      diff.getOrElse("added", 0L) - diff.getOrElse("removed", 0L),
+      s"drift v1=$v1Total v2=$v2Total vs diff=$diff")
+    assert(math.abs(drift.map(_.getDouble(7)).sum - 1.0) < 1e-3)
+    assert(math.abs(drift.map(_.getDouble(8)).sum - 1.0) < 1e-3)
+    drift.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) - r.getLong(1))
+      assert(r.getLong(6) == r.getLong(4) - r.getLong(3))
+    }
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")

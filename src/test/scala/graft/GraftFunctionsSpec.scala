@@ -142,6 +142,7 @@ class GraftFunctionsSpec extends SparkSpec {
       "round(cosine_similarity(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)), " +
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6)",
       "hyperplane_bucket(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 8)",
+      "hyperplane_bands(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 4, 6)",
       "st_x(st_point(3.25, -1.5))",
       "st_srid(st_set_srid(st_point(1.0, 2.0), 4326))")
     val sql = exprs.mkString("SELECT ", ", ", "")

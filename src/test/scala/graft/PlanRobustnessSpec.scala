@@ -46,7 +46,8 @@ class PlanRobustnessSpec extends SparkSpec {
       "q45_ann_ivf",            // crossJoin(broadcast(the single query vector))
       "q80_filtered_cosine_topk", // crossJoin(broadcast(the single query vector))
       "q97_token_freq_spectrum",  // crossJoin(broadcast(1-row vocab-total scalar))
-      "q98_diversity_coreset"     // crossJoin(broadcast(k=8 selected centers))
+      "q98_diversity_coreset",    // crossJoin(broadcast(k=8 selected centers))
+      "q106_source_overlap"       // crossJoin(broadcast(≤|sources|-row totals grid)) for the full pair matrix
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(

@@ -333,4 +333,22 @@ class TextOpsSpec extends SparkSpec {
     val keys = once.select("lang", "source").collect().toSet
     assert(keys.size == once.count(), "dedup output must be key-unique")
   }
+
+  test("q107: entropy exact on planted distributions; repeated-char garbage ranks first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xx", "aaaaaaaa"),              // one symbol -> 0 bits
+      (2L, "xx", "abababab"),              // two equiprobable -> 1 bit
+      (3L, "xx", "abcd"),                  // four equiprobable -> 2 bits
+      (4L, "xx", "the quick brown fox"))   // natural-ish, highest here
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextOps.charEntropyOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L),
+      "lowest entropy (most degenerate) must rank first")
+    assert(out(0) == ((1L, 8L, 1L, 0.0)))
+    assert(out(1) == ((2L, 8L, 2L, 1.0)))
+    assert(out(2) == ((3L, 4L, 4L, 2.0)))
+    assert(out(3)._4 > 2.0)
+  }
 }

@@ -171,6 +171,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs(VectorOps.embeddingNeardupLsh(spark, sfDir)) == fixtureBlocked)
   }
 
+  test("hyperplane bands: fused one-pass eval == per-band hyperplaneEval for every band") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(23)
+    for (len <- Seq(1, 64, 200); (bands, bits) <- Seq((1, 4), (8, 4), (65, 7), (208, 6))) {
+      val v = Array.fill(len)(rnd.nextGaussian().toFloat)
+      val ad = new GenericArrayData(v.map(x => x: Any))
+      val fused = VectorExpressions.hyperplaneBandsEval(ad, bands, bits)
+        .toIntArray()
+      assert(fused.length == bands)
+      for (b <- 0 until bands) {
+        assert(fused(b) == VectorExpressions.hyperplaneEval(ad, bits, b * bits),
+          s"len=$len bands=$bands bits=$bits band=$b")
+      }
+    }
+  }
+
   test("hyperplane bucket: cached-plane eval is bit-identical to the definitional form") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.sql.catalyst.util.GenericArrayData
