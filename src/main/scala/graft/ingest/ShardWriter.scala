@@ -41,4 +41,30 @@ object ShardWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("lang")
       .parquet(outDir)
+
+  /** Epoch-ordered training shards: materializes q103's epoch-shuffle
+    * manifest (`CurationOps.epochShuffleOf`) as the PHYSICAL layout — the
+    * write side of the reproducible-training-order story. Same md5 key
+    * and nibble-bucket shard as the declared query; rows land in manifest
+    * position order inside each `shard=` directory via
+    * `repartition(shard).sortWithinPartitions(key)`, so a data loader
+    * streaming the files sequentially reads the epoch's global shuffle
+    * with ZERO runtime sorting and no window function anywhere on the
+    * write path (the q103 scaladoc's claim, made concrete). The `ep_key`
+    * column rides along so any reader can audit the order without
+    * recomputing hashes. */
+  def writeEpochShards(docs: DataFrame, outDir: String, epoch: Int,
+      shards: Int = 16, maxRecordsPerFile: Long = 1000000L): Unit =
+    docs
+      .withColumn("ep_key",
+        md5(concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("ep_key"), 29, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ep_key"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(outDir)
 }

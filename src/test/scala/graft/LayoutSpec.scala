@@ -106,4 +106,34 @@ class LayoutSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("lang")),
       s"expected a lang PartitionFilter on the shard scan:\n$scan")
   }
+
+  test("epoch shards: files land in q103 manifest order — the manifest IS the layout") {
+    import graft.ingest.ShardWriter
+    import graft.operators.CurationOps
+    val dir = Files.createTempDirectory("graft_epoch").toString + "/out"
+    val docs = Tables.documents(spark, sfDir)
+    val shards = 8
+    ShardWriter.writeEpochShards(docs, dir, epoch = 1, shards = shards)
+    // the declared query's manifest: (shard, pos) -> doc_id
+    val manifest = CurationOps.epochShuffleOf(docs, epoch = 1, shards = shards)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0)).toMap
+    var seen = 0L
+    for (shard <- 0 until shards) {
+      val shardDir = new java.io.File(s"$dir/shard=$shard")
+      if (shardDir.exists()) {
+        // read files in name order, rows in stored order (no sort anywhere)
+        val files = shardDir.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val inFileOrder = files.flatMap(f =>
+          spark.read.parquet(f.getAbsolutePath)
+            .select("doc_id").collect().map(_.getLong(0))).toSeq
+        val expect = (1 to inFileOrder.length)
+          .map(pos => manifest((shard.toLong, pos.toLong)))
+        assert(inFileOrder == expect,
+          s"shard $shard file order must equal manifest position order")
+        seen += inFileOrder.length
+      }
+    }
+    assert(seen == docs.count(), "every document lands in exactly one shard")
+  }
 }
