@@ -62,6 +62,51 @@ class PlanRobustnessSpec extends SparkSpec {
       s"scale-killer join shapes in declared plans:\n${offenders.mkString("\n")}")
   }
 
+  test("runtime bloom-filter join: selective dim predicate prunes the fact side, same answer") {
+    // The 100 TB shuffle-join saver Spark ships but only arms past size
+    // thresholds the fixtures can't reach: a selective filter on the dim
+    // side becomes a bloom filter probed on the FACT side's scan, so
+    // most fact rows die before the shuffle. Thresholds are forced here
+    // to prove the mechanism and pin the plan shape at fixture scale;
+    // the production config is the default one — at real sizes the same
+    // plans arm it automatically (that automation is the point: nothing
+    // in the engine's query shapes blocks the rule).
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def joined() = {
+      val orders = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F")
+      val li = Tables.lineitem(spark, sfDir)
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+    }
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val armed = joined()
+      val plan = armed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter must inject on the fact side:\n${plan.take(2000)}")
+      val withFilter = armed.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = joined().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(withFilter == without, "bloom pruning must not change the answer")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("query catalog has no duplicate names (driver map would drop them)") {
     assert(SparkEntry.ops.map(_.name).distinct.size == SparkEntry.ops.size)
     // every oracle entry corresponds to a declared query
