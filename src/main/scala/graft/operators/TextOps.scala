@@ -949,6 +949,80 @@ object TextOps extends OpCatalog {
         (col("n_arriving") - col("n_true_dups")).cast("double"), 4))
   }
 
+  // --------------------------------------------------------------- q109
+  /** Directed containment pairs — the PARTIAL-duplicate primitive the
+    * symmetric dedup ladder misses: a short document fully embedded in a
+    * long one scores near containment 1.0 while its Jaccard stays low
+    * (the exact case q32/q33's symmetric thresholds are blind to;
+    * Lee et al.'s dedup uses substring containment for the same reason).
+    * C(a→b) = |G_a ∩ G_b| / |G_a| over distinct token 8-grams (q69's
+    * gram contract), reported as the top-20 directed pairs.
+    *
+    * Grams with document frequency > 50 are dropped from BOTH sets
+    * before pairing — boilerplate chrome (q95's finding) would otherwise
+    * manufacture hot-key pair floods; the drop redefines containment
+    * over INFORMATIVE grams, which is the standard common-shingle
+    * stopping move. Scale: every shuffle keys on the gram or the (a, b)
+    * pair; the df cap bounds any single gram's pair fan-out at 50², and
+    * at 100 TB the same plan runs on each doc's k RAREST grams (df-rank
+    * blocking) — same shape, tighter candidate bound. Top-20 is a
+    * TakeOrderedAndProject on the ROUNDED key (q63 ordering policy). */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    containmentPairsOf(
+      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
+  }
+
+  /** Core of q109 over any (doc_id, text) frame — spec entry point. */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
+      .distinct()
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val keep = grams.join(df.filter(col("df") <= 50), "gram")
+      .select(col("doc_id"), col("gram"))
+    val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = keep.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")),
+        "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("n_grams_a"), col("n_common"),
+        round(col("n_common") / col("n_grams_a").cast("double"), 4)
+          .as("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val containmentPairsSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |g AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+      |  FROM d),
+      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+      |keep AS (
+      |  SELECT doc_id, g.gram FROM g JOIN df USING (gram) WHERE df <= 50),
+      |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM keep a JOIN keep b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(sa.n AS BIGINT) AS n_grams_a,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  round(n_common / CAST(sa.n AS DOUBLE), 4) AS containment
+      |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+      |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
   // --------------------------------------------------------------- q107
   /** Per-document character-entropy screen: the 20 lowest-entropy
     * documents — the information-theoretic OCR-garbage / padding / binary-
@@ -1006,6 +1080,8 @@ object TextOps extends OpCatalog {
   override val ops: Seq[Op] = Seq(
     Op("q107_char_entropy", charEntropy, Some(charEntropySql),
       "20 lowest char-entropy docs (OCR-garbage/padding tripwire, exact-count entropy, rounded-key ordering)"),
+    Op("q109_containment_pairs", containmentPairs, Some(containmentPairsSql),
+      "top-20 directed 8-gram containment pairs (partial-duplicate primitive; df<=50 boilerplate-gram stopping)"),
     Op("q62_bigram_freq", bigramFreq, Some(bigramFreqSql),
       "custom Generator (UDTF): bigram frequency top-20"),
     Op("q76_repeated_spans", repeatedSpans, Some(repeatedSpansSql),

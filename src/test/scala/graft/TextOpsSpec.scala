@@ -334,6 +334,26 @@ class TextOpsSpec extends SparkSpec {
     assert(keys.size == once.count(), "dedup output must be key-unique")
   }
 
+  test("q109: containment is directional — short doc embedded in long scores 1.0, reverse stays low") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")            // 3 8-grams
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")             // 33 8-grams
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")         // disjoint
+    val docs = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1's grams all appear in doc 2; doc 2 shares only 3 of its 33
+    assert(out((1L, 2L)) == ((3L, 3L, 1.0)),
+      "short-in-long must be full containment")
+    assert(out((2L, 1L))._3 < 0.1, "reverse direction must stay low")
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "disjoint doc must pair with nobody")
+    // the top-ranked pair is the planted full containment
+    val top = graft.operators.TextOps.containmentPairsOf(docs).head()
+    assert((top.getLong(0), top.getLong(1)) == ((1L, 2L)))
+  }
+
   test("q107: entropy exact on planted distributions; repeated-char garbage ranks first") {
     import spark.implicits._
     val docs = Seq(
