@@ -851,6 +851,14 @@ object CurationOps extends OpCatalog {
     outlierMadOf(Tables.documents(spark, sfDir))
   }
 
+  /** q104's fence over (n_chars, med_chars, mad_chars) columns — ONE
+    * definition shared with the streaming twin
+    * (`StreamingOps.madScreenStream`) so batch and stream cannot drift:
+    * dev > 4.4478·MAD (3 × 1.4826, the 3σ-equivalent). */
+  private[graft] def madOutlierPredicate: org.apache.spark.sql.Column =
+    abs(col("n_chars") - col("med_chars")) >
+      col("mad_chars") * lit(4.4478)
+
   /** Core of q104 over any (lang, n_chars) frame — spec entry point. */
   private[graft] def outlierMadOf(input: DataFrame): DataFrame = {
     val docs = input.select(col("lang"), col("n_chars"))
@@ -865,8 +873,7 @@ object CurationOps extends OpCatalog {
       .agg(count(lit(1)).as("n_docs"),
         max(col("med_chars")).as("med_chars"),
         max(col("mad_chars")).as("mad_chars"),
-        sum(when(col("dev") > col("mad_chars") * lit(4.4478), 1L)
-          .otherwise(0L)).as("n_outliers"))
+        sum(when(madOutlierPredicate, 1L).otherwise(0L)).as("n_outliers"))
       .select(col("lang"), col("n_docs"), col("med_chars"), col("mad_chars"),
         col("n_outliers"),
         round(col("n_outliers") / col("n_docs").cast("double"), 4)

@@ -962,10 +962,14 @@ object TextOps extends OpCatalog {
     * before pairing — boilerplate chrome (q95's finding) would otherwise
     * manufacture hot-key pair floods; the drop redefines containment
     * over INFORMATIVE grams, which is the standard common-shingle
-    * stopping move. Scale: every shuffle keys on the gram or the (a, b)
-    * pair; the df cap bounds any single gram's pair fan-out at 50², and
-    * at 100 TB the same plan runs on each doc's k RAREST grams (df-rank
-    * blocking) — same shape, tighter candidate bound. Top-20 is a
+    * stopping move. Scale: grams are immediately collapsed to a 60-bit
+    * md5-prefix INTEGER key, so every corpus-sized shuffle moves 8-byte
+    * keys instead of ~50-byte gram strings — and because BOTH engines
+    * derive the identical hash, even a collision (birthday ≈ n²/2⁶¹,
+    * immaterial) is mirrored exactly, keeping the oracle hash-exact; the
+    * df cap bounds any single gram's pair fan-out at 50², and at 100 TB
+    * the same plan runs on each doc's k RAREST grams (df-rank blocking)
+    * — same shape, tighter candidate bound. Top-20 is a
     * TakeOrderedAndProject on the ROUNDED key (q63 ordering policy). */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
@@ -979,13 +983,16 @@ object TextOps extends OpCatalog {
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("gkey"))
       .distinct()
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val keep = grams.join(df.filter(col("df") <= 50), "gram")
-      .select(col("doc_id"), col("gram"))
+    val df = grams.groupBy(col("gkey")).agg(count(lit(1)).as("df"))
+    val keep = grams.join(df.filter(col("df") <= 50), "gkey")
+      .select(col("doc_id"), col("gkey"))
     val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = keep.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(keep.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+    val inter = keep.select(col("doc_id").as("doc_a"), col("gkey"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("gkey")), "gkey")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -1003,18 +1010,22 @@ object TextOps extends OpCatalog {
     """WITH d AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
       |  WHERE len(string_split(lower(text), ' ')) >= 8),
-      |g AS (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
       |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
       |  FROM d),
-      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
+      |  FROM g0),
+      |df AS (SELECT gkey, count(*) AS df FROM g GROUP BY gkey),
       |keep AS (
-      |  SELECT doc_id, g.gram FROM g JOIN df USING (gram) WHERE df <= 50),
+      |  SELECT doc_id, g.gkey FROM g JOIN df USING (gkey) WHERE df <= 50),
       |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM keep a JOIN keep b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  FROM keep a JOIN keep b ON a.gkey = b.gkey AND a.doc_id <> b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  CAST(sa.n AS BIGINT) AS n_grams_a,

@@ -309,6 +309,20 @@ object StreamingOps {
         when(col("n") > 1, EventOps.zScoreExpr).as("z"))
   }
 
+  /** Stream-static length-outlier screen — q104's streaming twin:
+    * arriving (doc_id, lang, n_chars) documents are flagged against
+    * STATIC per-lang median/MAD stats via a stateless broadcast join
+    * (the q88/contamination screen pattern — no watermark, no state
+    * store; the stats side is ≤|langs| rows). The fence is
+    * [[graft.operators.CurationOps.madOutlierPredicate]] — one shared
+    * definition, so the spec-asserted stream==batch flag equivalence
+    * cannot drift. In production the stats frame refreshes on a crawl
+    * cadence; the arriving side never shuffles. */
+  def madScreenStream(docs: DataFrame, stats: DataFrame): DataFrame =
+    docs.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.operators.CurationOps.madOutlierPredicate.as("is_outlier"))
+
   /** Serialized Bloom sketch of a seen corpus's content hashes — the
     * companion of [[bloomScreenStream]] (and the streaming counterpart of
     * batch q77's in-plan scalar subquery). The sketch is BOUNDED by its

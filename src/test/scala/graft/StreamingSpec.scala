@@ -408,6 +408,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamedFlagged.nonEmpty)
   }
 
+  test("streaming MAD screen == batch q104 outlier counts, stateless across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    GraftSession.tune(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // the static side: per-lang median/MAD from the batch operator itself
+    val stats = graft.operators.CurationOps.outlierMad(spark, sfDir)
+      .select(col("lang"), col("med_chars"), col("mad_chars"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[(Long, String, Long)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.madScreenStream(
+        mem.toDF().toDF("doc_id", "lang", "n_chars"), stats),
+      "mad_screen_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+    assert(streamed.length == rows.length, "screen is a per-row map")
+    // per-lang flagged counts must equal batch q104's n_outliers exactly
+    val streamedByLang = streamed.filter(_._3).groupBy(_._2)
+      .map { case (l, xs) => l -> xs.length.toLong }
+    val batchByLang = graft.operators.CurationOps.outlierMad(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      .filter(_._2 > 0)
+    assert(streamedByLang == batchByLang,
+      s"stream flags != q104: stream=$streamedByLang batch=$batchByLang")
+  }
+
   test("anomaly screen with n=1 stats emits null z, not NaN") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
