@@ -780,6 +780,72 @@ object CurationOps extends OpCatalog {
       |    - tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE), 4) AS share_shift
       |FROM j ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Incremental reprocessing — the OPERATIONAL payoff of q100's diff:
+    * downstream curation (content-hash split + token accounting, q96's
+    * buckets) re-runs over `added ∪ changed` documents ONLY, never the
+    * unchanged corpus. At 100 TB this is the difference between a
+    * nightly full re-run and a delta job: v2 joins the v1 HASH manifest
+    * (16 bytes/doc, not the corpus) on the primary key — co-partitioned
+    * zip under q100's doc_id bucketing — and unchanged docs are filtered
+    * out BEFORE any downstream compute touches their text. Same planted
+    * v2 as q100/q108, so the three queries describe one consistent
+    * incremental world; `CurationOpsSpec` reconciles the work set
+    * against q100's added/changed classes exactly. */
+  def incrementalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val base = Tables.documents(spark, sfDir)
+    val v1 = base.select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = base.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(97L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val work = v2.withColumn("h2", md5(col("text")))
+      .join(v1, Seq("doc_id"), "left")
+      .filter(col("h1").isNull || col("h1") =!= col("h2"))
+      .withColumn("status", when(col("h1").isNull, "added").otherwise("changed"))
+    val bucket = pmod(
+      conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
+    work
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .orderBy(col("status"))
+  }
+
+  private val incrementalPipelineSql =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 101 = 0),
+      |work AS (
+      |  SELECT v2.doc_id, v2.text,
+      |    CASE WHEN v1.h1 IS NULL THEN 'added' ELSE 'changed' END AS status
+      |  FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+      |  WHERE v1.h1 IS NULL OR v1.h1 <> md5(v2.text)),
+      |s AS (
+      |  SELECT status, text,
+      |    ('0x' || substr(md5(text), 29, 4))::BIGINT % 100 AS bucket
+      |  FROM work)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |  CAST(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(sum(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_valid,
+      |  CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |FROM s GROUP BY status ORDER BY status""".stripMargin
+
   // ---------------------------------------------------------------- q103
   /** Deterministic epoch shuffle — the training data-loader's global
     * reshuffle as a PURE FUNCTION of (epoch, doc_id): key =
@@ -987,5 +1053,8 @@ object CurationOps extends OpCatalog {
     Op("q106_source_overlap", sourceOverlap, Some(sourceOverlapSql),
       "pairwise source content-overlap matrix (Jaccard over distinct md5 contents, full grid incl. zero pairs)"),
     Op("q108_snapshot_drift", snapshotDrift, Some(snapshotDriftSql),
-      "per-source doc/token composition drift between crawl snapshots (q100's planted v2, share-shift monitoring)"))
+      "per-source doc/token composition drift between crawl snapshots (q100's planted v2, share-shift monitoring)"),
+    Op("q110_incremental_pipeline", incrementalPipeline,
+      Some(incrementalPipelineSql),
+      "incremental reprocessing: downstream split+token accounting over added+changed docs ONLY (q100's diff operationalized)"))
 }

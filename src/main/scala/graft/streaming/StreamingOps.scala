@@ -323,6 +323,30 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         graft.operators.CurationOps.madOutlierPredicate.as("is_outlier"))
 
+  /** Stream-static SEMANTIC screen: arriving (vec_id, embedding) rows
+    * flagged when cosine to any static center reaches `tau` — the
+    * embedding-side admission gate that closes the loop on the batch
+    * vector ladder (the centers ARE a bounded batch artifact: q98's
+    * diversity coreset or q45's IVF codebook). Like [[seenSketch]], the
+    * static side is collected as a BOUNDED artifact (k center vectors,
+    * not data) and folded into one per-row `greatest(cos…)` expression,
+    * so the stream stays a stateless map — no state store, no watermark,
+    * no stream-side shuffle; refreshing the centers on a training
+    * cadence just swaps the literal. `max_center_sim` is rounded per the
+    * 4-dp policy; the flag compares the UNROUNDED value. */
+  def semanticScreenStream(vecs: DataFrame, centers: Seq[Seq[Float]],
+      tau: Double): DataFrame = {
+    require(centers.nonEmpty, "semantic screen needs at least one center")
+    val cosines = centers.map(c =>
+      graft.functions.VectorExpressions.cosineSimilarity(
+        col("embedding"), typedlit(c)))
+    val maxCos = if (cosines.size == 1) cosines.head
+      else greatest(cosines: _*)
+    vecs.select(col("vec_id"),
+      round(maxCos, 4).as("max_center_sim"),
+      (maxCos >= lit(tau)).as("is_near"))
+  }
+
   /** Serialized Bloom sketch of a seen corpus's content hashes — the
     * companion of [[bloomScreenStream]] (and the streaming counterpart of
     * batch q77's in-plan scalar subquery). The sketch is BOUNDED by its

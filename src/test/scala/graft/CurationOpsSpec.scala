@@ -423,6 +423,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q110: work set == q100's added+changed classes exactly; splits partition it") {
+    val inc = CurationOps.incrementalPipeline(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val diff = CurationOps.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc.keySet == Set("added", "changed"))
+    assert(inc("added")._1 == diff("added"),
+      "incremental work set must contain exactly the diff's added docs")
+    assert(inc("changed")._1 == diff("changed"),
+      "incremental work set must contain exactly the diff's changed docs")
+    inc.values.foreach { case (n, tr, va, te) => assert(tr + va + te == n) }
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -440,6 +440,43 @@ class StreamingSpec extends SparkSpec {
       s"stream flags != q104: stream=$streamedByLang batch=$batchByLang")
   }
 
+  test("streaming semantic screen: flags == brute-force max-cosine vs the same static centers") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    GraftSession.tune(spark)
+    // static centers: two orthogonal axes; streamed vectors planted near,
+    // between, and far from them
+    val centers = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    val vecs = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f)),   // near center 1
+      (2L, Seq(0.1f, 0.99f, 0f)),   // near center 2
+      (3L, Seq(0.6f, 0.6f, 0f)),    // between: cos ≈ 0.707 to both
+      (4L, Seq(0f, 0f, 1f)))        // orthogonal to both
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData(vecs.take(2))
+    mem.addData(vecs.drop(2))
+    val out = StreamingOps.runToMemory(
+      StreamingOps.semanticScreenStream(
+        mem.toDF().toDF("vec_id", "embedding"), centers, tau = 0.9),
+      "semantic_screen_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    // independent driver-side brute force over the same doubles
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    vecs.foreach { case (id, v) =>
+      val expect = centers.map(c => cos(v, c)).max
+      assert(math.abs(out(id)._1 - expect) < 5e-5, s"vec $id sim")
+      assert(out(id)._2 == (expect >= 0.9), s"vec $id flag")
+    }
+    assert(out(1L)._2 && out(2L)._2 && !out(3L)._2 && !out(4L)._2)
+  }
+
   test("anomaly screen with n=1 stats emits null z, not NaN") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
