@@ -846,6 +846,96 @@ object CurationOps extends OpCatalog {
       |  CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
       |FROM s GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Two-sample Kolmogorov–Smirnov drift test on the document-length
+    * distribution between crawl snapshots — the DISTRIBUTIONAL alarm
+    * completing q108's count-based drift monitor (a feed can keep its
+    * share while its length distribution silently collapses to stubs; KS
+    * catches shape, not just volume). Same planted v2 as q100/q108/q110.
+    *
+    * Fully integer-exact cross-engine: the statistic is computed SCALED —
+    * D_s = max |cum1·N2 − cum2·N1| over the merged length grid (exact
+    * BIGINT products; D = D_s/(N1·N2) is the one rounded double) — and
+    * the α=0.05 decision c(α)√((N1+N2)/(N1N2)) is squared into the pure
+    * integer comparison 10⁶·D_s² > 1844164·(N1+N2)·N1·N2, evaluated in
+    * 128-bit exact arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT) so
+    * the verdict cannot flap. Arg-max length ties break to the smallest.
+    *
+    * Scale: two corpus scans map-combine to per-length counts (the grid
+    * is ≤ distinct lengths — bounded, bucket at 100 TB); the CDF windows
+    * and the top-1 run on that grid only. */
+  def lengthDriftKs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val base = Tables.documents(spark, sfDir)
+    val len1 = base.select(length(col("text")).cast("long").as("len"))
+    val len2 = base.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      .select(when(pmod(col("doc_id"), lit(97L)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .select(col("text")))
+      .select(length(col("text")).cast("long").as("len"))
+    lengthDriftKsOf(len1, len2)
+  }
+
+  /** Core of q111 over any two single-column `len` frames — spec entry. */
+  private[graft] def lengthDriftKsOf(len1: DataFrame,
+      len2: DataFrame): DataFrame = {
+    val c1 = len1.groupBy(col("len")).agg(count(lit(1)).as("c1"))
+    val c2 = len2.groupBy(col("len")).agg(count(lit(1)).as("c2"))
+    val grid = c1.join(c2, Seq("len"), "full_outer")
+      .select(col("len"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val cdf = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    grid
+      .withColumn("cum1", sum(col("c1")).over(cdf))
+      .withColumn("cum2", sum(col("c2")).over(cdf))
+      .withColumn("n1", sum(col("c1")).over(all))
+      .withColumn("n2", sum(col("c2")).over(all))
+      .withColumn("ds",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .orderBy(col("ds").desc, col("len").asc)
+      .limit(1)
+      .select(col("n1"), col("n2"), col("ds").as("ks_scaled"),
+        col("len").as("at_len"),
+        round(col("ds") / (col("n1") * col("n2")).cast("double"), 6).as("ks"),
+        (col("ds").cast("decimal(38,0)") * col("ds") * lit(1000000L) >
+          lit(1844164L).cast("decimal(38,0)") *
+            (col("n1") + col("n2")) * col("n1") * col("n2")).as("reject_05"))
+  }
+
+  private val lengthDriftKsSql =
+    """WITH v1 AS (SELECT CAST(length(text) AS BIGINT) AS len FROM documents),
+      |v2t AS (
+      |  SELECT CASE WHEN doc_id % 97 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT text FROM documents WHERE doc_id % 101 = 0),
+      |v2 AS (SELECT CAST(length(text) AS BIGINT) AS len FROM v2t),
+      |k1 AS (SELECT len, count(*) AS c1 FROM v1 GROUP BY len),
+      |k2 AS (SELECT len, count(*) AS c2 FROM v2 GROUP BY len),
+      |grid AS (
+      |  SELECT coalesce(k1.len, k2.len) AS len,
+      |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      |  FROM k1 FULL OUTER JOIN k2 ON k1.len = k2.len),
+      |cum AS (
+      |  SELECT len,
+      |    sum(c1) OVER (ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    sum(c2) OVER (ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      |  FROM grid),
+      |scored AS (SELECT *, abs(cum1*n2 - cum2*n1) AS ds FROM cum)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(ds AS BIGINT) AS ks_scaled, CAST(len AS BIGINT) AS at_len,
+      |  round(ds / CAST(n1*n2 AS DOUBLE), 6) AS ks,
+      |  (CAST(ds AS HUGEINT)*ds*1000000
+      |     > CAST(1844164 AS HUGEINT)*(n1+n2)*n1*n2) AS reject_05
+      |FROM scored ORDER BY ds DESC, len LIMIT 1""".stripMargin
+
   // ---------------------------------------------------------------- q103
   /** Deterministic epoch shuffle — the training data-loader's global
     * reshuffle as a PURE FUNCTION of (epoch, doc_id): key =
@@ -1056,5 +1146,7 @@ object CurationOps extends OpCatalog {
       "per-source doc/token composition drift between crawl snapshots (q100's planted v2, share-shift monitoring)"),
     Op("q110_incremental_pipeline", incrementalPipeline,
       Some(incrementalPipelineSql),
-      "incremental reprocessing: downstream split+token accounting over added+changed docs ONLY (q100's diff operationalized)"))
+      "incremental reprocessing: downstream split+token accounting over added+changed docs ONLY (q100's diff operationalized)"),
+    Op("q111_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
+      "two-sample KS drift test on doc-length distributions between snapshots (scaled-integer statistic, 128-bit exact verdict)"))
 }

@@ -437,6 +437,25 @@ class CurationOpsSpec extends SparkSpec {
     inc.values.foreach { case (n, tr, va, te) => assert(tr + va + te == n) }
   }
 
+  test("q111: KS statistic exact on planted shifts; identical samples score zero") {
+    import spark.implicits._
+    // disjoint shift: A uniform on 1..100, B uniform on 101..200 -> D = 1
+    val a = (1L to 100L).toDF("len")
+    val b = (101L to 200L).toDF("len")
+    val shifted = CurationOps.lengthDriftKsOf(a, b).head()
+    assert(shifted.getDouble(4) == 1.0 && shifted.getBoolean(5))
+    // half-overlap: A on 1..100, B on 51..150 -> D = 0.5 at len 100
+    val c = (51L to 150L).toDF("len")
+    val half = CurationOps.lengthDriftKsOf(a, c).head()
+    assert(half.getDouble(4) == 0.5)
+    assert(half.getLong(3) == 50L,
+      "the 0.5 gap plateaus over len 50..100; ties break to the smallest")
+    assert(half.getBoolean(5), "D=0.5 at n=100 clears the 0.05 critical value")
+    // identical samples: D = 0, no rejection
+    val same = CurationOps.lengthDriftKsOf(a, a.select(col("len"))).head()
+    assert(same.getLong(2) == 0L && same.getDouble(4) == 0.0 && !same.getBoolean(5))
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")

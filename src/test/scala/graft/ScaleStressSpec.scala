@@ -274,6 +274,30 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("q109 df-cap: a boilerplate gram shared by the whole corpus cannot flood the pair join") {
+    // q109's scale claim: without the df <= 50 stop, one chrome gram
+    // shared by B docs manufactures B^2 candidate pairs; with it, the
+    // gram is dropped entirely and only CONTENT grams pair. Plant a
+    // corpus where every doc carries the same boilerplate sentence plus
+    // unique content, and one genuine contained pair.
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one shared 8-gram
+    val docs = (1L to 200L).map { i =>
+      val content = (0 to 9).map(j => s"u${i}_$j").mkString(" ")
+      (i, s"$boiler $content")
+    } :+ (500L, boiler + " " + (0 to 9).map(j => s"u7_$j").mkString(" "))
+    val out = graft.operators.TextOps.containmentPairsOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // every returned pair must be the planted duplicate pair (7, 500) —
+    // the 201-doc boilerplate gram pairs NOBODY
+    assert(out.nonEmpty, "the planted contained pair must surface")
+    assert(out.forall(p => Set(p._1, p._2) == Set(7L, 500L)),
+      s"boilerplate gram leaked into the pair join: ${out.take(5).mkString(", ")}")
+    // and the duplicated content scores full containment both ways over
+    // informative grams
+    assert(out.forall(_._3 >= 0.5))
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     // the claim behind GraphOps (q60/q78): large-star/small-star needs
     // ~log(n) materializing rounds where plain min-label propagation needs
