@@ -81,7 +81,48 @@ object SkewOps extends OpCatalog {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Join-key skew profile — the DIAGNOSTIC that decides whether q29's
+    * salting (or AQE's skew split) is even needed: top-10 heaviest join
+    * keys on the fact side with row count, share, and an integer-exact
+    * hot-key verdict (`cnt·n_keys > 10·total` — "this key holds >10× the
+    * mean"). Run before every large production join; a flat profile
+    * means the plain shuffle join is already optimal.
+    *
+    * Scale: one map-combined agg on the join key; the totals ride as a
+    * 1-row broadcast (q70's scalar pattern — never a window over the
+    * key-sized frame, which would single-partition-sort every distinct
+    * key at 100 TB); top-10 is a TakeOrderedAndProject. */
+  def keySkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    keySkewProfileOf(Tables.events(spark, sfDir), "user_id")
+  }
+
+  /** Core of q112 over any frame and key column — spec entry point. */
+  private[graft] def keySkewProfileOf(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(key), col("cnt"),
+        round(col("cnt") / col("total").cast("double"), 6).as("share"),
+        (col("cnt") * col("n_keys") > col("total") * lit(10L)).as("hot_10x"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(10)
+  }
+
+  private val keySkewProfileSql =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+      |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+      |  round(cnt / CAST(total AS DOUBLE), 6) AS share,
+      |  (cnt * n_keys > total * 10) AS hot_10x
+      |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q112_key_skew_profile", keySkewProfile, Some(keySkewProfileSql),
+      "top-10 heaviest join keys with share + integer-exact 10x-mean hot verdict (the pre-join skew diagnostic)"),
     Op("q29_salted_join", saltedJoin, Some(saltedJoinSql),
       "skew-salted join (deterministic salt), result == plain join"),
     Op("q49_range_join", rangeJoin, Some(rangeJoinSql),
