@@ -419,7 +419,11 @@ object VectorOps extends OpCatalog {
       sfDir: String): (Long, Long) = {
     val row = Memo.cached(spark, s"vectorops:slice_overflow:$sfDir") {
       emb(spark, sfDir).select(
-        sum(when(col("vec_id") >= 1000, 1L).otherwise(0L)).as("beyond"),
+        // coalesce: SUM over an EMPTY corpus is NULL, and getLong on it
+        // throws — an empty embeddings table must audit as (0, 0), not
+        // crash the query (EmptyCorpusSpec sweeps exactly this)
+        coalesce(sum(when(col("vec_id") >= 1000, 1L).otherwise(0L)), lit(0L))
+          .as("beyond"),
         count(lit(1)).as("total"))
     }.head()
     (row.getLong(0), row.getLong(1))
