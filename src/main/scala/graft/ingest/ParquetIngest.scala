@@ -231,6 +231,14 @@ object ParquetIngest {
       props: java.util.Properties,
       actions: Seq[String]): Unit =
     if (actions.nonEmpty) {
+      // DriverManager IGNORES the "driver" property Spark's JDBC write
+      // uses; under a forked JVM ServiceLoader autoloading is
+      // classloader-sensitive and "No suitable driver" results. Load the
+      // pinned class explicitly — registration is its static initializer.
+      Option(props.getProperty("driver")).foreach { cls =>
+        try Class.forName(cls)
+        catch { case _: ClassNotFoundException => /* fall through to DriverManager */ }
+      }
       val conn = java.sql.DriverManager.getConnection(url, props)
       try actions.foreach { sql =>
         val st = conn.createStatement(); try st.execute(sql) finally st.close()

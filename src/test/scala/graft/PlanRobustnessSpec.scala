@@ -112,5 +112,9 @@ class PlanRobustnessSpec extends SparkSpec {
     assert(SparkEntry.ops.map(_.name).distinct.size == SparkEntry.ops.size)
     // every oracle entry corresponds to a declared query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // every op carries a human-facing description (OPERATORS.md is
+    // generated from these; an empty doc renders an empty catalog row)
+    val undocumented = SparkEntry.ops.filter(_.doc.trim.isEmpty).map(_.name)
+    assert(undocumented.isEmpty, s"ops without docs: $undocumented")
   }
 }
