@@ -121,7 +121,10 @@ object Multimodal {
     * container. A real build extends the same dispatch with library
     * calls; everything around it is unchanged. */
   private[multimodal] def decodeStub(row: MediaRow): MediaFeatures = {
-    val bytes = row.media
+    // a NULL payload (failed fetch, tombstoned blob) decodes as an empty
+    // one — real media corpora carry them, and a decoder NPE fails the
+    // whole stage (NullCorpusSpec sweeps exactly this)
+    val bytes = if (row.media == null) Array.emptyByteArray else row.media
     var sum = 0L
     var checksum = 1125899906842597L
     var i = 0
