@@ -846,6 +846,73 @@ object CurationOps extends OpCatalog {
       |  CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
       |FROM s GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** License / opt-out compliance screen — the legal gate of a crawl
+    * curation run: documents carrying non-commercial license markers,
+    * all-rights-reserved notices, or AI-training opt-out signals
+    * (robots "noai" convention) are counted and dropped before the
+    * corpus ships. Markers are PLANTED in-query by integer mods (q73's
+    * precedent — the fixture carries none), detection is `LIKE`
+    * substring matching so both engines share one exactly-identical
+    * semantics (no regex-dialect surface at all).
+    *
+    * Scale: one map-only pass (plant + three LIKEs) and one
+    * ≤|sources|-group map-combined agg — q73's shape; counts integer,
+    * keep_rate one round(·,4). A doc carrying several markers counts in
+    * each marker column and ONCE in n_restricted. */
+  def licenseScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val planted = GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+      .withColumn("ptext", concat(col("text"),
+        when(pmod(col("doc_id"), lit(41L)) === 0, lit(" license: cc-by-nc"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(43L)) === 0, lit(" all rights reserved"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(47L)) === 0, lit(" x-robots: noai"))
+          .otherwise(lit(""))))
+      .withColumn("f_nc", col("ptext").like("%cc-by-nc%"))
+      .withColumn("f_arr", col("ptext").like("%all rights reserved%"))
+      .withColumn("f_noai", col("ptext").like("%noai%"))
+      .withColumn("restricted", col("f_nc") || col("f_arr") || col("f_noai"))
+    planted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_nc"), 1L).otherwise(0L)).as("n_nc"),
+        sum(when(col("f_arr"), 1L).otherwise(0L)).as("n_arr"),
+        sum(when(col("f_noai"), 1L).otherwise(0L)).as("n_noai"),
+        sum(when(col("restricted"), 1L).otherwise(0L)).as("n_restricted"))
+      .select(col("source"), col("n_docs"), col("n_nc"), col("n_arr"),
+        col("n_noai"), col("n_restricted"),
+        round((col("n_docs") - col("n_restricted")) /
+          col("n_docs").cast("double"), 4).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val licenseScreenSql =
+    """WITH planted AS (
+      |  SELECT source,
+      |    text ||
+      |      CASE WHEN doc_id % 41 = 0 THEN ' license: cc-by-nc' ELSE '' END ||
+      |      CASE WHEN doc_id % 43 = 0 THEN ' all rights reserved' ELSE '' END ||
+      |      CASE WHEN doc_id % 47 = 0 THEN ' x-robots: noai' ELSE '' END
+      |      AS ptext
+      |  FROM documents),
+      |f AS (
+      |  SELECT source,
+      |    ptext LIKE '%cc-by-nc%' AS f_nc,
+      |    ptext LIKE '%all rights reserved%' AS f_arr,
+      |    ptext LIKE '%noai%' AS f_noai
+      |  FROM planted)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN f_nc THEN 1 ELSE 0 END) AS BIGINT) AS n_nc,
+      |  CAST(sum(CASE WHEN f_arr THEN 1 ELSE 0 END) AS BIGINT) AS n_arr,
+      |  CAST(sum(CASE WHEN f_noai THEN 1 ELSE 0 END) AS BIGINT) AS n_noai,
+      |  CAST(sum(CASE WHEN f_nc OR f_arr OR f_noai THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_restricted,
+      |  round((count(*) - sum(CASE WHEN f_nc OR f_arr OR f_noai
+      |                             THEN 1 ELSE 0 END))
+      |    / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q111
   /** Two-sample Kolmogorov–Smirnov drift test on the document-length
     * distribution between crawl snapshots — the DISTRIBUTIONAL alarm
@@ -1148,5 +1215,7 @@ object CurationOps extends OpCatalog {
       Some(incrementalPipelineSql),
       "incremental reprocessing: downstream split+token accounting over added+changed docs ONLY (q100's diff operationalized)"),
     Op("q111_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
-      "two-sample KS drift test on doc-length distributions between snapshots (scaled-integer statistic, 128-bit exact verdict)"))
+      "two-sample KS drift test on doc-length distributions between snapshots (scaled-integer statistic, 128-bit exact verdict)"),
+    Op("q113_license_screen", licenseScreen, Some(licenseScreenSql),
+      "license/opt-out compliance screen: cc-by-nc / all-rights-reserved / noai marker counts + keep rate per source (planted markers, LIKE-only detection)"))
 }

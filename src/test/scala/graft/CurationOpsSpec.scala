@@ -456,6 +456,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(same.getLong(2) == 0L && same.getDouble(4) == 0.0 && !same.getBoolean(5))
   }
 
+  test("q113: restricted set is the union of marker sets; totals match the planted mods") {
+    val out = CurationOps.licenseScreen(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // planted ground truth straight from the mod rules
+    val expectNc = docs.count(_ % 41 == 0).toLong
+    val expectArr = docs.count(_ % 43 == 0).toLong
+    val expectNoai = docs.count(_ % 47 == 0).toLong
+    val expectAny = docs.count(d => d % 41 == 0 || d % 43 == 0 || d % 47 == 0).toLong
+    assert(out.map(_.getLong(2)).sum == expectNc)
+    assert(out.map(_.getLong(3)).sum == expectArr)
+    assert(out.map(_.getLong(4)).sum == expectNoai)
+    assert(out.map(_.getLong(5)).sum == expectAny,
+      "a multi-marker doc must count once in n_restricted")
+    out.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(2) + r.getLong(3) + r.getLong(4))
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
   test("q97: conservation — sum(freq*n_types) == corpus tokens, sum(n_types) == vocab") {
     val sp = CurationOps.tokenFreqSpectrum(spark, sfDir).collect()
     val tokens = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -82,4 +82,32 @@ class FormatsSpec extends SparkSpec {
     assert(back.schema("m").dataType.typeName == "map")
     assert(back.count() == withMap.count())
   }
+
+  test("corrupt part file: default read fails loudly; ignoreCorruptFiles recovers the good rows") {
+    // at 100 TB a truncated upload or a half-written object WILL appear
+    // in some input prefix; both behaviors matter — fail-loud by default
+    // (silent row loss is worse than a failed run), opt-in skip for
+    // scavenge/repair jobs, and the skip must lose ONLY the bad file
+    val dir = Files.createTempDirectory("graft_corrupt").toString + "/t"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartition(4).write.parquet(dir)
+    val good = spark.read.parquet(dir).count()
+    assert(good == docs.count())
+    Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "this is not a parquet file".getBytes)
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      val failed =
+        try { spark.read.parquet(dir).count(); false }
+        catch { case _: Throwable => true }
+      assert(failed, "a corrupt part file must fail the default read")
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir).count() == good,
+        "ignoreCorruptFiles must recover exactly the good files' rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
 }
