@@ -425,6 +425,52 @@ object EventOps extends OpCatalog {
       |      > 9 * s.n * (s.n * s.q - s.s * s.s)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** First-touch attribution with a BOUNDED look-back: for every
+    * purchase, the earliest view by the same user in the strictly-prior
+    * 7-day window — the marketing-attribution complement of q24's as-of
+    * join (as-of finds the LAST prior event, unbounded; first-touch
+    * finds the FIRST, inside an expiry horizon). The value-based RANGE
+    * frame is the point: a ROWS frame counts events, not time, and an
+    * unbounded frame attributes to touches a quarter old.
+    *
+    * Scale: ONE user_id shuffle; the range frame is evaluated in a
+    * single ordered pass per user (no self-join); purchases filter
+    * AFTER the window (they need the views in-frame). Integer epoch-ms
+    * in and out — no timestamp arithmetic to drift. Same-ms views are
+    * excluded by the `-1` upper bound (strictly prior), and reporting
+    * the min VIEW TIME (not an event id) keeps ties harmless. */
+  def firstTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val week = 7L * 86400000L
+    val lookback = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-week, -1L)
+    eventsMs(spark, sfDir)
+      .withColumn("first_view_ms",
+        min(when(col("event_type") === "view", col("ms"))).over(lookback))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        col("first_view_ms"),
+        col("first_view_ms").isNotNull.as("attributed"))
+      .orderBy(col("event_id"))
+  }
+
+  private val firstTouchSql =
+    """WITH g AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, event_type, ms,
+      |    min(CASE WHEN event_type = 'view' THEN ms END) OVER (
+      |      PARTITION BY user_id ORDER BY ms
+      |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+      |      AS first_view_ms
+      |  FROM g)
+      |SELECT event_id, user_id, ms AS purchase_ms, first_view_ms,
+      |  first_view_ms IS NOT NULL AS attributed
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q105
   /** Top-10 within-session event-type trigram paths — the product-analytics
     * "what do users actually do" read (q23's session semantics × q85's
@@ -518,5 +564,7 @@ object EventOps extends OpCatalog {
     Op("q25_pivot", pivotCounts, Some(pivotCountsSql),
       "pivot: event-type counts per user cohort"),
     Op("q105_event_paths", eventPaths, Some(eventPathsSql),
-      "top-10 within-session event trigram paths (session rule of q23, one user_id shuffle, grid agg + top-k)"))
+      "top-10 within-session event trigram paths (session rule of q23, one user_id shuffle, grid agg + top-k)"),
+    Op("q114_first_touch", firstTouch, Some(firstTouchSql),
+      "first-touch attribution: earliest view in the strictly-prior 7-day RANGE window per purchase (bounded-horizon as-of complement)"))
 }

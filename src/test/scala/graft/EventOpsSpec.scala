@@ -40,6 +40,39 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
   }
 
+  test("q114: attribution window is bounded, strictly prior, and picks the EARLIEST in-horizon view") {
+    // reuse eventPathsOf's frame shape via a direct window evaluation on
+    // the same operator body semantics: plant a user with views at
+    // t=-8d (expired), -6d, -2d and a purchase at t=0; plus a same-ms
+    // view (excluded) and a view-less purchaser
+    val day = 86400000L
+    val t0 = 100L * day
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "view", t0 - 8 * day),     // outside the 7-day horizon
+      (1L, 2L, "view", t0 - 6 * day),     // earliest IN horizon -> winner
+      (1L, 3L, "view", t0 - 2 * day),
+      (1L, 4L, "view", t0),               // same-ms as purchase: excluded
+      (1L, 5L, "purchase", t0),
+      (2L, 6L, "purchase", t0))           // no views at all
+      .toDF("user_id", "event_id", "event_type", "ms")
+    val week = 7L * day
+    val lookback = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-week, -1L)
+    val out = events
+      .withColumn("first_view_ms",
+        min(when(col("event_type") === "view", col("ms"))).over(lookback))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("first_view_ms"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(5L).contains(t0 - 6 * day),
+      "must attribute to the EARLIEST view inside the horizon, not the latest, " +
+        "and must ignore the expired and same-ms views")
+    assert(out(6L).isEmpty, "a view-less purchase is unattributed")
+  }
+
   test("q105: the two window layers share ONE user_id exchange") {
     val out = EventOps.eventPaths(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString
