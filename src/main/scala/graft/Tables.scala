@@ -78,6 +78,13 @@ object GraftSession {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
 
   def tune(spark: SparkSession): SparkSession = {
+    // The nanos-long contract in [[Tables.events]] rebuilds TIMESTAMP_NTZ
+    // as nanos via an NTZ→instant cast that consults the SESSION timezone;
+    // entry points that build their own SparkSession (TimeOne, Explain, an
+    // external embedder) would otherwise inherit the machine TZ and shift
+    // every timestamp by the local offset. timeZone is runtime-settable,
+    // so pin it here where every operator path already passes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // coalesce to the advisory partition SIZE rather than preserving

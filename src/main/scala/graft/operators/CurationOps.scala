@@ -928,6 +928,15 @@ object CurationOps extends OpCatalog {
     * 128-bit exact arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT) so
     * the verdict cannot flap. Arg-max length ties break to the smallest.
     *
+    * Exactness bound: D_s ≤ N1·N2, so the left side 10⁶·D_s² stays
+    * inside DECIMAL(38,0) / HUGEINT only while N1·N2 < 10¹⁶ (≈10⁸ docs
+    * per snapshot at parity — comfortably past any fixture SF, and past
+    * most real snapshot comparisons). Beyond that, Spark (non-ANSI)
+    * yields NULL and DuckDB errors rather than silently flipping; the
+    * at-scale recipe is to KS-test a stratified length sample (or bucket
+    * lengths first), which keeps N inside the exact window — do NOT
+    * widen to doubles, which reintroduces verdict flap at the boundary.
+    *
     * Scale: two corpus scans map-combine to per-length counts (the grid
     * is ≤ distinct lengths — bounded, bucket at 100 TB); the CDF windows
     * and the top-1 run on that grid only. */
@@ -1128,9 +1137,9 @@ object CurationOps extends OpCatalog {
     * many EXACT contents (md5 of text) they share, as a Jaccard over
     * each side's distinct-content set — the "which feeds duplicate each
     * other" read that decides crawl retirement and dedup priority
-    * upstream of q72's within-source dup rate. The full |sources|² grid
-    * is emitted (zero-overlap pairs included): absence of overlap is the
-    * finding.
+    * upstream of q72's within-source dup rate. All unordered source
+    * pairs (the upper triangle, `src_a < src_b`) are emitted,
+    * zero-overlap pairs included: absence of overlap is the finding.
     *
     * Scale: the only corpus-sized shuffles key on the 16-byte content
     * hash (distinct + self-equi-join on h — never a nested loop); the
@@ -1208,7 +1217,7 @@ object CurationOps extends OpCatalog {
     Op("q104_outlier_mad", outlierMad, Some(outlierMadSql),
       "robust per-lang length outliers via median + MAD (4.4478*MAD fence, outlier-proof statistics)"),
     Op("q106_source_overlap", sourceOverlap, Some(sourceOverlapSql),
-      "pairwise source content-overlap matrix (Jaccard over distinct md5 contents, full grid incl. zero pairs)"),
+      "pairwise source content-overlap matrix (Jaccard over distinct md5 contents, all unordered pairs incl. zero pairs)"),
     Op("q108_snapshot_drift", snapshotDrift, Some(snapshotDriftSql),
       "per-source doc/token composition drift between crawl snapshots (q100's planted v2, share-shift monitoring)"),
     Op("q110_incremental_pipeline", incrementalPipeline,

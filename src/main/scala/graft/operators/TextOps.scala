@@ -1042,32 +1042,44 @@ object TextOps extends OpCatalog {
     * reads the same damage at corpus level, this reads it per document).
     * H = log2(n) − Σ c·log2(c) / n from exact per-char counts.
     *
-    * Scale: explode is linear in corpus chars and immediately map-side
-    * combines to (doc, char) counts (alphabet-bounded per doc); the
-    * per-doc agg reuses nothing corpus-wide and the final top-20 is a
-    * TakeOrderedAndProject on the ROUNDED key (round(·,4), doc_id) —
-    * q63's ordering policy, so last-ulp `log2` skew cannot flip the
-    * cross-engine order. */
+    * Scale: the histogram is built IN-ROW — sort the code-point array,
+    * read run lengths off the sorted runs with indexed higher-order
+    * functions — so the plan has NO per-char generator: at 100 TB a
+    * per-char `explode` would feed ~10¹⁴ rows into the map-side
+    * combine, where this shape does alphabet-bounded work per document
+    * inside whole-stage codegen and shuffles nothing but the final
+    * top-20 candidates (TakeOrderedAndProject on the ROUNDED key
+    * (round(·,4), doc_id) — q63's ordering policy, so last-ulp `log2`
+    * skew cannot flip the cross-engine order). The split is
+    * code-POINT-aware (`(?s).` matches a full code point, surrogate
+    * pairs included), matching the DuckDB oracle's `string_split`
+    * semantics even on astral-plane text. */
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     charEntropyOf(
       GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
   }
 
-  /** Core of q107 over any (doc_id, lang, text) frame — spec entry point. */
+  /** Core of q107 over any (doc_id, lang, text) frame — spec entry point.
+    * In-row histogram: sorted code-point array → run starts (positions
+    * where the char differs from its predecessor) → run lengths = the
+    * exact per-char counts, all inside one projection. */
   private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
     docs
+      .withColumn("cs",
+        expr("array_sort(regexp_extract_all(text, '(?s).', 0))"))
+      .withColumn("n", size(col("cs")))
+      .filter(col("n") > 0) // empty/null docs absent, as in the oracle
+      .withColumn("starts", expr(
+        "filter(transform(cs, (x, i) -> IF(i = 0 OR x <> cs[i - 1], i, -1)), v -> v >= 0)"))
+      .withColumn("counts", expr(
+        "transform(starts, (st, j) -> CAST(IF(j + 1 < size(starts), starts[j + 1], size(cs)) - st AS DOUBLE))"))
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "") // java regex may emit a trailing empty
-      .groupBy(col("doc_id"), col("lang"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("c")).as("n_chars_total"),
-        count(lit(1)).as("n_distinct_chars"),
-        round(log2(sum(col("c")).cast("double")) -
-          sum(col("c").cast("double") * log2(col("c").cast("double"))) /
-            sum(col("c")).cast("double"), 4).as("entropy"))
+        col("n").cast("long").as("n_chars_total"),
+        size(col("starts")).cast("long").as("n_distinct_chars"),
+        round(log2(col("n").cast("double")) -
+          expr("aggregate(counts, CAST(0 AS DOUBLE), (acc, c) -> acc + c * log2(c))") /
+            col("n").cast("double"), 4).as("entropy"))
       .orderBy(col("entropy"), col("doc_id"))
       .limit(20)
   }

@@ -371,4 +371,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 4L, 4L, 2.0)))
     assert(out(3)._4 > 2.0)
   }
+
+  test("q107: plan law — no per-char generator; astral code points count once") {
+    import spark.implicits._
+    // the in-row histogram must never explode one row per corpus char
+    // (the q99 single-scan-law discipline: pin the shape, not just the
+    // answer — a regression back to explode() is a 10^14-row generator
+    // at the 100 TB target)
+    val plan = TextOps.charEntropy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"per-char generator found in q107 plan:\n$plan")
+    // code-point semantics: two identical emoji are 2 chars / 1 distinct
+    // / 0 bits — NOT four surrogate halves (which would still score 0.0
+    // but report n=4) and NOT 2 distinct halves (1 bit). Matches DuckDB
+    // string_split.
+    val astral = Seq((1L, "xx", "😀😀"),
+      (2L, "xx", "a😀a🙂"))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextOps.charEntropyOf(astral).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows(1L) == ((2L, 1L, 0.0)),
+      s"astral run must count code points, got ${rows(1L)}")
+    assert(rows(2L) == ((4L, 3L, 1.5)), // counts 2,1,1 over n=4 -> 1.5 bits
+      s"mixed BMP/astral histogram wrong: ${rows(2L)}")
+  }
 }
