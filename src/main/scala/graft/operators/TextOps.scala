@@ -968,8 +968,9 @@ object TextOps extends OpCatalog {
     * derive the identical hash, even a collision (birthday ≈ n²/2⁶¹,
     * immaterial) is mirrored exactly, keeping the oracle hash-exact; the
     * df cap bounds any single gram's pair fan-out at 50², and at 100 TB
-    * the same plan runs on each doc's k RAREST grams (df-rank blocking)
-    * — same shape, tighter candidate bound. Top-20 is a
+    * the same answer comes from each doc's k RAREST grams (df-rank
+    * blocking) — implemented as [[containmentPairsRare]] (q115), with
+    * top-20 equality spec-pinned at two SFs. Top-20 is a
     * TakeOrderedAndProject on the ROUNDED key (q63 ordering policy). */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
@@ -979,17 +980,7 @@ object TextOps extends OpCatalog {
 
   /** Core of q109 over any (doc_id, text) frame — spec entry point. */
   private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          .as("gkey"))
-      .distinct()
-    val df = grams.groupBy(col("gkey")).agg(count(lit(1)).as("df"))
-    val keep = grams.join(df.filter(col("df") <= 50), "gkey")
-      .select(col("doc_id"), col("gkey"))
+    val keep = keptGramsOf(docs).select(col("doc_id"), col("gkey"))
     val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = keep.select(col("doc_id").as("doc_a"), col("gkey"))
       .join(keep.select(col("doc_id").as("doc_b"), col("gkey")), "gkey")
@@ -1026,6 +1017,129 @@ object TextOps extends OpCatalog {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |  FROM keep a JOIN keep b ON a.gkey = b.gkey AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(sa.n AS BIGINT) AS n_grams_a,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  round(n_common / CAST(sa.n AS DOUBLE), 4) AS containment
+      |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+      |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q115
+  /** Containment pairs via k-RAREST-GRAM blocking — q109's documented
+    * at-scale candidate source, now code: instead of pairing documents
+    * through EVERY kept gram (fan-out Σ df² over all grams), each doc
+    * nominates only its k lowest-df grams (ties → gkey) and a candidate
+    * pair (a,b) exists iff one of a's nominated grams occurs in b's full
+    * kept set. Exact containment is then computed ONLY for candidates.
+    *
+    * Why this preserves the answer: C(a→b) ≥ θ means b misses at most
+    * (1−θ)·|G_a| of a's grams, so for the near-1.0 containments that
+    * rank top-20 at least one of a's k rarest grams is shared (full
+    * containment shares ALL of them); rare grams are also exactly the
+    * non-boilerplate ones, so the nomination is biased toward the
+    * discriminative evidence. The equality with the full pair source is
+    * spec-pinned at two SFs, and ScaleStressSpec measures the candidate
+    * reduction on a boilerplate-flooded corpus.
+    *
+    * Scale: candidate fan-out drops from Σ_grams df² to k·n·df̄(rare) —
+    * each doc contributes k probes and each probe lands on a LOW-df gram
+    * by construction; the df≤50 informative-gram cap is kept so the
+    * containment definition matches q109 exactly. All shuffles key on
+    * 8-byte gram keys or (doc_a, doc_b); the exact-verify expansion is
+    * |candidates|·|G_a| rows, bounded by the blocking. Deterministic
+    * (df, gkey) ranking keeps the whole pipeline oracle-replayable. */
+  def containmentPairsRare(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    containmentPairsRareOf(
+      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")), 8)
+  }
+
+  /** Core of q115 over any (doc_id, text) frame — spec entry point.
+    * Returns the same shape as [[containmentPairsOf]]. */
+  private[graft] def containmentPairsRareOf(docs: DataFrame,
+      k: Int): DataFrame = {
+    val keep = keptGramsOf(docs) // (doc_id, gkey, df), df <= 50
+    val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = rareCandidatesOf(keep, k)
+    val inter = cand
+      .join(keep.select(col("doc_id").as("doc_a"), col("gkey")), "doc_a")
+      .join(keep.select(col("doc_id").as("doc_b"), col("gkey")),
+        Seq("doc_b", "gkey"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")),
+        "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("n_grams_a"), col("n_common"),
+        round(col("n_common") / col("n_grams_a").cast("double"), 4)
+          .as("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** q115's candidate source over a (doc_id, gkey, df) gram base: each
+    * doc nominates its k lowest-(df, gkey) grams; a directed candidate
+    * (a,b) exists iff a nominated gram of a occurs anywhere in b's kept
+    * set. Exposed separately so ScaleStressSpec can measure the
+    * candidate count against the full Σ df² pair source. */
+  private[graft] def rareCandidatesOf(keep: DataFrame, k: Int): DataFrame = {
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("gkey"))
+    val rare = keep.withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= k).select(col("doc_id").as("doc_a"), col("gkey"))
+    rare
+      .join(keep.select(col("doc_id").as("doc_b"), col("gkey")), "gkey")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Shared q109/q115 gram base: distinct informative (df ≤ 50) 60-bit
+    * gram keys per doc, with each gram's document frequency attached. */
+  private[graft] def keptGramsOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("gkey"))
+      .distinct()
+    val df = grams.groupBy(col("gkey")).agg(count(lit(1)).as("df"))
+    grams.join(df.filter(col("df") <= 50), "gkey")
+      .select(col("doc_id"), col("gkey"), col("df"))
+  }
+
+  private val containmentPairsRareSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+      |  FROM d),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
+      |  FROM g0),
+      |df AS (SELECT gkey, count(*) AS df FROM g GROUP BY gkey),
+      |keep AS (
+      |  SELECT doc_id, g.gkey, df FROM g JOIN df USING (gkey) WHERE df <= 50),
+      |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+      |rare AS (
+      |  SELECT doc_id AS doc_a, gkey FROM (
+      |    SELECT doc_id, gkey,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY df, gkey) AS rk
+      |    FROM keep) WHERE rk <= 8),
+      |cand AS (
+      |  SELECT DISTINCT r.doc_a, kb.doc_id AS doc_b
+      |  FROM rare r JOIN keep kb ON r.gkey = kb.gkey AND r.doc_a <> kb.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN keep ka ON ka.doc_id = c.doc_a
+      |  JOIN keep kb ON kb.doc_id = c.doc_b AND kb.gkey = ka.gkey
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  CAST(sa.n AS BIGINT) AS n_grams_a,
@@ -1105,6 +1219,9 @@ object TextOps extends OpCatalog {
       "20 lowest char-entropy docs (OCR-garbage/padding tripwire, exact-count entropy, rounded-key ordering)"),
     Op("q109_containment_pairs", containmentPairs, Some(containmentPairsSql),
       "top-20 directed 8-gram containment pairs (partial-duplicate primitive; df<=50 boilerplate-gram stopping)"),
+    Op("q115_containment_rare", containmentPairsRare,
+      Some(containmentPairsRareSql),
+      "q109's at-scale variant: k-rarest-gram (df-rank) blocking as the pair source, exact containment on candidates only"),
     Op("q62_bigram_freq", bigramFreq, Some(bigramFreqSql),
       "custom Generator (UDTF): bigram frequency top-20"),
     Op("q76_repeated_spans", repeatedSpans, Some(repeatedSpansSql),

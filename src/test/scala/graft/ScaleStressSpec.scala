@@ -298,6 +298,53 @@ class ScaleStressSpec extends SparkSpec {
     assert(out.forall(_._3 >= 0.5))
   }
 
+  test("q115 rare-gram blocking: candidate count collapses vs the full pair source on shared-gram floods") {
+    // q109's df <= 50 cap stops corpus-wide boilerplate, but a gram
+    // shared by 40 docs sails under it and still fans out 40*39
+    // directed pairs in the full source. The k-rarest nomination is the
+    // tighter bound: a doc with unique (df=1) content grams never
+    // nominates its df=40 group gram, so group chrome pairs NOBODY
+    // while the genuinely duplicated pair still surfaces. Measure both
+    // candidate counts — the trend line behind "same answer, bounded
+    // candidates at 100 TB".
+    import spark.implicits._
+    import graft.operators.TextOps
+    val group = (g: Int) => (1 to 8).map(i => s"g${g}_$i").mkString(" ")
+    val docs = ((1L to 200L).map { i =>
+      val content = (0 to 9).map(j => s"u${i}_$j").mkString(" ")
+      (i, s"${group((i % 5).toInt)} $content") // df=40 group gram each
+    } :+ (500L, group(2) + " " + (0 to 9).map(j => s"u7_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val keep = TextOps.keptGramsOf(docs)
+    val fullCands = keep.select(col("doc_id").as("doc_a"), col("gkey"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("gkey")), "gkey")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    val rareCands = TextOps.rareCandidatesOf(keep, 8).count()
+    // five df=40 group grams -> 5 * 40 * 39 ≈ 7800 full candidates (plus
+    // the planted pair); rare nomination probes only df<=2 content grams
+    assert(fullCands > 5000L, s"fixture degenerate: fullCands=$fullCands")
+    assert(rareCands < fullCands / 100,
+      s"rare blocking did not collapse candidates: $rareCands vs $fullCands")
+    // and the MEANINGFUL answer is unchanged: rare reproduces full's
+    // ranking prefix exactly (the deterministic sort puts the planted
+    // 1.0-containment pair first in both), and everything it drops is
+    // sub-threshold group-chrome noise (one shared gram over 11 ->
+    // containment 0.0909) — the rows nobody retrieves containment for
+    val full = TextOps.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    val rare = TextOps.containmentPairsRareOf(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(rare.nonEmpty && full.take(rare.size) == rare,
+      s"blocking changed the ranking prefix:\nfull=$full\nrare=$rare")
+    assert(full.drop(rare.size).forall(_._3 < 0.15),
+      s"blocking dropped a meaningful pair: ${full.drop(rare.size)}")
+    assert(rare.exists(p => Set(p._1, p._2) == Set(7L, 500L) && p._3 == 1.0),
+      s"planted contained pair missing from $rare")
+    info(s"candidates: full=$fullCands rare=$rareCands " +
+      f"(${fullCands.toDouble / rareCands}%.0fx reduction)")
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     // the claim behind GraphOps (q60/q78): large-star/small-star needs
     // ~log(n) materializing rounds where plain min-label propagation needs

@@ -372,6 +372,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3)._4 > 2.0)
   }
 
+  test("q115: rare-gram blocking reproduces q109's full top-20 at two SFs") {
+    // the at-scale variant earns its place exactly the way q93's LSH
+    // path did: prove the cheap candidate source loses nothing against
+    // the exhaustive one on real fixtures, at more than one scale
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val full = TextOps.containmentPairs(spark, sf).collect().toSeq
+      val rare = TextOps.containmentPairsRare(spark, sf).collect().toSeq
+      assert(full == rare,
+        s"$sf: rare-gram blocking changed the top-20:\nfull=$full\nrare=$rare")
+    }
+  }
+
   test("q107: plan law — no per-char generator; astral code points count once") {
     import spark.implicits._
     // the in-row histogram must never explode one row per corpus char
