@@ -1,11 +1,18 @@
 package graft
 
-/** Regenerates OPERATORS.md from the live catalog, so the human-facing
-  * operator index can never drift from `SparkEntry.ops` (run per round:
-  * `sbt "runMain graft.CatalogDump"`). */
+/** Regenerates the human-facing docs from the live catalog, so they can
+  * never drift from the code (run per round: `sbt "runMain graft.CatalogDump"`):
+  *
+  *  - `OPERATORS.md` is written whole from `SparkEntry.ops`.
+  *  - `README.md` / `COVERAGE.md` keep their hand-written prose, but every
+  *    count they cite sits inside a `<!--gen:KEY-->value<!--/gen-->` marker
+  *    span that this main rewrites in place.
+  *
+  * `DocsSpec` regenerates everything into memory and fails the suite when
+  * a committed file differs — the "diff-clean in CI" gate. */
 object CatalogDump {
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("OPERATORS.md")
+
+  def operatorsMd: String = {
     val ops = SparkEntry.ops.sortBy(_.name)
     val (oracle, rowsOnly) = ops.partition(_.oracle.isDefined)
     val sb = new StringBuilder
@@ -19,7 +26,57 @@ object CatalogDump {
       val check = if (op.oracle.isDefined) "oracle" else "rows+spec"
       sb ++= s"| ${op.name} | $check | ${op.doc} |\n"
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
-    println(s"[catalog] wrote ${ops.size} ops to $out")
+    sb.toString
+  }
+
+  /** Number of ScalaTest registrations under src/test (incl. the one
+    * env-gated live-Postgres spec, which cancels offline). */
+  def specCount(testRoot: java.nio.file.Path =
+      java.nio.file.Paths.get("src/test/scala")): Int = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(testRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => java.nio.file.Files.readString(p))
+      .map(src => "(?m)^\\s*test\\(\"".r.findAllIn(src).size)
+      .sum
+  }
+
+  /** The marker-span values README.md / COVERAGE.md cite. */
+  def counts: Map[String, String] = {
+    val ops = SparkEntry.ops
+    val nOracle = ops.count(_.oracle.isDefined)
+    Map(
+      "queries" -> ops.size.toString,
+      "oracle" -> nOracle.toString,
+      "rowsonly" -> (ops.size - nOracle).toString,
+      "specs" -> specCount().toString)
+  }
+
+  /** Rewrite every `<!--gen:KEY-->…<!--/gen-->` span in `text`. */
+  def patch(text: String, values: Map[String, String]): String =
+    values.foldLeft(text) { case (t, (key, v)) =>
+      t.replaceAll(
+        s"<!--gen:$key-->[^<]*<!--/gen-->",
+        s"<!--gen:$key-->$v<!--/gen-->")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val opsOut = args.headOption.getOrElse("OPERATORS.md")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(opsOut), operatorsMd)
+    println(s"[catalog] wrote ${SparkEntry.ops.size} ops to $opsOut")
+    val vals = counts
+    Seq("README.md", "COVERAGE.md").foreach { name =>
+      val p = java.nio.file.Paths.get(name)
+      if (java.nio.file.Files.exists(p)) {
+        val before = java.nio.file.Files.readString(p)
+        val after = patch(before, vals)
+        if (after != before) {
+          java.nio.file.Files.writeString(p, after)
+          println(s"[catalog] patched counts in $name")
+        } else println(s"[catalog] $name counts already current")
+      }
+    }
+    println(s"[catalog] counts: $vals")
   }
 }

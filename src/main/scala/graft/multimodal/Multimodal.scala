@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
   * typed `Dataset` + `mapPartitions` batch shape, metadata dispatch — and
-  * the decode dispatch now has one REAL branch: PNG header decode
-  * ([[pngDimensions]], pure JVM against the public W3C spec) reporting
-  * true image dimensions. The remaining formats are a clearly-marked
-  * deterministic STUB (`decodeStub`): this container has no image/audio
-  * libraries, so the stub derives features from raw bytes instead of
-  * calling libjpeg/ffmpeg. A real deployment extends the same dispatch
+  * the decode dispatch has two REAL branches: PNG header decode
+  * ([[pngDimensions]], pure JVM against the public W3C spec) and JPEG
+  * frame-header decode ([[jpegDimensions]], SOFn marker scan per ITU-T
+  * T.81), both reporting true image dimensions. The remaining formats
+  * are a clearly-marked deterministic STUB (`decodeStub`): this
+  * container has no audio/video libraries, so the stub derives features
+  * from raw bytes instead of calling ffmpeg. A real deployment extends
+  * the same dispatch
   * with JNI/library calls; everything around it is unchanged. The
   * per-partition iterator shape is exactly how a native decoder wants to
   * be fed (batch init/teardown amortized per partition, not per row).
@@ -39,8 +41,8 @@ object Multimodal {
       mean_byte: Double,
       checksum: Long,
       n_frames: Int,
-      // REAL decoded dimensions for payloads the header parser understands
-      // (PNG IHDR today); (0, 0) for everything still behind the stub
+      // REAL decoded dimensions for payloads the header parsers understand
+      // (PNG IHDR + JPEG SOFn); (0, 0) for everything still behind the stub
       width: Int,
       height: Int)
 
@@ -115,11 +117,57 @@ object Multimodal {
     }
   }
 
-  /** Decoder: the PNG branch is a REAL header-level decode
-    * ([[pngDimensions]]); other formats remain a deterministic STUB
-    * standing in for libjpeg/libsndfile/ffmpeg, which are not in this
-    * container. A real build extends the same dispatch with library
-    * calls; everything around it is unchanged. */
+  /** REAL (header-level) JPEG decode — pure JVM, no codec library: after
+    * the SOI marker (FFD8), JPEG is a sequence of FF-prefixed segments,
+    * each carrying a 2-byte big-endian length (self-inclusive); the
+    * frame header SOFn (FFC0 baseline, FFC2 progressive, and the other
+    * SOF variants — everything in C0–CF except DHT C4 / JPG C8 / DAC CC)
+    * holds precision(1), height(2 BE), width(2 BE) per ITU-T T.81
+    * §B.2.2. The scan walks segments until the first SOF, skipping
+    * standalone markers (TEM, RSTn) and FF fill bytes; EOI/SOS before
+    * any SOF, a desynced stream, or a truncated header all degrade to
+    * None — the stub path, never a throw. */
+  private[graft] def jpegDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    var result: Option[(Int, Int)] = None
+    var done = bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8
+    var i = 2
+    while (!done && i + 3 < bytes.length) {
+      if (u8(i) != 0xff) done = true // marker desync: not a JPEG stream
+      else {
+        var j = i + 1 // skip FF fill bytes before the marker id
+        while (j + 1 < bytes.length && u8(j) == 0xff) j += 1
+        val marker = u8(j)
+        if (marker == 0xd9 || marker == 0xda) done = true // EOI / SOS
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // TEM / RSTn: standalone, no length field
+        } else if (j + 2 >= bytes.length) done = true
+        else {
+          val len = be16(j + 1)
+          if (len < 2) done = true
+          else if (isSof(marker)) {
+            // segment data: [len hi][len lo][precision][h hi][h lo][w hi][w lo]
+            if (len >= 7 && j + 7 < bytes.length) {
+              val h = be16(j + 4)
+              val w = be16(j + 6)
+              if (w > 0 && h > 0) result = Some((w, h))
+            }
+            done = true
+          } else i = j + 1 + len
+        }
+      }
+    }
+    result
+  }
+
+  /** Decoder: the PNG and JPEG branches are REAL header-level decodes
+    * ([[pngDimensions]] / [[jpegDimensions]]); other formats remain a
+    * deterministic STUB standing in for libsndfile/ffmpeg, which are not
+    * in this container. A real build extends the same dispatch with
+    * library calls; everything around it is unchanged. */
   private[multimodal] def decodeStub(row: MediaRow): MediaFeatures = {
     // a NULL payload (failed fetch, tombstoned blob) decodes as an empty
     // one — real media corpora carry them, and a decoder NPE fails the
@@ -141,7 +189,8 @@ object Multimodal {
       case _       => 1
     }
     val (w, h) =
-      if (row.kind == "image") pngDimensions(bytes).getOrElse((0, 0))
+      if (row.kind == "image")
+        pngDimensions(bytes).orElse(jpegDimensions(bytes)).getOrElse((0, 0))
       else (0, 0)
     MediaFeatures(row.media_id, row.kind, bytes.length.toLong, meanByte,
       checksum, frames, w, h)

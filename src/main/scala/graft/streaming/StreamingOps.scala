@@ -140,28 +140,38 @@ object StreamingOps {
       }
   }
 
-  final case class DocVersion(doc_id: Long, seq: Long, content_hash: String)
+  /** `tombstone = true` marks a DELETE message (the CDC convention: a
+    * key with no value); `content_hash` is ignored on tombstones. */
+  final case class DocVersion(doc_id: Long, seq: Long, content_hash: String,
+      tombstone: Boolean = false)
   final case class DocHashState(hash: String)
   final case class DocChange(doc_id: Long, status: String)
 
-  /** Streaming twin of q100's snapshot diff, as a CDC upsert screen: docs
-    * arrive as (doc_id, content_hash) versions; per-key state remembers
-    * the last hash and each arrival is classified `added` (never seen) or
-    * `changed` (hash moved); unchanged re-deliveries are SUPPRESSED (the
-    * dedup-at-ingest behavior), and removal is not observable without
-    * tombstones — the batch diff owns that class. Each version carries a
-    * monotonic `seq` (source offset / crawl timestamp); within a
-    * micro-batch the group folds to the MAX-seq hash per key before
-    * emitting the net status — one string of state per doc_id. The
-    * iterator's order inside a group is not contractual, so folding by
-    * seq (not `versions.last`) keeps replay-after-failure deterministic
-    * when one doc_id carries several versions in the same batch — the
-    * same reason `sourceCapStream` sorts its group. State is O(#docs):
-    * the RocksDB provider (spec'd in
-    * `StreamingSpec`) is the production backend at corpus scale, exactly
-    * the SemDeDup-ingest state-store argument. `CurationOpsSpec` proves
-    * the two-batch replay emits exactly the batch diff's added∪changed
-    * id set with matching statuses. */
+  /** Streaming twin of q100's snapshot diff, as a CDC upsert+delete
+    * screen: docs arrive as (doc_id, content_hash) versions or
+    * tombstones; per-key state remembers the last hash and each net
+    * arrival is classified `added` (never seen), `changed` (hash
+    * moved), or `removed` (tombstone for a live doc — state is dropped,
+    * so a later re-crawl of the id is `added` again); unchanged
+    * re-deliveries and tombstones for unseen ids are SUPPRESSED (the
+    * dedup-at-ingest behavior). All four q100 classes are therefore
+    * observable online: added/changed/removed emitted, unchanged =
+    * silence. Each version carries a monotonic `seq` (source offset /
+    * crawl timestamp); within a micro-batch the group folds to the
+    * MAX-seq message per key before emitting the net status — one
+    * string of state per doc_id, and a same-batch upsert+tombstone
+    * nets to whichever `seq` is later, exactly like a log-compacted
+    * topic. The iterator's order inside a group is not contractual, so
+    * folding by seq (not `versions.last`) keeps replay-after-failure
+    * deterministic — the same reason `sourceCapStream` sorts its group.
+    * State is O(#live docs) and SHRINKS on removal (tombstones free
+    * their key's state — the unbounded-state fix log compaction exists
+    * for): the RocksDB provider (spec'd in `StreamingSpec`) is the
+    * production backend at corpus scale, exactly the SemDeDup-ingest
+    * state-store argument. `CurationOpsSpec` proves the two-batch
+    * replay emits exactly the batch diff's added∪changed set;
+    * `StreamingSpec` proves the four-class replay law against the
+    * batch full-outer-join classification, removals included. */
   def changeScreenStream(docs: Dataset[DocVersion]): Dataset[DocChange] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -169,14 +179,21 @@ object StreamingOps {
       .flatMapGroupsWithState[DocHashState, DocChange](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (docId: Long, rows: Iterator[DocVersion], state: GroupState[DocHashState]) =>
-          val versions = rows.toSeq
-          val last = versions.maxBy(_.seq).content_hash
+          val net = rows.maxBy(_.seq)
           val prev = state.getOption.map(_.hash)
-          state.update(DocHashState(last))
-          prev match {
-            case None => Iterator(DocChange(docId, "added"))
-            case Some(h) if h != last => Iterator(DocChange(docId, "changed"))
-            case _ => Iterator.empty
+          if (net.tombstone) {
+            if (prev.isDefined) {
+              state.remove()
+              Iterator(DocChange(docId, "removed"))
+            } else Iterator.empty // delete of a doc we never admitted
+          } else {
+            state.update(DocHashState(net.content_hash))
+            prev match {
+              case None => Iterator(DocChange(docId, "added"))
+              case Some(h) if h != net.content_hash =>
+                Iterator(DocChange(docId, "changed"))
+              case _ => Iterator.empty
+            }
           }
       }
   }

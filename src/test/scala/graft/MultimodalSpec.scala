@@ -107,6 +107,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngDimensions(zeroW).isEmpty)
   }
 
+  test("JPEG decode reports TRUE planted dimensions (SOF0 + SOF2), degrades on junk") {
+    // hand-assembled structurally-valid JPEG prefixes per ITU-T T.81:
+    // SOI, APP0/JFIF, a comment, optional RST-style standalone noise,
+    // then the SOFn frame header carrying the planted dimensions —
+    // ground truth on both sides, no codec library involved
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((data.length + 2) >> 8).toByte, ((data.length + 2) & 0xff).toByte) ++
+        data
+    def jpeg(w: Int, h: Int, sof: Int): Array[Byte] = {
+      val jfif = "JFIF".getBytes("US-ASCII") ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      val sofData = Array[Byte](8, // precision
+        (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte,
+        3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) // 3 components
+      Array(0xff.toByte, 0xd8.toByte) ++ // SOI
+        seg(0xe0, jfif) ++ // APP0
+        seg(0xfe, "planted".getBytes("US-ASCII")) ++ // COM
+        Array(0xff.toByte, 0x01.toByte) ++ // TEM standalone, no length
+        seg(sof, sofData) ++
+        seg(0xda, Array[Byte](1, 1, 0, 0, 0x3f, 0)) // SOS, then junk "scan"
+    }
+    assert(Multimodal.jpegDimensions(jpeg(640, 480, 0xc0)).contains((640, 480)),
+      "baseline SOF0 dimensions")
+    assert(Multimodal.jpegDimensions(jpeg(31, 17, 0xc2)).contains((31, 17)),
+      "progressive SOF2 dimensions")
+    assert(Multimodal.jpegDimensions(jpeg(1, 1, 0xc1)).contains((1, 1)),
+      "extended-sequential SOF1 dimensions")
+    // rejection branches: junk, truncation before SOF, SOS-before-SOF,
+    // a DHT (C4) segment must NOT be mistaken for a frame header
+    assert(Multimodal.jpegDimensions(Array[Byte](9, 8, 7)).isEmpty)
+    assert(Multimodal.jpegDimensions(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.jpegDimensions(jpeg(640, 480, 0xc0).take(8)).isEmpty)
+    val dhtOnly = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xc4, Array.fill[Byte](20)(1)) ++
+      seg(0xda, Array[Byte](1))
+    assert(Multimodal.jpegDimensions(dhtOnly).isEmpty,
+      "DHT C4 is not a frame header")
+    // end-to-end: a planted .jpg flows through binaryFile ingest ->
+    // extractFeatures with its true dimensions, same as the PNG bar
+    val dir = Files.createTempDirectory("graft_jpg")
+    Files.write(dir.resolve("x.jpg"), jpeg(320, 200, 0xc0))
+    Files.write(dir.resolve("p.JPG"), jpeg(99, 44, 0xc2))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ingestBinaryFiles(spark, dir.toString)).collect()
+    assert(feats.map(f => (f.width, f.height)).toSet == Set((320, 200), (99, 44)),
+      s"planted JPEG dims lost in the pipeline: ${feats.toSeq}")
+  }
+
   test("stub decode is deterministic and byte-faithful") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** LIVE PostGIS integration — the one O13 step no offline spec can close
   * (reference `app.py:58-61,181`): extension DDL → typed CREATE → hex-EWKB
-  * insert → readback through PostGIS functions. Gated on a `POSTGRES_URL`
-  * env var (a full pgjdbc URL, e.g.
+  * insert → readback through PostGIS functions. Gated on a `POSTGIS_URL`
+  * (or `POSTGRES_URL`) env var (a full pgjdbc URL, e.g.
   * `jdbc:postgresql://host:5432/db?user=u&password=p`); with none present
   * the tests CANCEL cleanly (`assume`), so the suite stays green offline
   * and the day a Postgres exists the O13 gap closes with zero code change.
+  * `tools/postgis-compose.yml` + the README recipe stand one up in one
+  * command wherever Docker exists.
   *
   * Everything below the socket is already spec'd against Derby and byte
   * assertions (`JdbcSinkSpec`): this spec only adds what needs the real
@@ -21,11 +23,14 @@ import org.apache.spark.sql.functions._
   */
 class PostgisLiveSpec extends SparkSpec {
 
-  private val urlOpt = sys.env.get("POSTGRES_URL")
+  private val urlOpt =
+    sys.env.get("POSTGIS_URL").orElse(sys.env.get("POSTGRES_URL"))
 
   test("O11-O13 live: extension DDL -> typed CREATE -> hex-EWKB insert -> readback") {
     assume(urlOpt.isDefined,
-      "no POSTGRES_URL in this environment; live PostGIS hop untestable offline")
+      "no POSTGIS_URL/POSTGRES_URL in this environment; " +
+        "live PostGIS hop untestable offline " +
+        "(tools/postgis-compose.yml stands one up where Docker exists)")
     val url = urlOpt.get
     val src = Files.createTempDirectory("graft_pg_fix").toString + "/points"
     Generator.writeFixture(spark, src, n = 10)

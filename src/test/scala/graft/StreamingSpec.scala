@@ -497,6 +497,83 @@ class StreamingSpec extends SparkSpec {
     assert(!out("busy"), "n>1 type must still emit a real z")
   }
 
+  test("CDC four-class replay law: stream emissions == batch full-outer diff, removals included") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocVersion
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val v2 = docs.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 97 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h"))
+      .unionAll(docs.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text")).as("h")))
+    // batch truth: q100's full-outer-join classification on the snapshots
+    val expected = v1.withColumnRenamed("h", "h1")
+      .join(v2.withColumnRenamed("h", "h2"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ids(s: String) = expected.collect { case (id, st) if st == s => id }.toSet
+    // CDC feed: batch 1 bootstraps v1 as upserts; batch 2 is v2's upserts
+    // plus a TOMBSTONE for every id that vanished — what a log-compacted
+    // CDC topic actually carries between crawl snapshots
+    val b1 = v1.collect().map(r => DocVersion(r.getLong(0), 1L, r.getString(1)))
+    val v1Ids = b1.map(_.doc_id).toSet
+    val b2up = v2.collect().map(r => DocVersion(r.getLong(0), 2L, r.getString(1)))
+    val b2 = b2up.toSeq ++
+      (v1Ids -- b2up.map(_.doc_id)).map(DocVersion(_, 2L, "", tombstone = true))
+    val removedId = ids("removed").head
+    val unchangedId = ids("unchanged").head
+    val mem = MemoryStream[DocVersion]
+    val q = StreamingOps.changeScreenStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("cdc_fourclass_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val emitted = try {
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      // batch 3: tombstone for an id never admitted (must be silent), a
+      // re-crawl of a removed id (state was freed -> 'added' again), and
+      // a same-batch upsert+tombstone that must NET to the later seq
+      mem.addData(Seq(
+        DocVersion(999999999L, 3L, "", tombstone = true),
+        DocVersion(removedId, 4L, "recrawled"),
+        DocVersion(unchangedId, 5L, "zz"),
+        DocVersion(unchangedId, 6L, "", tombstone = true)))
+      q.processAllAvailable()
+      spark.table("cdc_fourclass_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    } finally q.stop()
+    def emittedIds(s: String) = emitted.filter(_._2 == s).map(_._1)
+    // the law, class by class, against the batch diff:
+    assert(emittedIds("changed").toSet == ids("changed"), "changed class")
+    assert(emittedIds("removed").toSet == ids("removed") + unchangedId,
+      "removed class (incl. the batch-3 netted tombstone)")
+    assert(emittedIds("added").toSet == v1Ids ++ ids("added") + removedId,
+      "added = bootstrap + new ids + re-crawl after removal")
+    // unchanged = SILENCE: each unchanged id appears exactly once overall
+    // (its bootstrap 'added'), never re-emitted by batch 2
+    assert(ids("unchanged").forall(id => emitted.count(_._1 == id) <= 2),
+      "unchanged ids must not be re-emitted by the v2 batch")
+    assert(emitted.count(_._1 == unchangedId) == 2, // bootstrap + netted removal
+      "same-batch upsert+tombstone must net to ONE removal")
+    // removal frees state: the re-crawled id was added twice (b1 + b3)
+    assert(emitted.count(_ == (removedId, "added")) == 2)
+    // a tombstone for an unseen key emits nothing, stores nothing
+    assert(!emitted.exists(_._1 == 999999999L), "unseen tombstone must be silent")
+    assert(ids("removed").nonEmpty && ids("changed").nonEmpty &&
+      ids("added").nonEmpty && ids("unchanged").nonEmpty,
+      "fixture must exercise all four classes")
+  }
+
   test("mapGroupsWithState user totals == batch groupBy across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
