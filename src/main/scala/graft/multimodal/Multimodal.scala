@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
   * typed `Dataset` + `mapPartitions` batch shape, metadata dispatch — and
-  * the decode dispatch has two REAL branches: PNG header decode
-  * ([[pngDimensions]], pure JVM against the public W3C spec) and JPEG
-  * frame-header decode ([[jpegDimensions]], SOFn marker scan per ITU-T
-  * T.81), both reporting true image dimensions. The remaining formats
-  * are a clearly-marked deterministic STUB (`decodeStub`): this
-  * container has no audio/video libraries, so the stub derives features
-  * from raw bytes instead of calling ffmpeg. A real deployment extends
-  * the same dispatch
+  * the decode dispatch has four REAL header-level branches: PNG IHDR
+  * ([[pngDimensions]], W3C spec), JPEG SOFn ([[jpegDimensions]], ITU-T
+  * T.81) for true image dimensions, WAV RIFF fmt/data ([[wavInfo]]) for
+  * true channel count / sample rate / exact sample-frame count, and
+  * MP4 mvhd ([[mp4Info]], ISO/IEC 14496-12) for true duration. What
+  * still needs a codec library (pixel data, compressed-audio samples,
+  * video frame counts via stts) remains a clearly-marked deterministic
+  * STUB (`decodeStub`): this container has no media libraries, so the
+  * stub derives those features from raw bytes instead of calling ffmpeg.
+  * A real deployment extends the same dispatch
   * with JNI/library calls; everything around it is unchanged. The
   * per-partition iterator shape is exactly how a native decoder wants to
   * be fed (batch init/teardown amortized per partition, not per row).
@@ -44,7 +46,11 @@ object Multimodal {
       // REAL decoded dimensions for payloads the header parsers understand
       // (PNG IHDR + JPEG SOFn); (0, 0) for everything still behind the stub
       width: Int,
-      height: Int)
+      height: Int,
+      // REAL decoded audio/video container metadata: WAV fmt/data chunks
+      // and MP4 mvhd; 0 for payloads the header parsers don't understand
+      sample_rate: Int,
+      duration_ms: Long)
 
   /** Build a deterministic fake media corpus from the documents table:
     * payload = UTF-8 bytes of the text, metadata derived from stable
@@ -163,11 +169,131 @@ object Multimodal {
     result
   }
 
-  /** Decoder: the PNG and JPEG branches are REAL header-level decodes
-    * ([[pngDimensions]] / [[jpegDimensions]]); other formats remain a
-    * deterministic STUB standing in for libsndfile/ffmpeg, which are not
-    * in this container. A real build extends the same dispatch with
-    * library calls; everything around it is unchanged. */
+  final case class WavInfo(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, nSamples: Long)
+
+  /** REAL (header-level) WAV decode — pure JVM, no codec library: RIFF
+    * container (`RIFF` magic, little-endian sizes, `WAVE` form type) per
+    * the public RIFF/WAVE spec (Microsoft/IBM 1991, as mirrored by the
+    * MultimediaWiki / W3C WAVE notes). Walks the chunk list: `fmt ` gives
+    * format tag, channel count, sample rate, block align, bits per
+    * sample; `data`'s declared size over block align gives the exact
+    * sample-frame count. WAVE_FORMAT_PCM (1), IEEE float (3) and the
+    * EXTENSIBLE wrapper (0xFFFE) are accepted; compressed format tags,
+    * malformed chunk walks, or a missing fmt/data chunk degrade to None —
+    * the stub path, never a throw. Chunks are word-aligned (odd sizes pad
+    * one byte), which the walk honors. */
+  private[graft] def wavInfo(bytes: Array[Byte]): Option[WavInfo] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def le32(o: Int): Long =
+      (u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16)).toLong |
+        ((u8(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, align, bits
+      var dataSize = -1L
+      var i = 12
+      var bad = false
+      while (!bad && dataSize < 0 && i + 8 <= bytes.length) {
+        val id = tag(i)
+        val size = le32(i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+          val formatTag = le16(i + 8)
+          // PCM, IEEE float, or the EXTENSIBLE wrapper (real format in
+          // the extension's SubFormat GUID — channel/rate/align fields
+          // are authoritative either way)
+          if (formatTag == 1 || formatTag == 3 || formatTag == 0xfffe)
+            fmt = Some((le16(i + 10), le32(i + 12).toInt,
+              le16(i + 20), le16(i + 22)))
+          else bad = true
+        } else if (id == "data") dataSize = size
+        if (dataSize < 0) {
+          val step = size + (size & 1L) // word alignment
+          if (step < 0 || i + 8 + step > Int.MaxValue) bad = true
+          else i += 8 + step.toInt
+        }
+      }
+      fmt match {
+        case Some((ch, rate, align, bits))
+            if !bad && dataSize >= 0 && ch > 0 && rate > 0 && align > 0 =>
+          Some(WavInfo(ch, rate, bits, dataSize / align))
+        case _ => None
+      }
+    }
+  }
+
+  /** REAL (header-level) MP4/ISO-BMFF decode — pure JVM, no codec
+    * library: the box grammar of ISO/IEC 14496-12 (size BE32 + fourcc;
+    * size 1 → 64-bit largesize; size 0 → to EOF). Walks the top level for
+    * `moov`, then inside it reads `mvhd` (version 0: timescale BE32 at
+    * +12, duration BE32 at +16 of the box body; version 1: 64-bit
+    * times, timescale at +20, duration BE64 at +24) and counts `trak`
+    * boxes. Returns (timescale, duration_ms, n_tracks); anything that is
+    * not a well-formed BMFF prefix degrades to None — the stub path,
+    * never a throw. */
+  private[graft] def mp4Info(bytes: Array[Byte]): Option[(Int, Long, Int)] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def be32(o: Int): Long =
+      ((u8(o).toLong << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3))
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk boxes in [from, until); f gets (type, bodyStart, boxEnd)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= until) {
+        val size32 = be32(i)
+        val typ = tag(i + 4)
+        val (body, end) =
+          if (size32 == 1 && i + 16 <= until) (i + 16, i + be64(i + 8))
+          else if (size32 == 0) (i + 8, until.toLong)
+          else (i + 8, i + size32)
+        if (end < body || end > until) ok = false
+        else { f(typ, body, end.toInt); i = end.toInt }
+      }
+      ok
+    }
+    if (bytes.length < 16 || !Set("ftyp", "moov", "free", "skip", "mdat",
+      "wide", "moof", "styp").contains(tag(4))) None
+    else {
+      var moov: Option[(Int, Int)] = None
+      if (!walk(0, bytes.length) {
+        (t, b, e) => if (t == "moov" && moov.isEmpty) moov = Some((b, e))
+      }) None
+      else moov.flatMap { case (mb, me) =>
+        var mvhd: Option[(Int, Long)] = None // timescale, durationUnits
+        var traks = 0
+        val ok = walk(mb, me) { (t, b, e) =>
+          if (t == "trak") traks += 1
+          else if (t == "mvhd" && mvhd.isEmpty && b + 4 <= e) {
+            val version = u8(b)
+            if (version == 0 && b + 20 <= e)
+              mvhd = Some((be32(b + 12).toInt, be32(b + 16)))
+            else if (version == 1 && b + 32 <= e)
+              mvhd = Some((be32(b + 20).toInt, be64(b + 24)))
+          }
+        }
+        mvhd match {
+          case Some((ts, dur)) if ok && ts > 0 =>
+            Some((ts, dur * 1000L / ts, traks))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Decoder: the PNG, JPEG, WAV and MP4 branches are REAL header-level
+    * decodes ([[pngDimensions]] / [[jpegDimensions]] / [[wavInfo]] /
+    * [[mp4Info]]); everything else remains a deterministic STUB standing
+    * in for libsndfile/ffmpeg, which are not in this container (notably:
+    * video FRAME COUNT needs an stts walk or a real demuxer, so n_frames
+    * for video stays the stub estimate even when mvhd duration is real).
+    * A real build extends the same dispatch with library calls;
+    * everything around it is unchanged. */
   private[multimodal] def decodeStub(row: MediaRow): MediaFeatures = {
     // a NULL payload (failed fetch, tombstoned blob) decodes as an empty
     // one — real media corpora carry them, and a decoder NPE fails the
@@ -183,17 +309,24 @@ object Multimodal {
     }
     val meanByte =
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    val wav = if (row.kind == "audio") wavInfo(bytes) else None
+    val mp4 = if (row.kind == "video") mp4Info(bytes) else None
     val frames = row.kind match {
+      // real PCM sample-frame count when the WAV header parses
+      case "audio" => wav.map(w => math.min(w.nSamples, Int.MaxValue).toInt)
+        .getOrElse(math.max(1, bytes.length / 64))
       case "video" => math.max(1, bytes.length / 256) // fake 256-byte frames
-      case "audio" => math.max(1, bytes.length / 64)
       case _       => 1
     }
     val (w, h) =
       if (row.kind == "image")
         pngDimensions(bytes).orElse(jpegDimensions(bytes)).getOrElse((0, 0))
       else (0, 0)
+    val sampleRate = wav.map(_.sampleRate).getOrElse(0)
+    val durationMs = wav.map(i => i.nSamples * 1000L / i.sampleRate)
+      .orElse(mp4.map(_._2)).getOrElse(0L)
     MediaFeatures(row.media_id, row.kind, bytes.length.toLong, meanByte,
-      checksum, frames, w, h)
+      checksum, frames, w, h, sampleRate, durationMs)
   }
 
   /** Feature extraction over the media corpus: typed per-partition batches.

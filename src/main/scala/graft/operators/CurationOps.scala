@@ -1193,6 +1193,61 @@ object CurationOps extends OpCatalog {
       |LEFT JOIN inter i ON i.src_a = pa.source AND i.src_b = pb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** Weighted sampling without replacement — the budget-proportional
+    * subsample every mixture rebalance ends with ("keep 100 documents,
+    * longer ones proportionally more likely, and make the draw
+    * reproducible"). Algorithm A-Res of Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir" (IPL 2006): each item
+    * draws key `-ln(u)/w` (u uniform, w the weight) and the k SMALLEST
+    * keys are the sample — a one-pass, merge-associative rule, which is
+    * exactly what a distributed top-k needs. Here w = n_chars
+    * (byte-budget-proportional) and u is replayable on both engines:
+    * the first 8 md5 hex nibbles of the doc id, `(v+1)/(2^32+1)`.
+    * Keys are ranked as `round(-ln(u)·1000/w, 4)` with doc_id
+    * tie-break — the q63/q98 rounded-key rule, absorbing last-ulp `ln`
+    * differences cross-engine.
+    *
+    * Scale: the plan is `TakeOrderedAndProject` — per-partition top-k
+    * then a k·partitions merge, NO global sort, NO shuffle of the
+    * corpus; the rank window runs over the k surviving rows only. At
+    * 100 TB this samples in one pass over the scan. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    weightedSampleOf(Tables.documents(spark, sfDir), k = 100)
+  }
+
+  /** Core of q116 over any (doc_id, lang, source, n_chars) frame. */
+  private[graft] def weightedSampleOf(docs: DataFrame, k: Int): DataFrame = {
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 1.0) / 4294967297.0
+    val picked = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("rkey",
+        round(-log(u) * 1000.0 / col("n_chars").cast("double"), 4))
+      .orderBy(col("rkey").asc, col("doc_id").asc)
+      .limit(k)
+    // rank over the k survivors only (k rows — the window is trivial)
+    picked
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("rkey").asc, col("doc_id").asc)))
+      .select(col("sample_rank"), col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("rkey"))
+      .orderBy(col("sample_rank"))
+  }
+
+  private val weightedSampleSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |               + 1) / 4294967297.0) * 1000.0 / n_chars, 4) AS rkey
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY rkey, doc_id) AS INT)
+      |    AS sample_rank,
+      |  doc_id, lang, source, n_chars, rkey
+      |FROM s ORDER BY rkey, doc_id LIMIT 100""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (rank<=cap window map-side pruned by WindowGroupLimit, domain-cap shape)"),
@@ -1226,5 +1281,7 @@ object CurationOps extends OpCatalog {
     Op("q111_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
       "two-sample KS drift test on doc-length distributions between snapshots (scaled-integer statistic, 128-bit exact verdict)"),
     Op("q113_license_screen", licenseScreen, Some(licenseScreenSql),
-      "license/opt-out compliance screen: cc-by-nc / all-rights-reserved / noai marker counts + keep rate per source (planted markers, LIKE-only detection)"))
+      "license/opt-out compliance screen: cc-by-nc / all-rights-reserved / noai marker counts + keep rate per source (planted markers, LIKE-only detection)"),
+    Op("q116_weighted_sample", weightedSample, Some(weightedSampleSql),
+      "weighted sampling without replacement (Efraimidis-Spirakis A-Res): byte-budget-proportional k=100 draw, md5-replayed keys, one-pass top-k plan"))
 }

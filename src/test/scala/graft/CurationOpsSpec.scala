@@ -486,4 +486,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(sp.map(_.getLong(1)).sum == vocab)
     assert(sp.forall(r => r.getLong(2) == vocab))
   }
+
+  test("q116: A-Res draw is a distributed top-k (no global sort), is " +
+      "length-biased, and is invariant under re-partitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = CurationOps.weightedSampleOf(docs, k = 100)
+    // scale law: the selection must be TakeOrderedAndProject — per-
+    // partition top-k + k-row merge, never a full Sort+Exchange of the
+    // corpus (the property that lets this run in one pass at 100 TB)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-Res selection is not a distributed top-k:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 100), "ranks are 1..k dense")
+    // weighting really biases the draw: expected inclusion is ∝ n_chars
+    // (approximately, at k << n), so the sample must be longer-doc-heavy
+    // than a uniform draw by a visible margin on this fixture
+    val sampleMean = rows.map(_.getLong(4)).sum.toDouble / rows.length
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean * 1.05,
+      s"A-Res sample mean $sampleMean not length-biased vs corpus $corpusMean")
+    // merge-associativity in practice: the draw is a pure per-row key +
+    // global top-k, so partitioning must not change the selection
+    val reparted = CurationOps.weightedSampleOf(docs.repartition(13), k = 100)
+      .collect()
+    assert(reparted.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq,
+      "sample changed under re-partitioning")
+    // without-replacement: all doc_ids distinct
+    assert(rows.map(_.getLong(1)).distinct.length == 100)
+  }
 }

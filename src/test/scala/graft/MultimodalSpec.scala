@@ -156,6 +156,96 @@ class MultimodalSpec extends SparkSpec {
       s"planted JPEG dims lost in the pipeline: ${feats.toSeq}")
   }
 
+  test("WAV decode reports TRUE planted audio metadata, degrades on junk") {
+    // hand-assembled canonical RIFF/WAVE bytes: RIFF header, a JUNK chunk
+    // (odd size, exercising word alignment), fmt , data — ground truth on
+    // both sides, no codec library involved
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(channels: Int, rate: Int, bits: Int, nSamples: Int,
+        formatTag: Int = 1): Array[Byte] = {
+      val align = channels * bits / 8
+      val dataSize = nSamples * align
+      val junk = "JUNK".getBytes("US-ASCII") ++ le32(3) ++
+        Array[Byte](1, 2, 3, 0) // 3 data bytes + 1 alignment pad
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(formatTag) ++ le16(channels) ++ le32(rate) ++
+        le32(rate * align) ++ le16(align) ++ le16(bits)
+      val data = "data".getBytes("US-ASCII") ++ le32(dataSize) ++
+        Array.tabulate(dataSize)(i => (i % 251).toByte)
+      val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    assert(Multimodal.wavInfo(wav(2, 16000, 16, 1000))
+      .contains(Multimodal.WavInfo(2, 16000, 16, 1000L)),
+      "stereo 16-bit PCM: channels/rate/bits/sample count")
+    assert(Multimodal.wavInfo(wav(1, 44100, 8, 77))
+      .contains(Multimodal.WavInfo(1, 44100, 8, 77L)), "mono 8-bit PCM")
+    assert(Multimodal.wavInfo(wav(2, 48000, 32, 10, formatTag = 3))
+      .contains(Multimodal.WavInfo(2, 48000, 32, 10L)), "IEEE-float fmt")
+    // rejection branches: junk, truncation, compressed format tag
+    assert(Multimodal.wavInfo(Array[Byte](9, 8, 7)).isEmpty)
+    assert(Multimodal.wavInfo(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.wavInfo(wav(2, 16000, 16, 1000).take(30)).isEmpty)
+    assert(Multimodal.wavInfo(wav(1, 8000, 16, 10, formatTag = 0x55)).isEmpty,
+      "MP3-in-WAV (format tag 0x55) is not a parseable PCM header")
+    // end-to-end: planted .wav files flow through binaryFile ingest ->
+    // extractFeatures with true sample counts, rates and durations
+    val dir = Files.createTempDirectory("graft_wav")
+    Files.write(dir.resolve("a.wav"), wav(2, 16000, 16, 8000)) // 500 ms
+    Files.write(dir.resolve("b.WAV"), wav(1, 8000, 16, 2000)) // 250 ms
+    Files.write(dir.resolve("junk.wav"), Array.tabulate(200)(_.toByte))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ingestBinaryFiles(spark, dir.toString)).collect()
+    assert(feats.map(f => (f.n_frames, f.sample_rate, f.duration_ms)).toSet
+      == Set((8000, 16000, 500L), (2000, 8000, 250L), (200 / 64, 0, 0L)),
+      s"planted WAV metadata lost in the pipeline: ${feats.toSeq}")
+  }
+
+  test("MP4 decode reports TRUE planted duration/tracks, degrades on junk") {
+    // hand-assembled ISO-BMFF boxes per ISO/IEC 14496-12: ftyp, free,
+    // moov(mvhd + traks), mdat — ground truth on both sides
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+    def mp4(timescale: Int, duration: Long, traks: Int,
+        mvhdV1: Boolean = false): Array[Byte] = {
+      val mvhd =
+        if (mvhdV1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0)
+          ++ be32(timescale) ++ be64(duration) ++ Array.fill[Byte](80)(0))
+        else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0)
+          ++ be32(timescale) ++ be32(duration.toInt) ++ Array.fill[Byte](80)(0))
+      val trakBoxes = Array.fill(traks)(
+        box("trak", box("tkhd", Array.fill[Byte](84)(0)))).flatten
+      box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes) ++
+        box("free", Array.fill[Byte](5)(7)) ++
+        box("moov", mvhd ++ trakBoxes) ++
+        box("mdat", Array.tabulate(64)(_.toByte))
+    }
+    assert(Multimodal.mp4Info(mp4(600, 1200L, 2)).contains((600, 2000L, 2)),
+      "v0 mvhd: timescale 600, duration 1200 units -> 2000 ms, 2 tracks")
+    assert(Multimodal.mp4Info(mp4(90000, 90000L * 63, 1, mvhdV1 = true))
+      .contains((90000, 63000L, 1)), "v1 mvhd 64-bit duration")
+    // rejection branches: junk, no moov, truncated box walk
+    assert(Multimodal.mp4Info(Array[Byte](9, 8, 7)).isEmpty)
+    assert(Multimodal.mp4Info(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.mp4Info(
+      box("ftyp", "isom".getBytes ++ be32(512))).isEmpty, "no moov")
+    assert(Multimodal.mp4Info(mp4(600, 1200L, 2).take(40)).isEmpty,
+      "truncated moov walk degrades, never throws")
+    // end-to-end: planted .mp4 flows through binaryFile ingest ->
+    // extractFeatures with its true duration, same as the image bar
+    val dir = Files.createTempDirectory("graft_mp4")
+    Files.write(dir.resolve("a.mp4"), mp4(1000, 2500L, 1))
+    Files.write(dir.resolve("junk.mp4"), Array.tabulate(512)(_.toByte))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ingestBinaryFiles(spark, dir.toString)).collect()
+    assert(feats.map(f => f.duration_ms).toSet == Set(2500L, 0L),
+      s"planted MP4 duration lost in the pipeline: ${feats.toSeq}")
+  }
+
   test("stub decode is deterministic and byte-faithful") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id).toSeq
