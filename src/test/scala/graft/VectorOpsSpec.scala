@@ -371,4 +371,56 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(0).getSeq[Double](1) == Seq(4.0, 6.0))
     assert(got(1).getSeq[Double](1) == Seq(0.5, -0.5))
   }
+
+  test("q117 PQ codebook: full sub-space coverage, valid shapes, deterministic") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = VectorOps.pqCodebook(e, m = 8, dsub = 8, k = 16, iters = 2)
+      .collect()
+    // every sub-space trained; ≤ k cells each; every centroid dsub-wide
+    val bySub = cb.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until 8).toSet)
+    bySub.foreach { case (s, rows) =>
+      assert(rows.length <= 16 && rows.nonEmpty, s"sub $s: ${rows.length} cells")
+      rows.foreach(r => assert(r.getSeq[Float](2).length == 8))
+      assert(rows.map(_.getInt(1)).distinct.length == rows.length,
+        s"sub $s: duplicate cell ids")
+    }
+    val cb2 = VectorOps.pqCodebook(e.repartition(7), m = 8, dsub = 8, k = 16,
+      iters = 2).collect()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toList)
+    assert(cb.map(keyOf).toSet == cb2.map(keyOf).toSet,
+      "PQ training changed under re-partitioning")
+  }
+
+  test("q117 ADC + re-rank: recall >= 0.6 vs exact L2 top-10, map-only serving plan") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = VectorOps.pqAdcTopKOf(e, spark, memoKey = None)
+    // serving scale law: shortlist + re-rank are both TakeOrderedAndProject
+    // passes with NO shuffle anywhere — codes and distance table are plan
+    // literals, so nothing joins, nothing exchanges
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ADC shortlist is not a distributed top-k:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"PQ serving plan shuffles — the map-only law broke:\n$plan")
+    val got = out.collect()
+    assert(got.length == 10)
+    // l2 column is the re-rank key and must be non-decreasing
+    val l2s = got.map(_.getDouble(2)).toSeq
+    assert(l2s == l2s.sorted, s"re-rank order broken: $l2s")
+    // exact L2 top-10 (driver-side brute force over the fixture)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val exact = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val d = v.indices.map(i => (v(i) - q(i)) * (v(i) - q(i))).sum
+        (d, r.getLong(0))
+      }.sortBy(identity).take(10).map(_._2).toSet
+    val recall = got.map(_.getLong(0)).count(exact.contains) / 10.0
+    assert(recall >= 0.6,
+      s"PQ recall@10 $recall < 0.6 (got ${got.map(_.getLong(0)).toSeq})")
+  }
 }
