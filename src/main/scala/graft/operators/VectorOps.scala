@@ -855,12 +855,23 @@ object VectorOps extends OpCatalog {
     pqAdcTopKOf(emb(spark, sfDir), spark, memoKey = Some(sfDir))
   }
 
+  /** Zero-row (vec_id, adc, l2) frame — the empty-corpus degrade result
+    * shared by the PQ/IVFADC serving paths (EmptyCorpusSpec's contract:
+    * an empty source yields an empty report, never a crash). */
+  private def emptyTopK(spark: SparkSession): DataFrame =
+    spark.range(0).selectExpr("id AS vec_id",
+      "CAST(0.0 AS DOUBLE) AS adc", "CAST(0.0 AS DOUBLE) AS l2")
+
   /** Core of q117 over any (vec_id, embedding) frame whose dim is a
-    * multiple of 8 and whose query vector is vec_id 0. */
+    * multiple of 8 and whose query vector is vec_id 0. Degrades to an
+    * empty result when the query vector or a trainable corpus is absent. */
   private[graft] def pqAdcTopKOf(e: DataFrame, spark: SparkSession,
       memoKey: Option[String]): DataFrame = {
-    val dim = e.filter(col("vec_id") === 0)
-      .select(size(col("embedding"))).head().getInt(0)
+    val qOpt = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).limit(1).collect().headOption
+      .map(_.getSeq[Float](0).toArray)
+    if (qOpt.isEmpty) return emptyTopK(spark)
+    val dim = qOpt.get.length
     val m = 8
     val dsub = dim / m
     val k = 16
@@ -880,8 +891,8 @@ object VectorOps extends OpCatalog {
       .orderBy(col("sub"), col("cell")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
       .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
-    val qv: Array[Float] = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    if (cb.size < m) return emptyTopK(spark) // nothing to train on
+    val qv: Array[Float] = qOpt.get
     // asymmetric distance table: dt(s)(j) = ||q_s - c_{s,j}||², plain
     // driver arithmetic over the two literals above
     val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
@@ -916,6 +927,144 @@ object VectorOps extends OpCatalog {
       .limit(10)
   }
 
+  // --------------------------------------------------------------- q118
+  /** L2 cell assignment + residual, the IVFADC layout step: nearest
+    * coarse centroid by squared L2 (lowest-cell tiebreak), output is the
+    * RESIDUAL embedding (x − c_cell) that PQ trains on per §V of the PQ
+    * paper. Training-side only; serving re-derives the cell in-row. */
+  private def assignCellsL2Residual(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        sqDist(col("embedding"), col("centroid")).as("d"),
+        col("cell").as("cell"), col("embedding").as("embedding"),
+        col("centroid").as("centroid")).as("scored"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("scored")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        zip_with(col("best.embedding"), col("best.centroid"),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+          .as("embedding"))
+
+  /** ANN top-10 via IVFADC — the composition the 100 TB path actually
+    * ships (PQ paper §V; FAISS `IndexIVFPQ`): q45's coarse IVF cells
+    * give PARTITION PRUNING (probe n_probe cells, never scan the rest)
+    * and q117's PQ codes give 64× in-cell compression, trained on
+    * RESIDUALS x − c_cell (residuals concentrate near 0, so one shared
+    * PQ codebook quantizes them better than raw vectors). Serving is
+    * in-row end to end: cell = argmin over coarse-centroid literals,
+    * keep rows whose cell is probed (at scale: the stored layout is
+    * bucketed by cell, so this filter IS partition pruning), residual
+    * codes = per-sub-space argmin over PQ literals, ADC = per-probed-
+    * cell distance-table lookups — zero joins, zero exchanges
+    * (spec-pinned), one `TakeOrderedAndProject` shortlist of 100, then
+    * the exact-L2 re-rank of q117. Coarse (≤ √n, capped 4096) and PQ
+    * (m·k) codebooks are both bounded broadcastable artifacts; both
+    * trainings are offline steps, memoized here like q45/q117's.
+    * Declared rows-only; `VectorOpsSpec` pins recall vs exact L2 and
+    * the pruned-candidate fraction. */
+  def ivfAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    ivfAdcCandidates(emb(spark, sfDir), spark, memoKey = Some(sfDir)) match {
+      case Some((cands, qv)) => rerank(cands, qv)
+      case None => emptyTopK(spark) // no query vector / untrainable corpus
+    }
+  }
+
+  /** Shortlist + exact re-rank, shared with q117's shape. */
+  private[graft] def rerank(cands: DataFrame, qv: Array[Float]): DataFrame =
+    cands.orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+      .select(col("vec_id"), col("adc"),
+        round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+      .orderBy(col("l2").asc, col("vec_id"))
+      .limit(10)
+
+  /** Core of q118: the map-only scored-candidate frame (vec_id, adc,
+    * embedding — probed cells only) plus the query vector; `None` when
+    * the query vector or a trainable corpus is absent (empty-corpus
+    * degrade). Factored so specs can measure the pruned candidate set
+    * directly. */
+  private[graft] def ivfAdcCandidates(e: DataFrame, spark: SparkSession,
+      memoKey: Option[String], nProbe: Int = 4)
+      : Option[(DataFrame, Array[Float])] = {
+    val qOpt = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).limit(1).collect().headOption
+      .map(_.getSeq[Float](0).toArray)
+    if (qOpt.isEmpty) return None
+    val dim = qOpt.get.length
+    val m = 8
+    val dsub = dim / m
+    val k = 16
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val n = e.count() - 1
+    val kc = AnnParams.ivfCells(n)
+    def memo(tag: String)(build: => DataFrame): DataFrame = memoKey match {
+      case Some(sf) => Memo.cached(spark, s"vectorops:$tag:$sf:m=$m:k=$k") {
+        build
+      }
+      case None => build
+    }
+    val coarse = memo("ivfadc_coarse") { ivfCodebook(e, kc, iters = 3) }
+    val pqc = memo("ivfadc_pq") {
+      pqCodebook(assignCellsL2Residual(e.filter(col("vec_id") =!= 0),
+        coarse), m, dsub, k, iters = 3)
+    }
+    // both codebooks -> driver literals (bounded: ≤ kc + m·k tiny rows)
+    val coarseArr: Array[Array[Float]] = coarse.orderBy(col("cell"))
+      .collect().map(_.getSeq[Float](1).toArray)
+    val cb: Map[Int, Array[Array[Float]]] = pqc
+      .orderBy(col("sub"), col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    if (coarseArr.isEmpty || cb.size < m) return None // nothing to train on
+    val qv: Array[Float] = qOpt.get
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i).toDouble - b(i)) * (a(i).toDouble - b(i))).sum
+    // probe: the nProbe nearest coarse cells to the query (positional
+    // ids over the cell-ascending order — same order the in-row argmin
+    // sees, so the two agree by construction)
+    val probed: Seq[Int] = coarseArr.indices
+      .sortBy(j => (l2(qv, coarseArr(j)), j)).take(nProbe)
+    // in-row cell assignment: argmin over the coarse literals
+    // (array_position takes the FIRST min — lowest-cell tiebreak, the
+    // same rule the training-side assignment uses)
+    val coarseDists = array(coarseArr.indices.map(j =>
+      sqDist(col("embedding"), typedlit(coarseArr(j)))): _*)
+    val cellCol = (array_position(coarseDists, array_min(coarseDists)) - 1)
+      .cast("int")
+    // per probed cell: residual codes + that cell's ADC distance table.
+    // ONE scan: the probed-cell predicate and a per-cell CASE over the
+    // score expressions (a union of per-cell filters would re-scan the
+    // corpus n_probe times here; with a cell-bucketed layout at scale
+    // the same predicate becomes partition pruning and the CASE costs
+    // nothing off-cell because rows reach only their own branch)
+    def scoreFor(cell: Int): org.apache.spark.sql.Column = {
+      val cent = coarseArr(cell)
+      val resid = zip_with(col("embedding"), typedlit(cent),
+        (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+      val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
+        val qs = qv.slice(s * dsub, (s + 1) * dsub)
+          .zip(cent.slice(s * dsub, (s + 1) * dsub))
+          .map { case (a, c) => a.toDouble - c.toDouble }
+        cb(s).map(c => qs.zip(c).map { case (a, b) =>
+          val d = a - b.toDouble; d * d
+        }.sum)
+      }
+      (0 until m).map { s =>
+        val dists = array(cb(s).indices.map(j =>
+          sqDist(slice(resid, s * dsub + 1, dsub), typedlit(cb(s)(j)))): _*)
+        element_at(typedlit(dt(s)),
+          array_position(dists, array_min(dists)).cast("int"))
+      }.reduce(_ + _)
+    }
+    val caseScore = probed.foldRight(lit(null).cast("double")) {
+      (cell, acc) => when(cellCol === cell, scoreFor(cell)).otherwise(acc)
+    }
+    val cands = e.filter(col("vec_id") =!= 0)
+      .filter(cellCol.isin(probed: _*))
+      .select(col("vec_id"), round(caseScore, 4).as("adc"), col("embedding"))
+    Some((cands, qv))
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("q92_centroid_outliers", centroidOutliers, Some(centroidOutliersSql),
       "per-label centroid cosine audit + most-outlying vector (SemDeDup-style semantic filter)"),
@@ -946,5 +1095,7 @@ object VectorOps extends OpCatalog {
       Some(filteredCosineTopKSql),
       "hybrid filtered vector search: metadata predicate + key join + cosine top-10"),
     Op("q117_pq_adc", pqAdcTopK, None,
-      "ANN top-10 via product quantization + asymmetric distance (64x code compression, map-only serving plan; spec-measured recall vs exact L2)"))
+      "ANN top-10 via product quantization + asymmetric distance (64x code compression, map-only serving plan; spec-measured recall vs exact L2)"),
+    Op("q118_ivfadc", ivfAdcTopK, None,
+      "ANN top-10 via IVFADC (IVF cell pruning x residual-PQ codes, the FAISS IndexIVFPQ composition; map-only serving, spec-measured recall + pruning)"))
 }

@@ -394,6 +394,41 @@ class ScaleStressSpec extends SparkSpec {
       f"(${fullCands.toDouble / rareCands}%.0fx reduction)")
   }
 
+  test("q118 IVFADC: probed-candidate fraction stays bounded as the corpus grows 4x") {
+    // the scale claim behind IVFADC is that a query scans n_probe of
+    // ~√n cells, NOT the corpus: measure the candidate fraction at two
+    // corpus sizes and require it bounded well below 1 at both — and
+    // not growing. Clustered corpus (the regime the coarse quantizer
+    // is built for), same generator at both sizes.
+    import spark.implicits._
+    import graft.operators.VectorOps
+    def corpus(perCluster: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(11)
+      val centers = Array.fill(8)(
+        Array.fill(64)(rnd.nextGaussian().toFloat * 5f))
+      val rows = for (c <- 0 until 8; j <- 0 until perCluster) yield {
+        val v = centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+        ((c * perCluster + j + 1).toLong, v.toSeq)
+      }
+      val q = centers(3).map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+      ((0L, q.toSeq) +: rows).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+    }
+    val fractions = Seq(40, 160).map { per =>
+      val e = corpus(per)
+      val n = per * 8
+      val (cands, _) = VectorOps.ivfAdcCandidates(e, spark, memoKey = None).get
+      val f = cands.count().toDouble / n
+      info(f"n=$n%5d probed fraction = $f%.3f")
+      f
+    }
+    fractions.foreach(f =>
+      assert(f > 0.0 && f <= 0.55, s"probe scanned fraction $f — not pruning"))
+    assert(fractions.last <= fractions.head * 1.5,
+      s"probed fraction grew with corpus size: $fractions")
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     // the claim behind GraphOps (q60/q78): large-star/small-star needs
     // ~log(n) materializing rounds where plain min-label propagation needs
