@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the built-ins:
   *
   *   simhash64(arr), minhash_signature(arr, k), rolling_hash64(str),
-  *   nfc_normalize(str), sorted_intersect_count(arr, sorted_arr),
+  *   deflate_len(str), nfc_normalize(str),
+  *   sorted_intersect_count(arr, sorted_arr),
   *   cosine_similarity(a, b), hyperplane_bucket(v, bits),
   *   st_point(x, y), st_x(wkb), st_y(wkb), st_is_wkb_point(wkb),
   *   st_geometrytype(wkb), st_is_valid_wkb(wkb), st_srid(wkb),
@@ -44,6 +45,7 @@ object GraftFunctions {
     "minhash_signature" -> { es =>
       Tx.MinHashSignature(es.head, intLit(es(1), "minhash_signature k")) },
     "rolling_hash64" -> { es => Tx.RollingHash64(es.head) },
+    "deflate_len" -> { es => Tx.DeflateLen(es.head) },
     "nfc_normalize" -> { es => Tx.NfcNormalize(es.head) },
     // contract: the SECOND array must be ascending-sorted (array_sort
     // order) — binary search over an unsorted array under-counts silently

@@ -177,6 +177,50 @@ object TextExpressions {
     override def prettyName: String = "rolling_hash64"
   }
 
+  private val deflaterLocal = new ThreadLocal[java.util.zip.Deflater] {
+    // level 6 (zlib default), nowrap raw-deflate — reset() per row below;
+    // one native context per executor thread for its lifetime (the same
+    // amortization as md5Local — never per-row allocation)
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  /** DEFLATE-compressed length of a string's UTF-8 bytes — the classic
+    * compression-ratio quality signal (highly compressible text is
+    * repetitive boilerplate/spam; near-incompressible text is noise or
+    * already-compressed garbage — the filter family used by Gopher/
+    * MassiveText-style curation). A native expression so the hot loop is
+    * zlib via one thread-local native context; a UDF would re-box every
+    * row and a per-row `new Deflater` would thrash native allocations. */
+  case class DeflateLen(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.deflateLenEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.deflateLenEval($c)")
+    override protected def withNewChildInternal(c: Expression): DeflateLen =
+      copy(child = c)
+    override def prettyName: String = "deflate_len"
+  }
+
+  /** Static eval for DeflateLen's generated code. */
+  def deflateLenEval(str: UTF8String): Int = {
+    val bytes = str.getBytes
+    val d = deflaterLocal.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   /** Static eval for RollingHash64's generated code. */
   def rollingHashEval(str: UTF8String): Long = {
     val bytes = str.getBytes

@@ -997,7 +997,52 @@ object PipelineOps extends OpCatalog {
       |FROM doc GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** Compression-ratio quality screen — the zlib filter of the Gopher /
+    * MassiveText curation family: DEFLATE-compressed bytes over raw
+    * UTF-8 bytes per document. Highly compressible text (low ratio) is
+    * repetitive boilerplate/template spam that q68's word-level signals
+    * can miss (sub-word repetition, tag soup); near-incompressible text
+    * is byte noise or already-compressed junk. Per (lang, source):
+    * doc count, mean ratio, and the extreme docs on both ends with
+    * their ratios (rounded-key argmin/argmax, q63's rule).
+    *
+    * Scale: ratio is the custom codegen'd `deflate_len` expression (one
+    * thread-local zlib context per executor thread — never per-row
+    * allocation) in a map-only pass; the agg is map-side combined on
+    * the small (lang, source) grid; argmin/argmax ride the same agg as
+    * lexicographic struct min/max — no window, no second scan.
+    * Declared rows-only: zlib is not available to the DuckDB oracle;
+    * `GraftFunctionsSpec`/`PipelineOps` specs gate it (planted
+    * repetitive vs natural text, determinism, interpreted == codegen). */
+  def compressionQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    compressionQualityOf(Tables.documents(spark, sfDir))
+  }
+
+  /** Core of q119 over any (doc_id, lang, source, text) frame. */
+  private[graft] def compressionQualityOf(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("lang"), col("source"), col("doc_id"),
+      round(expr("deflate_len(text)") /
+        octet_length(col("text")).cast("double"), 4).as("ratio"))
+    scored.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 4).as("avg_ratio"),
+        min(struct(col("ratio"), col("doc_id"))).as("lo"),
+        // neg_id so a ratio tie still breaks to the LOWEST doc id under max
+        max(struct(col("ratio"), (-col("doc_id")).as("neg_id"))).as("hi"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("avg_ratio"),
+        col("lo.doc_id").as("most_compressible_doc"),
+        col("lo.ratio").as("min_ratio"),
+        (-col("hi.neg_id")).as("least_compressible_doc"),
+        col("hi.ratio").as("max_ratio"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   override val ops: Seq[Op] = Seq(
+    Op("q119_compression_quality", compressionQuality, None,
+      "zlib compression-ratio quality screen per (lang, source): mean + extreme-doc ratios via codegen'd deflate_len (Gopher-family filter)"),
     Op("q79_quality_classifier", qualityClassifier, Some(qualityClassifierSql),
       "linear (fasttext-shape) quality-classifier inference: hashed-bucket weights, logistic score, keep rate"),
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),

@@ -978,7 +978,10 @@ object TextOps extends OpCatalog {
       GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
   }
 
-  /** Core of q109 over any (doc_id, text) frame — spec entry point. */
+  /** Core of q109 over any (doc_id, text) frame — spec entry point.
+    * (No materialized gram base here, unlike q115: the self-join's two
+    * sides are IDENTICAL subplans, so ReusedExchange already shares
+    * them — checkpointing measured slower, 1.6→3.3 s at sf0.1.) */
   private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
     val keep = keptGramsOf(docs).select(col("doc_id"), col("gkey"))
     val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1059,7 +1062,15 @@ object TextOps extends OpCatalog {
     * Returns the same shape as [[containmentPairsOf]]. */
   private[graft] def containmentPairsRareOf(docs: DataFrame,
       k: Int): DataFrame = {
-    val keep = keptGramsOf(docs) // (doc_id, gkey, df), df <= 50
+    // the gram base feeds FIVE consumers (sizes, nomination, candidate
+    // probe, both intersection sides); without materialization each one
+    // replays the explode+distinct+df chain — measured 4.6→2.0 s at
+    // sf0.1, and at 100 TB the re-scans would quintuple the dominant
+    // cost. localCheckpoint stores the (doc_id, gkey, df) base once in
+    // the executor block store (grams ≤ token count — far smaller than
+    // text), exactly how a production pipeline materializes a shared
+    // gram base.
+    val keep = keptGramsOf(docs).localCheckpoint() // (doc_id, gkey, df<=50)
     val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = rareCandidatesOf(keep, k)
     val inter = cand

@@ -137,6 +137,7 @@ class GraftFunctionsSpec extends SparkSpec {
       "simhash64(array('a','b','c'))",
       "minhash_signature(array('x','y','z'), 8)",
       "rolling_hash64('the quick brown fox')",
+      "deflate_len('the quick brown fox jumps over the lazy dog')",
       "nfc_normalize('cafe" + "\u0301" + " and x" + "\u0007" + "y')",
       "sorted_intersect_count(array('b','a'), array('a','c'))",
       "round(cosine_similarity(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)), " +

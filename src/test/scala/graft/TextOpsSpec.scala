@@ -409,4 +409,48 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L) == ((4L, 3L, 1.5)), // counts 2,1,1 over n=4 -> 1.5 bits
       s"mixed BMP/astral histogram wrong: ${rows(2L)}")
   }
+
+  test("q119 compression ratio: repetitive text scores low, noise high, deterministic") {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    // planted corpus: template spam (one phrase repeated), natural-ish
+    // prose, and base64-like noise (already-compressed garbage)
+    val spam = Array.fill(80)("click here to win a free prize now").mkString(" ")
+    val prose = "the committee reviewed seventeen distinct proposals during " +
+      "the autumn session and rejected eleven of them for budgetary reasons " +
+      "while the remaining six advanced to a second round of expert review " +
+      "scheduled for early spring pending quorum and final documentation"
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(300)(
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+        .charAt(rnd.nextInt(64))).mkString
+    val docs = Seq(
+      (1L, "en", "web", spam), (2L, "en", "web", prose),
+      (3L, "en", "web", noise)).toDF("doc_id", "lang", "source", "text")
+    val out = graft.operators.PipelineOps.compressionQualityOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("most_compressible_doc")) == 1L,
+      s"template spam must compress best: $r")
+    assert(r.getLong(r.fieldIndex("least_compressible_doc")) == 3L,
+      s"random noise must compress worst: $r")
+    assert(r.getDouble(r.fieldIndex("min_ratio")) < 0.1,
+      "80x-repeated phrase should compress below 10%")
+    assert(r.getDouble(r.fieldIndex("max_ratio")) > 0.7,
+      "base64-like noise should stay near-incompressible")
+    // deterministic and partitioning-invariant (thread-local zlib state
+    // must not leak across rows/partitions)
+    val again = graft.operators.PipelineOps
+      .compressionQualityOf(docs.repartition(5)).collect()
+    assert(out.toSeq == again.toSeq)
+    // fixture sanity: every (lang, source) present, ratios in (0, 2]
+    val fx = graft.operators.PipelineOps
+      .compressionQuality(spark, sfDir).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { row =>
+      val lo = row.getDouble(row.fieldIndex("min_ratio"))
+      val hi = row.getDouble(row.fieldIndex("max_ratio"))
+      assert(lo > 0.0 && lo <= hi && hi <= 2.0, s"ratio bounds broken: $row")
+    }
+  }
 }
