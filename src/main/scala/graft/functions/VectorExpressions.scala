@@ -208,6 +208,122 @@ object VectorExpressions {
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def hyperplaneBucket(v: Column, nBits: Int, planeOffset: Int = 0): Column =
     toCol(HyperplaneBucket(toExpr(v), nBits, planeOffset))
+  /** Positional index of the nearest centroid by squared L2 (FIRST
+    * minimum wins — the lowest-cell tiebreak). The centroid table rides
+    * INSIDE the expression as a reference object (the [[plane]] cache
+    * idea, per-query): one compiled loop per row instead of k separate
+    * higher-order `aggregate(zip_with(...))` columns — Catalyst runs
+    * those interpreted with per-element lambda dispatch, and a √n-cell
+    * IVF assignment built from them measured seconds of analysis +
+    * per-row overhead. Used by q118's in-row coarse assignment. */
+  case class NearestCentroid(child: Expression, cents: Array[Array[Float]])
+      extends UnaryExpression {
+    require(cents.nonEmpty, "empty centroid table")
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      VectorExpressions.nearestCentroidEval(
+        input.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "float[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.nearestCentroidEval($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+    override def prettyName: String = "nearest_centroid"
+  }
+
+  /** Static eval for NearestCentroid's generated code. */
+  def nearestCentroidEval(arr: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) {
+        val x = arr.getFloat(i).toDouble - c(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Fused PQ/ADC score: Σ_s dtable(s)(argmin_j ‖v_s − center_s − cb(s)(j)‖²)
+    * over contiguous sub-spaces (cb may be ragged — Lloyd can drop
+    * cells). `center` empty = raw-vector PQ (q117); non-empty = residual
+    * PQ against that coarse centroid (q118/IVFADC). Codebook and distance
+    * table are expression-embedded reference objects, so the whole encode
+    * + lookup is ONE expression per row with tight primitive loops —
+    * replacing m·k HOF columns whose analysis alone dominated serving. */
+  case class PqAdcScore(child: Expression, cb: Array[Array[Array[Float]]],
+      dt: Array[Array[Double]], center: Array[Float])
+      extends UnaryExpression {
+    require(cb.nonEmpty && cb.length == dt.length, "codebook/table shape")
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      VectorExpressions.pqAdcScoreEval(
+        input.asInstanceOf[ArrayData], cb, dt, center)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqcb", cb, "float[][][]")
+      val dtRef = ctx.addReferenceObj("pqdt", dt, "double[][]")
+      val cRef = ctx.addReferenceObj("pqcenter", center, "float[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.pqAdcScoreEval($c, $cbRef, $dtRef, $cRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdcScore =
+      copy(child = c)
+    override def prettyName: String = "pq_adc_score"
+  }
+
+  /** Static eval for PqAdcScore's generated code. */
+  def pqAdcScoreEval(arr: ArrayData, cb: Array[Array[Array[Float]]],
+      dt: Array[Array[Double]], center: Array[Float]): Double = {
+    val hasCenter = center.length > 0
+    var total = 0.0
+    var off = 0
+    var s = 0
+    while (s < cb.length) {
+      val cells = cb(s)
+      val dsub = cells(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cells.length) {
+        val c = cells(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val v = arr.getFloat(off + i).toDouble -
+            (if (hasCenter) center(off + i).toDouble else 0.0) - c(i)
+          d += v * v
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      total += dt(s)(best)
+      off += dsub
+      s += 1
+    }
+    total
+  }
+
   def hyperplaneBands(v: Column, bands: Int, nBits: Int): Column =
     toCol(HyperplaneBands(toExpr(v), bands, nBits))
+  def nearestCentroid(v: Column, cents: Array[Array[Float]]): Column =
+    toCol(NearestCentroid(toExpr(v), cents))
+  def pqAdcScore(v: Column, cb: Array[Array[Array[Float]]],
+      dt: Array[Array[Double]], center: Array[Float]): Column =
+    toCol(PqAdcScore(toExpr(v), cb, dt, center))
 }

@@ -901,20 +901,19 @@ object VectorOps extends OpCatalog {
         val d = a.toDouble - b.toDouble; d * d
       }.sum)
     }
-    // in-row encode + lookup: per sub-space, argmin over that sub's
-    // centroid literals (array_position takes the FIRST minimum — the
-    // lowest-cell tiebreak), then the matching distance-table entry
-    val scoreCols = (0 until m).map { s =>
-      val dists = array(cb(s).indices.map(j =>
-        sqDist(slice(col("embedding"), s * dsub + 1, dsub),
-          typedlit(cb(s)(j)))): _*)
-      element_at(typedlit(dt(s)), array_position(dists, array_min(dists))
-        .cast("int"))
-    }
+    // in-row encode + lookup, FUSED: one codegen'd expression holding
+    // the codebook + distance table as reference objects computes every
+    // sub-space argmin (first-minimum = lowest-cell tiebreak) and the
+    // table sum in tight primitive loops — m·k separate higher-order
+    // columns measured seconds of plan analysis + interpreted lambda
+    // dispatch per row
+    val cbArr: Array[Array[Array[Float]]] = Array.tabulate(m)(cb(_))
+    val adcCol = VectorExpressions.pqAdcScore(col("embedding"), cbArr, dt,
+      Array.empty[Float])
     // stage 1 (map-only over codes): ADC shortlist of 100 candidates
     val shortlist = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        round(scoreCols.reduce(_ + _), 4).as("adc"))
+        round(adcCol, 4).as("adc"))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(100)
     // stage 2 (100 rows): exact re-rank of the shortlist — the standard
@@ -1003,10 +1002,23 @@ object VectorOps extends OpCatalog {
       }
       case None => build
     }
-    val coarse = memo("ivfadc_coarse") { ivfCodebook(e, kc, iters = 3) }
+    // the coarse codebook is IDENTICAL training to q45's (same function,
+    // same √n cell count, same iters) — share its memo key so a session
+    // running both pays for one training, like a deployment sharing one
+    // IVF artifact across its probe and IVFADC paths
+    val coarse = memoKey match {
+      case Some(sf) => Memo.cached(spark,
+        s"vectorops:ivf_codebook:$sf:k=$kc") {
+        ivfCodebook(e, kc, iters = 3)
+      }
+      case None => ivfCodebook(e, kc, iters = 3)
+    }
     val pqc = memo("ivfadc_pq") {
+      // materialize the residual frame once: pqCodebook references its
+      // training corpus ~2× per Lloyd round, and each reference would
+      // replay the n×kc assignment join (measured: dominates training)
       pqCodebook(assignCellsL2Residual(e.filter(col("vec_id") =!= 0),
-        coarse), m, dsub, k, iters = 3)
+        coarse).localCheckpoint(), m, dsub, k, iters = 3)
     }
     // both codebooks -> driver literals (bounded: ≤ kc + m·k tiny rows)
     val coarseArr: Array[Array[Float]] = coarse.orderBy(col("cell"))
@@ -1024,23 +1036,22 @@ object VectorOps extends OpCatalog {
     // sees, so the two agree by construction)
     val probed: Seq[Int] = coarseArr.indices
       .sortBy(j => (l2(qv, coarseArr(j)), j)).take(nProbe)
-    // in-row cell assignment: argmin over the coarse literals
-    // (array_position takes the FIRST min — lowest-cell tiebreak, the
-    // same rule the training-side assignment uses)
-    val coarseDists = array(coarseArr.indices.map(j =>
-      sqDist(col("embedding"), typedlit(coarseArr(j)))): _*)
-    val cellCol = (array_position(coarseDists, array_min(coarseDists)) - 1)
-      .cast("int")
-    // per probed cell: residual codes + that cell's ADC distance table.
-    // ONE scan: the probed-cell predicate and a per-cell CASE over the
-    // score expressions (a union of per-cell filters would re-scan the
-    // corpus n_probe times here; with a cell-bucketed layout at scale
-    // the same predicate becomes partition pruning and the CASE costs
-    // nothing off-cell because rows reach only their own branch)
+    // in-row cell assignment: the fused codegen'd nearest-centroid
+    // expression (first-minimum = lowest-cell tiebreak, the same rule
+    // the training-side assignment uses)
+    val cellCol = VectorExpressions.nearestCentroid(col("embedding"),
+      coarseArr)
+    // per probed cell: residual codes + that cell's ADC distance table,
+    // each one fused PqAdcScore expression (codebook/table/centroid ride
+    // as reference objects). ONE scan: the probed-cell predicate and a
+    // per-cell CASE over the n_probe score expressions (a union of
+    // per-cell filters would re-scan the corpus n_probe times here;
+    // with a cell-bucketed layout at scale the same predicate becomes
+    // partition pruning and the CASE costs nothing off-cell because
+    // rows reach only their own branch)
+    val cbArr: Array[Array[Array[Float]]] = Array.tabulate(m)(cb(_))
     def scoreFor(cell: Int): org.apache.spark.sql.Column = {
       val cent = coarseArr(cell)
-      val resid = zip_with(col("embedding"), typedlit(cent),
-        (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
       val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
         val qs = qv.slice(s * dsub, (s + 1) * dsub)
           .zip(cent.slice(s * dsub, (s + 1) * dsub))
@@ -1049,12 +1060,7 @@ object VectorOps extends OpCatalog {
           val d = a - b.toDouble; d * d
         }.sum)
       }
-      (0 until m).map { s =>
-        val dists = array(cb(s).indices.map(j =>
-          sqDist(slice(resid, s * dsub + 1, dsub), typedlit(cb(s)(j)))): _*)
-        element_at(typedlit(dt(s)),
-          array_position(dists, array_min(dists)).cast("int"))
-      }.reduce(_ + _)
+      VectorExpressions.pqAdcScore(col("embedding"), cbArr, dt, cent)
     }
     val caseScore = probed.foldRight(lit(null).cast("double")) {
       (cell, acc) => when(cellCol === cell, scoreFor(cell)).otherwise(acc)
