@@ -30,8 +30,26 @@ class PostgisLiveSpec extends SparkSpec {
     assume(urlOpt.isDefined,
       "no POSTGIS_URL/POSTGRES_URL in this environment; " +
         "live PostGIS hop untestable offline " +
-        "(tools/postgis-compose.yml stands one up where Docker exists)")
+        "(tools/postgis-compose.yml / tools/pg-local.sh stand one up)")
     val url = urlOpt.get
+    // the sandbox may have postgres binaries but no pgjdbc jar (zero
+    // egress) or no postgis server packages — both are environment gaps,
+    // not engine failures: cancel with the precise missing piece
+    assume(
+      try { Class.forName("org.postgresql.Driver"); true }
+      catch { case _: ClassNotFoundException => false },
+      "pgjdbc not on the classpath — drop postgresql-<ver>.jar into lib/")
+    val available = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT count(*) FROM pg_available_extensions WHERE name = 'postgis'")
+        rs.next(); rs.getLong(1) > 0
+      } finally conn.close()
+    }
+    assume(available,
+      "server has no postgis extension packages — plain PostgreSQL; " +
+        "the O13 typed-geometry hop needs a PostGIS image (compose recipe)")
     val src = Files.createTempDirectory("graft_pg_fix").toString + "/points"
     Generator.writeFixture(spark, src, n = 10)
     val report = ParquetIngest.ingest(spark, src,
