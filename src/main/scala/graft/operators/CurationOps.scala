@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1217,15 +1217,23 @@ object CurationOps extends OpCatalog {
     weightedSampleOf(Tables.documents(spark, sfDir), k = 100)
   }
 
-  /** Core of q116 over any (doc_id, lang, source, n_chars) frame. */
-  private[graft] def weightedSampleOf(docs: DataFrame, k: Int): DataFrame = {
-    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+  /** The A-Res rank key as a reusable column: `round(-ln(u)·1000/w, 4)`
+    * with u replayed from the first 8 md5 hex nibbles of the doc id.
+    * Shared verbatim by q116 and its streaming twin
+    * [[graft.streaming.StreamingOps.reservoirStream]] — ONE definition,
+    * so the stream==batch law can never drift on rounding. */
+  private[graft] def aResKey(docId: Column, nChars: Column): Column = {
+    val v = conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
       .cast("long")
     val u = (v.cast("double") + 1.0) / 4294967297.0
+    round(-log(u) * 1000.0 / nChars.cast("double"), 4)
+  }
+
+  /** Core of q116 over any (doc_id, lang, source, n_chars) frame. */
+  private[graft] def weightedSampleOf(docs: DataFrame, k: Int): DataFrame = {
     val picked = docs
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .withColumn("rkey",
-        round(-log(u) * 1000.0 / col("n_chars").cast("double"), 4))
+      .withColumn("rkey", aResKey(col("doc_id"), col("n_chars")))
       .orderBy(col("rkey").asc, col("doc_id").asc)
       .limit(k)
     // rank over the k survivors only (k rows — the window is trivial)

@@ -1225,7 +1225,94 @@ object TextOps extends OpCatalog {
       |FROM cnt GROUP BY doc_id, lang
       |ORDER BY entropy, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Per-source 8-gram novelty — the dedup-ROI statistic (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): in
+    * doc_id (ingestion) order, which share of each source's distinct
+    * doc-grams is seen there FIRST? A source whose grams are mostly
+    * first-occurrences adds new content; one near zero re-ships what the
+    * corpus already has and is the first candidate to down-weight in the
+    * training mix (q70/q87's knob).
+    *
+    * Novelty is pooled per source: novel = grams whose global
+    * first-occurrence doc belongs to the source; total = Σ per-doc
+    * distinct grams. Unlike q109/q115 this keeps ALL grams (no df cap) —
+    * boilerplate is exactly what novelty must penalize.
+    *
+    * Scale shape: the (doc_id, gkey) distinct is q109's gram shuffle on
+    * 8-byte keys; first-occurrence is a map-combinable `min(struct(doc_id,
+    * source))` per gkey (source rides inside the min — functionally
+    * dependent on doc_id — so NO join back to the gram base); both
+    * aggregates land on a |sources|-row grid joined broadcast-size. No
+    * window, no self-join, nothing driver-side. */
+  def gramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    gramNoveltyOf(
+      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
+  }
+
+  private[graft] def gramNoveltyOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(wordGramExpr(8)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("gkey"))
+      .distinct()
+    val totals = grams.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_grams"))
+    val novels = grams
+      .groupBy(col("gkey"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("first"))
+      .groupBy(col("first.source").as("source"))
+      .agg(count(lit(1)).as("novel_grams"))
+    totals.join(novels, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        col("total_grams"),
+        round(coalesce(col("novel_grams"), lit(0L)) /
+          col("total_grams").cast("double"), 4).as("novelty"))
+      .orderBy(col("source"))
+  }
+
+  private val gramNoveltySql =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |g0 AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 6),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+      |  FROM d),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
+      |  FROM g0),
+      |f AS (SELECT gkey, min(doc_id) AS first_doc FROM g GROUP BY gkey),
+      |novel AS (
+      |  SELECT g.source, count(*) AS novel_grams
+      |  FROM f JOIN g ON g.gkey = f.gkey AND g.doc_id = f.first_doc
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |    count(*) AS total_grams
+      |  FROM g GROUP BY 1)
+      |SELECT t.source,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(coalesce(novel_grams, 0) AS BIGINT) AS novel_grams,
+      |  CAST(total_grams AS BIGINT) AS total_grams,
+      |  round(coalesce(novel_grams, 0) / CAST(total_grams AS DOUBLE), 4)
+      |    AS novelty
+      |FROM t LEFT JOIN novel ON novel.source = t.source
+      |ORDER BY t.source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q120_gram_novelty", gramNovelty, Some(gramNoveltySql),
+      "per-source 8-gram novelty share in ingestion order (dedup-ROI / mix down-weighting signal)"),
     Op("q107_char_entropy", charEntropy, Some(charEntropySql),
       "20 lowest char-entropy docs (OCR-garbage/padding tripwire, exact-count entropy, rounded-key ordering)"),
     Op("q109_containment_pairs", containmentPairs, Some(containmentPairsSql),

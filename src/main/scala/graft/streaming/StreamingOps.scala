@@ -140,6 +140,55 @@ object StreamingOps {
       }
   }
 
+  final case class WeightedArrival(bucket: Int, doc_id: Long, rkey: Double)
+  final case class ReservoirEntry(rkey: Double, doc_id: Long)
+  final case class ReservoirState(seq: Long, entries: List[ReservoirEntry])
+  final case class ReservoirSnapshot(bucket: Int, seq: Long,
+      entries: Seq[ReservoirEntry])
+
+  /** Streaming twin of q116's A-Res weighted sample — the DISTRIBUTED
+    * reservoir from Efraimidis & Spirakis §3: because each item's rank key
+    * `-ln(u)/w` is a pure function of the item (u replayed from md5, the
+    * ONE shared [[graft.operators.CurationOps.aResKey]] column), "k
+    * smallest keys" is merge-associative — any split of the stream into
+    * buckets and micro-batches yields the same global sample after a
+    * k-smallest merge of the per-bucket reservoirs. So the stream keys by
+    * `doc_id % nBuckets` (shuffle parallelism at scale), each bucket's
+    * `flatMapGroupsWithState` folds arrivals into a ≤k sorted entry list
+    * (micro-batch groups sorted first — iterator order is not
+    * contractual, same as `sourceCapStream`), and every touched bucket
+    * emits its full current reservoir as a seq-stamped snapshot (Update
+    * mode: a reservoir EVICTS, so earlier emissions are superseded, never
+    * appended to). The consumer merge is k·nBuckets rows — driver-trivial
+    * at any corpus size — and `StreamingSpec` proves the replay law:
+    * max-seq snapshots merged by (rkey, doc_id) == the batch q116 sample,
+    * under arbitrary batch splits and arrival orders. State is O(k) per
+    * bucket, forever. */
+  def reservoirStream(docs: DataFrame, k: Int, nBuckets: Int): Dataset[ReservoirSnapshot] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        pmod(col("doc_id"), lit(nBuckets)).cast("int").as("bucket"),
+        col("doc_id"),
+        graft.operators.CurationOps
+          .aResKey(col("doc_id"), col("n_chars")).as("rkey"))
+      .as[WeightedArrival]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[ReservoirState, ReservoirSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[WeightedArrival],
+            state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(ReservoirState(0L, Nil))
+          val merged =
+            (prev.entries ++ rows.map(r => ReservoirEntry(r.rkey, r.doc_id)))
+              .sortBy(e => (e.rkey, e.doc_id)).take(k)
+          val next = ReservoirState(prev.seq + 1, merged)
+          state.update(next)
+          Iterator.single(ReservoirSnapshot(bucket, next.seq, merged))
+      }
+  }
+
   /** `tombstone = true` marks a DELETE message (the CDC convention: a
     * key with no value); `content_hash` is ignored on tombstones. */
   final case class DocVersion(doc_id: Long, seq: Long, content_hash: String,

@@ -596,4 +596,44 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(latest == batch)
   }
+
+  test("streaming A-Res reservoir merged == batch q116 sample, order-invariant") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val k = 10
+    val batch = graft.operators.CurationOps.weightedSampleOf(docs, k)
+      .select(col("sample_rank"), col("doc_id"), col("rkey"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    def runStream(rows: Seq[(Long, Long)], nBatches: Int): Seq[(Int, Long, Double)] = {
+      val mem = MemoryStream[(Long, Long)]
+      val per = math.max(1, rows.length / nBatches)
+      rows.grouped(per).foreach(b => mem.addData(b))
+      val name = s"reservoir_test_${rows.hashCode.abs}_$nBatches"
+      val snaps = StreamingOps.runToMemory(
+        StreamingOps.reservoirStream(
+          mem.toDF().toDF("doc_id", "n_chars"), k, nBuckets = 4).toDF(),
+        name, org.apache.spark.sql.streaming.OutputMode.Update())
+      // update-mode memory sink keeps every emission: latest seq per bucket
+      // is the live reservoir; the consumer merge is k-smallest over them
+      val latest = snaps.withColumn("mx",
+          max(col("seq")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket"))))
+        .filter(col("seq") === col("mx"))
+        .select(explode(col("entries")).as("e"))
+        .select(col("e.rkey"), col("e.doc_id"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      latest.sortBy(identity).take(k).zipWithIndex
+        .map { case ((rkey, id), i) => (i + 1, id, rkey) }.toSeq
+    }
+
+    val rows = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(runStream(rows, 3) == batch,
+      "3-batch streamed reservoir must merge to the batch sample")
+    assert(runStream(rows.reverse, 5) == batch,
+      "arrival order and batch split must not change the sample")
+  }
 }

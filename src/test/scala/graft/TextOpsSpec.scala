@@ -453,4 +453,32 @@ class TextOpsSpec extends SparkSpec {
       assert(lo > 0.0 && lo <= hi && hi <= 2.0, s"ratio bounds broken: $row")
     }
   }
+
+  test("q120 gram novelty: planted first-occurrence attribution is exact") {
+    import spark.implicits._
+    // docA: 9 words -> 2 grams, both globally first (source s1)
+    // docB: exact duplicate of docA, later doc_id (s2) -> 0 novel of 2
+    // docC: 8 fresh words -> 1 gram, novel (s2)
+    // docD: shifted window over docA's words + 2 fresh -> 3 grams, the
+    //       first ("b..i") already docA's second gram -> 2 novel of 3
+    val docs = Seq(
+      (0L, "s1", "a b c d e f g h i"),
+      (1L, "s2", "a b c d e f g h i"),
+      (2L, "s2", "p q r s t u v w"),
+      (3L, "s3", "b c d e f g h i j k")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextOps.gramNoveltyOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("s1", 1L, 2L, 2L, 1.0),
+      ("s2", 2L, 1L, 3L, 0.3333),
+      ("s3", 1L, 2L, 3L, 0.6667)), s"novelty table wrong: $out")
+    // attribution is by doc_id order, not arrival order: repartitioning
+    // must not move a first occurrence
+    val again = graft.operators.TextOps.gramNoveltyOf(docs.repartition(7))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(again == out)
+  }
 }
