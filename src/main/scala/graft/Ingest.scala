@@ -10,12 +10,33 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Ingest <source.parquet> parquet:<outDir> [fail|replace|append]
   *   runMain graft.Ingest <source.parquet> jdbc:<url>:<table> [mode]
+  *   cat small.parquet | runMain graft.Ingest - parquet:<outDir> [mode]
+  *
+  * `-` reads the parquet bytes from STDIN — the CLI analog of the
+  * reference's "Upload File (Small Files)" buffer input (`app.py:30-31`);
+  * it validates the magic and spools via [[ParquetIngest.ingestUpload]].
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Ingest <source> parquet:<dir>|jdbc:<url>:<table> [fail|replace|append]")
-    val Array(source, sinkSpec) = args.take(2)
+      "usage: Ingest <source>|- parquet:<dir>|jdbc:<url>:<table> [fail|replace|append]")
+    val Array(rawSource, sinkSpec) = args.take(2)
+    // stdin upload: spool once here so the probe report and the ingest
+    // read the same bytes; ParquetIngest.ingestUpload re-validates
+    val uploaded: Option[Array[Byte]] =
+      if (rawSource == "-") Some(System.in.readAllBytes()) else None
+    // fail fast on a bad pipe (empty stdin, not-parquet bytes) before any
+    // Spark startup cost; under sbt, stdin needs `run / connectInput := true`
+    uploaded.foreach(ParquetIngest.requireParquetBuffer)
+    val source = uploaded match {
+      case None => rawSource
+      case Some(bytes) =>
+        val spool =
+          java.nio.file.Files.createTempFile("graft_upload_cli_", ".parquet")
+        spool.toFile.deleteOnExit()
+        java.nio.file.Files.write(spool, bytes)
+        spool.toString
+    }
     val mode = if (args.length > 2) args(2) else "fail"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -56,12 +77,16 @@ object Ingest {
     // live per-task progress against the footer row count, like the
     // reference's chunk counter (app.py:185-193); dedupe to whole percents
     val lastPct = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val report = ParquetIngest.ingest(spark, source, sink, mode,
-      onProgress = { f =>
-        val pct = (f * 100).toInt
-        if (lastPct.getAndSet(pct) != pct)
-          println(s"[ingest] progress: $pct%")
-      })
+    val onProgress: Double => Unit = { f =>
+      val pct = (f * 100).toInt
+      if (lastPct.getAndSet(pct) != pct)
+        println(s"[ingest] progress: $pct%")
+    }
+    val report = uploaded match {
+      case Some(bytes) =>
+        ParquetIngest.ingestUpload(spark, bytes, sink, mode, onProgress)
+      case None => ParquetIngest.ingest(spark, source, sink, mode, onProgress)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec " +
       f"in $secs%.2f s (${report.rowsWritten / secs}%.0f rows/s)")

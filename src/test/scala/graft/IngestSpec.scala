@@ -237,4 +237,43 @@ class IngestSpec extends SparkSpec {
     assert(math.abs(fs.last - 1.0) < 1e-9, s"final fraction ${fs.last} != 1.0")
     assert(fs.head < 1.0, s"first callback already complete: $fs")
   }
+
+  test("upload-buffer ingest: bytes run the full pipeline; junk fails fast (O16)") {
+    // the reference's "Upload File (Small Files)" branch (app.py:30-31):
+    // an in-memory parquet buffer, not a path
+    val src = tmp() + "/points"
+    // an upload is ONE file: single-partition fixture write
+    ParquetIngest.writeSpatial(
+      Generator.fixture(spark, n = 10).coalesce(1), src)
+    val file = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = Files.readAllBytes(file.toPath)
+
+    val dst = tmp() + "/uploaded"
+    val r = ParquetIngest.ingestUpload(spark, bytes,
+      ParquetIngest.ParquetSink(dst), "replace")
+    assert(r.rowsWritten == 10)
+    // the spatial path survived the buffer hop: geometry + CRS re-detected
+    // from the spooled footer, and re-stamped on the sink output
+    val probe = ParquetIngest.probe(spark, dst)
+    assert(probe.spatial.exists(s =>
+      s.geometryColumn == "geometry" && s.crs == "EPSG:4326"))
+    assert(spark.read.parquet(dst).count() == 10)
+
+    // validation before Spark ever sees it: truncated/mislabeled buffers
+    val junk = intercept[IllegalArgumentException] {
+      ParquetIngest.ingestUpload(spark, Array[Byte](1, 2, 3),
+        ParquetIngest.ParquetSink(tmp() + "/x"), "replace")
+    }
+    assert(junk.getMessage.contains("not a parquet file"))
+    val truncated = intercept[IllegalArgumentException] {
+      ParquetIngest.ingestUpload(spark, bytes.dropRight(1),
+        ParquetIngest.ParquetSink(tmp() + "/y"), "replace")
+    }
+    assert(truncated.getMessage.contains("not a parquet file"))
+    // no spool file leaks — both paths clean up their temp file
+    val leaked = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_upload_"))
+    assert(leaked.isEmpty, s"spool files leaked: ${leaked.mkString(",")}")
+  }
 }
