@@ -1256,7 +1256,90 @@ object CurationOps extends OpCatalog {
       |  doc_id, lang, source, n_chars, rkey
       |FROM s ORDER BY rkey, doc_id LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  /** Incremental distinct counting with MERGEABLE HLL sketches (Spark's
+    * built-in Apache DataSketches functions, added in 3.5): per-source
+    * distinct-content counts for snapshot v1, snapshot v2 (q100's planted
+    * rules), and their union — where the union estimate comes from
+    * `hll_union` over the two per-snapshot sketches, NOT from re-scanning
+    * the union. That is the 100 TB pattern this query exists to pin: a
+    * snapshot's per-source sketch is a few-KB artifact computed once with
+    * its ingest; "distinct contents across all snapshots / the last N
+    * crawls" is then sketch merges on a |sources|-row grid, no data
+    * re-scan, associative across any partitioning (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012).
+    *
+    * Fixture-scale harness: exact counts ride along (`count_distinct` on
+    * the same scan) and the sketch path must land within 5% of the exact
+    * union — emitted as the `est_ok` flag, TRUE in the oracle (the q27
+    * tolerance-flag precedent: DuckDB cannot replay the sketch, but it
+    * CAN fail the compare if the estimate ever drifts out of tolerance).
+    * At lgK=12 the HLL RSE is ~1.6%, so 5% is a stable 3σ band at any
+    * cardinality the fixtures or a real per-source grid produce.
+    *
+    * One scan of each snapshot, one grid-sized agg, no join (snapshots
+    * are tagged and aggregated together here so the harness is a single
+    * deterministic plan; deployed, sk1 IS the stored v1 artifact). */
+  def sketchDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    sketchDistinctOf(Tables.documents(spark, sfDir))
+  }
+
+  /** Core of q121 over any (doc_id, source, text) frame. */
+  private[graft] def sketchDistinctOf(base: DataFrame): DataFrame = {
+    val v1 = base.select(col("source"), md5(col("text")).as("h"))
+      .withColumn("snap", lit(1))
+    val v2 = base
+      .filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      .select(col("source"),
+        md5(when(pmod(col("doc_id"), lit(97L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h"))
+      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .select(col("source"), md5(col("text")).as("h")))
+      .withColumn("snap", lit(2))
+    val est = {
+      val sk1 = col("sk1"); val sk2 = col("sk2")
+      when(sk1.isNull && sk2.isNull, lit(0.0))
+        .when(sk1.isNull, hll_sketch_estimate(sk2))
+        .when(sk2.isNull, hll_sketch_estimate(sk1))
+        .otherwise(hll_sketch_estimate(hll_union(sk1, sk2)))
+    }
+    v1.unionByName(v2)
+      .groupBy(col("source"))
+      .agg(
+        count_distinct(when(col("snap") === 1, col("h"))).as("n_v1"),
+        count_distinct(when(col("snap") === 2, col("h"))).as("n_v2"),
+        count_distinct(col("h")).as("n_union_exact"),
+        hll_sketch_agg(when(col("snap") === 1, col("h")), lit(12)).as("sk1"),
+        hll_sketch_agg(when(col("snap") === 2, col("h")), lit(12)).as("sk2"))
+      .select(col("source"), col("n_v1"), col("n_v2"), col("n_union_exact"),
+        (abs(est - col("n_union_exact").cast("double")) <=
+          col("n_union_exact").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("source"))
+  }
+
+  private val sketchDistinctSql =
+    """WITH v1 AS (
+      |  SELECT source, md5(text) AS h, 1 AS snap FROM documents),
+      |v2 AS (
+      |  SELECT source,
+      |    md5(CASE WHEN doc_id % 97 = 0 THEN text || ' rev2'
+      |             ELSE text END) AS h, 2 AS snap
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT source, md5(text) AS h, 2 AS snap
+      |  FROM documents WHERE doc_id % 101 = 0),
+      |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |SELECT source,
+      |  CAST(count(DISTINCT CASE WHEN snap = 1 THEN h END) AS BIGINT) AS n_v1,
+      |  CAST(count(DISTINCT CASE WHEN snap = 2 THEN h END) AS BIGINT) AS n_v2,
+      |  CAST(count(DISTINCT h) AS BIGINT) AS n_union_exact,
+      |  TRUE AS est_ok
+      |FROM u GROUP BY source ORDER BY source""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("q121_sketch_distinct", sketchDistinct, Some(sketchDistinctSql),
+      "incremental per-source distinct contents across snapshots via mergeable HLL sketch union (exact ridealong + 5% tolerance flag)"),
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),
       "per-source document cap by deterministic hash priority (rank<=cap window map-side pruned by WindowGroupLimit, domain-cap shape)"),
     Op("q95_boilerplate_ngrams", boilerplateNgrams, Some(boilerplateNgramsSql),

@@ -189,6 +189,50 @@ object StreamingOps {
       }
   }
 
+  final case class TokenArrival(bucket: Int, tok: String)
+  final case class MgState(seq: Long, summary: Map[String, Long])
+  final case class MgSnapshot(bucket: Int, seq: Long,
+      summary: Map[String, Long])
+
+  /** Streaming twin of q84's heavy-hitter prefilter: a per-bucket
+    * Misra–Gries summary as `flatMapGroupsWithState` state — frequent
+    * tokens surface ONLINE, with the same guarantee the batch two-pass
+    * plan relies on. Tokens key by content hash into `nBuckets` groups
+    * (buckets PARTITION the token space, so a globally heavy token's
+    * whole count lands in one bucket: count > n/(k+1) ≥ n_b/(k+1) keeps
+    * it in that bucket's summary — the partitioned guarantee is at least
+    * as strong as the global one); each group folds arrivals through the
+    * EXACT SAME [[graft.functions.MisraGriesAggregator]] reduce/merge
+    * the batch query uses — one implementation, no twin drift. State is
+    * ≤k counters per bucket forever; snapshots are seq-stamped and
+    * superseded (Update mode), so the live candidate set is the max-seq
+    * summaries' key union, ≤ k·nBuckets strings. Summary CONTENTS are
+    * arrival-order-dependent (inherent to MG's decrement rule — batches
+    * are sorted before folding so replays are deterministic, like
+    * `sourceCapStream`); the CONTAINMENT guarantee is order-free, and
+    * that is the only property the exact second pass needs.
+    * `StreamingSpec` proves it against the batch exact counts. */
+  def heavyHitterStream(tokens: DataFrame, k: Int, nBuckets: Int): Dataset[MgSnapshot] = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.MisraGriesAggregator(k)
+    tokens
+      .select(pmod(hash(col("tok")), lit(nBuckets)).as("bucket"), col("tok"))
+      .as[TokenArrival]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[MgState, MgSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[TokenArrival],
+            state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(0L, mg.zero))
+          val summary = rows.map(_.tok).toSeq.sorted
+            .foldLeft(prev.summary)(mg.reduce)
+          val next = MgState(prev.seq + 1, summary)
+          state.update(next)
+          Iterator.single(MgSnapshot(bucket, next.seq, summary))
+      }
+  }
+
   /** `tombstone = true` marks a DELETE message (the CDC convention: a
     * key with no value); `content_hash` is ignored on tombstones. */
   final case class DocVersion(doc_id: Long, seq: Long, content_hash: String,

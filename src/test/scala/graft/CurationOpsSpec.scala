@@ -517,4 +517,37 @@ class CurationOpsSpec extends SparkSpec {
     // without-replacement: all doc_ids distinct
     assert(rows.map(_.getLong(1)).distinct.length == 100)
   }
+
+  test("q121: exact counts replay planted snapshot sets; sketch estimate in tolerance") {
+    import spark.implicits._
+    // source sA: ids 1,2,3 (none hits the %89/%97/%101 rules) -> v2 == v1
+    // except id 97*1? keep ids small so snapshot rules are inert; plant a
+    // %97 rewrite via id 97 and a %89 removal via id 89 in source sB
+    val docs = (Seq(
+      (1L, "sA", "alpha"), (2L, "sA", "beta"), (3L, "sA", "alpha"),
+      (89L, "sB", "gone in v2"), (97L, "sB", "rewritten"),
+      (5L, "sB", "stable")
+    ) ++ (0 until 2000).map(i => (200L + i, "sC", s"doc body $i")))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.sketchDistinctOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // sA: v1 {alpha,beta}=2, v2 same docs -> 2, union 2
+    assert(out("sA") == ((2L, 2L, 2L, true)), s"sA wrong: ${out("sA")}")
+    // sB: v1 {gone,rewritten,stable}=3; v2 drops 89, rewrites 97 ->
+    // {rewritten rev2, stable}=2; union = 4 distinct contents
+    assert(out("sB") == ((3L, 2L, 4L, true)), s"sB wrong: ${out("sB")}")
+    // sC: 2000 distinct contents, none hit the mod rules except %89/%97/
+    // %101 multiples inside 200..2199 — recompute exactly
+    val ids = (0 until 2000).map(i => 200L + i)
+    val v1C = ids.map(i => s"doc body ${i - 200}").toSet
+    val v2C = ids.filter(_ % 89 != 0).map(i =>
+      if (i % 97 == 0) s"doc body ${i - 200} rev2" else s"doc body ${i - 200}")
+      .toSet ++ ids.filter(_ % 101 == 0).map(i => s"doc body ${i - 200}")
+    val (n1, n2, nu) = (v1C.size.toLong, v2C.size.toLong, (v1C ++ v2C).size.toLong)
+    assert(out("sC") == ((n1, n2, nu, true)), s"sC wrong: ${out("sC")} != ${(n1, n2, nu)}")
+    // tolerance flag is the sketch-path assertion: at 2k+ cardinality the
+    // HLL union estimate stayed within 5% of the exact union
+    assert(out.values.forall(_._4), "sketch estimate drifted out of tolerance")
+  }
 }

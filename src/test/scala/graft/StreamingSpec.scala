@@ -636,4 +636,45 @@ class StreamingSpec extends SparkSpec {
     assert(runStream(rows.reverse, 5) == batch,
       "arrival order and batch split must not change the sample")
   }
+
+  test("streaming Misra-Gries screen contains every exact heavy hitter (q84 twin)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val k = 31
+    val nBuckets = 4
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .collect().map(_.getString(0)).toSeq
+    val n = toks.length.toLong
+    val exactHH = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c > n / (k + 1) }.keySet
+
+    val mem = MemoryStream[String]
+    toks.grouped(math.max(1, toks.length / 3)).foreach(b => mem.addData(b))
+    val snaps = StreamingOps.runToMemory(
+      StreamingOps.heavyHitterStream(
+        mem.toDF().toDF("tok"), k, nBuckets).toDF(),
+      "mg_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val candidates = snaps.withColumn("mx",
+        max(col("seq")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))))
+      .filter(col("seq") === col("mx"))
+      .select(explode(map_keys(col("summary"))).as("tok"))
+      .collect().map(_.getString(0)).toSet
+
+    assert(exactHH.nonEmpty, "fixture must have heavy tokens at this k")
+    assert(exactHH.subsetOf(candidates),
+      s"MG containment violated: missing ${exactHH.diff(candidates)}")
+    assert(candidates.size <= k * nBuckets,
+      s"candidate set exceeds k*buckets: ${candidates.size}")
+    // the exact second pass over candidates recovers true counts — the
+    // same two-pass recovery q84 runs in batch
+    val top = toks.filter(candidates).groupBy(identity).view
+      .mapValues(_.length).maxBy { case (t, c) => (c, t) }
+    val trueTop = toks.groupBy(identity).view
+      .mapValues(_.length).maxBy { case (t, c) => (c, t) }
+    assert(top == trueTop, "candidates must include the true top token")
+  }
 }
