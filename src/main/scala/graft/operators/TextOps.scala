@@ -1252,6 +1252,9 @@ object TextOps extends OpCatalog {
   }
 
   private[graft] def gramNoveltyOf(docs: DataFrame): DataFrame = {
+    // localCheckpoint: both the per-source totals and the first-occurrence
+    // branch read this base — without it each branch re-explodes the
+    // corpus (2× the dominant cost at scale; q115's precedent)
     val grams = docs
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
@@ -1261,6 +1264,7 @@ object TextOps extends OpCatalog {
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
           .as("gkey"))
       .distinct()
+      .localCheckpoint()
     val totals = grams.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("total_grams"))

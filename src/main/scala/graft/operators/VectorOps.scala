@@ -1071,6 +1071,65 @@ object VectorOps extends OpCatalog {
     Some((cands, qv))
   }
 
+  // --------------------------------------------------------------- q122
+  /** Batched similarity serving — the shape online retrieval actually
+    * runs: a BATCH of query vectors (here vec_id < 8) against the corpus
+    * in ONE scan, exact cosine, top-5 per query. One-query-at-a-time
+    * (q40) re-scans the corpus per query; the batched plan broadcasts
+    * the whole query block, scores every (row, query) pair in-row, and
+    * keeps each query's frontier with `row_number ≤ 5` — which Spark
+    * compiles to a map-side `WindowGroupLimit(Partial)` (q94's law): each
+    * input partition forwards at most 5 rows PER QUERY, so the q_id
+    * exchange carries ≤ 5·|queries|·partitions rows no matter the corpus
+    * size. At 100 TB with a 10k-query batch that is the difference
+    * between shuffling 10¹⁴ scored pairs and shuffling a frontier.
+    * Rounded sims + vec_id tiebreak keep the frontier deterministic
+    * cross-engine (q40's rule). */
+  def batchCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val queries = emb(spark, sfDir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb(spark, sfDir).filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+    val frontier = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(frontier))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val batchCosineTopKSql =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 8),
+      |prods AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |sims AS (
+      |  SELECT q_id, vec_id,
+      |    sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY q_id, vec_id),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |         ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |  FROM sims),
+      |ranked AS (
+      |  SELECT q_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, vec_id) AS INT) AS rnk,
+      |    vec_id, sim
+      |  FROM scored)
+      |SELECT q_id, rnk, vec_id, sim FROM ranked
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q92_centroid_outliers", centroidOutliers, Some(centroidOutliersSql),
       "per-label centroid cosine audit + most-outlying vector (SemDeDup-style semantic filter)"),
@@ -1103,5 +1162,9 @@ object VectorOps extends OpCatalog {
     Op("q117_pq_adc", pqAdcTopK, None,
       "ANN top-10 via product quantization + asymmetric distance (64x code compression, map-only serving plan; spec-measured recall vs exact L2)"),
     Op("q118_ivfadc", ivfAdcTopK, None,
-      "ANN top-10 via IVFADC (IVF cell pruning x residual-PQ codes, the FAISS IndexIVFPQ composition; map-only serving, spec-measured recall + pruning)"))
+      "ANN top-10 via IVFADC (IVF cell pruning x residual-PQ codes, the FAISS IndexIVFPQ composition; map-only serving, spec-measured recall + pruning)"),
+    Op("q122_batch_cosine_topk", batchCosineTopK, Some(batchCosineTopKSql),
+      "batched serving: exact cosine top-5 per each of 8 broadcast query vectors in ONE corpus scan (map-side WindowGroupLimit frontier)"))
+
+
 }

@@ -471,4 +471,35 @@ class VectorOpsSpec extends SparkSpec {
         s"ADC estimate $adc far from exact $l2 for vec ${r.getLong(0)}")
     }
   }
+
+  test("q122: batched top-5 == per-query brute force; frontier pruned map-side") {
+    val out = graft.operators.VectorOps.batchCosineTopK(spark, sfDir)
+    // map-side WindowGroupLimit below the exchange — the q94 law: each
+    // partition forwards ≤ 5 rows per query before any shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"), s"no Partial (map-side) frontier:\n$plan")
+
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val corpus = all.filter(_._1 >= 8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    all.filter(_._1 < 8).foreach { case (qid, qv) =>
+      val expect = corpus.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((id, s), i) => (qid, i + 1, id, s) }.toSeq
+      val got = rows.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(got == expect, s"query $qid frontier mismatch: $got != $expect")
+    }
+  }
 }
