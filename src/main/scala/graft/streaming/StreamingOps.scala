@@ -233,6 +233,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of q121's sketch side: per-source HLL sketches built
+    * ONLINE over arriving doc contents with the same built-in
+    * `hll_sketch_agg` the batch query uses — a plain streaming aggregate
+    * in Update mode, no custom state. Because an HLL sketch is a pure
+    * function of the SET of hashed items (insert order and batch split
+    * cannot change it — the register array keeps per-bucket maxima), the
+    * final streamed sketch is BYTE-level equivalent to the batch sketch
+    * and the estimates match exactly, which is the strongest stream==
+    * batch law in the file: not "within tolerance", EQUAL. State is one
+    * ≤2^lgK-register sketch per source, forever — the online half of the
+    * stored-artifact pattern: a running crawl keeps these hot, snapshots
+    * them at cut points, and q121's `hll_union` folds them into history
+    * without ever re-scanning. */
+  def sketchDistinctStream(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("h"), lit(lgK)))
+        .as("est_distinct"))
+
   /** `tombstone = true` marks a DELETE message (the CDC convention: a
     * key with no value); `content_hash` is ignored on tombstones. */
   final case class DocVersion(doc_id: Long, seq: Long, content_hash: String,

@@ -677,4 +677,31 @@ class StreamingSpec extends SparkSpec {
       .mapValues(_.length).maxBy { case (t, c) => (c, t) }
     assert(top == trueTop, "candidates must include the true top token")
   }
+
+  test("streaming HLL sketch estimates == batch exactly (order-free registers)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val batch = StreamingOps.sketchDistinctStream(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // shuffled arrival across 4 micro-batches: the sketch must not care
+    val shuffled = rows.sortBy { case (id, _, _) => id * 2654435761L % 997 }
+    val mem = MemoryStream[(Long, String, String)]
+    shuffled.grouped(math.max(1, shuffled.length / 4))
+      .foreach(b => mem.addData(b))
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sketchDistinctStream(
+        mem.toDF().toDF("doc_id", "source", "text")),
+      "hll_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch,
+      "HLL register state must make stream estimates EQUAL batch, not close")
+  }
 }
