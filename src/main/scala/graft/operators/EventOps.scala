@@ -542,7 +542,57 @@ object EventOps extends OpCatalog {
       |ORDER BY n_paths DESC, t1, t2, t3
       |LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q123
+  /** Transition dwell time: for every (from_type → to_type) edge of q85's
+    * transition graph, the distribution of time spent between the two
+    * events — count, median, p90 gap in seconds. q85 says WHERE users go
+    * next; this says HOW LONG they linger first — the engagement/latency
+    * read (a slow view→purchase edge is a funnel stall, a near-zero gap
+    * is bot-shaped).
+    *
+    * One pass: both `lead`s (next type, next ms) ride the SAME
+    * (user_id | ms, event_id) window — one shuffle, one sorted scan —
+    * then a |types|²-grid agg. Gaps are integer ms end to end; the only
+    * doubles are the final percentile interpolations, which Spark's
+    * `percentile` and DuckDB's `quantile_cont` define identically
+    * (index p·(n−1) — q47's cross-engine contract), rounded at 4dp
+    * after the /1000 to seconds. Exact `percentile` buffers each grid
+    * cell's gaps in agg state — right for a bounded type alphabet; for
+    * high-cardinality edges at 100 TB, swap in `approx_percentile`
+    * exactly as q67 does for q47 (same flag-based oracle recipe). */
+  def transitionDwell(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    eventsMs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(expr("percentile(gap_ms, 0.5)") / 1000.0, 4).as("p50_gap_s"),
+        round(expr("percentile(gap_ms, 0.9)") / 1000.0, 4).as("p90_gap_s"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val transitionDwellSql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS gap_ms
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      |SELECT from_type, to_type, count(*) AS cnt,
+      |  round(quantile_cont(gap_ms, 0.5) / 1000.0, 4) AS p50_gap_s,
+      |  round(quantile_cont(gap_ms, 0.9) / 1000.0, 4) AS p90_gap_s
+      |FROM seq WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q123_transition_dwell", transitionDwell, Some(transitionDwellSql),
+      "dwell-time distribution per transition edge: count + median/p90 gap seconds (funnel-stall / bot-gap read on q85's graph)"),
     Op("q88_anomaly_hours", anomalyHours, Some(anomalyHoursSql),
       "event-rate anomaly sweep: hours >3 sample sd above their type mean, integer-exact predicate"),
     Op("q85_event_transitions", eventTransitions, Some(eventTransitionsSql),

@@ -89,4 +89,40 @@ class EventOpsSpec extends SparkSpec {
     val keys = rows.map(r => (-r.getLong(3), r.getString(0), r.getString(1), r.getString(2)))
     assert(keys.sameElements(keys.sorted))
   }
+
+  test("q123: dwell percentiles exact on the fixture; both leads share ONE exchange") {
+    val out = EventOps.transitionDwell(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    // next-type and next-ms ride the same (user_id | ms, event_id) window:
+    // exactly one user_id exchange, no second sort pass
+    val userExchanges = "Exchange hashpartitioning\\([^)]*user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected one user_id exchange, got $userExchanges:\n$plan")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    assert(rows.nonEmpty)
+    // brute-force replay: per-user (ms, event_id)-ordered gap list per edge
+    val evs = Tables.events(spark, sfDir)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = evs.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._2))
+      s.zip(s.tail).map { case (a, b) => ((a._4, b._4), b._3 - a._3) }
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2.toDouble).sorted).toMap
+    def pct(v: Seq[Double], p: Double): Double = {
+      val idx = p * (v.length - 1)
+      val lo = idx.toInt; val hi = math.min(lo + 1, v.length - 1)
+      val x = v(lo) + (idx - lo) * (v(hi) - v(lo))
+      BigDecimal(x / 1000.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { case (edge, (cnt, p50, p90)) =>
+      val g = gaps(edge)
+      assert(cnt == g.length, s"$edge count ${cnt} != ${g.length}")
+      assert(p50 == pct(g, 0.5), s"$edge p50 $p50 != ${pct(g, 0.5)}")
+      assert(p90 == pct(g, 0.9), s"$edge p90 $p90 != ${pct(g, 0.9)}")
+    }
+    assert(rows.length == gaps.size, "every observed edge must be reported")
+  }
 }
