@@ -1314,7 +1314,67 @@ object TextOps extends OpCatalog {
       |FROM t LEFT JOIN novel ON novel.source = t.source
       |ORDER BY t.source""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Zipf-law fit per source: regress log2(count) on log2(rank) over each
+    * source's top-200 tokens — slope, intercept, R² (Spark's built-in
+    * `regr_*` aggregates; same Σxy/Σx² closed forms in DuckDB). Natural
+    * language sits near slope −1 (Zipf 1949); a flat slope means
+    * templated/synthetic text, a cliff means tag soup — a one-row-per-
+    * source vocabulary-health diagnostic on top of q97's spectrum.
+    *
+    * Scale shape: the (source, token) count is the map-combined
+    * vocabulary agg; `rank ≤ 200` is a `row_number` predicate that
+    * compiles to map-side `WindowGroupLimit(Partial)` per source (q94's
+    * law), so the rank exchange carries ≤200 rows per source; the
+    * regression itself is a grid agg over ≤200·|sources| points. Doubles
+    * appear only inside the regression sums (≤200 terms, 4dp-rounded —
+    * q107's log2 cross-engine precedent). */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    zipfSlopeOf(GraftSession.spread(
+      Tables.documents(spark, sfDir), col("doc_id")))
+  }
+
+  private[graft] def zipfSlopeOf(docs: DataFrame): DataFrame = {
+    val byCount = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("w"))
+    docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(byCount))
+      .filter(col("r") <= 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(expr("regr_slope(log2(c), log2(r))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(log2(c), log2(r))"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(log2(c), log2(r))"), 4).as("fit_r2"))
+      .orderBy(col("source"))
+  }
+
+  private val zipfSlopeSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, w, count(*) AS c FROM toks
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, w, c,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+      |  FROM counts),
+      |top AS (SELECT * FROM ranked WHERE r <= 200)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+      |  round(regr_slope(log2(c), log2(r)), 4) AS zipf_slope,
+      |  round(regr_intercept(log2(c), log2(r)), 4) AS zipf_intercept,
+      |  round(regr_r2(log2(c), log2(r)), 4) AS fit_r2
+      |FROM top GROUP BY source ORDER BY source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q124_zipf_slope", zipfSlope, Some(zipfSlopeSql),
+      "per-source Zipf fit (regr_slope/intercept/R2 of log-count vs log-rank, top-200 tokens) -- vocabulary-health diagnostic"),
     Op("q120_gram_novelty", gramNovelty, Some(gramNoveltySql),
       "per-source 8-gram novelty share in ingestion order (dedup-ROI / mix down-weighting signal)"),
     Op("q107_char_entropy", charEntropy, Some(charEntropySql),

@@ -481,4 +481,30 @@ class TextOpsSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4))).toSeq
     assert(again == out)
   }
+
+  test("q124 zipf fit: exact power-law corpus scores slope -1, R2 1; rank limit map-side") {
+    import spark.implicits._
+    // counts 12/6/4/3 at ranks 1..4 = C·r^-1 exactly, so the log-log
+    // regression is a perfect line: slope -1, R² 1
+    val text = List("a" -> 12, "b" -> 6, "c" -> 4, "d" -> 3)
+      .flatMap { case (w, n) => List.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, "s1", text)).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextOps.zipfSlopeOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4)
+    assert(r.getDouble(2) == -1.0, s"slope ${r.getDouble(2)} != -1.0")
+    assert(r.getDouble(3) == math.rint(math.log(12) / math.log(2) * 10000) / 10000
+      || math.abs(r.getDouble(3) - math.log(12) / math.log(2)) < 1e-3,
+      s"intercept ${r.getDouble(3)} != log2(12)")
+    assert(r.getDouble(4) == 1.0, s"R2 ${r.getDouble(4)} != 1.0")
+    // the rank≤200 predicate must prune map-side (q94's WindowGroupLimit law)
+    val plan = graft.operators.TextOps.zipfSlopeOf(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank limit not map-side pruned:\n$plan")
+    // deterministic under repartition
+    val again = graft.operators.TextOps.zipfSlopeOf(docs.repartition(5)).collect()
+    assert(again.toSeq == out.toSeq)
+  }
 }
