@@ -590,7 +590,51 @@ object EventOps extends OpCatalog {
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  /** Semi-structured props via the VARIANT type (Spark 4's path for JSON
+    * at rest — binary-encoded, field access without re-parsing, the
+    * format shredded parquet storage targets): `try_parse_json` once,
+    * then `try_variant_get` per field. q20 reads the same props with
+    * codegen'd `get_json_object` (string re-scan per field); VARIANT
+    * parses once and serves every later extraction from the binary form
+    * — at 100 TB with many-field props that is parse-once vs
+    * parse-per-field. `try_parse_json` + `try_variant_get` (not the
+    * throwing forms) so corrupt payloads and type-mismatched fields
+    * degrade to NULL instead of failing the job — same
+    * tolerance contract as q20's `try_cast`.
+    *
+    * Output: per (event_type, k mod 10) histogram of the extracted k —
+    * a grid agg proving the extracted values flow into relational
+    * compute, not just projection. */
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    variantExtractOf(Tables.events(spark, sfDir))
+  }
+
+  private[graft] def variantExtractOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), pmod(col("k"), lit(10L)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("k_mod"))
+
+  private val variantExtractSql =
+    """SELECT event_type, (k % 10 + 10) % 10 AS k_mod,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (
+      |  SELECT event_type,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type, k_mod
+      |ORDER BY event_type, k_mod""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q125_variant_extract", variantExtract, Some(variantExtractSql),
+      "semi-structured props via VARIANT (try_parse_json + variant_get): per-(event_type, k mod 10) histogram -- parse-once JSON path"),
     Op("q123_transition_dwell", transitionDwell, Some(transitionDwellSql),
       "dwell-time distribution per transition edge: count + median/p90 gap seconds (funnel-stall / bot-gap read on q85's graph)"),
     Op("q88_anomaly_hours", anomalyHours, Some(anomalyHoursSql),

@@ -125,4 +125,32 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(rows.length == gaps.size, "every observed edge must be reported")
   }
+
+  test("q125: VARIANT extraction survives corrupt/missing/typed-wrong payloads") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "view", """{"k": 7}"""),     // well-formed
+      (2L, "view", """{"k": 17}"""),    // same bucket as 7
+      (3L, "view", """not json at all"""), // corrupt -> try_parse_json NULL
+      (4L, "view", """{"other": 1}"""), // missing field -> variant_get NULL
+      (5L, "view", """{"k": "text"}"""),// wrong type -> bigint cast NULL
+      (6L, "click", null)               // null payload
+    ).toDF("event_id", "event_type", "props")
+    val out = graft.operators.EventOps.variantExtractOf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the two well-formed rows survive, folded into one (view, 7) cell
+    assert(out.toSeq == Seq(("view", 7L, 2L, 24L)),
+      s"degradation contract broken: ${out.toSeq}")
+    // agreement law: VARIANT path == q20's get_json_object path on the fixture
+    val ev = Tables.events(spark, sfDir)
+    val variant = graft.operators.EventOps.variantExtractOf(ev).collect().toSeq
+    val stringPath = ev
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), pmod(col("k"), lit(10L)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("k_mod")).collect().toSeq
+    assert(variant == stringPath,
+      "variant_get and get_json_object must extract identical values")
+  }
 }
