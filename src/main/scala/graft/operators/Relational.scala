@@ -498,7 +498,55 @@ object Relational extends OpCatalog {
       |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings)
       |ORDER BY tbl""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  /** Calendar time series with month-over-month deltas: monthly order
+    * count + revenue off `date_trunc('month')`, then `lag` over the
+    * month grid for absolute and relative growth — the trend-report
+    * shape (MoM%, the first month NULL by definition). Calendar
+    * bucketing (month boundaries, not fixed-width epochs) is what the
+    * epoch-integer windows of q21/q82 deliberately avoid; here it IS the
+    * semantics, and both engines truncate timestamps on the same
+    * proleptic-Gregorian calendar under the session's pinned UTC.
+    *
+    * Scale: one map-combined agg onto a months-sized grid; the lag
+    * window is ordered over THAT grid (≤ a few hundred rows however big
+    * the fact table) — a single-partition sort of a tiny frame, never of
+    * the data. Revenue fixes to DECIMAL before summing (the q01 money
+    * rule) so MoM ratios derive from identical 2dp doubles on both
+    * engines. */
+  def monthlyTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+    val grid = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(grid))
+      .select(col("month"), col("n_orders"), col("revenue"),
+        round(col("revenue") - col("prev_revenue"), 2).as("mom_delta"),
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 4)
+          .as("mom_pct"))
+      .orderBy(col("month"))
+  }
+
+  private val monthlyTrendSql =
+    """WITH monthly AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |    count(*) AS n_orders,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |      AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, revenue,
+      |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+      |  round((revenue - lag(revenue) OVER (ORDER BY month))
+      |    / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+      |FROM monthly ORDER BY month""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q126_monthly_trend", monthlyTrend, Some(monthlyTrendSql),
+      "calendar monthly order/revenue series with MoM delta and pct (date_trunc grid + lag over the tiny month frame)"),
     Op("q01_pricing_summary", pricingSummary, Some(pricingSummarySql),
       "TPC-H Q1 shape: filter + hash agg + sort over lineitem"),
     Op("q02_filter_project", filterProject, Some(filterProjectSql),
