@@ -678,6 +678,38 @@ class StreamingSpec extends SparkSpec {
     assert(top == trueTop, "candidates must include the true top token")
   }
 
+  test("restart from checkpoint: file-source stream resumes with no loss, no dupes") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // The production recovery property none of the single-run laws touch:
+    // a streaming query is STOPPED and a NEW query object restarts from
+    // the same checkpoint — committed source offsets must not be re-read
+    // (no dupes), uncommitted files must be picked up (no loss), and the
+    // idempotent JDBC sink must converge across the restart boundary.
+    val srcDir = Files.createTempDirectory("graft_restart_src").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_restart_db")}/db;create=true"
+    def stream() = spark.readStream
+      .schema("id LONG, v DOUBLE")
+      .parquet(srcDir)
+    (0 until 25).map(i => (i.toLong, i / 2.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = StreamingOps.jdbcSinkStream(stream(), url, "restart_law", ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // files arriving while the query is DOWN
+    (25 until 50).map(i => (i.toLong, i / 2.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = StreamingOps.jdbcSinkStream(stream(), url, "restart_law", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "restart_law").load()
+    assert(landed.count() == 50, "restart must neither drop nor replay rows")
+    assert(landed.select("id").distinct().count() == 50)
+    val ids = landed.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 50L).toSeq,
+      "every pre- and post-restart row lands exactly once")
+  }
+
   test("streaming HLL sketch estimates == batch exactly (order-free registers)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
