@@ -1130,7 +1130,78 @@ object VectorOps extends OpCatalog {
       |SELECT q_id, rnk, vec_id, sim FROM ranked
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** Per-source semantic geometry: the pairwise cosine between SOURCE
+    * CENTROIDS (embeddings keyed to documents by vec_id == doc_id, the
+    * q80 join convention) — which feeds are topically redundant and
+    * which add a new region of embedding space. q106 measures literal
+    * content overlap (shared hashes); this measures semantic overlap two
+    * sources can have with ZERO shared bytes — the pair of signals a mix
+    * rebalance (q70/q87) actually wants side by side.
+    *
+    * Scale shape: the only corpus-sized work is the embedding scan into
+    * the map-combined (source, pos) centroid agg; everything after runs
+    * on the |sources|·dim grid (a few KB) — the pair join expands to
+    * dim·|pairs| rows of GRID data, never touching the corpus. Upper
+    * triangle only (src_a < src_b), q106's convention. */
+  def sourceSemanticDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    sourceSemanticDistanceOf(
+      Tables.documents(spark, sfDir), emb(spark, sfDir))
+  }
+
+  /** Core of q127 over any (doc_id, source) x (vec_id, embedding) pair. */
+  private[graft] def sourceSemanticDistanceOf(
+      docs: DataFrame, embs: DataFrame): DataFrame = {
+    val doc2src = docs.select(col("doc_id").as("vec_id"), col("source"))
+    val cent = embs
+      .join(doc2src, "vec_id")
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("source"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cx"))
+    val a = cent.select(col("source").as("src_a"), col("pos"),
+      col("cx").as("xa"))
+    val b = cent.select(col("source").as("src_b"), col("pos"),
+      col("cx").as("xb"))
+    a.join(b, Seq("pos"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("xa") * col("xb")).as("dot"),
+        sum(col("xa") * col("xa")).as("na"),
+        sum(col("xb") * col("xb")).as("nb"))
+      .select(col("src_a"), col("src_b"),
+        when(col("na") === 0 || col("nb") === 0, 0.0)
+          .otherwise(round(col("dot") / sqrt(col("na") * col("nb")), 4))
+          .as("centroid_cos"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val sourceSemanticDistanceSql =
+    """WITH j AS (
+      |  SELECT d.source, e.embedding
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      |dims AS (
+      |  SELECT source,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM j),
+      |cent AS (
+      |  SELECT source, pos, avg(x) AS cx FROM dims GROUP BY source, pos),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    sum(a.cx * b.cx) AS dot, sum(a.cx * a.cx) AS na,
+      |    sum(b.cx * b.cx) AS nb
+      |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b,
+      |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |       ELSE round(dot / sqrt(na * nb), 4) END AS centroid_cos
+      |FROM pairs ORDER BY src_a, src_b""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q127_source_semantic_distance", sourceSemanticDistance,
+      Some(sourceSemanticDistanceSql),
+      "pairwise source-centroid cosine (semantic redundancy between feeds -- q106's content overlap, in embedding space)"),
     Op("q92_centroid_outliers", centroidOutliers, Some(centroidOutliersSql),
       "per-label centroid cosine audit + most-outlying vector (SemDeDup-style semantic filter)"),
     Op("q74_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql),

@@ -502,4 +502,27 @@ class VectorOpsSpec extends SparkSpec {
       assert(got == expect, s"query $qid frontier mismatch: $got != $expect")
     }
   }
+
+  test("q127: planted centroid geometry — identical 1.0, orthogonal 0.0, mixed exact") {
+    import spark.implicits._
+    // sA and sB hold identical vector sets (same centroid -> cos 1.0);
+    // sC lives on an orthogonal axis (cos 0.0 vs both); sD is the 45°
+    // diagonal (cos 1/√2 with sA and with sC)
+    val docs = Seq(
+      (1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sB"),
+      (5L, "sC"), (6L, "sD")).toDF("doc_id", "source")
+    val embs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(3f, 0f)),
+      (3L, Seq(1f, 0f)), (4L, Seq(3f, 0f)),
+      (5L, Seq(0f, 2f)),
+      (6L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val out = VectorOps.sourceSemanticDistanceOf(docs, embs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("sA", "sB")) == 1.0)
+    assert(out(("sA", "sC")) == 0.0 && out(("sB", "sC")) == 0.0)
+    val inv = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("sA", "sD")) == inv && out(("sC", "sD")) == inv)
+    assert(out.size == 6, s"upper triangle of 4 sources is 6 pairs: $out")
+  }
 }
