@@ -1089,7 +1089,13 @@ object VectorOps extends OpCatalog {
     GraftSession.tune(spark)
     val queries = emb(spark, sfDir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb(spark, sfDir).filter(col("vec_id") >= 8)
+    batchCosineTopKOf(emb(spark, sfDir).filter(col("vec_id") >= 8), queries, 5)
+  }
+
+  /** Core of q122 over any corpus x (q_id, q_emb) query block. */
+  private[graft] def batchCosineTopKOf(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
       .crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
@@ -1098,7 +1104,7 @@ object VectorOps extends OpCatalog {
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(frontier))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
   }

@@ -429,6 +429,52 @@ class ScaleStressSpec extends SparkSpec {
       s"probed fraction grew with corpus size: $fractions")
   }
 
+  test("q122 frontier: shuffled rows stay k*queries-bounded as the corpus grows 4x") {
+    // the batched-serving claim: the map-side WindowGroupLimit forwards a
+    // per-partition frontier, so the q_id exchange carries O(k·|queries|·
+    // partitions) rows REGARDLESS of corpus size. Measure the partial
+    // limit's output rows at n and 4n and require no growth law.
+    import spark.implicits._
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.execution.SparkPlan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: allNodes(s.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(23)
+      (1 to n).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .repartition(4)
+    }
+    val rnd = new scala.util.Random(29)
+    val queries = (0 until 8).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("q_id", "q_emb")
+      .select(col("q_id"), col("q_emb").cast("array<float>").as("q_emb"))
+    val frontierRows = Seq(500, 2000).map { n =>
+      val out = VectorOps.batchCosineTopKOf(corpus(n), queries, k = 5)
+      assert(out.collect().length == 8 * 5)
+      val partial = allNodes(out.queryExecution.executedPlan).find(p =>
+        p.nodeName.contains("WindowGroupLimit") && p.toString.contains("Partial"))
+        .getOrElse(fail("no Partial WindowGroupLimit in executed plan"))
+      val rows = partial.metrics("numOutputRows").value
+      info(f"corpus n=$n%5d -> frontier rows shuffled = $rows")
+      rows
+    }
+    // bound: ≤ k·|queries|·partitions at BOTH sizes, and no growth with n
+    frontierRows.foreach(r => assert(r <= 5L * 8 * 4,
+      s"frontier $r exceeds k*queries*partitions"))
+    assert(frontierRows.last <= frontierRows.head,
+      s"frontier grew with corpus size: $frontierRows")
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     // the claim behind GraphOps (q60/q78): large-star/small-star needs
     // ~log(n) materializing rounds where plain min-label propagation needs
