@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline product-quantization index artifact (E13; the precompute
+  * pattern behind q117, completing what [[IvfIndex]] does for q45).
+  *
+  * q117 trains its codebook in-query (memoized per session) and encodes
+  * every vector IN-ROW at serving time — correct, but the encode argmin
+  * re-reads raw embeddings on every query. The deployed PQ layout
+  * (Jégou et al., TPAMI 2011 §IV) stores the encoding once:
+  *
+  *   `<path>/codebook/` — (sub, code, centroid), ≤ m·k rows; `code` is
+  *                        the DENSE positional id per sub (Lloyd can
+  *                        drop cells, so trained cell ids may be sparse
+  *                        — stored codes must never depend on that)
+  *   `<path>/codes/`    — (vec_id, codes ARRAY<INT> of length m): the
+  *                        whole corpus at m·log₂k bits a row (32 here)
+  *
+  * Serving then touches THREE sizes of data, in the right order: the
+  * m·k-row codebook becomes driver literals (the query's ADC distance
+  * table), the codes table is scanned map-only (a builtin higher-order
+  * `aggregate` of table lookups — no embeddings read, no join, no
+  * shuffle; `TakeOrderedAndProject` keeps the 100-candidate shortlist),
+  * and only the 100 survivors' raw embeddings are fetched from the
+  * corpus (vec_id equi-join, broadcast at shortlist size) for the exact
+  * re-rank. At 100 TB that is a 64×-smaller scan per query than q117's
+  * in-row encode, for the identical answer — `PqIndexSpec` pins the
+  * probe's top-10 equal to q117's on the same corpus.
+  */
+object PqIndex {
+
+  val M = 8
+  val K = 16
+
+  /** Train + encode at `path`. One pass trains ([[VectorOps.pqCodebook]],
+    * deterministic), one pass encodes every vector's m sub-space argmins
+    * into the dense positional code array. */
+  def build(e: DataFrame, path: String, iters: Int = 3): Unit = {
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val dim = corpus.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % M == 0, s"dim $dim not divisible by m=$M")
+    val dsub = dim / M
+    val cents = VectorOps.pqCodebook(e, M, dsub, K, iters)
+    val dense = cents.withColumn("code",
+      (row_number().over(Window.partitionBy(col("sub"))
+        .orderBy(col("cell"))) - 1).cast("int"))
+    dense.select(col("sub"), col("code"), col("centroid"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    // encode: per-(vec, sub) argmin against the trained centroids, then
+    // positional code via the same dense mapping the codebook stored
+    VectorOps.assignPq(VectorOps.subVectors(corpus, M, dsub),
+        cents.select(col("sub"), col("cell"), col("centroid")))
+      .join(broadcast(dense.select(col("sub"), col("cell"), col("code"))),
+        Seq("sub", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
+        "x -> x.code)").as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve one query from the built artifact: ADC shortlist over the
+    * stored CODES (map-only — embeddings untouched), exact re-rank of
+    * the ≤`shortlist` survivors against `corpus` by vec_id. Returns
+    * (vec_id, adc, l2) top-10 in q117's shape. */
+  def probe(spark: SparkSession, path: String, qv: Array[Float],
+      corpus: DataFrame, shortlist: Int = 100): DataFrame = {
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+    val cb: Map[Int, Array[Array[Float]]] =
+      cbRows.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    require(cb.size == M, s"codebook covers ${cb.size} of $M sub-spaces")
+    val dsub = qv.length / M
+    // the query's asymmetric distance table, driver arithmetic over the
+    // two literals (q117's recipe): dt(s)(j) = ||q_s − c_{s,j}||²
+    val dt: Seq[Seq[Double]] = (0 until M).map { s =>
+      val qs = qv.slice(s * dsub, (s + 1) * dsub)
+      cb(s).toSeq.map(c => qs.zip(c).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d
+      }.sum)
+    }
+    val dtLit = typedlit(dt)
+    val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(dtLit, s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    val ids = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), round(adc, 4).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(shortlist)
+    ids.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("adc"),
+        round(VectorOps.sqDist(col("embedding"), typedlit(qv)), 4)
+          .as("l2"))
+      .orderBy(col("l2").asc, col("vec_id"))
+      .limit(10)
+  }
+}

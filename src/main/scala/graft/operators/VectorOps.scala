@@ -758,7 +758,7 @@ object VectorOps extends OpCatalog {
   // --------------------------------------------------------------- q117
   /** Squared-L2 distance between two float-array columns (PQ's metric,
     * per the paper — cosine stays the metric of the LSH/IVF routes). */
-  private def sqDist(a: org.apache.spark.sql.Column,
+  private[graft] def sqDist(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(
       zip_with(a, b, (x, y) => {
@@ -768,7 +768,7 @@ object VectorOps extends OpCatalog {
 
   /** One row per (vec_id, sub): the dsub-wide contiguous slice of the
     * embedding — the sub-vector frame PQ trains on. */
-  private def subVectors(e: DataFrame, m: Int, dsub: Int): DataFrame =
+  private[graft] def subVectors(e: DataFrame, m: Int, dsub: Int): DataFrame =
     e.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${m - 1}), s -> " +
         s"struct(s AS sub, slice(embedding, s * $dsub + 1, $dsub) AS svec))"))
@@ -778,7 +778,7 @@ object VectorOps extends OpCatalog {
   /** Sub-space assignment: argmin squared-L2 per (vec_id, sub) against a
     * broadcast codebook, lowest-cell tiebreak via lexicographic struct
     * min (cell is unique per sub, so svec never drives the comparison). */
-  private def assignPq(subs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignPq(subs: DataFrame, cents: DataFrame): DataFrame =
     subs.join(broadcast(cents), "sub")
       .select(col("vec_id"), col("sub"), struct(
         sqDist(col("svec"), col("centroid")).as("d"),
