@@ -220,6 +220,36 @@ object EventOps extends OpCatalog {
       |GROUP BY cohort
       |ORDER BY cohort""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Unpivot (melt): q25's wide cohort×type count matrix back to long
+    * (cohort, event_type, n) form — the wide-to-long reshape that turns
+    * report tables into joinable/aggregable fact rows, via the native
+    * `Dataset.unpivot` (Spark 3.4's melt; DuckDB's UNPIVOT replays it).
+    * Zero cells survive the round trip (the pivot coalesces absent
+    * combinations to 0), so unpivot∘pivot is the COMPLETE long grid —
+    * |cohorts|·|types| rows — not just observed pairs. Plan: q25's grid
+    * agg plus a generate-only expansion of the 10-row wide frame;
+    * nothing corpus-sized moves. */
+  def unpivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotCounts(spark, sfDir)
+      .unpivot(Array(col("cohort")), types.map(col).toArray,
+        "event_type", "n")
+      .orderBy(col("cohort"), col("event_type"))
+  }
+
+  private val unpivotCountsSql =
+    """SELECT cohort, event_type, n FROM (
+      |  SELECT user_id % 10 AS cohort,
+      |    count(*) FILTER (WHERE event_type = 'click') AS click,
+      |    count(*) FILTER (WHERE event_type = 'error') AS error,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |    count(*) FILTER (WHERE event_type = 'view') AS view
+      |  FROM events GROUP BY cohort)
+      |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+      |ORDER BY cohort, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q81
   /** Ordered funnel conversion — signup → first view AFTER signup → first
     * purchase AFTER that view. The sequential-pattern query every product
@@ -633,6 +663,8 @@ object EventOps extends OpCatalog {
       |ORDER BY event_type, k_mod""".stripMargin
 
   override val ops: Seq[Op] = Seq(
+    Op("q128_unpivot", unpivotCounts, Some(unpivotCountsSql),
+      "wide-to-long melt of q25's pivot via native Dataset.unpivot -- complete grid incl. zero cells"),
     Op("q125_variant_extract", variantExtract, Some(variantExtractSql),
       "semi-structured props via VARIANT (try_parse_json + variant_get): per-(event_type, k mod 10) histogram -- parse-once JSON path"),
     Op("q123_transition_dwell", transitionDwell, Some(transitionDwellSql),
