@@ -250,6 +250,64 @@ object EventOps extends OpCatalog {
       |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
       |ORDER BY cohort, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`, SPARK-24497): BFS
+    * min-hop reachability from 'signup' over the OBSERVED transition
+    * graph (q85's distinct edges) — which event types users can reach
+    * and in how few steps. The recursion runs on the |types|²-bounded
+    * edge grid, NOT the corpus: the event scan contributes exactly one
+    * windowed pass to derive edges, then each recursive step is a
+    * grid-sized join bounded by hops < 4. This is the declarative form
+    * of the iteration `GraphOps` hand-drives for dedup components —
+    * right here because the frontier is tiny and the depth is bounded;
+    * wrong for billion-node closure, where the large-star/small-star
+    * rounds with checkpointing stay the scale path (q60's scaladoc).
+    * Min-hop per type folds the multiple reach paths deterministically. */
+  def recursiveReach(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    recursiveReachOf(eventsMs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type")))
+  }
+
+  /** Core of q129 over any (user_id, event_id, ms, event_type) frame. */
+  private[graft] def recursiveReachOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events.createOrReplaceTempView("graft_events_reach")
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT from_type, to_type FROM (
+        |    SELECT event_type AS from_type,
+        |      lead(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ms, event_id) AS to_type
+        |    FROM graft_events_reach)
+        |  WHERE to_type IS NOT NULL),
+        |reach(t, hops) AS (
+        |  SELECT 'signup', 0
+        |  UNION ALL
+        |  SELECT e.to_type, r.hops + 1
+        |  FROM reach r JOIN edges e ON e.from_type = r.t
+        |  WHERE r.hops < 4)
+        |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY t ORDER BY t""".stripMargin)
+  }
+
+  private val recursiveReachSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT from_type, to_type FROM (
+      |    SELECT event_type AS from_type,
+      |      lead(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts), event_id) AS to_type
+      |    FROM events)
+      |  WHERE to_type IS NOT NULL),
+      |reach(t, hops) AS (
+      |  SELECT 'signup', 0
+      |  UNION ALL
+      |  SELECT e.to_type, r.hops + 1
+      |  FROM reach r JOIN edges e ON e.from_type = r.t
+      |  WHERE r.hops < 4)
+      |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
+      |FROM reach GROUP BY t ORDER BY t""".stripMargin
+
   // ---------------------------------------------------------------- q81
   /** Ordered funnel conversion — signup → first view AFTER signup → first
     * purchase AFTER that view. The sequential-pattern query every product
@@ -663,6 +721,8 @@ object EventOps extends OpCatalog {
       |ORDER BY event_type, k_mod""".stripMargin
 
   override val ops: Seq[Op] = Seq(
+    Op("q129_recursive_reach", recursiveReach, Some(recursiveReachSql),
+      "WITH RECURSIVE BFS: min-hop reachability from signup over the observed transition graph (grid-sized recursion)"),
     Op("q128_unpivot", unpivotCounts, Some(unpivotCountsSql),
       "wide-to-long melt of q25's pivot via native Dataset.unpivot -- complete grid incl. zero cells"),
     Op("q125_variant_extract", variantExtract, Some(variantExtractSql),

@@ -153,4 +153,21 @@ class EventOpsSpec extends SparkSpec {
     assert(variant == stringPath,
       "variant_get and get_json_object must extract identical values")
   }
+
+  test("q129: recursive BFS scores planted chain hops exactly; unreachable absent") {
+    import spark.implicits._
+    // one user walks signup -> view -> click -> purchase (a 3-hop chain);
+    // a second user emits error -> error, DISCONNECTED from signup
+    val events = Seq(
+      (1L, 1L, 1000L, "signup"), (1L, 2L, 2000L, "view"),
+      (1L, 3L, 3000L, "click"), (1L, 4L, 4000L, "purchase"),
+      (2L, 5L, 1000L, "error"), (2L, 6L, 2000L, "error")
+    ).toDF("user_id", "event_id", "ms", "event_type")
+    val out = graft.operators.EventOps.recursiveReachOf(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("signup" -> 0L, "view" -> 1L, "click" -> 2L,
+      "purchase" -> 3L), s"hop map wrong: $out")
+    // 'error' is unreachable from signup: must NOT appear
+    assert(!out.contains("error"))
+  }
 }
