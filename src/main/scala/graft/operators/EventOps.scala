@@ -269,23 +269,30 @@ object EventOps extends OpCatalog {
       .select(col("user_id"), col("event_id"), col("ms"), col("event_type")))
   }
 
-  /** Core of q129 over any (user_id, event_id, ms, event_type) frame. */
+  /** Core of q129 over any (user_id, event_id, ms, event_type) frame.
+    * The edge grid is MATERIALIZED (localCheckpoint) before the
+    * recursion: a CTE referenced from the recursive member may be
+    * re-expanded per iteration, which would re-run the corpus windowed
+    * pass once per hop — checkpointing pins "one corpus pass" by
+    * construction, and the recursion then joins only the ≤\|types\|²
+    * cached grid. */
   private[graft] def recursiveReachOf(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
-    events.createOrReplaceTempView("graft_events_reach")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .distinct()
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_edges_reach")
     spark.sql(
-      """WITH RECURSIVE edges AS (
-        |  SELECT DISTINCT from_type, to_type FROM (
-        |    SELECT event_type AS from_type,
-        |      lead(event_type) OVER (PARTITION BY user_id
-        |        ORDER BY ms, event_id) AS to_type
-        |    FROM graft_events_reach)
-        |  WHERE to_type IS NOT NULL),
-        |reach(t, hops) AS (
+      """WITH RECURSIVE reach(t, hops) AS (
         |  SELECT 'signup', 0
         |  UNION ALL
         |  SELECT e.to_type, r.hops + 1
-        |  FROM reach r JOIN edges e ON e.from_type = r.t
+        |  FROM reach r JOIN graft_edges_reach e ON e.from_type = r.t
         |  WHERE r.hops < 4)
         |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
         |FROM reach GROUP BY t ORDER BY t""".stripMargin)
