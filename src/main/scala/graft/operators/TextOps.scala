@@ -1372,7 +1372,80 @@ object TextOps extends OpCatalog {
       |  round(regr_r2(log2(c), log2(r)), 4) AS fit_r2
       |FROM top GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** PMI collocation mining (Church & Hanks 1990): the top-20 adjacent
+    * word pairs by pointwise mutual information with count ≥ 5 —
+    * multi-word expressions whose components co-occur far above chance.
+    * Raw bigram frequency (q62) surfaces "the the"-style commons; PMI
+    * normalizes by unigram probabilities, so it surfaces the PHRASES —
+    * the tokenizer-vocabulary and stop-phrase candidates a curation
+    * pipeline mines.
+    *
+    * PMI is computed as a SUM OF LOGS of exact integer counts —
+    * `log2(n_ab) + 2·log2(N1) − log2(N2) − log2(n_a) − log2(n_b)` —
+    * never as a ratio of products (n_ab·N1² overflows BIGINT at real
+    * corpus sizes); 4dp-rounded with a gram tiebreak (q107's log2
+    * cross-engine precedent). Scale shape: two map-combined token aggs
+    * (unigrams, bigrams — q62's machinery), totals as 1-row broadcast
+    * scalars (q70's pattern), and the bigram↔unigram joins key on the
+    * token — vocab-sized sides Catalyst broadcasts when they fit and
+    * hash-joins when they don't; the min-count filter prunes the bigram
+    * side before any join. */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    pmiCollocationsOf(toks(spark, sfDir))
+  }
+
+  private[graft] def pmiCollocationsOf(t: DataFrame): DataFrame = {
+    val uni = t.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val biAll = t.select(explode(wordGramExpr(2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
+    val totals = uni.agg(sum(col("cnt")).as("n1"))
+      .crossJoin(biAll.agg(sum(col("n_ab")).as("n2")))
+    biAll.filter(col("n_ab") >= 5)
+      .withColumn("a", split(col("gram"), " ").getItem(0))
+      .withColumn("b", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("cnt").as("cnt_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("gram"), col("n_ab"), col("cnt_a"), col("cnt_b"),
+        round(log2(col("n_ab")) + lit(2.0) * log2(col("n1"))
+          - log2(col("n2")) - log2(col("cnt_a")) - log2(col("cnt_b")), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(20)
+  }
+
+  private val pmiCollocationsSql =
+    """WITH d AS (
+      |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+      |ucnt AS (
+      |  SELECT tok, count(*) AS cnt
+      |  FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+      |bcnt AS (
+      |  SELECT gram, count(*) AS n_ab FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS gram FROM d)
+      |  GROUP BY gram),
+      |tot AS (
+      |  SELECT (SELECT sum(cnt) FROM ucnt) AS n1,
+      |    (SELECT sum(n_ab) FROM bcnt) AS n2)
+      |SELECT gram,
+      |  CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(a.cnt AS BIGINT) AS cnt_a,
+      |  CAST(b.cnt AS BIGINT) AS cnt_b,
+      |  round(log2(n_ab) + 2.0 * log2(n1) - log2(n2)
+      |    - log2(a.cnt) - log2(b.cnt), 4) AS pmi
+      |FROM bcnt
+      |JOIN ucnt a ON a.tok = string_split(gram, ' ')[1]
+      |JOIN ucnt b ON b.tok = string_split(gram, ' ')[2], tot
+      |WHERE n_ab >= 5
+      |ORDER BY pmi DESC, gram LIMIT 20""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("q130_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql),
+      "top-20 PMI collocations (count>=5): phrases co-occurring above chance, sum-of-logs exact-count formulation"),
     Op("q124_zipf_slope", zipfSlope, Some(zipfSlopeSql),
       "per-source Zipf fit (regr_slope/intercept/R2 of log-count vs log-rank, top-200 tokens) -- vocabulary-health diagnostic"),
     Op("q120_gram_novelty", gramNovelty, Some(gramNoveltySql),

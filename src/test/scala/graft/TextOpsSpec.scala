@@ -507,4 +507,31 @@ class TextOpsSpec extends SparkSpec {
     val again = graft.operators.TextOps.zipfSlopeOf(docs.repartition(5)).collect()
     assert(again.toSeq == out.toSeq)
   }
+
+  test("q130 PMI: inseparable pair outranks a chance pair; counts exact") {
+    import spark.implicits._
+    // 'new york' occurs 6 times, and those are the ONLY occurrences of
+    // either word -> p(a,b) = p(a) = p(b), maximal PMI. 'the data' also
+    // occurs 6 times, but 'the' and 'data' each occur 24 times spread
+    // over other contexts -> far lower PMI at the same pair count.
+    val filler = (1 to 6).map(i =>
+      "the x data the y data the z data " +
+      "w the q data").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 6).map(_ => "new york").mkString(" ")),
+      (2L, (1 to 6).map(_ => "the data").mkString(" ")),
+      (3L, filler)
+    ).toDF("doc_id", "text")
+      .withColumn("w", split(lower(col("text")), " "))
+    val out = graft.operators.TextOps.pmiCollocationsOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val ny = out("new york")
+    val td = out("the data")
+    assert(ny._1 == 6 && ny._2 == 6 && ny._3 == 6,
+      s"'new york' counts wrong: $ny")
+    assert(td._1 == 6, s"'the data' pair count wrong: $td")
+    assert(ny._4 > td._4 + 2.0,
+      s"inseparable pair must dominate: PMI(ny)=${ny._4} PMI(td)=${td._4}")
+  }
 }
