@@ -13,30 +13,32 @@ import org.apache.spark.sql.SparkSession
   *   cat small.parquet | runMain graft.Ingest - parquet:<outDir> [mode]
   *
   * `-` reads the parquet bytes from STDIN — the CLI analog of the
-  * reference's "Upload File (Small Files)" buffer input (`app.py:30-31`);
-  * it validates the magic and spools via [[ParquetIngest.ingestUpload]].
+  * reference's "Upload File (Small Files)" buffer input (`app.py:30-31`):
+  * the bytes are magic-validated and spooled ONCE here, then probe and
+  * ingest read the same spool path (library callers holding a buffer use
+  * [[ParquetIngest.ingestUpload]], which owns its own spool).
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: Ingest <source>|- parquet:<dir>|jdbc:<url>:<table> [fail|replace|append]")
     val Array(rawSource, sinkSpec) = args.take(2)
-    // stdin upload: spool once here so the probe report and the ingest
-    // read the same bytes; ParquetIngest.ingestUpload re-validates
-    val uploaded: Option[Array[Byte]] =
-      if (rawSource == "-") Some(System.in.readAllBytes()) else None
-    // fail fast on a bad pipe (empty stdin, not-parquet bytes) before any
-    // Spark startup cost; under sbt, stdin needs `run / connectInput := true`
-    uploaded.foreach(ParquetIngest.requireParquetBuffer)
-    val source = uploaded match {
-      case None => rawSource
-      case Some(bytes) =>
+    // stdin upload: validate + spool once; the finally below deletes the
+    // spool as soon as the run ends instead of pinning it for the JVM
+    // lifetime (and ingestUpload would have re-validated + re-spooled)
+    val spooled: Option[java.nio.file.Path] =
+      if (rawSource == "-") {
+        val bytes = System.in.readAllBytes()
+        // fail fast on a bad pipe (empty stdin, not-parquet bytes) before
+        // any Spark startup cost; under sbt, stdin needs
+        // `run / connectInput := true`
+        ParquetIngest.requireParquetBuffer(bytes)
         val spool =
           java.nio.file.Files.createTempFile("graft_upload_cli_", ".parquet")
-        spool.toFile.deleteOnExit()
         java.nio.file.Files.write(spool, bytes)
-        spool.toString
-    }
+        Some(spool)
+      } else None
+    val source = spooled.map(_.toString).getOrElse(rawSource)
     val mode = if (args.length > 2) args(2) else "fail"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -47,7 +49,15 @@ object Ingest {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    try run(spark, source, sinkSpec, mode)
+    finally {
+      spooled.foreach(java.nio.file.Files.deleteIfExists)
+      spark.stop()
+    }
+  }
 
+  private def run(spark: SparkSession, source: String, sinkSpec: String,
+      mode: String): Unit = {
     val probe = ParquetIngest.probe(spark, source)
     println(s"[ingest] probe: rows=${probe.numRows} rowGroups=${probe.numRowGroups} " +
       s"cols=${probe.columns.size} spatial=${probe.spatial
@@ -82,14 +92,11 @@ object Ingest {
       if (lastPct.getAndSet(pct) != pct)
         println(s"[ingest] progress: $pct%")
     }
-    val report = uploaded match {
-      case Some(bytes) =>
-        ParquetIngest.ingestUpload(spark, bytes, sink, mode, onProgress)
-      case None => ParquetIngest.ingest(spark, source, sink, mode, onProgress)
-    }
+    // an stdin spool was already validated in main and goes through the
+    // same path-based pipeline any source file does — one spool total
+    val report = ParquetIngest.ingest(spark, source, sink, mode, onProgress)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec " +
       f"in $secs%.2f s (${report.rowsWritten / secs}%.0f rows/s)")
-    spark.stop()
   }
 }

@@ -329,21 +329,6 @@ object ParquetIngest {
     IngestReport(rows.get())
   }
 
-  /** The reference's OTHER input branch (`app.py:30-31,46-47`: "Upload
-    * File (Small Files)" — an in-memory buffer, not a path): validate the
-    * buffer IS parquet, spool it to a private temp file, and run the
-    * identical probe→scan→sink pipeline. Spooling is not a cop-out — it
-    * is what the reference's own upload widget does under the hood
-    * (buffers beyond a size threshold land in a temp file), and it keeps
-    * ONE code path for footer probe, spatial attach, save modes and the
-    * counted write. By design for SMALL files only, like the reference
-    * labels it: an upload is driver-memory-bounded; corpus-scale data
-    * arrives by path, where the scan is distributed and nothing ever
-    * passes through the driver.
-    *
-    * Validation (O16 for buffers): parquet files open AND close with the
-    * 4-byte magic `PAR1` — checked before anything touches Spark, so a
-    * truncated or mislabeled upload fails fast with a clear message. */
   /** O16 for buffers: parquet files open AND close with `PAR1`. Public so
     * the CLI's stdin branch can fail fast (an empty pipe, a gzip, a CSV)
     * before a SparkSession or spool file exists. */
@@ -355,6 +340,17 @@ object ParquetIngest {
         "expected PAR1 magic at head and tail)")
   }
 
+  /** The reference's OTHER input branch (`app.py:30-31,46-47`: "Upload
+    * File (Small Files)" — an in-memory buffer, not a path): validate the
+    * buffer IS parquet, spool it to a private temp file, and run the
+    * identical probe→scan→sink pipeline. Spooling is not a cop-out — it
+    * is what the reference's own upload widget does under the hood
+    * (buffers beyond a size threshold land in a temp file), and it keeps
+    * ONE code path for footer probe, spatial attach, save modes and the
+    * counted write. By design for SMALL files only, like the reference
+    * labels it: an upload is driver-memory-bounded; corpus-scale data
+    * arrives by path, where the scan is distributed and nothing ever
+    * passes through the driver. */
   def ingestUpload(
       spark: SparkSession,
       buffer: Array[Byte],

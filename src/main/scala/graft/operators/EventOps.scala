@@ -269,33 +269,50 @@ object EventOps extends OpCatalog {
       .select(col("user_id"), col("event_id"), col("ms"), col("event_type")))
   }
 
+  /** Per-invocation unique temp-view suffix: two concurrent q129 calls on
+    * different frames in one SparkSession must not race on a shared view
+    * name (the view is only a naming bridge into the SQL text below). */
+  private val reachViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Core of q129 over any (user_id, event_id, ms, event_type) frame.
     * The edge grid is MATERIALIZED (localCheckpoint) before the
     * recursion: a CTE referenced from the recursive member may be
     * re-expanded per iteration, which would re-run the corpus windowed
     * pass once per hop — checkpointing pins "one corpus pass" by
     * construction, and the recursion then joins only the ≤\|types\|²
-    * cached grid. */
-  private[graft] def recursiveReachOf(events: DataFrame): DataFrame = {
+    * cached grid. The frontier-size law this buys: every recursive step
+    * joins a ≤\|types\|-row frontier against the ≤\|types\|²-row grid, so
+    * per-iteration work is GRID-sized (and `maxHops`-bounded) no matter
+    * how long the underlying event chains are — the corpus contributes
+    * exactly the one windowed edge-derivation pass
+    * (`ScaleStressSpec` plants a long chain and pins both properties).
+    * The temp view is dropped as soon as the plan is built (analysis
+    * binds the relation eagerly); the checkpointed grid's blocks live
+    * exactly as long as the returned frame references them, then the
+    * ContextCleaner reclaims them. */
+  private[graft] def recursiveReachOf(events: DataFrame,
+      maxHops: Int = 4): DataFrame = {
     val spark = events.sparkSession
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms").asc, col("event_id").asc)
+    val view = s"graft_edges_reach_${reachViewSeq.incrementAndGet()}"
     events
       .select(col("event_type").as("from_type"),
         lead(col("event_type"), 1).over(w).as("to_type"))
       .filter(col("to_type").isNotNull)
       .distinct()
       .localCheckpoint()
-      .createOrReplaceTempView("graft_edges_reach")
-    spark.sql(
-      """WITH RECURSIVE reach(t, hops) AS (
-        |  SELECT 'signup', 0
-        |  UNION ALL
-        |  SELECT e.to_type, r.hops + 1
-        |  FROM reach r JOIN graft_edges_reach e ON e.from_type = r.t
-        |  WHERE r.hops < 4)
-        |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
-        |FROM reach GROUP BY t ORDER BY t""".stripMargin)
+      .createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH RECURSIVE reach(t, hops) AS (
+         |  SELECT 'signup', 0
+         |  UNION ALL
+         |  SELECT e.to_type, r.hops + 1
+         |  FROM reach r JOIN $view e ON e.from_type = r.t
+         |  WHERE r.hops < $maxHops)
+         |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
+         |FROM reach GROUP BY t ORDER BY t""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   private val recursiveReachSql =

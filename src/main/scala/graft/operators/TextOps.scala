@@ -1399,7 +1399,9 @@ object TextOps extends OpCatalog {
   private[graft] def pmiCollocationsOf(t: DataFrame): DataFrame = {
     val uni = t.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val biAll = t.select(explode(wordGramExpr(2)).as("gram"))
+    val biAll = t
+      .filter(size(col("w")) >= 2) // wordGramExpr caller contract
+      .select(explode(wordGramExpr(2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
     val totals = uni.agg(sum(col("cnt")).as("n1"))
       .crossJoin(biAll.agg(sum(col("n_ab")).as("n2")))

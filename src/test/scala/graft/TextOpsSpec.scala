@@ -520,10 +520,17 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, (1 to 6).map(_ => "new york").mkString(" ")),
       (2L, (1 to 6).map(_ => "the data").mkString(" ")),
-      (3L, filler)
+      (3L, filler),
+      // 1-token doc: wordGramExpr's sequence(1, 0) counts DOWN without the
+      // size(w)>=2 caller-contract guard and would fabricate a bogus
+      // 'solo' bigram, inflating n2 and shifting every PMI row
+      (4L, "solo")
     ).toDF("doc_id", "text")
       .withColumn("w", split(lower(col("text")), " "))
-    val out = graft.operators.TextOps.pmiCollocationsOf(docs).collect()
+    val rows = graft.operators.TextOps.pmiCollocationsOf(docs).collect()
+    assert(rows.forall(_.getString(0).contains(" ")),
+      s"single-token doc fabricated a bogus bigram: ${rows.map(_.getString(0)).toSeq}")
+    val out = rows
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4)))).toMap
     val ny = out("new york")
