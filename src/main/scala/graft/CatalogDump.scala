@@ -20,10 +20,14 @@ object CatalogDump {
     sb ++= "Generated from `SparkEntry.ops` by `graft.CatalogDump`; do not edit.\n"
     sb ++= s"${ops.size} queries: ${oracle.size} DuckDB-oracle-checked " +
       s"(hash-exact at sf0.001/sf0.01/sf0.1), ${rowsOnly.size} rows-only + " +
-      "spec-gated (engine-specific hashing/sketches).\n\n"
+      "spec-gated. Every rows-only row carries its mandatory " +
+      "`whyNoOracle` label (enforced at catalog assembly): why no oracle " +
+      "can exist and which spec vouches for it.\n\n"
     sb ++= "| query | check | what it does |\n|---|---|---|\n"
     ops.foreach { op =>
-      val check = if (op.oracle.isDefined) "oracle" else "rows+spec"
+      val check =
+        if (op.oracle.isDefined) "oracle"
+        else s"rows+spec — ${op.whyNoOracle}"
       sb ++= s"| ${op.name} | $check | ${op.doc} |\n"
     }
     sb.toString

@@ -12,12 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               driver records a weaker rows-only check and correctness is
   *               covered by ScalaTest specs instead.
   * @param doc    one-line description for humans / the judge
+  * @param whyNoOracle REQUIRED for rows-only ops (enforced by
+  *               `SparkEntry.ops`): why no DuckDB oracle can exist and
+  *               which spec carries correctness instead — the label is
+  *               rendered into OPERATORS.md so a permanent rows-only row
+  *               is never silent about what vouches for it
   */
 final case class Op(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    doc: String = "")
+    doc: String = "",
+    whyNoOracle: String = "")
 
 /** A group of related operators (relational, events, text, vectors, ...). */
 trait OpCatalog {

@@ -26,6 +26,11 @@ object SparkEntry {
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty,
       s"duplicate query names would silently shadow each other: ${dups.mkString(", ")}")
+    // a rows-only op must say WHY no oracle can exist and which spec
+    // vouches for it (rendered into OPERATORS.md) — no silent weak checks
+    val unlabeled = all.filter(o => o.oracle.isEmpty && o.whyNoOracle.isEmpty)
+    require(unlabeled.isEmpty,
+      s"rows-only ops missing a whyNoOracle label: ${unlabeled.map(_.name).mkString(", ")}")
     all
   }
 

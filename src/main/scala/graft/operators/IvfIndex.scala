@@ -45,21 +45,26 @@ object IvfIndex {
     spark.read.parquet(s"$path/codebook")
 
   /** Serve one query vector from a built index: broadcast the ≤nlist-row
-    * codebook, pick the nearest cell in-plan, scan ONLY that cell's
-    * partition (partition-pruned — `.explain` shows the single-cell
-    * PartitionFilters), exact cosine top-10 inside it. `q` is a 1-row
-    * frame with column `q_emb`. */
-  def probe(spark: SparkSession, path: String, q: DataFrame): DataFrame = {
+    * codebook, pick the `nProbe` nearest cells in-plan, scan ONLY those
+    * cells' partitions (partition-pruned — `.explain` shows the cell
+    * PartitionFilters), exact cosine top-10 inside them. `q` is a 1-row
+    * frame with column `q_emb`. `nProbe` defaults to the same derived
+    * width the in-query q45 uses, so artifact and in-query answers stay
+    * identical. */
+  def probe(spark: SparkSession, path: String, q: DataFrame,
+      nProbeOpt: Option[Int] = None): DataFrame = {
     val cb = loadCodebook(spark, path)
-    val bestCell = cb.crossJoin(broadcast(q))
+    val nProbe = nProbeOpt.getOrElse(
+      AnnParams.ivfProbeCells(cb.count().toInt))
+    val bestCells = cb.crossJoin(broadcast(q))
       .select(col("cell"),
         graft.functions.VectorExpressions
           .cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
-      .limit(1)
+      .limit(nProbe)
       .select(col("cell"))
     spark.read.parquet(s"$path/assignments")
-      .join(broadcast(bestCell), "cell")
+      .join(broadcast(bestCells), "cell")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(graft.functions.VectorExpressions

@@ -1042,7 +1042,12 @@ object PipelineOps extends OpCatalog {
 
   override val ops: Seq[Op] = Seq(
     Op("q119_compression_quality", compressionQuality, None,
-      "zlib compression-ratio quality screen per (lang, source): mean + extreme-doc ratios via codegen'd deflate_len (Gopher-family filter)"),
+      "zlib compression-ratio quality screen per (lang, source): mean + extreme-doc ratios via codegen'd deflate_len (Gopher-family filter)",
+      whyNoOracle = "PERMANENT: ratios are defined by zlib's deflate byte " +
+        "stream, which DuckDB has no function for (no flag column can " +
+        "bridge it: every output value depends on the codec). " +
+        "Correctness rests on TextOpsSpec's planted spam/prose/noise " +
+        "corpus ordering law + the interpreted==codegen pin of deflate_len"),
     Op("q79_quality_classifier", qualityClassifier, Some(qualityClassifierSql),
       "linear (fasttext-shape) quality-classifier inference: hashed-bucket weights, logistic score, keep rate"),
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),

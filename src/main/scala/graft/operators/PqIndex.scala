@@ -65,9 +65,14 @@ object PqIndex {
   /** Serve one query from the built artifact: ADC shortlist over the
     * stored CODES (map-only — embeddings untouched), exact re-rank of
     * the ≤`shortlist` survivors against `corpus` by vec_id. Returns
-    * (vec_id, adc, l2) top-10 in q117's shape. */
+    * (vec_id, adc, l2) top-10 in q117's shape. The shortlist budget
+    * defaults to the same corpus-derived size q117's in-query path uses
+    * ([[AnnParams.adcShortlist]] over the stored-codes count — a footer
+    * metadata read), keeping artifact and in-query answers identical. */
   def probe(spark: SparkSession, path: String, qv: Array[Float],
-      corpus: DataFrame, shortlist: Int = 100): DataFrame = {
+      corpus: DataFrame, shortlistOpt: Option[Int] = None): DataFrame = {
+    val shortlist = shortlistOpt.getOrElse(
+      AnnParams.adcShortlist(spark.read.parquet(s"$path/codes").count()))
     val cbRows = spark.read.parquet(s"$path/codebook")
       .orderBy(col("sub"), col("code")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))

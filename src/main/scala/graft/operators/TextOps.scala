@@ -912,10 +912,28 @@ object TextOps extends OpCatalog {
     * per-row predicate — the arriving batch never shuffles and the seen
     * corpus is read once to build the sketch. The exact-join audit columns
     * exist only to measure the sketch; a production screen keeps the
-    * predicate and drops the join. Not oracle-declared (DuckDB cannot
-    * reproduce Spark's bloom bit layout); spec-gated instead. */
+    * predicate and drops the join.
+    *
+    * Declared form (round-8 law-flag oracle, q121's pattern): the exact
+    * columns (n_arriving, n_true_dups) are DuckDB-reproducible and ride
+    * as values; n_false_neg is emitted as a VALUE too, because a Bloom
+    * filter structurally cannot miss a member — the exact answer is 0,
+    * and any engine bug that broke that guarantee breaks the hash
+    * compare; the bit-layout-dependent false-positive rate becomes the
+    * `fp_ok` flag (≤ 5% — the sketch is sized 1 MiB for 100k keys,
+    * ~0.9% fp at capacity, far under-loaded at fixture scale). The full
+    * numeric audit (n_flagged/n_false_pos/fp_rate) stays available via
+    * [[incrementalDedupBloomAudit]], which the spec gates. */
   def incrementalDedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
+    incrementalDedupBloomAudit(spark, sfDir)
+      .select(col("n_arriving"), col("n_true_dups"), col("n_false_neg"),
+        (col("fp_rate") <= 0.05).as("fp_ok"))
+  }
+
+  /** q77's full numeric audit frame (the pre-round-8 output shape). */
+  private[graft] def incrementalDedupBloomAudit(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     val redelivered = seen.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -949,6 +967,20 @@ object TextOps extends OpCatalog {
         (col("n_arriving") - col("n_true_dups")).cast("double"), 4))
   }
 
+  private val incrementalDedupBloomSql =
+    """WITH seen AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |arriving AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM seen WHERE doc_id % 10 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_arriving,
+      |  CAST(count(*) FILTER (
+      |    WHERE text IN (SELECT text FROM seen)) AS BIGINT) AS n_true_dups,
+      |  CAST(0 AS BIGINT) AS n_false_neg,
+      |  TRUE AS fp_ok
+      |FROM arriving""".stripMargin
+
   // --------------------------------------------------------------- q109
   /** Directed containment pairs — the PARTIAL-duplicate primitive the
     * symmetric dedup ladder misses: a short document fully embedded in a
@@ -974,16 +1006,21 @@ object TextOps extends OpCatalog {
     * TakeOrderedAndProject on the ROUNDED key (q63 ordering policy). */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    containmentPairsOf(
-      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
+    containmentPairsFrom(keptGramBase(spark, sfDir))
   }
 
-  /** Core of q109 over any (doc_id, text) frame — spec entry point.
-    * (No materialized gram base here, unlike q115: the self-join's two
-    * sides are IDENTICAL subplans, so ReusedExchange already shares
-    * them — checkpointing measured slower, 1.6→3.3 s at sf0.1.) */
-  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
-    val keep = keptGramsOf(docs).select(col("doc_id"), col("gkey"))
+  /** Core of q109 over any (doc_id, text) frame — spec entry point. */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame =
+    containmentPairsFrom(keptGramsOf(docs))
+
+  /** q109's pairing stage over a (doc_id, gkey, df) kept-gram base. The
+    * declared query feeds it the SESSION-SHARED memoized base
+    * ([[keptGramBase]]); the self-join's two sides then read one cached
+    * frame (pre-round-8 they were identical uncached subplans that
+    * ReusedExchange shared within this query but that every OTHER gram
+    * query re-derived from the corpus). */
+  private def containmentPairsFrom(kept: DataFrame): DataFrame = {
+    val keep = kept.select(col("doc_id"), col("gkey"))
     val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = keep.select(col("doc_id").as("doc_a"), col("gkey"))
       .join(keep.select(col("doc_id").as("doc_b"), col("gkey")), "gkey")
@@ -1054,23 +1091,26 @@ object TextOps extends OpCatalog {
     * (df, gkey) ranking keeps the whole pipeline oracle-replayable. */
   def containmentPairsRare(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    containmentPairsRareOf(
-      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")), 8)
+    containmentPairsRareFrom(keptGramBase(spark, sfDir), 8)
   }
 
   /** Core of q115 over any (doc_id, text) frame — spec entry point.
-    * Returns the same shape as [[containmentPairsOf]]. */
+    * Returns the same shape as [[containmentPairsOf]]. The gram base
+    * feeds FIVE consumers (sizes, nomination, candidate probe, both
+    * intersection sides); without materialization each one replays the
+    * explode+distinct+df chain — measured 4.6→2.0 s at sf0.1, and at
+    * 100 TB the re-scans would quintuple the dominant cost.
+    * localCheckpoint stores the (doc_id, gkey, df) base once in the
+    * executor block store (grams ≤ token count — far smaller than text);
+    * the DECLARED query gets the same materialization session-wide from
+    * [[keptGramBase]]'s cache instead. */
   private[graft] def containmentPairsRareOf(docs: DataFrame,
-      k: Int): DataFrame = {
-    // the gram base feeds FIVE consumers (sizes, nomination, candidate
-    // probe, both intersection sides); without materialization each one
-    // replays the explode+distinct+df chain — measured 4.6→2.0 s at
-    // sf0.1, and at 100 TB the re-scans would quintuple the dominant
-    // cost. localCheckpoint stores the (doc_id, gkey, df) base once in
-    // the executor block store (grams ≤ token count — far smaller than
-    // text), exactly how a production pipeline materializes a shared
-    // gram base.
-    val keep = keptGramsOf(docs).localCheckpoint() // (doc_id, gkey, df<=50)
+      k: Int): DataFrame =
+    containmentPairsRareFrom(keptGramsOf(docs).localCheckpoint(), k)
+
+  /** q115's blocking + exact-verify stages over a materialized
+    * (doc_id, gkey, df) kept-gram base. */
+  private def containmentPairsRareFrom(keep: DataFrame, k: Int): DataFrame = {
     val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = rareCandidatesOf(keep, k)
     val inter = cand
@@ -1105,17 +1145,58 @@ object TextOps extends OpCatalog {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** Shared q109/q115 gram base: distinct informative (df ≤ 50) 60-bit
-    * gram keys per doc, with each gram's document frequency attached. */
-  private[graft] def keptGramsOf(docs: DataFrame): DataFrame = {
-    val grams = docs
+  /** The ONE corpus explode+distinct pass the whole gram family shares:
+    * distinct (doc_id, source, gkey) 8-gram keys over any documents
+    * frame. PRE-df-cap — q120's novelty needs ALL grams; the containment
+    * queries apply the df ≤ 50 informative-gram cap on top
+    * ([[keptGramsOf]]). A frame without a `source` column (spec corpora)
+    * gets a constant one — source is only consumed by q120, whose
+    * fixtures always carry it. */
+  private[graft] def rawGramsOf(docs: DataFrame): DataFrame = {
+    val src = if (docs.columns.contains("source")) docs
+      else docs.withColumn("source", lit("_"))
+    src
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wordGramExpr(8)).as("gram"))
+      .select(col("doc_id"), col("source"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
           .as("gkey"))
       .distinct()
+  }
+
+  /** Session-shared gram base for the DECLARED gram family (q109/q115/
+    * q120): [[rawGramsOf]] over the documents table, memoized + cached
+    * per (session, path). Round 7 ran THREE corpus explode+distinct
+    * passes per session — one each for q109, q115, q120 (the verdict's
+    * "What's wrong #1"); with the memo the corpus pays the dominant gram
+    * scan once, and every consumer reads the cached 8-byte-key frame —
+    * the materialized-gram-table pattern a warehouse would use. */
+  private def gramBase(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.cached(spark, s"textops:gram_base:$sfDir") {
+      rawGramsOf(
+        GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
+    }
+
+  /** df ≤ 50 kept grams derived from [[gramBase]] — itself memoized:
+    * q109 and q115 together consume this frame seven times (self-join
+    * sides, sizes, nomination, candidate probes). */
+  private def keptGramBase(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.cached(spark, s"textops:kept_grams:$sfDir") {
+      keptFromRaw(gramBase(spark, sfDir))
+    }
+
+  /** Shared q109/q115 gram base: distinct informative (df ≤ 50) 60-bit
+    * gram keys per doc, with each gram's document frequency attached. */
+  private[graft] def keptGramsOf(docs: DataFrame): DataFrame =
+    keptFromRaw(rawGramsOf(docs))
+
+  /** The df-cap stage over a raw distinct gram frame: attach document
+    * frequency, keep informative (df ≤ 50) grams. The distinct is per
+    * (doc, gram), so counting rows per gkey IS the document frequency. */
+  private def keptFromRaw(raw: DataFrame): DataFrame = {
+    val grams = raw.select(col("doc_id"), col("gkey"))
     val df = grams.groupBy(col("gkey")).agg(count(lit(1)).as("df"))
     grams.join(df.filter(col("df") <= 50), "gkey")
       .select(col("doc_id"), col("gkey"), col("df"))
@@ -1247,24 +1328,22 @@ object TextOps extends OpCatalog {
     * window, no self-join, nothing driver-side. */
   def gramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    gramNoveltyOf(
-      GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
+    // the declared query reads the session-shared PRE-cap gram base —
+    // q120 is exactly why the base keeps all grams (no df cap)
+    gramNoveltyFrom(gramBase(spark, sfDir))
   }
 
-  private[graft] def gramNoveltyOf(docs: DataFrame): DataFrame = {
-    // localCheckpoint: both the per-source totals and the first-occurrence
-    // branch read this base — without it each branch re-explodes the
-    // corpus (2× the dominant cost at scale; q115's precedent)
-    val grams = docs
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), col("source"),
-        explode(wordGramExpr(8)).as("gram"))
-      .select(col("doc_id"), col("source"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          .as("gkey"))
-      .distinct()
-      .localCheckpoint()
+  /** Core of q120 over any (doc_id, source, text) frame — spec entry.
+    * localCheckpoint: both the per-source totals and the first-occurrence
+    * branch read the gram base — without materialization each branch
+    * re-explodes the corpus (2× the dominant cost at scale); the declared
+    * query gets the same from [[gramBase]]'s session cache. */
+  private[graft] def gramNoveltyOf(docs: DataFrame): DataFrame =
+    gramNoveltyFrom(rawGramsOf(docs).localCheckpoint())
+
+  /** q120's aggregation stages over a materialized
+    * (doc_id, source, gkey) gram base. */
+  private def gramNoveltyFrom(grams: DataFrame): DataFrame = {
     val totals = grams.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("total_grams"))
@@ -1463,8 +1542,9 @@ object TextOps extends OpCatalog {
       "custom Generator (UDTF): bigram frequency top-20"),
     Op("q76_repeated_spans", repeatedSpans, Some(repeatedSpansSql),
       "cross-doc repeated 15-token spans (exact substring-dedup signal)"),
-    Op("q77_incremental_dedup_bloom", incrementalDedupBloom, None,
-      "arriving-batch dedup screen vs seen-set Bloom sketch, with audit"),
+    Op("q77_incremental_dedup_bloom", incrementalDedupBloom,
+      Some(incrementalDedupBloomSql),
+      "arriving-batch dedup screen vs seen-set Bloom sketch; law-flag oracle: exact arrival/dup counts + structural fn=0 + fp<=5% flag"),
     Op("q86_cluster_representatives", clusterRepresentatives,
       Some(clusterRepresentativesSql),
       "keep-best-per-cluster: dedup clusters -> one representative doc by (n_chars, doc_id) policy"),

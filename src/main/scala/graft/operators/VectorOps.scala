@@ -32,19 +32,75 @@ object VectorOps extends OpCatalog {
     emb(spark, sfDir).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
 
+  /** Exact cosine-scored corpus vs the vec_id-0 query — ONE broadcast-map
+    * pass producing `(vec_id, sim)` for every corpus row. q40's scoring,
+    * shared by the ANN family's law-flag wrappers ([[annLawFrame]]). */
+  private def exactCosineScored(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, sfDir)))
+      .select(col("vec_id"),
+        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+          .as("sim"))
+
   // ---------------------------------------------------------------- q40
   /** Brute-force cosine top-k vs vec_id 0 (E13). Exact; oracle-checked.
     * Sims are rounded to 4dp with a vec_id tiebreak so the top-k frontier
     * is deterministic in both engines. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    emb(spark, sfDir).filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(queryVec(spark, sfDir)))
-      .select(col("vec_id"),
-        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
-          .as("sim"))
+    exactCosineScored(spark, sfDir)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  // ------------------------------------------------- ANN law-flag frame
+  /** Declared output of the ANN queries (q43/q45/q117/q118/q131) — the
+    * round-8 law-flag oracle design (q121/q27's tolerance-flag pattern,
+    * extended to ANN): the ROWS are the exact top-10 computed from
+    * `exactScored` (fully DuckDB-expressible, so the driver hash-checks
+    * them), and two constant columns carry the laws the engine's ANN
+    * answer must satisfy, which the DuckDB twin asserts as literal TRUE:
+    *
+    *  - `score_ok`: every ANN-returned row reports EXACTLY the true
+    *    score of its vec_id (the scoring path never estimates in the
+    *    final answer — candidate generation prunes, scoring is exact);
+    *  - `recall_ok`: the ANN answer finds at least `minHits` of the
+    *    exact top-10. Floors are per-query constants measured on the
+    *    deterministic fixtures with margin (the fixture embeddings are
+    *    near-iid — ANN's adversarial case, where recall ≈ scanned
+    *    fraction because there is no cluster structure to exploit — so
+    *    the floors are tripwires for the machinery breaking, not quality
+    *    SLAs; [[AnnParams]] documents how the probe widths are derived).
+    *
+    * The engine's actual ANN answer stays available through the factored
+    * cores (specs pin their zero-exchange serving plans and planted-
+    * cluster recalls); this wrapper is what makes the family
+    * driver-checked instead of trust-the-spec. */
+  private def annLawFrame(exactScored: DataFrame, score: String,
+      asc: Boolean, ann: DataFrame, minHits: Int): DataFrame = {
+    val ord =
+      if (asc) Seq(col(score).asc, col("vec_id"))
+      else Seq(col(score).desc, col("vec_id"))
+    val exactTop = exactScored.orderBy(ord: _*).limit(10)
+    // BOTH flags from ONE pass over the ANN answer (the ANN core is the
+    // expensive subplan here — two separate aggregations would run it
+    // twice). Left joins: an ANN row whose id is missing from the corpus
+    // (or whose reported score diverges) must FAIL score_ok, never
+    // vanish; the exact sides are 10-row / single-scan frames.
+    val flags = ann.select(col("vec_id"), col(score).as("ann_score"))
+      .join(exactScored.select(col("vec_id"), col(score).as("exact_score")),
+        Seq("vec_id"), "left")
+      .join(broadcast(exactTop.select(col("vec_id"), lit(true).as("in_top"))),
+        Seq("vec_id"), "left")
+      .agg(
+        coalesce(sum(when(col("in_top"), 1L).otherwise(0L)), lit(0L))
+          .as("n_hit"),
+        coalesce(expr("bool_and(coalesce(ann_score = exact_score, false))"),
+          lit(true)).as("score_ok"))
+      .select((col("n_hit") >= minHits).as("recall_ok"), col("score_ok"))
+    exactTop.crossJoin(broadcast(flags))
+      .select(col("vec_id"), col(score), col("recall_ok"), col("score_ok"))
+      .orderBy(ord: _*)
   }
 
   private val cosineTopKSql =
@@ -192,30 +248,101 @@ object VectorOps extends OpCatalog {
       Seq(emb(spark, sfDir).count()).toDF("n")
     }.head().getLong(0)
 
+  // Driver-checked recall floors (hits of the exact top-10) for the ANN
+  // law flags — measured on the deterministic fixtures in round 8
+  // (hits at sf0.001/sf0.01/sf0.1: q43 4/4/6, q45 6/8/7, q117 9/9/10,
+  // q118 6/8/8) and set one below the measured minimum (the fixtures are
+  // deterministic, so a floor breach means the machinery changed, not
+  // noise). See [[annLawFrame]] for why the floors are modest: near-iid
+  // fixture vectors make recall ≈ scanned fraction.
+  private val lshRecallFloorHits = 3
+  private val ivfRecallFloorHits = 5
+  private val pqRecallFloorHits = 8
+  private val ivfadcRecallFloorHits = 5
+
+  /** Zero-row (vec_id, sim) frame — empty-corpus degrade for the cosine
+    * ANN cores (q43), mirroring [[emptyTopK]]'s L2 shape. */
+  private def emptyCosTopK(spark: SparkSession): DataFrame =
+    spark.range(0).selectExpr("id AS vec_id", "CAST(0.0 AS DOUBLE) AS sim")
+
   // ---------------------------------------------------------------- q43
-  /** ANN via random-hyperplane LSH (E13 scale path): a deterministic
-    * sign-bit bucket per vector (a precomputable partition key at
-    * scale), exact cosine only within the query's bucket. The bucket
-    * width is DERIVED from the corpus size ([[AnnParams.lshBits]]:
-    * 2^bits ≈ n/40, so the probed bucket averages ~4× a top-10 frontier
-    * regardless of corpus scale — the round-4 fixed 8 bits left ~8-row
-    * buckets that couldn't reliably fill top-10). Not oracle-declared
-    * (engine-specific hashing); `VectorOpsSpec` measures recall vs q40. */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tune(spark)
+  /** ANN via multi-probe random-hyperplane LSH (E13 scale path): a
+    * deterministic sign-bit bucket per vector (a precomputable partition
+    * key at scale), exact cosine within the query's Hamming-ball of
+    * buckets. The bucket width is DERIVED from the corpus size
+    * ([[AnnParams.lshBits]]: 2^bits ≈ n/40, so a single bucket averages
+    * ~4× a top-10 frontier regardless of corpus scale), and the probe
+    * ball radius from the bucket-space fraction it covers
+    * ([[AnnParams.lshProbeRadius]] — multi-probe LSH, Lv et al. VLDB
+    * 2007: neighbors missing the query's exact bucket land overwhelmingly
+    * in buckets a few bit-flips away, so probing the Hamming ball buys
+    * recall without more hash tables). At scale `bucket` is a partition
+    * key and the ball membership IS partition pruning. The 1-row collect
+    * fetches the query's bucket + vector (the sanctioned query-vector
+    * collect), making the probe predicate a plan literal. */
+  private[graft] def annLshCore(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = AnnParams.lshBits(corpusSize(spark, sfDir))
     val bucketed = emb(spark, sfDir)
-      .withColumn("bucket", VectorExpressions.hyperplaneBucket(col("embedding"), bits))
-    val qb = bucketed.filter(col("vec_id") === 0)
-      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
-    bucketed.filter(col("vec_id") =!= 0)
-      .join(broadcast(qb), col("bucket") === col("q_bucket"))
-      .select(col("vec_id"),
-        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
-          .as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .withColumn("bucket",
+        VectorExpressions.hyperplaneBucket(col("embedding"), bits))
+    val qRow = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("embedding")).limit(1).collect().headOption
+    qRow match {
+      case None => emptyCosTopK(spark)
+      case Some(r) =>
+        val probe = AnnParams.hammingBall(r.getInt(0), bits,
+          AnnParams.lshProbeRadius(bits))
+        val qv = r.getSeq[Float](1).toArray
+        bucketed.filter(col("vec_id") =!= 0)
+          .filter(col("bucket").isin(probe: _*))
+          .select(col("vec_id"),
+            round(VectorExpressions.cosineSimilarity(
+              col("embedding"), typedlit(qv)), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+    }
   }
+
+  /** Declared q43: [[annLawFrame]] over [[annLshCore]] — exact cosine
+    * top-10 rows + the LSH answer's score/recall law flags. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
+      annLshCore(spark, sfDir), lshRecallFloorHits)
+  }
+
+  private val cosineLawSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |prods AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |sims AS (
+      |  SELECT vec_id, sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY vec_id)
+      |SELECT vec_id,
+      |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |       ELSE round(dot / sqrt(na * nq), 4) END AS sim,
+      |  TRUE AS recall_ok, TRUE AS score_ok
+      |FROM sims
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  private val l2LawSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |prods AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |d AS (
+      |  SELECT vec_id, round(sum((v - w) * (v - w)), 4) AS l2
+      |  FROM prods GROUP BY vec_id)
+      |SELECT vec_id, l2, TRUE AS recall_ok, TRUE AS score_ok
+      |FROM d
+      |ORDER BY l2 ASC, vec_id
+      |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q44
   /** Typed `Aggregator` UDAF (E19): elementwise vector sum per label via
@@ -351,39 +478,48 @@ object VectorOps extends OpCatalog {
     * dependence on the label column) with the cell count DERIVED from the
     * corpus ([[AnnParams.ivfCells]]: nlist ≈ √n, the FAISS sizing rule —
     * 45 cells at the 2k fixture, not the round-4 fixed 8); the query
-    * probes its nearest centroid and searches only that cell.
-    * Deterministic; spec checks exactness within the probed cell and
-    * recall vs brute force. At scale the corpus is PARTITIONED BY cell —
-    * the probe reads 1/nlist of the data (partition pruning), vs q43's
-    * hash-bucket route; training is the once-per-corpus offline step IVF
-    * always pays ([[IvfIndex]] materializes it as a parquet artifact so
-    * serving probes never train), and the codebook (k·dim floats)
-    * broadcasts. */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tune(spark)
+    * probes its [[AnnParams.ivfProbeCells]] nearest centroids (≈ nlist/4
+    * at fixture sizes, capped at 64 absolute) and searches only those
+    * cells. Deterministic; spec checks exactness within the probed cells
+    * and recall vs brute force. At scale the corpus is PARTITIONED BY
+    * cell — the probe reads nprobe/nlist of the data (partition pruning),
+    * vs q43's hash-bucket route; training is the once-per-corpus offline
+    * step IVF always pays ([[IvfIndex]] materializes it as a parquet
+    * artifact so serving probes never train), and the codebook (k·dim
+    * floats) broadcasts. */
+  private[graft] def annIvfCore(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
     val cents = Memo.cached(spark, s"vectorops:ivf_codebook:$sfDir:k=$k") {
       ivfCodebook(e, k, iters = 3)
     }
-    ivfProbe(e.filter(col("vec_id") =!= 0), queryVec(spark, sfDir), cents)
+    ivfProbe(e.filter(col("vec_id") =!= 0), queryVec(spark, sfDir), cents,
+      AnnParams.ivfProbeCells(k))
   }
 
-  /** Pure IVF probe against an already-trained codebook: nearest centroid
-    * to the query (≤k rows, in-plan top-1), then exact cosine top-10
-    * within that cell only. Shared by the declared q45 (codebook memoized
-    * in-session) and [[IvfIndex]]'s artifact path (codebook loaded from
-    * parquet) — training never rides in THIS plan. */
+  /** Declared q45: [[annLawFrame]] over [[annIvfCore]] — exact cosine
+    * top-10 rows + the IVF answer's score/recall law flags. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
+      annIvfCore(spark, sfDir), ivfRecallFloorHits)
+  }
+
+  /** Pure IVF probe against an already-trained codebook: the `nProbe`
+    * nearest centroids to the query (≤k rows, in-plan top-n), then exact
+    * cosine top-10 within those cells only. Shared by the declared q45
+    * (codebook memoized in-session) and [[IvfIndex]]'s artifact path
+    * (codebook loaded from parquet) — training never rides in THIS plan. */
   private[graft] def ivfProbe(corpus: DataFrame, q: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val bestCell = cents.crossJoin(broadcast(q))
+      cents: DataFrame, nProbe: Int = 1): DataFrame = {
+    val bestCells = cents.crossJoin(broadcast(q))
       .select(col("cell"),
         VectorExpressions.cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
-      .limit(1)
+      .limit(nProbe)
       .select(col("cell"))
     assignCells(corpus, cents)
-      .join(broadcast(bestCell), "cell")
+      .join(broadcast(bestCells), "cell")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
@@ -477,16 +613,34 @@ object VectorOps extends OpCatalog {
     * Recall at boundary similarity is measured against exact pairs with
     * the derived parameters at two corpus sizes in `ScaleStressSpec`.
     *
-    * Scale shape: the band shuffle moves only (band, bucket, vec_id) — ids,
-    * not vectors; candidate pairs are distinct-ed BEFORE the embeddings are
-    * joined back (each vector's payload moves once per side of its
-    * candidate set, not once per band). Join keys are equi-keys throughout
-    * — no nested-loop anywhere, linear in candidates, tunable by (B, r). */
+    * Scale shape (of the [[lshPairs]] core): the band shuffle moves only
+    * (band, bucket, vec_id) — ids, not vectors; candidate pairs are
+    * distinct-ed BEFORE the embeddings are joined back (each vector's
+    * payload moves once per side of its candidate set, not once per
+    * band). Join keys are equi-keys throughout — no nested-loop anywhere,
+    * linear in candidates, tunable by (B, r).
+    *
+    * Declared form (round-8 law-flag oracle): rows are the EXACT pairs
+    * over the audited `vec_id < 1000` slice (q46's documented bound — the
+    * only place a nested-loop is allowed, and DuckDB-reproducible), and
+    * `lsh_found` flags whether the full-corpus banded-LSH path found each
+    * one — soundness (lsh ⊆ exact, identical sims) is structural in
+    * [[lshPairs]], so the flag column IS the per-pair recall law, and the
+    * DuckDB twin asserts it TRUE. Beyond-slice LSH pairs simply drop from
+    * this report (q93 declares the unbounded form with its own oracle);
+    * production runs [[lshPairs]] alone. */
   def embeddingNeardupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val (bands, rowBits) =
       AnnParams.bandedLsh(corpusSize(spark, sfDir), threshold = 0.5)
-    lshPairs(emb(spark, sfDir), threshold = 0.5, bands = bands, bits = rowBits)
+    val lsh = lshPairs(emb(spark, sfDir), threshold = 0.5,
+        bands = bands, bits = rowBits)
+      .select(col("id_a"), col("id_b"), lit(true).as("lsh_found"))
+    exactPairs(declaredSlice(spark, sfDir, "q48"), threshold = 0.5)
+      .join(lsh, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("sim"),
+        coalesce(col("lsh_found"), lit(false)).as("lsh_found"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Banded-LSH blocked near-dup core — q48's body, reusable by specs. */
@@ -530,6 +684,23 @@ object VectorOps extends OpCatalog {
       |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q48's oracle: q46's exact slice pairs + the lsh_found law as TRUE. */
+  private val embeddingNeardupLshSql =
+    """WITH dims AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id < 1000),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+      |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS sim,
+      |  TRUE AS lsh_found
+      |FROM pairs
+      |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q78
   /** Semantic dedup endgame (SemDeDup-shape): embedding-cosine near-dup
     * PAIRS → connected-component CLUSTERS → canonical keep-list — the
@@ -562,9 +733,20 @@ object VectorOps extends OpCatalog {
     * form that actually ships at 100 TB, declared as its own query so no
     * declared entry has to ignore rows beyond the q46/q78 slice. The CC
     * stage downstream is byte-identical to q78's ([[GraphOps]] star
-    * rounds), which is the point of the factoring. Not oracle-declared
-    * (engine hyperplane hashes); `VectorOpsSpec` asserts its cluster set
-    * EQUALS the exact-source clusters on the full fixture corpus. */
+    * rounds), which is the point of the factoring.
+    *
+    * Oracle (round 8): the exact-source clusters over the FULL corpus —
+    * DuckDB computes the unbounded n² pair list + recursive-CTE closure,
+    * and the driver hash-compares the LSH-sourced clusters against it.
+    * The declared law is therefore CLUSTER-SET EQUALITY with the exact
+    * source: the derived 0.999-recall banding can in principle miss a
+    * boundary edge, but the CC closure absorbs misses that remain
+    * connected via other paths (measured round 8: the one boundary pair
+    * the 0.98 shape misses at sf0.1 leaves every component intact), and
+    * everything is deterministic — seeded hyperplanes over frozen
+    * fixtures — so the compare is stable, and any future parameter or
+    * hashing change that DOES break a component fails the driver gate
+    * loudly. `VectorOpsSpec` asserts the same equality in-suite. */
   def semanticDedupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val (bands, rowBits) = AnnParams.bandedLsh(corpusSize(spark, sfDir),
@@ -575,6 +757,33 @@ object VectorOps extends OpCatalog {
       .select(col("node").as("vec_id"), col("canon").as("canon_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** q93's oracle: q78's recursive closure WITHOUT the vec_id bound —
+    * the exact-source cluster set over the whole corpus. */
+  private val semanticDedupLshSql =
+    """WITH RECURSIVE dims AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+      |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM sums
+      |  WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.35),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, b AS reachable FROM edges
+      |  UNION
+      |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a)
+      |SELECT node AS vec_id,
+      |  CAST(least(node, min(reachable)) AS BIGINT) AS canon_id
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY vec_id""".stripMargin
 
   private val semanticDedupClustersSql =
     """WITH RECURSIVE dims AS (
@@ -840,20 +1049,36 @@ object VectorOps extends OpCatalog {
     * 100 TB the shortlist plan runs over a stored codes column (32 bits
     * a row) with only the 100 survivors' raw embeddings ever fetched;
     * training is the offline artifact step ([[pqCodebook]], memoized
-    * here like q45's). The 100-candidate re-rank budget is the
-    * recall/latency knob: spec-measured recall@10 is 0.8 at the 500-vec
-    * fixture and degrades as the corpus outgrows a FIXED budget (0.4 at
-    * 2000 — synthetic near-iid vectors are ANN's adversarial case);
-    * production sizes the budget per corpus and composes PQ with IVF
-    * lists (IVFADC, §V of the paper) so the shortlist draws from probed
-    * cells only.
-    * Declared rows-only (engine-trained centroids aren't DuckDB-
-    * replayable); `VectorOpsSpec` pins recall vs the exact L2 top-10,
-    * code-shape invariants, and re-partitioning invariance. */
+    * here like q45's). The re-rank budget is the recall/latency knob,
+    * sized per corpus ([[AnnParams.adcShortlist]]: ~n/4 at fixture
+    * sizes — a FIXED 100 measured recall 0.8 at the 500-vec fixture but
+    * 0.4 at 2000, the budget-outgrown failure mode; capped at 4096,
+    * vanishing at real scale where IVFADC's cell pruning — q118, §V of
+    * the paper — is the recall lever instead).
+    * Declared as the law-flag oracle form ([[annLawFrame]]: exact-L2
+    * top-10 ridealong + recall/score flags the DuckDB twin asserts);
+    * `VectorOpsSpec` additionally pins recall vs the exact L2 top-10,
+    * code-shape invariants, re-partitioning invariance, and the core's
+    * zero-exchange serving plan. */
   def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    pqAdcTopKOf(emb(spark, sfDir), spark, memoKey = Some(sfDir))
+    annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
+      pqAdcTopKOf(emb(spark, sfDir), spark, memoKey = Some(sfDir)),
+      pqRecallFloorHits)
   }
+
+  /** Exact L2-scored corpus vs the vec_id-0 query — `(vec_id, l2)` for
+    * every corpus row, the L2 twin of [[exactCosineScored]]. */
+  private def exactL2Scored(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).limit(1).collect().headOption
+      .map(_.getSeq[Float](0).toArray) match {
+      case None => spark.range(0)
+        .selectExpr("id AS vec_id", "CAST(0.0 AS DOUBLE) AS l2")
+      case Some(qv) => emb(spark, sfDir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+    }
 
   /** Zero-row (vec_id, adc, l2) frame — the empty-corpus degrade result
     * shared by the PQ/IVFADC serving paths (EmptyCorpusSpec's contract:
@@ -910,15 +1135,17 @@ object VectorOps extends OpCatalog {
     val cbArr: Array[Array[Array[Float]]] = Array.tabulate(m)(cb(_))
     val adcCol = VectorExpressions.pqAdcScore(col("embedding"), cbArr, dt,
       Array.empty[Float])
-    // stage 1 (map-only over codes): ADC shortlist of 100 candidates
+    // stage 1 (map-only over codes): ADC shortlist, budget sized per
+    // corpus (qOpt is present here, so e.count()-1 is the corpus size)
+    val budget = AnnParams.adcShortlist(e.count() - 1)
     val shortlist = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         round(adcCol, 4).as("adc"))
       .orderBy(col("adc").asc, col("vec_id"))
-      .limit(100)
-    // stage 2 (100 rows): exact re-rank of the shortlist — the standard
-    // ADC + re-rank serving pair; only here do raw embeddings get read,
-    // and only the shortlist's
+      .limit(budget)
+    // stage 2 (≤budget rows): exact re-rank of the shortlist — the
+    // standard ADC + re-rank serving pair; only here do raw embeddings
+    // get read, and only the shortlist's
     shortlist
       .select(col("vec_id"), col("adc"),
         round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
@@ -955,23 +1182,33 @@ object VectorOps extends OpCatalog {
     * bucketed by cell, so this filter IS partition pruning), residual
     * codes = per-sub-space argmin over PQ literals, ADC = per-probed-
     * cell distance-table lookups — zero joins, zero exchanges
-    * (spec-pinned), one `TakeOrderedAndProject` shortlist of 100, then
-    * the exact-L2 re-rank of q117. Coarse (≤ √n, capped 4096) and PQ
-    * (m·k) codebooks are both bounded broadcastable artifacts; both
-    * trainings are offline steps, memoized here like q45/q117's.
-    * Declared rows-only; `VectorOpsSpec` pins recall vs exact L2 and
-    * the pruned-candidate fraction. */
+    * (spec-pinned), one `TakeOrderedAndProject` shortlist
+    * ([[AnnParams.adcShortlist]]-sized), then the exact-L2 re-rank of
+    * q117. Coarse (≤ √n, capped 4096) and PQ (m·k) codebooks are both
+    * bounded broadcastable artifacts; both trainings are offline steps,
+    * memoized here like q45/q117's.
+    * Declared as the law-flag oracle form ([[annLawFrame]]);
+    * `VectorOpsSpec` pins planted-cluster recall vs exact L2 and the
+    * pruned-candidate fraction on the core. */
   def ivfAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    ivfAdcCandidates(emb(spark, sfDir), spark, memoKey = Some(sfDir)) match {
-      case Some((cands, qv)) => rerank(cands, qv)
-      case None => emptyTopK(spark) // no query vector / untrainable corpus
-    }
+    annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
+      ivfAdcTopKCore(spark, sfDir), ivfadcRecallFloorHits)
   }
 
+  /** In-query q118 core: probed-cell candidates + shortlist re-rank. */
+  private[graft] def ivfAdcTopKCore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    ivfAdcCandidates(emb(spark, sfDir), spark, memoKey = Some(sfDir)) match {
+      case Some((cands, qv)) =>
+        rerank(cands, qv, AnnParams.adcShortlist(corpusSize(spark, sfDir) - 1))
+      case None => emptyTopK(spark) // no query vector / untrainable corpus
+    }
+
   /** Shortlist + exact re-rank, shared with q117's shape. */
-  private[graft] def rerank(cands: DataFrame, qv: Array[Float]): DataFrame =
-    cands.orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+  private[graft] def rerank(cands: DataFrame, qv: Array[Float],
+      shortlist: Int = 100): DataFrame =
+    cands.orderBy(col("adc").asc, col("vec_id").asc).limit(shortlist)
       .select(col("vec_id"), col("adc"),
         round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
       .orderBy(col("l2").asc, col("vec_id"))
@@ -981,9 +1218,10 @@ object VectorOps extends OpCatalog {
     * embedding — probed cells only) plus the query vector; `None` when
     * the query vector or a trainable corpus is absent (empty-corpus
     * degrade). Factored so specs can measure the pruned candidate set
-    * directly. */
+    * directly. `nProbe` defaults to the derived cell count
+    * ([[AnnParams.ivfProbeCells]] over the trained nlist). */
   private[graft] def ivfAdcCandidates(e: DataFrame, spark: SparkSession,
-      memoKey: Option[String], nProbe: Int = 4)
+      memoKey: Option[String], nProbe: Option[Int] = None)
       : Option[(DataFrame, Array[Float])] = {
     val qOpt = e.filter(col("vec_id") === 0)
       .select(col("embedding")).limit(1).collect().headOption
@@ -1034,8 +1272,9 @@ object VectorOps extends OpCatalog {
     // probe: the nProbe nearest coarse cells to the query (positional
     // ids over the cell-ascending order — same order the in-row argmin
     // sees, so the two agree by construction)
+    val np = nProbe.getOrElse(AnnParams.ivfProbeCells(coarseArr.length))
     val probed: Seq[Int] = coarseArr.indices
-      .sortBy(j => (l2(qv, coarseArr(j)), j)).take(nProbe)
+      .sortBy(j => (l2(qv, coarseArr(j)), j)).take(np)
     // in-row cell assignment: the fused codegen'd nearest-centroid
     // expression (first-minimum = lowest-cell tiebreak, the same rule
     // the training-side assignment uses)
@@ -1069,6 +1308,66 @@ object VectorOps extends OpCatalog {
       .filter(cellCol.isin(probed: _*))
       .select(col("vec_id"), round(caseScore, 4).as("adc"), col("embedding"))
     Some((cands, qv))
+  }
+
+  // --------------------------------------------------------------- q131
+  /** Directory of the per-corpus PQ index artifact: keyed by the corpus
+    * file's identity (path + size + mtime), under the system temp dir —
+    * a fresh JVM finds an artifact a previous session built, which is
+    * the point: the offline step happens once per corpus, not once per
+    * session. A corpus rewrite changes the fingerprint and orphans the
+    * stale artifact instead of serving from it. */
+  private[graft] def pqArtifactDir(sfDir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    val fp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_" +
+          s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_pq_index", s"${tag}_$fp")
+  }
+
+  /** Artifact-served PQ probe — the import-then-query split as a DECLARED
+    * query (the reference's own lifecycle: import once, `app.py:88-183`;
+    * query the imported table later). q117 trains its codebook in-query
+    * (session-memoized), so its bench number conflates Lloyd TRAINING
+    * with serving; THIS query reads the [[PqIndex]] parquet artifact —
+    * codebook + stored 32-bit codes — built in an explicit offline step,
+    * so its steady-state cost is pure SERVING: a map-only codes-table
+    * shortlist (embeddings untouched) + the exact re-rank of the
+    * survivors. The artifact is keyed by corpus identity
+    * ([[pqArtifactDir]]): the first-ever touch of a corpus builds it
+    * (logged — that run IS the offline step); every later run, including
+    * fresh bench JVMs, serves from disk. Same law-flag oracle as q117
+    * ([[annLawFrame]]); `PqIndexSpec` pins the artifact probe equal to
+    * q117's in-query answer on the same corpus. */
+  def pqIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val qOpt = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).limit(1).collect().headOption
+      .map(_.getSeq[Float](0).toArray)
+    val served = qOpt match {
+      case None => emptyTopK(spark) // no query vector: empty report
+      case Some(qv) =>
+        val dir = pqArtifactDir(sfDir)
+        val built = java.nio.file.Files.exists(
+          dir.resolve("codes").resolve("_SUCCESS")) &&
+          java.nio.file.Files.exists(
+            dir.resolve("codebook").resolve("_SUCCESS"))
+        if (!built) {
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"q131: building PQ index artifact at $dir (first touch of " +
+              "this corpus — the offline step; later runs serve from disk)")
+          PqIndex.build(e, dir.toString)
+        }
+        PqIndex.probe(spark, dir.toString, qv,
+          e.filter(col("vec_id") =!= 0))
+    }
+    annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
+      served, pqRecallFloorHits)
   }
 
   // --------------------------------------------------------------- q122
@@ -1212,34 +1511,37 @@ object VectorOps extends OpCatalog {
       "per-label centroid cosine audit + most-outlying vector (SemDeDup-style semantic filter)"),
     Op("q74_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql),
       "symmetric int8 quantization audit: scale, saturation, max recon error"),
-    Op("q45_ann_ivf", annIvf, None,
-      "ANN top-10 via IVF coarse-quantizer probe (label centroids)"),
+    Op("q45_ann_ivf", annIvf, Some(cosineLawSql),
+      "ANN via trained-IVF multi-cell probe, declared as the law-flag oracle: exact cosine top-10 ridealong + recall/score flags"),
     Op("q46_embedding_neardup", embeddingNeardup, Some(embeddingNeardupSql),
       "embedding-cosine near-dup pairs (exact baseline, bounded vec_id<1000 slice)"),
-    Op("q48_embedding_neardup_lsh", embeddingNeardupLsh, None,
-      "embedding near-dup via banded hyperplane-LSH blocking (scale path; spec-measured recall vs q46)"),
+    Op("q48_embedding_neardup_lsh", embeddingNeardupLsh,
+      Some(embeddingNeardupLshSql),
+      "embedding near-dup via banded hyperplane-LSH blocking; declared as exact slice pairs + per-pair lsh_found law flag"),
     Op("q40_cosine_topk", cosineTopK, Some(cosineTopKSql),
       "brute-force cosine top-10 vs query vector (fused expression)"),
     Op("q41_vector_norms", vectorNorms, Some(vectorNormsSql),
       "per-label L2 norm stats (higher-order aggregate)"),
     Op("q42_centroid_spread", centroidSpread, Some(centroidSpreadSql),
       "per-label centroid distance spread (posexplode two-stage agg)"),
-    Op("q43_ann_lsh", annLsh, None,
-      "ANN top-10 via random-hyperplane LSH bucket (scale path)"),
+    Op("q43_ann_lsh", annLsh, Some(cosineLawSql),
+      "ANN via multi-probe hyperplane-LSH Hamming ball, declared as the law-flag oracle: exact cosine top-10 ridealong + recall/score flags"),
     Op("q44_vector_sum_agg", vectorSumAgg, Some(vectorSumAggSql),
       "typed Aggregator UDAF: elementwise vector sum per label"),
     Op("q78_semantic_dedup_clusters", semanticDedupClusters,
       Some(semanticDedupClustersSql),
       "embedding near-dup pairs -> connected-component clusters (SemDeDup shape, shared star machinery)"),
-    Op("q93_semantic_dedup_lsh", semanticDedupLsh, None,
-      "q78's unbounded scale-path twin: banded-LSH pair source -> identical CC stage (spec: cluster set == exact source)"),
+    Op("q93_semantic_dedup_lsh", semanticDedupLsh, Some(semanticDedupLshSql),
+      "q78's unbounded scale-path twin: banded-LSH pair source -> identical CC stage; oracle = exact-source recursive closure (cluster-set equality law)"),
     Op("q80_filtered_cosine_topk", filteredCosineTopK,
       Some(filteredCosineTopKSql),
       "hybrid filtered vector search: metadata predicate + key join + cosine top-10"),
-    Op("q117_pq_adc", pqAdcTopK, None,
-      "ANN top-10 via product quantization + asymmetric distance (64x code compression, map-only serving plan; spec-measured recall vs exact L2)"),
-    Op("q118_ivfadc", ivfAdcTopK, None,
-      "ANN top-10 via IVFADC (IVF cell pruning x residual-PQ codes, the FAISS IndexIVFPQ composition; map-only serving, spec-measured recall + pruning)"),
+    Op("q117_pq_adc", pqAdcTopK, Some(l2LawSql),
+      "ANN via PQ + asymmetric distance (64x code compression, map-only serving core), declared as the law-flag oracle: exact L2 top-10 ridealong + recall/score flags"),
+    Op("q118_ivfadc", ivfAdcTopK, Some(l2LawSql),
+      "ANN via IVFADC (IVF cell pruning x residual-PQ codes, FAISS IndexIVFPQ composition), declared as the law-flag oracle vs exact L2"),
+    Op("q131_pq_index_probe", pqIndexProbe, Some(l2LawSql),
+      "artifact-served PQ probe: offline-built PqIndex (codebook + stored codes) serves the query with NO training in-plan; law-flag oracle vs exact L2"),
     Op("q122_batch_cosine_topk", batchCosineTopK, Some(batchCosineTopKSql),
       "batched serving: exact cosine top-5 per each of 8 broadcast query vectors in ONE corpus scan (map-side WindowGroupLimit frontier)"))
 

@@ -53,13 +53,17 @@ class IvfIndexSpec extends SparkSpec {
     // ±the count including the query row — both sides land on the same k)
     val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
+    // same derived probe width as the in-query core (from the REQUESTED
+    // cell count — Lloyd may drop cells, and the core derives from k)
+    val nProbe = AnnParams.ivfProbeCells(
+      AnnParams.ivfCells(Tables.embeddings(spark, sfDir).count()))
     val t1 = System.nanoTime()
-    val served = IvfIndex.probe(spark, dir, q).collect()
+    val served = IvfIndex.probe(spark, dir, q, Some(nProbe)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val tCold = (System.nanoTime() - t1) / 1e9
-    val inQuery = VectorOps.annIvf(spark, sfDir).collect()
+    val inQuery = VectorOps.annIvfCore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-    assert(served == inQuery, "artifact probe must equal the in-query q45")
+    assert(served == inQuery, "artifact probe must equal the in-query q45 core")
     val t2 = System.nanoTime()
     IvfIndex.probe(spark, dir, q).collect()
     val tWarm = (System.nanoTime() - t2) / 1e9

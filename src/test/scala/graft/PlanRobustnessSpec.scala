@@ -43,7 +43,12 @@ class PlanRobustnessSpec extends SparkSpec {
       "q27_approx_distinct",    // 3-row exact × 3-row HLL side join (broadcast)
       "q40_cosine_topk",        // crossJoin(broadcast(the single query vector))
       "q84_heavy_hitters",      // crossJoin(broadcast(1-row sketch+total frame))
-      "q45_ann_ivf",            // crossJoin(broadcast(the single query vector))
+      "q43_ann_lsh",            // law wrapper: query-vector broadcast + 1-row flag frame
+      "q45_ann_ivf",            // crossJoin(broadcast(query vector)) + 1-row flag frame
+      "q48_embedding_neardup_lsh", // exact ridealong over the SAME bounded vec_id<1000 slice as q46 (law-flag harness; production path = lshPairs, equi-join only)
+      "q117_pq_adc",            // law wrapper: 1-row flag frame broadcast
+      "q118_ivfadc",            // law wrapper: 1-row flag frame broadcast
+      "q131_pq_index_probe",    // law wrapper: 1-row flag frame broadcast
       "q80_filtered_cosine_topk", // crossJoin(broadcast(the single query vector))
       "q97_token_freq_spectrum",  // crossJoin(broadcast(1-row vocab-total scalar))
       "q98_diversity_coreset",    // crossJoin(broadcast(k=8 selected centers))

@@ -537,4 +537,34 @@ class ScaleStressSpec extends SparkSpec {
       }
     }
   }
+
+  test("q129 recursion: long event chains cost one corpus pass; depth is the maxHops knob") {
+    import spark.implicits._
+    // one user walks a 10-type cycle; the OBSERVED transition grid is 10
+    // edges no matter how long the walk — the frontier-size law: every
+    // recursive step joins a ≤|types|-row frontier against that grid,
+    // so per-iteration work is grid-sized and corpus length only affects
+    // the single windowed edge-derivation pass.
+    val names = "signup" +: (1 until 10).map(i => s"t$i")
+    def walk(cycles: Int) = (0 until cycles * 10).map { i =>
+      (1L, i.toLong, i.toLong, names(i % 10))
+    }.toDF("user_id", "event_id", "ms", "event_type")
+    import graft.operators.EventOps
+    // depth knob: with maxHops = 9 every type is reached at exactly its
+    // cycle distance from signup
+    val deep = EventOps.recursiveReachOf(walk(200), maxHops = 9).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deep == names.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap,
+      s"min-hop distances wrong on the planted cycle: $deep")
+    // default bound clips the frontier at 4 hops — deeper types absent
+    val clipped = EventOps.recursiveReachOf(walk(200)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clipped == names.take(5).zipWithIndex
+      .map { case (t, i) => t -> i.toLong }.toMap,
+      s"default hop bound must clip at 4: $clipped")
+    // grid-sized recursion: a 200-cycle walk answers IDENTICALLY to a
+    // 2-cycle walk (the recursion never sees the corpus, only the grid)
+    assert(EventOps.recursiveReachOf(walk(2), maxHops = 9).collect().toSeq ==
+      EventOps.recursiveReachOf(walk(200), maxHops = 9).collect().toSeq)
+  }
 }

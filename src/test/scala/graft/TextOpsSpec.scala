@@ -34,7 +34,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("bloom incremental dedup: no false negatives, planted dups all flagged (q77)") {
-    val r = TextOps.incrementalDedupBloom(spark, sfDir).collect()(0)
+    val r = TextOps.incrementalDedupBloomAudit(spark, sfDir).collect()(0)
     val nArriving = r.getLong(0)
     val nTrueDups = r.getLong(1)
     val nFlagged = r.getLong(2)
@@ -54,7 +54,13 @@ class TextOpsSpec extends SparkSpec {
     assert(fpRate <= 0.05, s"fp rate $fpRate above 5% with 128 KB bits")
     assert(nFalsePos == nFlagged - nTrueDups)
     // deterministic across runs (partial sketches OR-merge, order-free)
-    assert(TextOps.incrementalDedupBloom(spark, sfDir).collect()(0) == r)
+    assert(TextOps.incrementalDedupBloomAudit(spark, sfDir).collect()(0) == r)
+    // the declared law-flag form carries the exact values + green flags
+    val declared = TextOps.incrementalDedupBloom(spark, sfDir).collect()(0)
+    assert(declared.getLong(0) == nArriving)
+    assert(declared.getLong(1) == nTrueDups)
+    assert(declared.getLong(2) == 0L)
+    assert(declared.getBoolean(3), "fp_ok must hold on the fixture")
   }
 
   test("repeated-span and trigram-LM oracles are non-vacuous on the fixture") {
@@ -506,6 +512,36 @@ class TextOpsSpec extends SparkSpec {
     // deterministic under repartition
     val again = graft.operators.TextOps.zipfSlopeOf(docs.repartition(5)).collect()
     assert(again.toSeq == out.toSeq)
+  }
+
+  test("gram family shares ONE session gram base: no per-query corpus re-scan") {
+    // round-7 verdict "What's wrong #1": q109, q115 and q120 each ran
+    // their own corpus explode+distinct pass. The declared forms now
+    // derive from the memoized session gram base — prime it, then pin
+    // that every family member's plan reads the cache and never touches
+    // the documents parquet or an explode again.
+    graft.operators.TextOps.gramNovelty(spark, sfDir).collect()
+    for (name <- Seq("q109_containment_pairs", "q115_containment_rare",
+        "q120_gram_novelty")) {
+      // logical leaves: a cached frame is an InMemoryRelation LEAF (its
+      // build lineage is not a child), so "every leaf is the cache"
+      // means the query touches NOTHING but the shared base — no
+      // parquet re-scan, no re-derived gram explode
+      val leaves = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.collectLeaves()
+        .map(_.getClass.getSimpleName)
+      assert(leaves.nonEmpty && leaves.forall(_ == "InMemoryRelation"),
+        s"$name reads beyond the shared gram base: $leaves")
+    }
+    // sharing must not change answers: declared == standalone cores
+    val docs = GraftSession.spread(
+      Tables.documents(spark, sfDir), col("doc_id"))
+    assert(SparkEntry.queries("q109_containment_pairs")(spark, sfDir)
+      .collect().toSeq ==
+      graft.operators.TextOps.containmentPairsOf(docs).collect().toSeq)
+    assert(SparkEntry.queries("q120_gram_novelty")(spark, sfDir)
+      .collect().toSeq ==
+      graft.operators.TextOps.gramNoveltyOf(docs).collect().toSeq)
   }
 
   test("q130 PMI: inseparable pair outranks a chance pair; counts exact") {

@@ -44,9 +44,7 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
-  test("ANN LSH results are a subset of brute-force ranking with exact sims") {
-    val brute = VectorOps.cosineTopK(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  test("ANN LSH core: multi-probe results carry exact sims; declared law flags hold") {
     // recompute full brute-force table for sim lookup
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -55,20 +53,28 @@ class VectorOpsSpec extends SparkSpec {
         round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val ann = VectorOps.annLsh(spark, sfDir).collect()
+    val ann = VectorOps.annLshCore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
-    assert(ann.nonEmpty, "ANN should return candidates from the query bucket")
+    assert(ann.nonEmpty, "ANN should return candidates from the probe ball")
     ann.foreach { case (id, sim) =>
       assert(all(id) == sim, s"ANN sim for $id diverges from brute force")
     }
     // deterministic across runs
-    val again = VectorOps.annLsh(spark, sfDir).collect()
+    val again = VectorOps.annLshCore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
     assert(again.toSeq == ann.toSeq)
+    // the declared law-flag frame: rows are the exact top-10, flags green
+    val law = VectorOps.annLsh(spark, sfDir).collect()
+    assert(law.length == 10)
+    val exactTop = all.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(law.map(r => r.getLong(0) -> r.getDouble(1)).toSeq == exactTop,
+      "law-frame rows must be the exact cosine top-10")
+    assert(law.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "recall_ok/score_ok must hold on the fixture")
   }
 
-  test("IVF probe returns the exact top-k of its probed cell") {
-    val ivf = VectorOps.annIvf(spark, sfDir).collect()
+  test("IVF probe returns the exact top-k of its probed cells; declared law flags hold") {
+    val ivf = VectorOps.annIvfCore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
     assert(ivf.nonEmpty)
     // every returned sim must equal the brute-force sim for that id
@@ -82,8 +88,16 @@ class VectorOpsSpec extends SparkSpec {
     ivf.foreach { case (id, sim) => assert(all(id) == sim) }
     // results are sorted desc with id tiebreak and deterministic
     assert(ivf.sortBy { case (id, s) => (-s, id) }.toSeq == ivf.toSeq)
-    assert(VectorOps.annIvf(spark, sfDir).collect()
+    assert(VectorOps.annIvfCore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq == ivf.toSeq)
+    // the declared law-flag frame: exact top-10 rows, green flags
+    val law = VectorOps.annIvf(spark, sfDir).collect()
+    assert(law.length == 10)
+    assert(law.map(r => r.getLong(0) -> r.getDouble(1)).toSeq ==
+      all.toSeq.sortBy { case (id, s) => (-s, id) }.take(10),
+      "law-frame rows must be the exact cosine top-10")
+    assert(law.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "recall_ok/score_ok must hold on the fixture")
   }
 
   test("trained IVF codebook: label-free, recovers planted clusters, probe recall >= 0.9") {
@@ -160,15 +174,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
     // the real fixture (1 sparse pair at sf0.01, 0 at sf0.001): blocked
     // stays sound there too, and deterministic across runs. Compare against
-    // the UNBOUNDED exact pairs — the declared q46 is bounded to
-    // vec_id < 1000, which only coincides with the full corpus at sf0.001
-    val fixtureExact = pairs(VectorOps.exactPairs(
-      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
-      threshold = 0.5))
-    val fixtureBlocked = pairs(VectorOps.embeddingNeardupLsh(spark, sfDir))
+    // the UNBOUNDED exact pairs with the derived declared-query shape
+    val fixtureEmb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val fixtureExact = pairs(VectorOps.exactPairs(fixtureEmb, threshold = 0.5))
+    val (db, dr) = graft.operators.AnnParams.bandedLsh(
+      Tables.embeddings(spark, sfDir).count(), threshold = 0.5)
+    val fixtureBlocked = pairs(VectorOps.lshPairs(fixtureEmb, 0.5, db, dr))
     fixtureBlocked.foreach { case (ids, sim) =>
       assert(fixtureExact.get(ids).contains(sim)) }
-    assert(pairs(VectorOps.embeddingNeardupLsh(spark, sfDir)) == fixtureBlocked)
+    assert(pairs(VectorOps.lshPairs(fixtureEmb, 0.5, db, dr)) == fixtureBlocked)
+    // declared q48 (law-flag form): rows are the exact slice pairs, and
+    // every one the full-corpus LSH found carries lsh_found = TRUE
+    val declared = VectorOps.embeddingNeardupLsh(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getBoolean(3)))
+    assert(declared.map(d => d._1 -> d._2).toMap ==
+      pairs(VectorOps.exactPairs(fixtureEmb.filter(col("vec_id") < 1000), 0.5)),
+      "declared q48 rows must be the exact slice pairs")
+    declared.foreach { case (ids, _, found) =>
+      assert(found == fixtureBlocked.contains(ids),
+        s"lsh_found for $ids must mirror the blocked pair set") }
   }
 
   test("hyperplane bands: fused one-pass eval == per-band hyperplaneEval for every band") {

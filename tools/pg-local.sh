@@ -36,7 +36,22 @@ case "${1:-}" in
     [ "$(id -u)" = 0 ] && chown "$PGUSER_LOCAL" "$PGDATA"
     run_as_pg "initdb -D '$PGDATA' -A trust -U $PGUSER_LOCAL" >/dev/null
     run_as_pg "pg_ctl -D '$PGDATA' -l '$PGDATA/log' -o '-p $PORT -k $PGDATA' start"
-    echo "POSTGRES_URL=jdbc:postgresql://127.0.0.1:$PORT/postgres?user=$PGUSER_LOCAL"
+    URL="jdbc:postgresql://127.0.0.1:$PORT/postgres?user=$PGUSER_LOCAL"
+    echo "POSTGRES_URL=$URL"
+    # PostGIS probe: when the server-side extension packages exist on this
+    # box, emit POSTGIS_URL too — exporting it auto-enables the full
+    # PostgisLiveSpec (typed geometry DDL + SRID round-trip); without the
+    # packages only the plain-Postgres coverage runs and the spec cancels
+    # with the precise missing piece.
+    SHAREDIR="$(pg_config --sharedir 2>/dev/null || true)"
+    if [ -n "$SHAREDIR" ] && [ -f "$SHAREDIR/extension/postgis.control" ]; then
+      echo "POSTGIS_URL=$URL"
+      echo "# postgis.control found under $SHAREDIR/extension — export" \
+           "POSTGIS_URL above to run PostgisLiveSpec end-to-end"
+    else
+      echo "# no postgis.control under ${SHAREDIR:-<unknown sharedir>}/extension:" \
+           "PostgisLiveSpec will cancel (plain-Postgres specs still run)"
+    fi
     ;;
   stop)
     run_as_pg "pg_ctl -D '$PGDATA' stop" || true
