@@ -1370,6 +1370,57 @@ object VectorOps extends OpCatalog {
       served, pqRecallFloorHits)
   }
 
+  // --------------------------------------------------------------- q132
+  /** Directory of the per-corpus IVF index artifact — [[pqArtifactDir]]'s
+    * fingerprint scheme for the [[IvfIndex]] family. */
+  private[graft] def ivfArtifactDir(sfDir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    val fp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_" +
+          s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_ivf_index", s"${tag}_$fp")
+  }
+
+  /** Artifact-served IVF probe — q131's pattern for the coarse-quantizer
+    * family: the [[IvfIndex]] parquet artifact stores the codebook AND
+    * every vector's cell assignment PARTITIONED BY cell, so the serving
+    * read is partition-PRUNED to the probed cells (`PartitionFilters` on
+    * the cell key — the physical layout a 100 TB deployment buckets by).
+    * q45 trains in-query (memoized); this query's steady-state cost is
+    * the pruned scan + exact cosine inside the probed cells. Same
+    * corpus-identity artifact keying, same law-flag oracle as q45. */
+  def ivfIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val q = queryVec(spark, sfDir)
+    val served =
+      if (q.limit(1).collect().isEmpty) emptyCosTopK(spark)
+      else {
+        val dir = ivfArtifactDir(sfDir)
+        val built = java.nio.file.Files.exists(
+          dir.resolve("codebook").resolve("_SUCCESS")) &&
+          java.nio.file.Files.exists(
+            dir.resolve("assignments").resolve("_SUCCESS"))
+        if (!built) {
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"q132: building IVF index artifact at $dir (first touch of " +
+              "this corpus — the offline step; later runs serve from disk)")
+          IvfIndex.build(e.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"), col("embedding")), dir.toString)
+        }
+        // the same derived probe width as the in-query q45 core
+        IvfIndex.probe(spark, dir.toString, q, Some(
+          AnnParams.ivfProbeCells(
+            AnnParams.ivfCells(corpusSize(spark, sfDir)))))
+      }
+    annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
+      served, ivfRecallFloorHits)
+  }
+
   // --------------------------------------------------------------- q122
   /** Batched similarity serving — the shape online retrieval actually
     * runs: a BATCH of query vectors (here vec_id < 8) against the corpus
@@ -1542,6 +1593,8 @@ object VectorOps extends OpCatalog {
       "ANN via IVFADC (IVF cell pruning x residual-PQ codes, FAISS IndexIVFPQ composition), declared as the law-flag oracle vs exact L2"),
     Op("q131_pq_index_probe", pqIndexProbe, Some(l2LawSql),
       "artifact-served PQ probe: offline-built PqIndex (codebook + stored codes) serves the query with NO training in-plan; law-flag oracle vs exact L2"),
+    Op("q132_ivf_index_probe", ivfIndexProbe, Some(cosineLawSql),
+      "artifact-served IVF probe: offline-built IvfIndex (codebook + cell-PARTITIONED assignments) serves via partition-pruned cell scans, no training in-plan; law-flag oracle vs exact cosine"),
     Op("q122_batch_cosine_topk", batchCosineTopK, Some(batchCosineTopKSql),
       "batched serving: exact cosine top-5 per each of 8 broadcast query vectors in ONE corpus scan (map-side WindowGroupLimit frontier)"))
 

@@ -76,4 +76,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("posexplode"),
       "probe plan must not contain training stages")
   }
+
+  test("q132 declared form: exact top-10 + green flags; identity-keyed artifact reused, not rebuilt") {
+    val law = VectorOps.ivfIndexProbe(spark, sfDir).collect()
+    assert(law.length == 10)
+    assert(law.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "recall_ok/score_ok must hold on the fixture")
+    // a second invocation serves from the SAME artifact: identical rows,
+    // and the _SUCCESS marker's mtime proves no rebuild happened
+    val marker = VectorOps.ivfArtifactDir(sfDir)
+      .resolve("assignments").resolve("_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker).toMillis
+    val again = VectorOps.ivfIndexProbe(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == law.map(_.toSeq).toSeq)
+    assert(java.nio.file.Files.getLastModifiedTime(marker).toMillis == mtime,
+      "second probe must reuse the artifact, not rebuild it")
+  }
 }

@@ -49,6 +49,7 @@ class PlanRobustnessSpec extends SparkSpec {
       "q117_pq_adc",            // law wrapper: 1-row flag frame broadcast
       "q118_ivfadc",            // law wrapper: 1-row flag frame broadcast
       "q131_pq_index_probe",    // law wrapper: 1-row flag frame broadcast
+      "q132_ivf_index_probe",   // law wrapper: query-vector + 1-row flag broadcasts
       "q80_filtered_cosine_topk", // crossJoin(broadcast(the single query vector))
       "q97_token_freq_spectrum",  // crossJoin(broadcast(1-row vocab-total scalar))
       "q98_diversity_coreset",    // crossJoin(broadcast(k=8 selected centers))

@@ -44,4 +44,18 @@ class PqIndexSpec extends SparkSpec {
     assert(ids == Seq("vec_id", "codes"),
       "codes artifact must hold nothing but ids and codes")
   }
+
+  test("q131 declared form: exact top-10 + green flags; identity-keyed artifact reused, not rebuilt") {
+    val law = VectorOps.pqIndexProbe(spark, sfDir).collect()
+    assert(law.length == 10)
+    assert(law.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "recall_ok/score_ok must hold on the fixture")
+    val marker = VectorOps.pqArtifactDir(sfDir)
+      .resolve("codes").resolve("_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker).toMillis
+    val again = VectorOps.pqIndexProbe(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == law.map(_.toSeq).toSeq)
+    assert(java.nio.file.Files.getLastModifiedTime(marker).toMillis == mtime,
+      "second probe must reuse the artifact, not rebuild it")
+  }
 }
