@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *    expression per row, `TakeOrderedAndProject` — a single scan, no
   *    shuffle of the corpus. This is the exact baseline.
   *  - q43 LSH path: precomputable per-row bucket (a plain column → can be a
-  *    partition key at scale), search only the query's bucket. Probe cost
-  *    drops to corpus/2^bits; recall measured against q40 in the spec.
+  *    partition key at scale), search only the query's Hamming ball of
+  *    buckets (multi-probe). Probe cost drops to corpus·ball/2^bits;
+  *    recall is driver-checked via the law-flag oracle and measured
+  *    against q40 in the spec.
   *  - q44 typed Aggregator (UDAF surface): elementwise vector sum per
   *    group — partial-aggregated map-side like any built-in agg.
   */
@@ -1329,6 +1331,41 @@ object VectorOps extends OpCatalog {
       "graft_pq_index", s"${tag}_$fp")
   }
 
+  /** Race-safe artifact build: materialize into a unique tmp sibling,
+    * then atomically move into place — two sessions first-touching the
+    * same corpus cannot interleave writes into one directory (the loser
+    * of the rename race discards its build and serves the winner's;
+    * both artifacts are deterministic, so either is correct). `subdirs`
+    * are the artifact's components, each checked for a `_SUCCESS`
+    * marker so a torn earlier build is never mistaken for ready. */
+  private def buildArtifactOnce(dir: java.nio.file.Path,
+      subdirs: Seq[String])(build: String => Unit): Boolean = {
+    import java.nio.file.Files
+    def ready = subdirs.forall(s =>
+      Files.exists(dir.resolve(s).resolve("_SUCCESS")))
+    if (ready) return false
+    Files.createDirectories(dir.getParent)
+    val tmp = dir.resolveSibling(
+      s"${dir.getFileName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
+    build(tmp.toString)
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively(_)) finally children.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    // heal a torn directory (a crashed build from before the tmp+rename
+    // scheme): it exists but lacks _SUCCESS markers, so clear it out
+    // rather than letting the rename fail and the torn artifact serve
+    if (!ready && Files.exists(dir)) deleteRecursively(dir)
+    try { Files.move(tmp, dir); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(tmp); false // a concurrent build won the race
+    }
+  }
+
   /** Artifact-served PQ probe — the import-then-query split as a DECLARED
     * query (the reference's own lifecycle: import once, `app.py:88-183`;
     * query the imported table later). q117 trains its codebook in-query
@@ -1353,16 +1390,11 @@ object VectorOps extends OpCatalog {
       case None => emptyTopK(spark) // no query vector: empty report
       case Some(qv) =>
         val dir = pqArtifactDir(sfDir)
-        val built = java.nio.file.Files.exists(
-          dir.resolve("codes").resolve("_SUCCESS")) &&
-          java.nio.file.Files.exists(
-            dir.resolve("codebook").resolve("_SUCCESS"))
-        if (!built) {
+        if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
+            tmp => PqIndex.build(e, tmp)))
           org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"q131: building PQ index artifact at $dir (first touch of " +
+            s"q131: built PQ index artifact at $dir (first touch of " +
               "this corpus — the offline step; later runs serve from disk)")
-          PqIndex.build(e, dir.toString)
-        }
         PqIndex.probe(spark, dir.toString, qv,
           e.filter(col("vec_id") =!= 0))
     }
@@ -1401,17 +1433,12 @@ object VectorOps extends OpCatalog {
       if (q.limit(1).collect().isEmpty) emptyCosTopK(spark)
       else {
         val dir = ivfArtifactDir(sfDir)
-        val built = java.nio.file.Files.exists(
-          dir.resolve("codebook").resolve("_SUCCESS")) &&
-          java.nio.file.Files.exists(
-            dir.resolve("assignments").resolve("_SUCCESS"))
-        if (!built) {
+        if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
+            tmp => IvfIndex.build(e.filter(col("vec_id") =!= 0)
+              .select(col("vec_id"), col("embedding")), tmp)))
           org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"q132: building IVF index artifact at $dir (first touch of " +
+            s"q132: built IVF index artifact at $dir (first touch of " +
               "this corpus — the offline step; later runs serve from disk)")
-          IvfIndex.build(e.filter(col("vec_id") =!= 0)
-            .select(col("vec_id"), col("embedding")), dir.toString)
-        }
         // the same derived probe width as the in-query q45 core
         IvfIndex.probe(spark, dir.toString, q, Some(
           AnnParams.ivfProbeCells(
