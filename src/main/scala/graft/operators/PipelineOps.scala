@@ -90,6 +90,88 @@ object PipelineOps extends OpCatalog {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  /** Okapi BM25 retrieval (Robertson et al., TREC-3; the Lucene-default
+    * `+1`-inside-the-log IDF): top-20 documents for a fixed 3-term
+    * keyword query — the lexical-retrieval standard that completes the
+    * relevance family (q63 extracts per-doc salient terms; THIS ranks
+    * docs for a query; q40/q80 are its dense-vector twins). A curation
+    * pipeline runs exactly this shape for decontamination lookups and
+    * retrieval-based dedup against benchmark suites.
+    *
+    * Determinism: tf/df/N/dl are integers; each per-(doc,term) partial
+    * score is one double expression over those integers (ln + divisions
+    * from identical literals); the per-doc sum spans ≤|Q| terms before
+    * the single `round(·,4)`; ordering is (rounded score DESC, doc_id) —
+    * q63's cross-engine argument verbatim.
+    *
+    * Scale: ONE tokenize pass feeds both the doc-length agg and the
+    * query-term tf agg — and the `w ∈ Q` predicate prunes the tf side
+    * map-side BEFORE its shuffle (the shuffled frame is ≤|Q| rows per
+    * doc, not the token stream); df reduces the tf frame (|Q|-row
+    * result, broadcast); doc-length joins are doc_id-keyed; the 1-row
+    * corpus stats broadcast; top-20 is `TakeOrderedAndProject`. Nothing
+    * is query-term-count-quadratic or corpus-quadratic. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    bm25SearchOf(GraftSession.spread(
+      Tables.documents(spark, sfDir), col("doc_id")),
+      Seq("window", "spark", "stream"))
+  }
+
+  /** Core of q133 over any (doc_id, text) frame and query-term set. */
+  private[graft] def bm25SearchOf(docs: DataFrame,
+      query: Seq[String]): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val tf = toks.filter(col("w").isin(query: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_len").cast("double") / col("n_docs"))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (lit(1.2) + 1.0)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("bm25"),
+        count(lit(1)).as("n_query_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25SearchSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      |lens AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE w IN ('window', 'spark', 'stream') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+      |        (CAST(total_len AS DOUBLE) / n_docs))) AS sc
+      |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id), stats)
+      |SELECT doc_id, round(sum(sc), 4) AS bm25,
+      |  CAST(count(*) AS BIGINT) AS n_query_terms
+      |FROM s GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q64
   /** Deterministic stratified sampling: an LCG hash of the stable doc id
     * (`(id·1103515245 + 12345) mod 1000 < 200` → ~20%) selects the sample,
@@ -1052,6 +1134,8 @@ object PipelineOps extends OpCatalog {
       "linear (fasttext-shape) quality-classifier inference: hashed-bucket weights, logistic score, keep rate"),
     Op("q63_salient_terms", salientTerms, Some(salientTermsSql),
       "TF-IDF salient-term extraction (top-1 per doc, rounded-score argmax)"),
+    Op("q133_bm25_search", bm25Search, Some(bm25SearchSql),
+      "Okapi BM25 lexical retrieval: top-20 docs for a fixed keyword query (k1=1.2, b=0.75, Lucene-style IDF; one tokenize pass, map-side query-term pruning)"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

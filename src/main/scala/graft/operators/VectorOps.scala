@@ -78,7 +78,7 @@ object VectorOps extends OpCatalog {
     * cores (specs pin their zero-exchange serving plans and planted-
     * cluster recalls); this wrapper is what makes the family
     * driver-checked instead of trust-the-spec. */
-  private def annLawFrame(exactScored: DataFrame, score: String,
+  private[graft] def annLawFrame(exactScored: DataFrame, score: String,
       asc: Boolean, ann: DataFrame, minHits: Int): DataFrame = {
     val ord =
       if (asc) Seq(col(score).asc, col("vec_id"))

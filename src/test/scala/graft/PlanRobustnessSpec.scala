@@ -56,7 +56,8 @@ class PlanRobustnessSpec extends SparkSpec {
       "q106_source_overlap",      // crossJoin(broadcast(≤|sources|-row totals grid)) for the full pair matrix
       "q112_key_skew_profile",    // crossJoin(broadcast(1-row totals scalar))
       "q122_batch_cosine_topk",   // crossJoin(broadcast(the 8-row query batch))
-      "q130_pmi_collocations"     // crossJoin(broadcast(1-row N1/N2 totals scalar))
+      "q130_pmi_collocations",    // crossJoin(broadcast(1-row N1/N2 totals scalar))
+      "q133_bm25_search"          // crossJoin(broadcast(1-row corpus-stats scalar))
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(

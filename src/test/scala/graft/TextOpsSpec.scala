@@ -514,6 +514,41 @@ class TextOpsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("q133 BM25: tf saturates, IDF downweights common terms, length normalizes") {
+    import spark.implicits._
+    val q = Seq("alpha", "beta")
+    // beta appears in EVERY doc (low IDF); alpha only in docs 1-3 (high
+    // IDF). doc 1: one alpha, short; doc 2: many alphas, same length ->
+    // higher score but sub-linear (saturation); doc 3: one alpha diluted
+    // in a long doc -> below doc 1 (length normalization); doc 4: beta
+    // only -> lowest; doc 5: no query terms -> absent.
+    val filler = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta one two three four five six seven eight"),
+      (2L, "alpha alpha alpha alpha beta five six seven eight nine"),
+      (3L, s"alpha beta $filler"),
+      (4L, "beta one two three four five six seven eight nine"),
+      (5L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.PipelineOps.bm25SearchOf(docs, q).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(!out.contains(5L), "a doc with no query terms must not score")
+    assert(out(1L)._2 == 2 && out(4L)._2 == 1, "query-term coverage counts")
+    assert(out(2L)._1 > out(1L)._1, "higher tf must score higher")
+    // saturation: 4x the tf buys far less than 4x the score
+    assert(out(2L)._1 < out(1L)._1 * 3,
+      s"tf must saturate: ${out(2L)._1} vs ${out(1L)._1}")
+    assert(out(1L)._1 > out(3L)._1,
+      "the same tf diluted in a longer doc must score lower")
+    assert(out(1L)._1 > out(4L)._1,
+      "a high-IDF term must outweigh an everywhere-term")
+    // deterministic under repartition
+    val again = graft.operators.PipelineOps
+      .bm25SearchOf(docs.repartition(5), q).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(again == out)
+  }
+
   test("gram family shares ONE session gram base: no per-query corpus re-scan") {
     // round-7 verdict "What's wrong #1": q109, q115 and q120 each ran
     // their own corpus explode+distinct pass. The declared forms now

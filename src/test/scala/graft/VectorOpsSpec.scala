@@ -73,6 +73,38 @@ class VectorOpsSpec extends SparkSpec {
       "recall_ok/score_ok must hold on the fixture")
   }
 
+  test("ANN law flags are FALSIFIABLE: planted violations flip them") {
+    import spark.implicits._
+    // a law that cannot fail is decoration — plant each violation class
+    // against a tiny exact table and pin the exact flag response
+    val exact = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.6), (5L, 0.5),
+      (6L, 0.45), (7L, 0.4), (8L, 0.35), (9L, 0.3), (10L, 0.25), (11L, 0.2))
+      .toDF("vec_id", "sim")
+    def law(ann: org.apache.spark.sql.DataFrame, minHits: Int) =
+      VectorOps.annLawFrame(exact, "sim", asc = false, ann, minHits)
+        .select("recall_ok", "score_ok").head()
+    val good = exact.filter(col("vec_id") <= 10)
+    // truthful ANN answer: both flags green
+    assert(law(good, 10) == org.apache.spark.sql.Row(true, true))
+    // one corrupted score -> score_ok false (recall untouched)
+    val corrupt = good.withColumn("sim",
+      when(col("vec_id") === 3, lit(0.7001)).otherwise(col("sim")))
+    assert(law(corrupt, 10) == org.apache.spark.sql.Row(true, false))
+    // an id that does not exist in the corpus -> score_ok false, and the
+    // phantom must not count toward recall
+    val phantom = good.filter(col("vec_id") =!= 3)
+      .unionByName(Seq((99L, 0.99)).toDF("vec_id", "sim"))
+    assert(law(phantom, 10) == org.apache.spark.sql.Row(false, false))
+    // honest but insufficient recall -> recall_ok false, score_ok true
+    val shallow = exact.filter(col("vec_id") >= 6) // only 5 of the top 10
+    assert(law(shallow, 10) == org.apache.spark.sql.Row(false, true))
+    assert(law(shallow, 5) == org.apache.spark.sql.Row(true, true))
+    // empty ANN answer: recall fails at any positive floor; score
+    // vacuously holds (nothing reported, nothing wrong)
+    assert(law(good.filter(col("vec_id") < 0), 1) ==
+      org.apache.spark.sql.Row(false, true))
+  }
+
   test("IVF probe returns the exact top-k of its probed cells; declared law flags hold") {
     val ivf = VectorOps.annIvfCore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
