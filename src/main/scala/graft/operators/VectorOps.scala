@@ -1338,7 +1338,7 @@ object VectorOps extends OpCatalog {
     * both artifacts are deterministic, so either is correct). `subdirs`
     * are the artifact's components, each checked for a `_SUCCESS`
     * marker so a torn earlier build is never mistaken for ready. */
-  private def buildArtifactOnce(dir: java.nio.file.Path,
+  private[graft] def buildArtifactOnce(dir: java.nio.file.Path,
       subdirs: Seq[String])(build: String => Unit): Boolean = {
     import java.nio.file.Files
     def ready = subdirs.forall(s =>

@@ -45,6 +45,59 @@ class PqIndexSpec extends SparkSpec {
       "codes artifact must hold nothing but ids and codes")
   }
 
+  test("buildArtifactOnce: builds once, reuses, heals torn dirs, loses races cleanly") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_bao")
+    val dir = root.resolve("artifact")
+    var builds = 0
+    def build(tmp: String): Unit = {
+      builds += 1
+      val sub = Paths.get(tmp, "part")
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("_SUCCESS"), "")
+      Files.writeString(sub.resolve("data"), s"build-$builds")
+    }
+    // first touch builds and installs
+    assert(VectorOps.buildArtifactOnce(dir, Seq("part"))(build))
+    assert(builds == 1)
+    assert(Files.exists(dir.resolve("part").resolve("_SUCCESS")))
+    // second touch reuses — the build fn never runs
+    assert(!VectorOps.buildArtifactOnce(dir, Seq("part"))(build))
+    assert(builds == 1)
+    // a torn directory (no _SUCCESS) is healed by a fresh build
+    Files.delete(dir.resolve("part").resolve("_SUCCESS"))
+    assert(VectorOps.buildArtifactOnce(dir, Seq("part"))(build))
+    assert(builds == 2)
+    assert(Files.readString(dir.resolve("part").resolve("data")) == "build-2")
+    // rename-race loser: a competitor installs the artifact BETWEEN this
+    // build and its move — the loser must discard its tmp and leave the
+    // winner's artifact untouched
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val cs = Files.list(p)
+        try cs.forEach(deleteTree(_)) finally cs.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    Files.delete(dir.resolve("part").resolve("_SUCCESS")) // not ready again
+    def racingBuild(tmp: String): Unit = {
+      build(tmp) // our build (#3)
+      val winner = root.resolve("winner")
+      build(winner.toString) // competitor's build (#4)...
+      deleteTree(dir) // competitor heals the torn dir
+      Files.move(winner, dir) // ...and installs first
+    }
+    assert(!VectorOps.buildArtifactOnce(dir, Seq("part"))(racingBuild),
+      "rename-race loser must report no install")
+    assert(Files.readString(dir.resolve("part").resolve("data")) == "build-4",
+      "the race winner's artifact must survive")
+    // the loser's tmp build directory is cleaned up
+    val leftovers = Files.list(root)
+    try assert(leftovers.toArray.map(_.toString).forall(_.endsWith("artifact")),
+      "loser tmp dirs must be deleted")
+    finally leftovers.close()
+  }
+
   test("q131 declared form: exact top-10 + green flags; identity-keyed artifact reused, not rebuilt") {
     val law = VectorOps.pqIndexProbe(spark, sfDir).collect()
     assert(law.length == 10)
