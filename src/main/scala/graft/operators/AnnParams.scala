@@ -161,5 +161,9 @@ object AnnParams {
     * at 4096 rows absolute — vanishing relative to a real corpus, where
     * IVFADC's cell pruning (q118) is the recall lever instead. */
   def adcShortlist(n: Long): Int =
-    math.max(100, math.min(4096, ((n + 3) / 4).toInt))
+    // clamp in Long BEFORE narrowing: at n ≈ 10¹⁰ the quarter-corpus
+    // intermediate overflows Int and would wrap the budget negative,
+    // silently collapsing it to the 100 floor at exactly the scale the
+    // cap exists for
+    math.max(100L, math.min(4096L, (n + 3) / 4)).toInt
 }

@@ -26,16 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Train a codebook with derived nlist (≈√n) over `(vec_id, embedding)`
-    * rows. One count + seeding + 3 Lloyd iterations; deterministic. */
-  def train(e: DataFrame, iters: Int = 3): DataFrame =
-    VectorOps.ivfCodebook(e, AnnParams.ivfCells(e.count()), iters)
+  /** Train a codebook over `(vec_id, embedding)` rows. `nlist` defaults
+    * to the derived ≈√n rule over THIS frame's count; callers aligning
+    * with an in-query path that derived nlist from a slightly different
+    * count (q132: the corpus including the query row) pass it
+    * explicitly. One count + seeding + 3 Lloyd iterations;
+    * deterministic. */
+  def train(e: DataFrame, iters: Int = 3,
+      nlist: Option[Int] = None): DataFrame =
+    VectorOps.ivfCodebook(e,
+      nlist.getOrElse(AnnParams.ivfCells(e.count())), iters)
 
   /** Build the full index at `path`: train, then materialize every
     * vector's cell assignment partitioned by cell. The assignment pass is
     * the one full-corpus job serving probes never re-pay. */
-  def build(e: DataFrame, path: String, iters: Int = 3): Unit = {
-    val cb = train(e, iters).localCheckpoint()
+  def build(e: DataFrame, path: String, iters: Int = 3,
+      nlist: Option[Int] = None): Unit = {
+    val cb = train(e, iters, nlist).localCheckpoint()
     cb.write.mode("overwrite").parquet(s"$path/codebook")
     VectorOps.assignCells(e, cb)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
@@ -48,9 +55,13 @@ object IvfIndex {
     * codebook, pick the `nProbe` nearest cells in-plan, scan ONLY those
     * cells' partitions (partition-pruned — `.explain` shows the cell
     * PartitionFilters), exact cosine top-10 inside them. `q` is a 1-row
-    * frame with column `q_emb`. `nProbe` defaults to the same derived
-    * width the in-query q45 uses, so artifact and in-query answers stay
-    * identical. */
+    * frame with column `q_emb`. The `nProbe` DEFAULT derives from the
+    * TRAINED cell count — which is ≤ the requested nlist, because Lloyd
+    * can empty cells — so it can be one cell narrower than the in-query
+    * q45's width (derived from the REQUESTED nlist). Callers that need
+    * exact q45 answer parity pass nProbe explicitly (q132 and
+    * `IvfIndexSpec` do); the default is the right standalone behavior
+    * for an artifact consumed without the training-side context. */
   def probe(spark: SparkSession, path: String, q: DataFrame,
       nProbeOpt: Option[Int] = None): DataFrame = {
     val cb = loadCodebook(spark, path)

@@ -105,13 +105,17 @@ object PipelineOps extends OpCatalog {
     * the single `round(·,4)`; ordering is (rounded score DESC, doc_id) —
     * q63's cross-engine argument verbatim.
     *
-    * Scale: ONE tokenize pass feeds both the doc-length agg and the
-    * query-term tf agg — and the `w ∈ Q` predicate prunes the tf side
-    * map-side BEFORE its shuffle (the shuffled frame is ≤|Q| rows per
-    * doc, not the token stream); df reduces the tf frame (|Q|-row
-    * result, broadcast); doc-length joins are doc_id-keyed; the 1-row
-    * corpus stats broadcast; top-20 is `TakeOrderedAndProject`. Nothing
-    * is query-term-count-quadratic or corpus-quadratic. */
+    * Scale: ONE tokenize pass, period — per-doc length AND every
+    * query-term tf come out of a single map-combined `groupBy(doc_id)`
+    * (|Q| is a small static list, so tfs are columns, not rows), and
+    * that compact per-doc summary is MATERIALIZED (localCheckpoint —
+    * docs-sized, `(doc_id, dl, tf…)`, a sliver of the token stream) so
+    * the corpus-stats/df aggregation and the scoring pass both read it
+    * instead of re-tokenizing (the q115 lesson: an unmaterialized base
+    * re-runs its corpus scan per consumer). Stats land as a 1-row
+    * broadcast; scoring is a per-row map over the summary; top-20 is
+    * `TakeOrderedAndProject`. Nothing is query-term-count-quadratic or
+    * corpus-quadratic. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     bm25SearchOf(GraftSession.spread(
@@ -125,25 +129,37 @@ object PipelineOps extends OpCatalog {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_len"))
-    val tf = toks.filter(col("w").isin(query: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), "w")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats))
+    val tfCols = query.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    // the ONE corpus pass; materialized because both the stats agg and
+    // the scoring pass consume it
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint()
+    val dfCols = query.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("total_len") +: dfCols): _*)
+    val termScore = query.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        log((col("n_docs") - col(s"df_$i") + 0.5) /
+            (col(s"df_$i") + 0.5) + 1.0) *
+          (col(s"tf_$i") * (lit(1.2) + 1.0)) /
+          (col(s"tf_$i") + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val nTerms = query.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("total_len").cast("double") / col("n_docs"))
-      .withColumn("s",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * (lit(1.2) + 1.0)) /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 4).as("bm25"),
-        count(lit(1)).as("n_query_terms"))
+      .withColumn("bm25", round(termScore.reduce(_ + _), 4))
+      .withColumn("n_query_terms", nTerms)
+      .filter(col("n_query_terms") > 0)
+      .select(col("doc_id"), col("bm25"), col("n_query_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }

@@ -956,15 +956,24 @@ object TextOps extends OpCatalog {
       .select(col("doc_id"), lit(true).as("is_dup"))
     flagged.join(dups, Seq("doc_id"), "left")
       .na.fill(false, Seq("is_dup"))
+      // coalesce: SUM over an EMPTY arriving batch is NULL — the audit
+      // of nothing is zeros, not a null-typed row (q46's precedent)
       .agg(count(lit(1)).as("n_arriving"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
-        sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(col("maybe_seen") && !col("is_dup"), 1L).otherwise(0L))
-          .as("n_false_pos"),
-        sum(when(!col("maybe_seen") && col("is_dup"), 1L).otherwise(0L))
-          .as("n_false_neg"))
-      .withColumn("fp_rate", round(col("n_false_pos") /
-        (col("n_arriving") - col("n_true_dups")).cast("double"), 4))
+        coalesce(sum(when(col("is_dup"), 1L).otherwise(0L)), lit(0L))
+          .as("n_true_dups"),
+        coalesce(sum(when(col("maybe_seen"), 1L).otherwise(0L)), lit(0L))
+          .as("n_flagged"),
+        coalesce(sum(when(col("maybe_seen") && !col("is_dup"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_pos"),
+        coalesce(sum(when(!col("maybe_seen") && col("is_dup"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_neg"))
+      // an all-duplicates batch has NO non-dup rows to false-positive on:
+      // its fp rate is 0 by definition, not NULL (which would read as a
+      // failed fp_ok law flag against the oracle's literal TRUE)
+      .withColumn("fp_rate",
+        when(col("n_arriving") === col("n_true_dups"), lit(0.0))
+          .otherwise(round(col("n_false_pos") /
+            (col("n_arriving") - col("n_true_dups")).cast("double"), 4)))
   }
 
   private val incrementalDedupBloomSql =
@@ -1196,7 +1205,12 @@ object TextOps extends OpCatalog {
     * frequency, keep informative (df ≤ 50) grams. The distinct is per
     * (doc, gram), so counting rows per gkey IS the document frequency. */
   private def keptFromRaw(raw: DataFrame): DataFrame = {
-    val grams = raw.select(col("doc_id"), col("gkey"))
+    // re-distinct after projecting source away: the raw base is distinct
+    // over (doc_id, source, gkey), so a doc_id that ever appeared under
+    // two sources would duplicate (doc_id, gkey) rows here and inflate
+    // every df count — impossible for well-formed corpora (doc_id is the
+    // key), but the invariant belongs to this frame, not to the input
+    val grams = raw.select(col("doc_id"), col("gkey")).distinct()
     val df = grams.groupBy(col("gkey")).agg(count(lit(1)).as("df"))
     grams.join(df.filter(col("df") <= 50), "gkey")
       .select(col("doc_id"), col("gkey"), col("df"))

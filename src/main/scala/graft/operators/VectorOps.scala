@@ -1313,22 +1313,57 @@ object VectorOps extends OpCatalog {
   }
 
   // --------------------------------------------------------------- q131
-  /** Directory of the per-corpus PQ index artifact: keyed by the corpus
-    * file's identity (path + size + mtime), under the system temp dir —
-    * a fresh JVM finds an artifact a previous session built, which is
-    * the point: the offline step happens once per corpus, not once per
-    * session. A corpus rewrite changes the fingerprint and orphans the
-    * stale artifact instead of serving from it. */
-  private[graft] def pqArtifactDir(sfDir: String): java.nio.file.Path = {
-    val src = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+  /** Directory of a per-corpus index artifact: keyed by the corpus
+    * file's identity, under the system temp dir — a fresh JVM finds an
+    * artifact a previous session built, which is the point: the offline
+    * step happens once per corpus, not once per session. A corpus
+    * rewrite changes the fingerprint and orphans the stale artifact
+    * instead of serving from it. The fingerprint must work for BOTH
+    * corpus shapes `spark.read.parquet` accepts: a single file (size +
+    * mtime) and a Spark-written DIRECTORY — whose own size/mtime do NOT
+    * change when a part file is rewritten in place, so directories hash
+    * the sorted part-file listing (name, size, mtime) instead. */
+  private[graft] def artifactDir(family: String,
+      sfDir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/embeddings.parquet")
     val fp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_" +
-          s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "absent"
+      if (!Files.exists(src)) "absent"
+      else if (Files.isDirectory(src)) {
+        val entries = Files.list(src)
+        val listing =
+          try entries.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filterNot(_.getFileName.toString.startsWith("."))
+            .sortBy(_.getFileName.toString)
+            .map(p => s"${p.getFileName}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+            .mkString("|")
+          finally entries.close()
+        java.lang.Long.toUnsignedString(
+          listing.getBytes("UTF-8").foldLeft(1125899906842597L) {
+            (h, b) => h * 31 + b
+          }, 16)
+      } else s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_pq_index", s"${tag}_$fp")
+    Paths.get(sys.props("java.io.tmpdir"), family, s"${tag}_$fp")
+  }
+
+  private[graft] def pqArtifactDir(sfDir: String): java.nio.file.Path =
+    artifactDir("graft_pq_index", sfDir)
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively(_)) finally children.close()
+      }
+      Files.deleteIfExists(p)
+    } catch {
+      // two sessions healing the same torn dir can race each other's
+      // deletes; a vanished entry is the outcome we wanted
+      case _: java.nio.file.NoSuchFileException => ()
+    }
   }
 
   /** Race-safe artifact build: materialize into a unique tmp sibling,
@@ -1337,28 +1372,29 @@ object VectorOps extends OpCatalog {
     * of the rename race discards its build and serves the winner's;
     * both artifacts are deterministic, so either is correct). `subdirs`
     * are the artifact's components, each checked for a `_SUCCESS`
-    * marker so a torn earlier build is never mistaken for ready. */
+    * marker so a torn earlier build is never mistaken for ready.
+    *
+    * A torn directory (a crashed earlier build) is healed BEFORE this
+    * session's build starts, never after: post-build the only install
+    * path is the atomic rename, so a competitor's COMPLETE artifact
+    * installed while we were building can never be deleted by us — the
+    * rename just fails and we discard our own tmp. (The pre-build heal
+    * still has a microsecond-scale window against a competitor's rename;
+    * the loser of THAT race rebuilds from scratch — wasteful once,
+    * never wrong.) A build that throws cleans its tmp up on the way
+    * out. */
   private[graft] def buildArtifactOnce(dir: java.nio.file.Path,
       subdirs: Seq[String])(build: String => Unit): Boolean = {
     import java.nio.file.Files
     def ready = subdirs.forall(s =>
       Files.exists(dir.resolve(s).resolve("_SUCCESS")))
     if (ready) return false
+    if (Files.exists(dir)) deleteRecursively(dir) // heal a torn dir
     Files.createDirectories(dir.getParent)
     val tmp = dir.resolveSibling(
       s"${dir.getFileName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
-    build(tmp.toString)
-    def deleteRecursively(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val children = Files.list(p)
-        try children.forEach(deleteRecursively(_)) finally children.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    // heal a torn directory (a crashed build from before the tmp+rename
-    // scheme): it exists but lacks _SUCCESS markers, so clear it out
-    // rather than letting the rename fail and the torn artifact serve
-    if (!ready && Files.exists(dir)) deleteRecursively(dir)
+    try build(tmp.toString)
+    catch { case e: Throwable => deleteRecursively(tmp); throw e }
     try { Files.move(tmp, dir); true }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1388,6 +1424,10 @@ object VectorOps extends OpCatalog {
       .map(_.getSeq[Float](0).toArray)
     val served = qOpt match {
       case None => emptyTopK(spark) // no query vector: empty report
+      // query-only corpus: nothing to index — degrade like q117's core
+      // (PqIndex.build would reject the 0-row training frame)
+      case Some(_) if e.filter(col("vec_id") =!= 0)
+          .limit(1).collect().isEmpty => emptyTopK(spark)
       case Some(qv) =>
         val dir = pqArtifactDir(sfDir)
         if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
@@ -1403,19 +1443,9 @@ object VectorOps extends OpCatalog {
   }
 
   // --------------------------------------------------------------- q132
-  /** Directory of the per-corpus IVF index artifact — [[pqArtifactDir]]'s
-    * fingerprint scheme for the [[IvfIndex]] family. */
-  private[graft] def ivfArtifactDir(sfDir: String): java.nio.file.Path = {
-    val src = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
-    val fp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_" +
-          s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "absent"
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_ivf_index", s"${tag}_$fp")
-  }
+  /** [[artifactDir]] for the [[IvfIndex]] family. */
+  private[graft] def ivfArtifactDir(sfDir: String): java.nio.file.Path =
+    artifactDir("graft_ivf_index", sfDir)
 
   /** Artifact-served IVF probe — q131's pattern for the coarse-quantizer
     * family: the [[IvfIndex]] parquet artifact stores the codebook AND
@@ -1429,20 +1459,26 @@ object VectorOps extends OpCatalog {
     GraftSession.tune(spark)
     val e = emb(spark, sfDir)
     val q = queryVec(spark, sfDir)
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
     val served =
-      if (q.limit(1).collect().isEmpty) emptyCosTopK(spark)
+      if (q.limit(1).collect().isEmpty ||
+          corpus.limit(1).collect().isEmpty) emptyCosTopK(spark)
       else {
         val dir = ivfArtifactDir(sfDir)
+        // train with q45's EXACT nlist (derived from the corpus count
+        // INCLUDING the query row, like annIvfCore) — deriving it from
+        // the query-filtered frame instead diverges from the in-query
+        // codebook at √-rounding boundary corpus sizes
+        val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
         if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
-            tmp => IvfIndex.build(e.filter(col("vec_id") =!= 0)
-              .select(col("vec_id"), col("embedding")), tmp)))
+            tmp => IvfIndex.build(corpus, tmp, nlist = Some(k))))
           org.slf4j.LoggerFactory.getLogger(getClass).info(
             s"q132: built IVF index artifact at $dir (first touch of " +
               "this corpus — the offline step; later runs serve from disk)")
         // the same derived probe width as the in-query q45 core
-        IvfIndex.probe(spark, dir.toString, q, Some(
-          AnnParams.ivfProbeCells(
-            AnnParams.ivfCells(corpusSize(spark, sfDir)))))
+        IvfIndex.probe(spark, dir.toString, q,
+          Some(AnnParams.ivfProbeCells(k)))
       }
     annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
       served, ivfRecallFloorHits)

@@ -17,6 +17,14 @@ class IvfIndexSpec extends SparkSpec {
     assert(AnnParams.ivfCells(0) == 2)
     assert(AnnParams.ivfCells(2000) == 45)
     assert(AnnParams.ivfCells(100000000L) == 4096)
+    // adcShortlist: quarter-corpus at fixture sizes, 4096 cap survives
+    // Int-overflow-scale corpora (10^10 vectors)
+    assert(AnnParams.adcShortlist(500) == 125)
+    assert(AnnParams.adcShortlist(10) == 100)
+    assert(AnnParams.adcShortlist(10000000000L) == 4096)
+    // ivfProbeCells: quarter of the cells, capped 64
+    assert(AnnParams.ivfProbeCells(22) == 6)
+    assert(AnnParams.ivfProbeCells(4096) == 64)
     // bandedLsh: derived shape meets the recall target it was asked for
     // (via the same banding formula), and rowBits tracks log2 n
     for (n <- Seq(300L, 2000L, 100000L); t <- Seq(0.5, 0.7, 0.95)) {

@@ -91,10 +91,18 @@ class PqIndexSpec extends SparkSpec {
       "rename-race loser must report no install")
     assert(Files.readString(dir.resolve("part").resolve("data")) == "build-4",
       "the race winner's artifact must survive")
-    // the loser's tmp build directory is cleaned up
+    // a build that THROWS cleans its tmp up on the way out
+    deleteTree(dir)
+    intercept[RuntimeException] {
+      VectorOps.buildArtifactOnce(dir, Seq("part")) { tmp =>
+        Files.createDirectories(Paths.get(tmp, "part"))
+        throw new RuntimeException("boom")
+      }
+    }
+    // no tmp build directories (or anything else) left behind
     val leftovers = Files.list(root)
-    try assert(leftovers.toArray.map(_.toString).forall(_.endsWith("artifact")),
-      "loser tmp dirs must be deleted")
+    try assert(leftovers.toArray.isEmpty,
+      s"tmp dirs must be deleted: ${Files.list(root).toArray.toSeq}")
     finally leftovers.close()
   }
 

@@ -73,6 +73,19 @@ class VectorOpsSpec extends SparkSpec {
       "recall_ok/score_ok must hold on the fixture")
   }
 
+  test("q131/q132 degrade to empty reports on a query-only corpus (nothing to index)") {
+    // vec_id 0 exists but the corpus behind it is empty: the artifact
+    // builders would reject a 0-row training frame, so the declared
+    // queries must degrade like q117/q45's cores do, not crash
+    val dir = java.nio.file.Files.createTempDirectory("graft_qonly").toString
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.documents(spark, sfDir).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(VectorOps.pqIndexProbe(spark, dir).collect().isEmpty)
+    assert(VectorOps.ivfIndexProbe(spark, dir).collect().isEmpty)
+  }
+
   test("ANN law flags are FALSIFIABLE: planted violations flip them") {
     import spark.implicits._
     // a law that cannot fail is decoration — plant each violation class
