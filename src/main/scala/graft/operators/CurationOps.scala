@@ -33,8 +33,9 @@ object CurationOps extends OpCatalog {
     * (no single site may contribute more than CAP documents). Survivors
     * are chosen by a deterministic hash priority, NOT arrival order, so
     * the kept set is stable under corpus re-partitioning and re-runs:
-    * priority `h = (doc_id·1103515245 + 12345) mod 1e9+7` (the fixture
-    * LCG family q64 established), total-ordered by `(h, doc_id)`.
+    * priority `h = ((doc_id mod 2³¹)·1103515245 + 12345) mod 1e9+7`
+    * ([[lcgPriority]] — the fixture LCG family q64 established),
+    * total-ordered by `(h, doc_id)`.
     *
     * Scale shape: a per-key top-K is the canonical SKEWED window — one
     * hot domain (the real distribution is Zipfian) would naively sort its
@@ -56,10 +57,23 @@ object CurationOps extends OpCatalog {
     sourceCapOf(Tables.documents(spark, sfDir), cap = 150)
   }
 
+  /** The deterministic LCG priority shared by q64/q94/q99 (and replayed
+    * verbatim in their oracles): `((doc_id mod 2³¹)·1103515245 + 12345)
+    * mod modulus`. The id is reduced mod 2³¹ BEFORE the multiply: the
+    * raw product wraps BIGINT once doc_id exceeds ~8.4e9 — wrapping
+    * silently in Spark but ERRORING in the DuckDB twin, so the oracle
+    * contract would die at exactly the corpus sizes the
+    * "same rows on any cluster, any run" guarantee exists for. The
+    * reduction is the identity at fixture scale (every fixture id
+    * < 2³¹) and keeps the product ≤ 2³¹·1103515245 < 2⁶³. */
+  private[graft] def lcgPriority(modulus: Long)
+      : org.apache.spark.sql.Column =
+    pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L), lit(modulus))
+
   /** Core of q94 over any (source, doc_id) frame — spec entry point. */
   private[graft] def sourceCapOf(docs: DataFrame, cap: Int): DataFrame = {
-    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-      lit(1000000007L))
+    val h = lcgPriority(1000000007L)
     val global = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
     docs.select(col("source"), col("doc_id")).withColumn("h", h)
@@ -73,7 +87,8 @@ object CurationOps extends OpCatalog {
     """SELECT source, doc_id, rn FROM (
       |  SELECT source, doc_id,
       |    row_number() OVER (PARTITION BY source
-      |      ORDER BY (doc_id*1103515245 + 12345) % 1000000007, doc_id) AS rn
+      |      ORDER BY ((doc_id % 2147483648)*1103515245 + 12345) % 1000000007,
+      |        doc_id) AS rn
       |  FROM documents)
       |WHERE rn <= 150
       |ORDER BY source, rn""".stripMargin
@@ -258,13 +273,13 @@ object CurationOps extends OpCatalog {
     diversityCoresetOf(Tables.embeddings(spark, sfDir), k = 8)
   }
 
+  /** ONE squared-L2 definition engine-wide: the accumulation order and
+    * cast placement drive cross-engine argmin stability (the scaladoc
+    * above), so q98 shares [[VectorOps.sqDist]] rather than keeping a
+    * drift-prone local copy. */
   private def sqDist(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    VectorOps.sqDist(a, b)
 
   /** Core of q98 over any (vec_id, embedding) frame — spec entry point. */
   private[graft] def diversityCoresetOf(e: DataFrame, k: Int): DataFrame = {
@@ -403,8 +418,7 @@ object CurationOps extends OpCatalog {
         col("sum_len") <= col("n_tok") * 12)
     val dedup = Window.partitionBy(lower(col("text"))).orderBy(col("doc_id"))
     val capW = Window.partitionBy(col("source"))
-      .orderBy(pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(1000000007L)), col("doc_id"))
+      .orderBy(lcgPriority(1000000007L), col("doc_id"))
     val bucket = pmod(
       conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
     d.withColumn("drn", row_number().over(dedup)).filter(col("drn") === 1)
@@ -441,7 +455,7 @@ object CurationOps extends OpCatalog {
       |  SELECT * FROM (
       |    SELECT dedup.*,
       |      row_number() OVER (PARTITION BY source
-      |        ORDER BY (doc_id*1103515245 + 12345) % 1000000007,
+      |        ORDER BY ((doc_id % 2147483648)*1103515245 + 12345) % 1000000007,
       |          doc_id) AS crn
       |    FROM dedup)
       |  WHERE crn <= 100),
@@ -457,6 +471,25 @@ object CurationOps extends OpCatalog {
       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM assigned GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
+
+  /** THE planted snapshot v2 — one definition for the whole incremental
+    * family (q100 diff, q108 drift, q110 incremental re-run, q111 KS,
+    * q121 sketch distinct), which all describe the SAME pair of
+    * snapshots: from base (v1), docs with `doc_id % 89 = 0` are dropped,
+    * `% 97 = 0` have their text rewritten (`+" rev2"`), and re-crawls of
+    * `% 101 = 0` docs arrive again as new ids (+1000000) with their
+    * original text. Hand-copying this rule per query is how the "one
+    * consistent incremental world" invariant (and the cross-query
+    * reconciliation CurationOpsSpec asserts) would silently desync —
+    * every consumer now projects from this ONE frame; only the per-query
+    * SQL twins spell the rule out again, per dialect, for the oracle. */
+  private[graft] def plantedV2(base: DataFrame): DataFrame =
+    base.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(97L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
 
   // --------------------------------------------------------------- q100
   /** Corpus snapshot diff — the incremental-processing primitive: given
@@ -478,15 +511,8 @@ object CurationOps extends OpCatalog {
     GraftSession.tune(spark)
     val v1 = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("h1"))
-    val base = Tables.documents(spark, sfDir)
-    val v2 = base
-      .filter(pmod(col("doc_id"), lit(89L)) =!= 0)
-      .select(col("doc_id"),
-        md5(when(pmod(col("doc_id"), lit(97L)) === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h2"))
-      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          md5(col("text")).as("h2")))
+    val v2 = plantedV2(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), md5(col("text")).as("h2"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("h1").isNull, "added")
@@ -716,13 +742,7 @@ object CurationOps extends OpCatalog {
     val v1 = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_v1"),
         sum(toks(col("text"))).as("tokens_v1"))
-    val v2rows = base
-      .filter(pmod(col("doc_id"), lit(89L)) =!= 0)
-      .select(col("source"),
-        when(pmod(col("doc_id"), lit(97L)) === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
-      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
-        .select(col("source"), col("text")))
+    val v2rows = plantedV2(base).select(col("source"), col("text"))
     val v2 = v2rows.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_v2"),
         sum(toks(col("text"))).as("tokens_v2"))
@@ -796,12 +816,7 @@ object CurationOps extends OpCatalog {
     GraftSession.tune(spark)
     val base = Tables.documents(spark, sfDir)
     val v1 = base.select(col("doc_id"), md5(col("text")).as("h1"))
-    val v2 = base.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
-      .select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(97L)) === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
-      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val v2 = plantedV2(base).select(col("doc_id"), col("text"))
     val work = v2.withColumn("h2", md5(col("text")))
       .join(v1, Seq("doc_id"), "left")
       .filter(col("h1").isNull || col("h1") =!= col("h2"))
@@ -944,11 +959,7 @@ object CurationOps extends OpCatalog {
     GraftSession.tune(spark)
     val base = Tables.documents(spark, sfDir)
     val len1 = base.select(length(col("text")).cast("long").as("len"))
-    val len2 = base.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
-      .select(when(pmod(col("doc_id"), lit(97L)) === 0,
-        concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
-      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
-        .select(col("text")))
+    val len2 = plantedV2(base)
       .select(length(col("text")).cast("long").as("len"))
     lengthDriftKsOf(len1, len2)
   }
@@ -1289,13 +1300,8 @@ object CurationOps extends OpCatalog {
   private[graft] def sketchDistinctOf(base: DataFrame): DataFrame = {
     val v1 = base.select(col("source"), md5(col("text")).as("h"))
       .withColumn("snap", lit(1))
-    val v2 = base
-      .filter(pmod(col("doc_id"), lit(89L)) =!= 0)
-      .select(col("source"),
-        md5(when(pmod(col("doc_id"), lit(97L)) === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h"))
-      .unionAll(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
-        .select(col("source"), md5(col("text")).as("h")))
+    val v2 = plantedV2(base)
+      .select(col("source"), md5(col("text")).as("h"))
       .withColumn("snap", lit(2))
     val est = {
       val sk1 = col("sk1"); val sk2 = col("sk2")

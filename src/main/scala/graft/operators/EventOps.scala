@@ -269,11 +269,6 @@ object EventOps extends OpCatalog {
       .select(col("user_id"), col("event_id"), col("ms"), col("event_type")))
   }
 
-  /** Per-invocation unique temp-view suffix: two concurrent q129 calls on
-    * different frames in one SparkSession must not race on a shared view
-    * name (the view is only a naming bridge into the SQL text below). */
-  private val reachViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** Core of q129 over any (user_id, event_id, ms, event_type) frame.
     * The edge grid is MATERIALIZED (localCheckpoint) before the
     * recursion: a CTE referenced from the recursive member may be
@@ -295,24 +290,23 @@ object EventOps extends OpCatalog {
     val spark = events.sparkSession
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms").asc, col("event_id").asc)
-    val view = s"graft_edges_reach_${reachViewSeq.incrementAndGet()}"
-    events
+    val edges = events
       .select(col("event_type").as("from_type"),
         lead(col("event_type"), 1).over(w).as("to_type"))
       .filter(col("to_type").isNotNull)
       .distinct()
       .localCheckpoint()
-      .createOrReplaceTempView(view)
-    try spark.sql(
-      s"""WITH RECURSIVE reach(t, hops) AS (
-         |  SELECT 'signup', 0
-         |  UNION ALL
-         |  SELECT e.to_type, r.hops + 1
-         |  FROM reach r JOIN $view e ON e.from_type = r.t
-         |  WHERE r.hops < $maxHops)
-         |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
-         |FROM reach GROUP BY t ORDER BY t""".stripMargin)
-    finally spark.catalog.dropTempView(view)
+    graft.TempViews.withView(edges, "graft_edges_reach") { view =>
+      spark.sql(
+        s"""WITH RECURSIVE reach(t, hops) AS (
+           |  SELECT 'signup', 0
+           |  UNION ALL
+           |  SELECT e.to_type, r.hops + 1
+           |  FROM reach r JOIN $view e ON e.from_type = r.t
+           |  WHERE r.hops < $maxHops)
+           |SELECT t AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
+           |FROM reach GROUP BY t ORDER BY t""".stripMargin)
+    }
   }
 
   private val recursiveReachSql =

@@ -190,14 +190,15 @@ object PipelineOps extends OpCatalog {
 
   // ---------------------------------------------------------------- q64
   /** Deterministic stratified sampling: an LCG hash of the stable doc id
-    * (`(id·1103515245 + 12345) mod 1000 < 200` → ~20%) selects the sample,
-    * reported per language stratum. Hash-mod sampling is THE reproducible
-    * sampling primitive at scale: a narrow map-side predicate — no
-    * shuffle, no RNG state, no driver coordination — the same rows are
-    * chosen on any cluster, any partitioning, any run. */
+    * (`((id mod 2³¹)·1103515245 + 12345) mod 1000 < 200` → ~20%,
+    * [[CurationOps.lcgPriority]]'s overflow-safe family) selects the
+    * sample, reported per language stratum. Hash-mod sampling is THE
+    * reproducible sampling primitive at scale: a narrow map-side
+    * predicate — no shuffle, no RNG state, no driver coordination — the
+    * same rows are chosen on any cluster, any partitioning, any run. */
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val sampled = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000L)) < 200
+    val sampled = CurationOps.lcgPriority(1000L) < 200
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
@@ -217,11 +218,11 @@ object PipelineOps extends OpCatalog {
       |  first_sampled, last_sampled
       |FROM (
       |  SELECT lang, count(*) AS n_total,
-      |    CAST(sum(CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 200
+      |    CAST(sum(CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 1000 < 200
       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-      |    min(CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 200
+      |    min(CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 1000 < 200
       |             THEN doc_id END) AS first_sampled,
-      |    max(CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 200
+      |    max(CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 1000 < 200
       |             THEN doc_id END) AS last_sampled
       |  FROM documents GROUP BY lang)
       |ORDER BY lang""".stripMargin

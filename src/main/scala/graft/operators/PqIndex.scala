@@ -73,22 +73,17 @@ object PqIndex {
       corpus: DataFrame, shortlistOpt: Option[Int] = None): DataFrame = {
     val shortlist = shortlistOpt.getOrElse(
       AnnParams.adcShortlist(spark.read.parquet(s"$path/codes").count()))
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .orderBy(col("sub"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
-    val cb: Map[Int, Array[Array[Float]]] =
-      cbRows.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    // the ONE shared loader + ADC-table recipe (VectorOps.codebookMap /
+    // adcSqTable — the positional ordering contract lives there, shared
+    // with the in-query q117/q118 paths this probe is spec-pinned
+    // equal to); the artifact's dense `code` column is the id
+    val cb = VectorOps.codebookMap(
+      spark.read.parquet(s"$path/codebook"), "code")
     require(cb.size == M, s"codebook covers ${cb.size} of $M sub-spaces")
     val dsub = qv.length / M
-    // the query's asymmetric distance table, driver arithmetic over the
-    // two literals (q117's recipe): dt(s)(j) = ||q_s − c_{s,j}||²
-    val dt: Seq[Seq[Double]] = (0 until M).map { s =>
-      val qs = qv.slice(s * dsub, (s + 1) * dsub)
-      cb(s).toSeq.map(c => qs.zip(c).map { case (a, b) =>
-        val d = a.toDouble - b.toDouble; d * d
-      }.sum)
-    }
-    val dtLit = typedlit(dt)
+    val dt = VectorOps.adcSqTable(cb, M,
+      s => qv.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
+    val dtLit = typedlit(dt.map(_.toSeq).toSeq)
     val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
       (acc, s) => acc +
         element_at(element_at(dtLit, s + 1),

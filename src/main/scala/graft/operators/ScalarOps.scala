@@ -104,15 +104,16 @@ object ScalarOps extends OpCatalog {
     * subquery decorrelation (RewriteCorrelatedScalarSubquery) runs. */
   def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_cs")
-    spark.sql(
-      """SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
-        |FROM graft_orders_cs o
-        |WHERE o_totalprice > (SELECT round(1.5 * avg(i.o_totalprice), 2)
-        |                      FROM graft_orders_cs i
-        |                      WHERE i.o_custkey = o.o_custkey)
-        |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin)
+    graft.TempViews.withView(Tables.orders(spark, sfDir), "graft_orders_cs") {
+      v => spark.sql(
+        s"""SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
+           |FROM $v o
+           |WHERE o_totalprice > (SELECT round(1.5 * avg(i.o_totalprice), 2)
+           |                      FROM $v i
+           |                      WHERE i.o_custkey = o.o_custkey)
+           |GROUP BY o_custkey
+           |ORDER BY o_custkey""".stripMargin)
+    }
   }
 
   private val correlatedSubquerySql =
@@ -130,17 +131,18 @@ object ScalarOps extends OpCatalog {
     * sets; `spark.sql` is the idiomatic route. */
   def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
-    spark.sql(
-      """SELECT
-        |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
-        |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
-        |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
-        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
-        |  count(*) AS n_orders
-        |FROM graft_orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin)
+    graft.TempViews.withView(Tables.orders(spark, sfDir), "graft_orders_gs") {
+      v => spark.sql(
+        s"""SELECT
+           |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+           |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+           |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+           |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
+           |  count(*) AS n_orders
+           |FROM $v
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY status, priority""".stripMargin)
+    }
   }
 
   private val groupingSetsSql =

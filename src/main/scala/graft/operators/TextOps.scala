@@ -706,10 +706,20 @@ object TextOps extends OpCatalog {
     * Oracle: a recursive CTE computing the same transitive closure. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    GraphOps.connectedComponents(neardupShingle(spark, sfDir), "id_a", "id_b")
-      .select(col("node").as("doc_id"), col("canon").as("canon_id"))
-      .orderBy(col("doc_id"))
+    ccLabels(spark, sfDir).orderBy(col("doc_id"))
   }
+
+  /** Session-shared cluster labels over the memoized near-dup pair set —
+    * q60 AND q86 both consume them, and the star-round loop behind them
+    * is multiple materializing jobs per round (historically a third of
+    * the bench when paid twice). Memoized like the pair set one level
+    * down. */
+  private def ccLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.cached(spark, s"textops:cc_labels:$sfDir") {
+      GraphOps.connectedComponents(
+          neardupShingle(spark, sfDir), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+    }
 
   // ---------------------------------------------------------------- q86
   /** Cluster representatives — the KEEP decision that completes the dedup
@@ -729,9 +739,7 @@ object TextOps extends OpCatalog {
     * No new corpus-wide shuffle. */
   def clusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val labels = GraphOps.connectedComponents(
-        neardupShingle(spark, sfDir), "id_a", "id_b")
-      .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+    val labels = ccLabels(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val byCanon = Window.partitionBy(col("canon_id"))
@@ -940,17 +948,18 @@ object TextOps extends OpCatalog {
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
     val arriving = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .unionByName(redelivered)
-    seen.createOrReplaceTempView("graft_q77_seen")
-    arriving.createOrReplaceTempView("graft_q77_arriving")
     // might_contain requires its bloom side to be constant-foldable — the
     // scalar subquery evaluates once and broadcasts the sketch
-    val flagged = spark.sql(
-      """SELECT a.doc_id, a.text,
-        |  might_contain(
-        |    (SELECT bloom_filter_agg(xxhash64(text), 100000L, 1048576L)
-        |     FROM graft_q77_seen),
-        |    xxhash64(a.text)) AS maybe_seen
-        |FROM graft_q77_arriving a""".stripMargin)
+    val flagged = graft.TempViews.withViews(
+      Seq(seen -> "graft_q77_seen", arriving -> "graft_q77_arriving")) {
+      case Seq(seenV, arrivingV) => spark.sql(
+        s"""SELECT a.doc_id, a.text,
+           |  might_contain(
+           |    (SELECT bloom_filter_agg(xxhash64(text), 100000L, 1048576L)
+           |     FROM $seenV),
+           |    xxhash64(a.text)) AS maybe_seen
+           |FROM $arrivingV a""".stripMargin)
+    }
     val dups = arriving
       .join(seen.select(col("text")).distinct(), Seq("text"), "left_semi")
       .select(col("doc_id"), lit(true).as("is_dup"))

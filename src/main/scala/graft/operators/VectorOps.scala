@@ -1037,6 +1037,36 @@ object VectorOps extends OpCatalog {
     cents
   }
 
+  /** ONE codebook→driver-literal loader for every PQ consumer (in-query
+    * q117, IVFADC q118, the artifact probe q131): rows of
+    * `(sub, <id>, centroid)` collected into the POSITIONAL map the
+    * serving expressions consume — per sub, centroids ordered by the id
+    * column ascending. The positional ordering IS the stored-code
+    * contract (Lloyd can drop cells, so trained cell ids may be sparse;
+    * dense artifact codes may not depend on them) — hand-rolling this
+    * per consumer is how the artifact probe could silently decode
+    * against a differently-ordered table than the in-query path it is
+    * spec-pinned equal to. Bounded by construction: ≤ m·k tiny rows. */
+  private[graft] def codebookMap(cb: DataFrame,
+      idCol: String): Map[Int, Array[Array[Float]]] =
+    cb.select(col("sub"), col(idCol), col("centroid"))
+      .orderBy(col("sub"), col(idCol)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+
+  /** The query's asymmetric distance table over a loaded codebook:
+    * `dt(s)(j) = ||qSub(s) − c_{s,j}||²` — `qSub` yields the query's
+    * (or query-residual's, for IVFADC) s-th sub-vector in doubles.
+    * Plain driver arithmetic over two bounded literals. */
+  private[graft] def adcSqTable(cb: Map[Int, Array[Array[Float]]], m: Int,
+      qSub: Int => Array[Double]): Array[Array[Double]] =
+    Array.tabulate(m) { s =>
+      val qs = qSub(s)
+      cb(s).map(c => qs.zip(c).map { case (a, b) =>
+        val d = a - b.toDouble; d * d
+      }.sum)
+    }
+
   /** ANN top-10 via product quantization with asymmetric distance
     * computation (ADC) — the memory-bound scale path: each vector is
     * represented by m 4-bit codes (m·log₂k = 32 bits here vs 2048 bits
@@ -1110,24 +1140,11 @@ object VectorOps extends OpCatalog {
       }
       case None => pqCodebook(e, m, dsub, k, iters = 3)
     }
-    // codebook -> driver literals: ≤ m·k tiny rows by construction (the
-    // same bound that lets IVF/PQ codebooks broadcast as artifacts).
-    // Cells are POSITIONAL per sub from here on (Lloyd can drop cells, so
-    // trained cell ids may be sparse; order is (sub, cell) ascending).
-    val cb: Map[Int, Array[Array[Float]]] = cents
-      .orderBy(col("sub"), col("cell")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    val cb = codebookMap(cents, "cell")
     if (cb.size < m) return emptyTopK(spark) // nothing to train on
     val qv: Array[Float] = qOpt.get
-    // asymmetric distance table: dt(s)(j) = ||q_s - c_{s,j}||², plain
-    // driver arithmetic over the two literals above
-    val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
-      val qs = qv.slice(s * dsub, (s + 1) * dsub)
-      cb(s).map(c => qs.zip(c).map { case (a, b) =>
-        val d = a.toDouble - b.toDouble; d * d
-      }.sum)
-    }
+    val dt = adcSqTable(cb, m,
+      s => qv.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
     // in-row encode + lookup, FUSED: one codegen'd expression holding
     // the codebook + distance table as reference objects computes every
     // sub-space argmin (first-minimum = lowest-cell tiebreak) and the
@@ -1263,10 +1280,7 @@ object VectorOps extends OpCatalog {
     // both codebooks -> driver literals (bounded: ≤ kc + m·k tiny rows)
     val coarseArr: Array[Array[Float]] = coarse.orderBy(col("cell"))
       .collect().map(_.getSeq[Float](1).toArray)
-    val cb: Map[Int, Array[Array[Float]]] = pqc
-      .orderBy(col("sub"), col("cell")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2) }
+    val cb = codebookMap(pqc, "cell")
     if (coarseArr.isEmpty || cb.size < m) return None // nothing to train on
     val qv: Array[Float] = qOpt.get
     def l2(a: Array[Float], b: Array[Float]): Double =
@@ -1293,14 +1307,11 @@ object VectorOps extends OpCatalog {
     val cbArr: Array[Array[Array[Float]]] = Array.tabulate(m)(cb(_))
     def scoreFor(cell: Int): org.apache.spark.sql.Column = {
       val cent = coarseArr(cell)
-      val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
-        val qs = qv.slice(s * dsub, (s + 1) * dsub)
+      // IVFADC's table is over query RESIDUALS vs this coarse cell
+      val dt = adcSqTable(cb, m, s =>
+        qv.slice(s * dsub, (s + 1) * dsub)
           .zip(cent.slice(s * dsub, (s + 1) * dsub))
-          .map { case (a, c) => a.toDouble - c.toDouble }
-        cb(s).map(c => qs.zip(c).map { case (a, b) =>
-          val d = a - b.toDouble; d * d
-        }.sum)
-      }
+          .map { case (a, c) => a.toDouble - c.toDouble })
       VectorExpressions.pqAdcScore(col("embedding"), cbArr, dt, cent)
     }
     val caseScore = probed.foldRight(lit(null).cast("double")) {

@@ -31,7 +31,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.count(_._1 == "hot") == cap)
     assert(rows.groupBy(_._1).values.forall(_.length <= cap))
     // survivor set for the hot source = the cap smallest (h, doc_id)
-    val h = (id: Long) => ((id * 1103515245L + 12345L) % 1000000007L + 1000000007L) % 1000000007L
+    val h = (id: Long) => (((id % 2147483648L) * 1103515245L + 12345L) % 1000000007L + 1000000007L) % 1000000007L
     val expectHot = (1L to 4000L).sortBy(id => (h(id), id)).take(cap).toSet
     assert(rows.filter(_._1 == "hot").map(_._2).toSet == expectHot)
   }
