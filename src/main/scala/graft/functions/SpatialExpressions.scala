@@ -59,9 +59,25 @@ object SpatialExpressions {
     override def prettyName: String = "st_point"
   }
 
+  /** Analysis-time binary-input guard shared by every WKB-consuming
+    * unary expression here — these are user-facing SQL functions, so a
+    * non-binary argument must be an analysis error, not a runtime
+    * ClassCastException mid-job (SortedIntersectCount's rule). */
+  sealed trait WkbInput extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case BinaryType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a binary (WKB) argument, got ${other.catalogString}")
+      }
+  }
+
   /** Coordinate extraction from WKB points (reference O7 decode).
     * Codegen via a boxed static helper: invalid WKB → null slot. */
-  abstract class PointCoord extends UnaryExpression {
+  abstract class PointCoord extends UnaryExpression with WkbInput {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     protected def pick(xy: (Double, Double)): Double
@@ -227,7 +243,8 @@ object SpatialExpressions {
     sridOf(wkb).map(java.lang.Integer.valueOf).orNull
 
   /** `st_geometrytype(wkb)` → 'POINT' | 'LINESTRING' | … | null. */
-  case class StGeometryType(child: Expression) extends UnaryExpression {
+  case class StGeometryType(child: Expression)
+      extends UnaryExpression with WkbInput {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
@@ -252,7 +269,8 @@ object SpatialExpressions {
 
   /** `st_is_valid_wkb(wkb)`: full structural validation, all 7 base types
     * (the general form of [[StIsWkbPoint]]'s point-only probe). */
-  case class StIsValidWkb(child: Expression) extends UnaryExpression {
+  case class StIsValidWkb(child: Expression)
+      extends UnaryExpression with WkbInput {
     override def dataType: DataType = BooleanType
     override def nullSafeEval(input: Any): Any =
       isValidWkb(input.asInstanceOf[Array[Byte]])
@@ -268,7 +286,8 @@ object SpatialExpressions {
   }
 
   /** `st_srid(wkb)` → embedded EWKB SRID or null (plain WKB has none). */
-  case class StSrid(child: Expression) extends UnaryExpression {
+  case class StSrid(child: Expression)
+      extends UnaryExpression with WkbInput {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
@@ -319,7 +338,7 @@ object SpatialExpressions {
   /** Validity probe: is this binary a decodable WKB point? Mirrors the
     * reference's tolerant decode (`app.py:145-152` bytes check). */
   case class StIsWkbPoint(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with WkbInput {
     override def dataType: DataType = BooleanType
     override def nullSafeEval(input: Any): Any =
       decodePoint(input.asInstanceOf[Array[Byte]]).isDefined

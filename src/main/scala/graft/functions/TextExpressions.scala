@@ -72,6 +72,18 @@ object TextExpressions {
     * hashes. Near-identical token multisets → small Hamming distance. */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
+    // SortedIntersectCount's rule, same rationale: user-facing SQL
+    // function — a non-string array would decode each element's raw bits
+    // as UTF8String offsets, silent garbage fingerprints, not an error
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash64 requires an array<string> argument, got ${other.catalogString}")
+      }
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
       TextExpressions.simhashEval(input.asInstanceOf[ArrayData])
@@ -121,6 +133,15 @@ object TextExpressions {
     * collide into one giant bucket). */
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_signature requires an array<string> argument, got ${other.catalogString}")
+      }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       TextExpressions.minhashEval(input.asInstanceOf[ArrayData], k)
@@ -163,6 +184,15 @@ object TextExpressions {
     * different order get different fingerprints, unlike SimHash/MinHash). */
   case class RollingHash64(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"rolling_hash64 requires a string argument, got ${other.catalogString}")
+      }
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
       TextExpressions.rollingHashEval(input.asInstanceOf[UTF8String])
@@ -194,6 +224,15 @@ object TextExpressions {
     * row and a per-row `new Deflater` would thrash native allocations. */
   case class DeflateLen(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"deflate_len requires a string argument, got ${other.catalogString}")
+      }
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
       TextExpressions.deflateLenEval(input.asInstanceOf[UTF8String])

@@ -220,20 +220,46 @@ object VectorExpressions {
       extends UnaryExpression {
     require(cents.nonEmpty, "empty centroid table")
     override def dataType: DataType = IntegerType
+    // a vector SHORTER than the centroid dimension (an empty array from a
+    // failed embedder, a truncated row) degrades to null like every other
+    // malformed-input path in this file — one bad row must never abort a
+    // corpus-scale scan with an index-out-of-bounds
+    override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
-      VectorExpressions.nearestCentroidEval(
+      VectorExpressions.nearestCentroidOrNull(
         input.asInstanceOf[ArrayData], cents)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
       val ref = ctx.addReferenceObj("cents", cents, "float[][]")
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.VectorExpressions.nearestCentroidEval($c, $ref)")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("cell")
+        s"""
+           |java.lang.Integer $tmp =
+           |  graft.functions.VectorExpressions.nearestCentroidOrNull($c, $ref);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.intValue(); }
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression): NearestCentroid =
       copy(child = c)
     override def prettyName: String = "nearest_centroid"
+  }
+
+  /** Boxed guard for NearestCentroid: null when the vector is shorter
+    * than the widest centroid. */
+  def nearestCentroidOrNull(arr: ArrayData,
+      cents: Array[Array[Float]]): java.lang.Integer = {
+    var need = 0
+    var j = 0
+    while (j < cents.length) {
+      if (cents(j).length > need) need = cents(j).length
+      j += 1
+    }
+    if (arr.numElements() < need) null
+    else java.lang.Integer.valueOf(nearestCentroidEval(arr, cents))
   }
 
   /** Static eval for NearestCentroid's generated code. */
@@ -268,8 +294,10 @@ object VectorExpressions {
       extends UnaryExpression {
     require(cb.nonEmpty && cb.length == dt.length, "codebook/table shape")
     override def dataType: DataType = DoubleType
+    // short/malformed vectors degrade to null (NearestCentroid's rule)
+    override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
-      VectorExpressions.pqAdcScoreEval(
+      VectorExpressions.pqAdcScoreOrNull(
         input.asInstanceOf[ArrayData], cb, dt, center)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -278,12 +306,30 @@ object VectorExpressions {
       val cbRef = ctx.addReferenceObj("pqcb", cb, "float[][][]")
       val dtRef = ctx.addReferenceObj("pqdt", dt, "double[][]")
       val cRef = ctx.addReferenceObj("pqcenter", center, "float[]")
-      defineCodeGen(ctx, ev, c =>
-        s"graft.functions.VectorExpressions.pqAdcScoreEval($c, $cbRef, $dtRef, $cRef)")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("adc")
+        s"""
+           |java.lang.Double $tmp = graft.functions.VectorExpressions
+           |  .pqAdcScoreOrNull($c, $cbRef, $dtRef, $cRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression): PqAdcScore =
       copy(child = c)
     override def prettyName: String = "pq_adc_score"
+  }
+
+  /** Boxed guard for PqAdcScore: null when the vector is shorter than
+    * the concatenated sub-space width. */
+  def pqAdcScoreOrNull(arr: ArrayData, cb: Array[Array[Array[Float]]],
+      dt: Array[Array[Double]], center: Array[Float]): java.lang.Double = {
+    var need = 0
+    var s = 0
+    while (s < cb.length) { need += cb(s)(0).length; s += 1 }
+    if (arr.numElements() < need) null
+    else java.lang.Double.valueOf(pqAdcScoreEval(arr, cb, dt, center))
   }
 
   /** Static eval for PqAdcScore's generated code. */

@@ -69,15 +69,29 @@ object GeoParquetFooter {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    val qRoot = fs.makeQualified(root)
+    // hidden check must walk EVERY path component below the root, not
+    // just the leaf: a crashed earlier write's dir/_temporary/.../part-*
+    // has a plain leaf name, and stamping those orphans wastes whole-file
+    // copies on data no reader will ever use (and fails the job if one
+    // is corrupt). This mirrors what Spark's own reader skips.
+    def hiddenUnder(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qRoot) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files: Seq[String] =
       if (fs.getFileStatus(root).isDirectory) {
         val it = fs.listFiles(root, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
           val f = it.next().getPath
-          // same hidden-file filter as the probe: skip _temporary/.staging
-          val hidden = f.getName.startsWith("_") || f.getName.startsWith(".")
-          if (f.getName.endsWith(".parquet") && !hidden) buf += f.toString
+          if (f.getName.endsWith(".parquet") && !hiddenUnder(f))
+            buf += f.toString
         }
         buf.toSeq
       } else Seq(root.toString)
@@ -100,24 +114,36 @@ object GeoParquetFooter {
     * Row groups are copied byte-for-byte (no decode); existing key-value
     * entries (e.g. Spark's schema key) are preserved.
     *
-    * Loss-proof swap: the stamped copy is written to an attempt-unique
-    * hidden temp (so a speculative/retried task can never clobber another
-    * attempt's in-progress file), then the original is renamed to a hidden
-    * backup, the temp renamed into place, and the backup deleted last. At
-    * every instant the committed row data exists under either the original
-    * or the backup name — a crash at any point leaves a recoverable state,
-    * and a retry first restores an orphaned backup before re-stamping.
-    * Hidden (dot-prefixed) leftovers are ignored by Spark's reader. */
+    * Loss-proof swap under CONCURRENT attempts (speculation, zombie
+    * retries): both the stamped temp AND the backup are attempt-unique,
+    * so no attempt can ever delete another attempt's backup — the hole
+    * in the earlier shared-backup-name protocol, where a loser's cleanup
+    * could drop the only copy of the original mid-swap. Protocol: write
+    * the stamped copy to a unique temp; rename original → MY backup (a
+    * failure here means a concurrent attempt holds the swap — its
+    * stamped output is byte-equivalent, so discard mine and return);
+    * rename temp into place (if the slot was refilled by the concurrent
+    * winner, likewise discard mine); delete MY backup last. At every
+    * instant the committed row data exists under the original name or
+    * under some attempt's backup, and recovery (file absent on entry)
+    * restores from whichever backup survives. Crashed attempts can leave
+    * hidden `.geo.*.{bak,tmp}` residue; readers ignore dot-files, and a
+    * later re-stamp proceeds regardless. */
   private[graft] def stampFile(conf: Configuration, file: Path,
       geoJson: String): Unit = {
     val fs = file.getFileSystem(conf)
-    val backup = new Path(file.getParent, s".${file.getName}.geo.bak")
+    val bakPrefix = s".${file.getName}.geo."
+    def backups(): Seq[Path] =
+      fs.listStatus(file.getParent).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(bakPrefix) &&
+          p.getName.endsWith(".bak"))
     // Recover from a prior attempt that crashed between the two renames:
     // the original was moved aside but the stamped temp never landed.
     if (!fs.exists(file)) {
-      if (!fs.exists(backup) || !fs.rename(backup, file))
+      val bs = backups()
+      if (bs.isEmpty || !fs.rename(bs.head, file))
         throw new java.io.IOException(
-          s"geo footer stamp: $file missing and backup $backup unrecoverable")
+          s"geo footer stamp: $file missing and no backup recoverable")
     }
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     val (schema, existingKv) =
@@ -128,7 +154,8 @@ object GeoParquetFooter {
     val merged = new java.util.HashMap[String, String](existingKv)
     merged.put(GeoKey, geoJson)
     val attempt = java.util.UUID.randomUUID().toString.substring(0, 8)
-    val tmp = new Path(file.getParent, s".${file.getName}.geo.$attempt.tmp")
+    val tmp = new Path(file.getParent, s"$bakPrefix$attempt.tmp")
+    val backup = new Path(file.getParent, s"$bakPrefix$attempt.bak")
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(tmp, conf), schema,
       ParquetFileWriter.Mode.OVERWRITE,
@@ -137,14 +164,21 @@ object GeoParquetFooter {
     writer.start()
     writer.appendFile(HadoopInputFile.fromPath(file, conf))
     writer.end(merged)
-    // A stale backup here means a prior attempt crashed AFTER its stamped
-    // copy landed (the original is the stamped file) — safe to drop.
-    if (fs.exists(backup)) fs.delete(backup, false)
-    if (!fs.rename(file, backup))
-      throw new java.io.IOException(s"geo footer stamp: rename $file -> $backup failed")
+    if (!fs.rename(file, backup)) {
+      // a concurrent attempt holds the swap; its stamp is equivalent
+      fs.delete(tmp, false)
+      return
+    }
     if (!fs.rename(tmp, file)) {
+      if (fs.exists(file)) {
+        // the concurrent winner refilled the slot with its stamped copy
+        fs.delete(tmp, false)
+        fs.delete(backup, false)
+        return
+      }
       fs.rename(backup, file) // roll back; data was never at risk
-      throw new java.io.IOException(s"geo footer stamp: rename $tmp -> $file failed")
+      throw new java.io.IOException(
+        s"geo footer stamp: rename $tmp -> $file failed")
     }
     fs.delete(backup, false)
   }

@@ -150,9 +150,18 @@ object ParquetIngest {
   /** O1+O8+O9+O10: scan with spatial column metadata attached. The
     * geometry column keeps BinaryType; CRS/encoding ride in column
     * `Metadata` (a logical tag — zero physical cost). */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readWithProbe(spark, path, probe(spark, path))
+
+  /** [[read]] against an already-computed probe — [[ingest]] probes once
+    * for its row total and shares the result here instead of paying a
+    * second sequential driver-side walk over every footer (on a
+    * many-thousand-file dataset each walk is minutes of object-store
+    * round-trips before any distributed work starts). */
+  private[graft] def readWithProbe(spark: SparkSession, path: String,
+      probed: ProbeResult): DataFrame = {
     val df = spark.read.parquet(path)
-    probe(spark, path).spatial match {
+    probed.spatial match {
       case Some(si) if df.schema.fieldNames.contains(si.geometryColumn) &&
           df.schema(si.geometryColumn).dataType == BinaryType =>
         val md: Metadata = new MetadataBuilder()
@@ -269,7 +278,11 @@ object ParquetIngest {
     import org.apache.spark.sql.util.QueryExecutionListener
     val mode = saveMode(ifExists)
     val metricName = s"graft_ingest_${java.util.UUID.randomUUID().toString.take(8)}"
-    val observed = read(spark, sourcePath)
+    // ONE footer walk serves both the spatial attach and the progress
+    // total (read() used to probe again: two sequential driver-side
+    // sweeps of every footer before any distributed work)
+    val probed = probe(spark, sourcePath)
+    val observed = readWithProbe(spark, sourcePath, probed)
       .observe(metricName, count(lit(1)).as("rows"))
     // The write runs as its own QueryExecution; the observed metric is
     // delivered through the listener bus (same mechanism the reference's
@@ -288,7 +301,7 @@ object ParquetIngest {
     // finished tasks. The scheduler bus delivers onTaskEnd while the write
     // job is still running — incremental, unlike the observe() metric
     // which lands only at job end.
-    val totalRows = math.max(1L, probe(spark, sourcePath).numRows)
+    val totalRows = math.max(1L, probed.numRows)
     val seenRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val progressListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
@@ -350,7 +363,16 @@ object ParquetIngest {
     * counted write. By design for SMALL files only, like the reference
     * labels it: an upload is driver-memory-bounded; corpus-scale data
     * arrives by path, where the scan is distributed and nothing ever
-    * passes through the driver. */
+    * passes through the driver.
+    *
+    * The spool lives on the DRIVER's local disk and is passed with an
+    * explicit `file:` scheme, so on a cluster whose default filesystem is
+    * remote (HDFS/S3) the path still resolves to the right filesystem —
+    * and the documented restriction is honest: executors on other hosts
+    * cannot read the driver's disk, so uploads are a local-mode /
+    * driver-side feature (matching the reference's single-process
+    * widget); a cluster deployment uploads to shared storage and ingests
+    * by path. */
   def ingestUpload(
       spark: SparkSession,
       buffer: Array[Byte],
@@ -361,7 +383,7 @@ object ParquetIngest {
     val spool = java.nio.file.Files.createTempFile("graft_upload_", ".parquet")
     try {
       java.nio.file.Files.write(spool, buffer)
-      ingest(spark, spool.toString, sink, ifExists, onProgress)
+      ingest(spark, spool.toUri.toString, sink, ifExists, onProgress)
     } finally java.nio.file.Files.deleteIfExists(spool)
   }
 }

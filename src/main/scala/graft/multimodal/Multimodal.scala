@@ -357,14 +357,23 @@ object Multimodal {
 
   /** "Resize": metadata-level transform (the real pixel work lives behind
     * the same stub boundary as decode). Demonstrates metadata dispatch —
-    * only image rows change. */
+    * only image rows with KNOWN dimensions change: undecoded rows carry
+    * width=height=0 (`ingestBinaryFiles` output, failed header parses)
+    * and pass through unchanged by an EXPLICIT guard — the previous form
+    * relied on maxDim/0.0 = Infinity collapsing under least(1.0, ·),
+    * which happened to give the same answer but read as an accident
+    * (and would become an ANSI error if the operands ever turned
+    * integral or decimal). */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val known = greatest(col("width"), col("height")) > 0
     val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")))
     media.withColumn("width",
-        when(col("kind") === "image", floor(col("width") * scale).cast("int"))
+        when(col("kind") === "image" && known,
+          floor(col("width") * scale).cast("int"))
           .otherwise(col("width")))
       .withColumn("height",
-        when(col("kind") === "image", floor(col("height") * scale).cast("int"))
+        when(col("kind") === "image" && known,
+          floor(col("height") * scale).cast("int"))
           .otherwise(col("height")))
   }
 }

@@ -1160,6 +1160,9 @@ object VectorOps extends OpCatalog {
     val shortlist = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         round(adcCol, 4).as("adc"))
+      // PqAdcScore degrades short/malformed vectors to null, and an ASC
+      // sort would rank nulls FIRST — drop them before the frontier
+      .filter(col("adc").isNotNull)
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(budget)
     // stage 2 (≤budget rows): exact re-rank of the shortlist — the

@@ -487,9 +487,19 @@ object StreamingOps {
     * (order-free), so the bytes are deterministic. */
   def seenSketch(seen: DataFrame): Array[Byte] = {
     graft.GraftSession.tune(seen.sparkSession) // registers bloom_filter_agg
-    seen
+    val bytes = seen
       .selectExpr("bloom_filter_agg(xxhash64(text), 100000L, 1048576L) AS bf")
       .collect()(0).getAs[Array[Byte]](0)
+    // bloom_filter_agg over ZERO rows evaluates to NULL — and a null
+    // sketch literal would make might_contain() null for every arriving
+    // row, which filter() treats as false: the screen would silently
+    // drop the ENTIRE stream at bootstrap instead of passing all novel
+    // docs. Fail here, loudly, where the empty corpus is visible.
+    require(bytes != null,
+      "seenSketch over an EMPTY corpus: a Bloom sketch of nothing cannot " +
+        "screen anything — skip the screen at bootstrap (every doc is " +
+        "novel) instead of building a null sketch")
+    bytes
   }
 
   /** Stateless ingest-time dedup screen — the streaming deployment of the
@@ -505,10 +515,15 @@ object StreamingOps {
   def bloomScreenStream(docs: DataFrame, sketch: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    require(sketch != null, "null seen-sketch (see seenSketch's contract)")
     val maybeSeen = GraftBridge.column(BloomFilterMightContain(
       Literal(sketch, org.apache.spark.sql.types.BinaryType),
       GraftBridge.expression(xxhash64(col("text")))))
-    docs.filter(!maybeSeen).select(col("doc_id"), col("text"))
+    // null-text rows hash to null -> might_contain null; a filter would
+    // silently DROP them — an unscreenable doc must pass as novel, not
+    // vanish (downstream quality gates own the null-text decision)
+    docs.filter(!coalesce(maybeSeen, lit(false)))
+      .select(col("doc_id"), col("text"))
   }
 
   /** Idempotent per-micro-batch JDBC write — the `foreachBatch` half of an
@@ -540,10 +555,20 @@ object StreamingOps {
     val withId = batch.withColumn("graft_batch_id", lit(batchId))
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      // JDBC getTables patterns match the STORED identifier case, and
+      // engines fold unquoted names differently (Derby upper-cases,
+      // PostgreSQL lower-cases): probing only one casing makes exists
+      // false on the other engine, the DELETE silently skips, and a
+      // replayed batch DUPLICATES its rows — the exact failure this
+      // function exists to prevent. Probe the name as-given plus both
+      // foldings.
       val exists = {
-        val rs = conn.getMetaData.getTables(
-          null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-        try rs.next() finally rs.close()
+        val md = conn.getMetaData
+        Seq(table, table.toUpperCase(java.util.Locale.ROOT),
+          table.toLowerCase(java.util.Locale.ROOT)).distinct.exists { t =>
+          val rs = md.getTables(null, null, t, null)
+          try rs.next() finally rs.close()
+        }
       }
       if (exists) {
         val st = conn.createStatement()
