@@ -1,39 +1,192 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
 /** Headline benchmark: runs every `SparkEntry.queries` entry against
-  * `SPARK_GRAFT_SF_DIR` through a noop sink and prints one JSON line.
+  * `SPARK_GRAFT_SF_DIR` through a noop sink, prints one JSON line, and
+  * persists the COMPLETE result to `bench_out/bench.json`.
   *
-  * The measurement SELF-ADJUDICATES: a bench run on a machine that is
-  * busy doing something else (the round-6 driver capture recorded 357 s
-  * for a suite that re-times at ~109 s in a clean window) must label
-  * itself rather than masquerade as a regression. Two signals are
-  * embedded in the output line:
+  * The measurement SELF-ADJUDICATES. History of why, in three rounds:
+  * the round-6 driver capture recorded 357 s for a suite that re-times
+  * at ~109 s in a clean window → round 7 added a pre/post q01 sentinel;
+  * the round-8 driver capture recorded 624.95 s and the pre/post
+  * sentinel STILL said clean, because the contention window opened
+  * after the first sentinel and closed before the last (isolated
+  * re-times showed 10–45× inflation on mid-suite queries, zero plan
+  * regression). Round 9 closes that blind spot; the signals now are:
   *
-  *  - `sentinel_pre_sec` / `sentinel_post_sec`: the flagship q01
-  *    scan+agg timed in isolation immediately before and after the
-  *    suite. Clean-window records for this sentinel are 0.94–1.1 s at
-  *    sf0.1 (BASELINE.md, rounds 4–6); `contaminated` is true when
-  *    either sample exceeds `sentinel_band_sec` (2.0 s — 2× the worst
-  *    clean record). The verdict is keyed on the sentinel ONLY: load
-  *    average during the suite is dominated by the bench's own 32
-  *    threads and cannot distinguish self-load from contention.
-  *  - `load_avg_start` (captured before any Spark work — external load)
-  *    and a per-query 1-min load-average map in the full line (context
-  *    for adjudicating individual outliers after the fact).
+  *  - **Interleaved sentinels**: the flagship q01 scan+agg is timed in
+  *    isolation before the suite, after every [[SentinelEvery]] queries,
+  *    and after the suite. `contaminated` is true when ANY sample
+  *    exceeds `sentinel_band_sec` (2.0 s at sf0.1 — 2× the worst clean
+  *    record, BASELINE.md rounds 4–8). A contention window shorter than
+  *    ~16 queries (~15 s clean) can still slip between samples, but the
+  *    round-8 episode inflated 40+ consecutive queries — that shape
+  *    cannot hide from a sample every 16. The verdict is keyed on the
+  *    sentinel ONLY: load average during the suite is dominated by the
+  *    bench's own 32 threads and cannot distinguish self-load from
+  *    contention (the per-query 1-min load map still rides in the full
+  *    output as after-the-fact context).
+  *  - **Per-query clean bands + auto-replay**: `bench_bands.json` (a
+  *    classpath resource, committed, regenerated from clean-run medians
+  *    by [[tools/bands.py]]) records each query's clean-window median at
+  *    the driver config (sf0.1, local[32]). After the suite, any query
+  *    that exceeded [[replayThreshold]] (3× its band, with a +1 s floor
+  *    so sub-second bands don't replay on scheduler jitter) is RE-RUN
+  *    once in suite order; the replay time becomes the query's reported
+  *    number, the first-run time is kept in `original_sec`, and the
+  *    replayed names are listed in `replayed`. A final sentinel sample
+  *    after the replays adjudicates THEM (`sentinel_post_replay_sec`,
+  *    part of the same any-sample-breaches verdict) — a replay executed
+  *    inside a still-open contention window must not launder the
+  *    number. Bands apply only at the config they were measured at
+  *    (`bands_applied` says whether replay was armed).
+  *  - **The full line reaches disk**: eight straight rounds of
+  *    `parsed:null` prove the driver's ~2000-char log tail never
+  *    carries the 128-query map. The complete JSON (per-query times,
+  *    loads, originals, sentinel samples, adjudication) is now WRITTEN
+  *    to `bench_out/bench.json` (override dir: `SPARK_GRAFT_BENCH_OUT`)
+  *    as well as printed; the compact tail-sized line carries the
+  *    totals, the adjudication fields, and the file path.
+  *
+  * `BenchSpec` covers the machinery: the adjudication functions on
+  * synthetic inputs, band-resource/catalog key parity, and an
+  * end-to-end mini-suite where a busy-load opened AFTER the pre
+  * sentinel and closed BEFORE the post sentinel — the exact round-8
+  * shape — self-labels contaminated via the mid-run samples.
   */
 object Bench {
   /** Sentinel clean band (sec) at sf0.1: 2× the worst clean-window q01
     * record (1.1 s @ 8 CPUs; 0.94–0.98 s @ 32 CPUs — BASELINE.md). */
-  private val SentinelBandSec = 2.0
+  private[graft] val SentinelBandSec = 2.0
 
-  private def loadAvg(): Double =
+  /** Queries between interleaved sentinel samples. ~15 s of clean suite
+    * time: small enough that a round-8-shaped contention episode (tens
+    * of consecutive inflated queries) always straddles a sample, large
+    * enough that 8 extra q01 runs cost <10 s total. */
+  private[graft] val SentinelEvery = 16
+
+  private[graft] def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage // -1.0 if unsupported
+
+  // ------------------------------------------------ adjudication rules
+  /** Any sentinel sample outside the band marks the run contaminated —
+    * pre, post, mid-suite, or post-replay alike. */
+  private[graft] def isContaminated(samples: Seq[Double],
+      band: Double = SentinelBandSec): Boolean = samples.exists(_ > band)
+
+  /** Replay trigger for a query with clean-band median `band`: 3× the
+    * band (the verdict's rule), floored at band+1 s so a 0.2 s query
+    * jittering to 0.7 s on task scheduling doesn't replay. */
+  private[graft] def replayThreshold(band: Double): Double =
+    math.max(3.0 * band, band + 1.0)
+
+  private[graft] def needsReplay(sec: Double, band: Option[Double]): Boolean =
+    band.exists(b => sec > replayThreshold(b))
+
+  // ------------------------------------------------------- clean bands
+  /** Per-query clean-window medians (sec) at the driver config (sf0.1,
+    * local[32]) — committed resource, regenerated by `tools/bands.py`
+    * from `bench_out/bench.json` of certified-clean runs. `BenchSpec`
+    * pins its key set equal to the query catalog, so adding a query
+    * without measuring its band fails the build, not the bench. */
+  private[graft] lazy val cleanBands: Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/bench_bands.json")
+    if (in == null) Map.empty
+    else try {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      val entry = """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+      entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } finally in.close()
+  }
+
+  // ------------------------------------------------------ suite runner
+  final case class SuiteResult(
+      times: scala.collection.immutable.ListMap[String, Double],
+      originalSec: Map[String, Double], // pre-replay times of replayed queries
+      replayed: Seq[String],
+      loads: scala.collection.immutable.ListMap[String, Double],
+      sentinels: Seq[Double], // pre, mid…, post, [post-replay]
+      contaminated: Boolean,
+      bandsApplied: Boolean) {
+    def total: Double = times.values.filter(_ >= 0).sum
+  }
+
+  private[graft] def timeNoop(spark: SparkSession, name: String,
+      sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    // noop sink: every row is fully materialized through the complete
+    // plan (projections, sorts, limits) but written nowhere — unlike
+    // count(), which lets Catalyst prune projections and drop sorts,
+    // timing a cheaper plan than the query declares.
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Run `names` in order with interleaved sentinels and post-suite
+    * replay of band outliers. `onQueryStart` is a test seam (`BenchSpec`
+    * uses it to open/close a busy-load window mid-suite). */
+  private[graft] def runSuite(spark: SparkSession, sfDir: String,
+      names: Seq[String], bands: Map[String, Double],
+      sentinel: String = "q01_pricing_summary",
+      sentinelEvery: Int = SentinelEvery,
+      sentinelBand: Double = SentinelBandSec,
+      onQueryStart: Int => Unit = _ => ()): SuiteResult = {
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    sentinels += timeNoop(spark, sentinel, sfDir)
+    names.zipWithIndex.foreach { case (name, i) =>
+      onQueryStart(i)
+      if (i > 0 && i % sentinelEvery == 0)
+        sentinels += timeNoop(spark, sentinel, sfDir)
+      loads(name) = loadAvg()
+      val t0 = System.nanoTime()
+      times(name) =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failed query must not masquerade as a fast one
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+    }
+    sentinels += timeNoop(spark, sentinel, sfDir)
+    val toReplay = names.filter(n =>
+      times(n) >= 0 && needsReplay(times(n), bands.get(n)))
+    val originals = scala.collection.mutable.Map[String, Double]()
+    if (toReplay.nonEmpty) {
+      toReplay.foreach { n =>
+        originals(n) = times(n)
+        times(n) = timeNoop(spark, n, sfDir)
+      }
+      // the replays themselves ran in SOME window — sample it too
+      sentinels += timeNoop(spark, sentinel, sfDir)
+    }
+    SuiteResult(
+      scala.collection.immutable.ListMap(times.toSeq: _*),
+      originals.toMap, toReplay,
+      scala.collection.immutable.ListMap(loads.toSeq: _*),
+      sentinels.toSeq,
+      isContaminated(sentinels.toSeq, sentinelBand),
+      bandsApplied = bands.nonEmpty)
+  }
+
+  // ------------------------------------------------------------ output
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def encMap(m: Iterable[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out")
     val loadStart = loadAvg() // BEFORE any Spark work: external load only
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,69 +204,61 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    def runNoop(name: String): Double = {
-      val t0 = System.nanoTime()
-      // noop sink: every row is fully materialized through the complete
-      // plan (projections, sorts, limits) but written nowhere — unlike
-      // count(), which lets Catalyst prune projections and drop sorts,
-      // timing a cheaper plan than the query declares.
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    val sentinelPre = runNoop("q01_pricing_summary")
-    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      loads(name) = loadAvg()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          // a failed query must not masquerade as a fast one
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
-      }
-    }
-    val sentinelPost = runNoop("q01_pricing_summary")
+    // bands were measured at the driver config; at any other SF/CPU
+    // count the thresholds would be meaningless, so replay is disarmed
+    val bands =
+      if (sfDir.contains("sf0.1") && cpus == "32") cleanBands
+      else Map.empty[String, Double]
+    val r = runSuite(spark, sfDir, SparkEntry.queries.keys.toSeq, bands)
     val loadEnd = loadAvg()
-    val contaminated =
-      sentinelPre > SentinelBandSec || sentinelPost > SentinelBandSec
 
-    // The driver captures only the LAST ~2000 chars of output and looks
-    // for a {"metric"...} JSON line (every BENCH_r{1..5}.json recorded
-    // parsed:null because the full per-query line exceeded that window).
-    // Emit the line twice: first the COMPLETE per-query map plus the
-    // per-query load-average context (for anyone reading the full log),
-    // then a compact copy sized to fit the tail window — slowest queries
-    // first, packed into a fixed char budget, with the drop count
-    // declared (never silently truncated). The adjudication fields ride
-    // on BOTH lines so a truncated capture still self-labels.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def enc(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
-    val sorted = results.toSeq.sortBy { case (_, v) => -v }
-    val total = results.values.filter(_ >= 0).sum
+    val sorted = r.times.toSeq.sortBy { case (_, v) => -v }
+    val midSamples = r.sentinels.drop(1)
+      .dropRight(if (r.replayed.nonEmpty) 2 else 1)
     val adjudication =
       s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
-      s""""sentinel_pre_sec":${fmt(sentinelPre)},"sentinel_post_sec":${fmt(sentinelPost)},""" +
-      s""""sentinel_band_sec":${fmt(SentinelBandSec)},"contaminated":$contaminated"""
-    val full = sorted.map(enc).mkString("{", ",", "}")
-    val loadFull = loads.toSeq.map(enc).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"load_avg_per_query":$loadFull,"sf":"$sfDir",$adjudication}""")
-    val budget = 1200 // chars for the compact queries map (tail is ~2000)
+      s""""sentinel_samples":[${r.sentinels.map(fmt).mkString(",")}],""" +
+      s""""sentinel_pre_sec":${fmt(r.sentinels.head)},""" +
+      s""""sentinel_mid_max_sec":${fmt(
+          if (midSamples.nonEmpty) midSamples.max else 0.0)},""" +
+      s""""sentinel_post_sec":${fmt(
+          r.sentinels(if (r.replayed.nonEmpty) r.sentinels.size - 2
+            else r.sentinels.size - 1))},""" +
+      (if (r.replayed.nonEmpty)
+        s""""sentinel_post_replay_sec":${fmt(r.sentinels.last)},""" else "") +
+      s""""sentinel_band_sec":${fmt(SentinelBandSec)},""" +
+      s""""bands_applied":${r.bandsApplied},""" +
+      s""""replayed":[${r.replayed.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""contaminated":${r.contaminated}"""
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec",""" +
+      s""""queries":${encMap(sorted)},""" +
+      s""""original_sec":${encMap(r.originalSec)},""" +
+      s""""load_avg_per_query":${encMap(r.loads)},""" +
+      s""""sf":"$sfDir","cpus":$cpus,$adjudication}"""
+
+    // persist the COMPLETE record — the driver's log tail drops it
+    val outPath = java.nio.file.Paths.get(outDir, "bench.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (fullLine + "\n").getBytes("UTF-8"))
+    println(fullLine)
+
+    // compact copy sized for the driver's ~2000-char tail capture:
+    // slowest queries first into a fixed budget, drop count declared,
+    // adjudication fields riding along so a truncated capture still
+    // self-labels
+    val budget = 900
     val buf = new StringBuilder
     var omitted = 0
     sorted.foreach { kv =>
-      val e = enc(kv)
+      val e = "\"" + kv._1 + "\":" + fmt(kv._2)
       if (buf.length + e.length + 1 <= budget) {
         if (buf.nonEmpty) buf.append(',')
         buf.append(e)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$buf},"sf":"$sfDir",$adjudication,"queries_omitted_for_length":$omitted,"complete_line_earlier_in_log":true}""")
+    println(s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":{$buf},"sf":"$sfDir",$adjudication,"queries_omitted_for_length":$omitted,"full_json_file":"${outPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Regenerate the committed per-query clean-band resource from one or
+more certified-clean `bench_out/bench.json` records.
+
+Usage: tools/bands.py bench1.json [bench2.json ...]
+
+Writes src/main/resources/graft/bench_bands.json with each query's
+MEDIAN time across the given clean runs (sf0.1, local[32] — the driver
+config; `Bench` disarms replay at any other config). Refuses inputs
+that self-label contaminated: a band measured under contention would
+silently raise every replay threshold.
+"""
+import json
+import statistics
+import sys
+import pathlib
+
+def main(paths):
+    runs = []
+    for p in paths:
+        d = json.loads(pathlib.Path(p).read_text())
+        if d.get("contaminated"):
+            sys.exit(f"{p}: self-labeled contaminated - not band material")
+        if "sf0.1" not in d.get("sf", ""):
+            sys.exit(f"{p}: sf is {d.get('sf')}, bands are sf0.1-only")
+        runs.append(d["queries"])
+    names = sorted(set().union(*[set(r) for r in runs]))
+    bands = {}
+    for n in names:
+        vals = [r[n] for r in runs if n in r and r[n] >= 0]
+        if not vals:
+            sys.exit(f"{n}: no clean sample in any input")
+        bands[n] = round(statistics.median(vals), 3)
+    out = pathlib.Path(__file__).resolve().parent.parent / \
+        "src/main/resources/graft/bench_bands.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    body = ",\n".join(f'  "{n}": {bands[n]}' for n in sorted(bands))
+    out.write_text("{\n" + body + "\n}\n")
+    print(f"wrote {out} ({len(bands)} bands from {len(runs)} run(s))")
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    main(sys.argv[1:])
