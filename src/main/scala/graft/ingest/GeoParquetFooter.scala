@@ -165,13 +165,32 @@ object GeoParquetFooter {
     writer.appendFile(HadoopInputFile.fromPath(file, conf))
     writer.end(merged)
     if (!fs.rename(file, backup)) {
-      // a concurrent attempt holds the swap; its stamp is equivalent
+      // The optimistic reading of this failure is "a concurrent attempt
+      // holds the swap — its stamped output is byte-equivalent, discard
+      // mine". But rename also fails for permissions, quota, or
+      // transient FS errors, and returning success then leaves the file
+      // UNSTAMPED with no signal (round-8 advisor). Verify the assumed
+      // winner is real: a concurrent swap completes in milliseconds, so
+      // wait briefly for the file to reappear carrying OUR geo value;
+      // if it never does, this was a genuine rename failure — throw.
       fs.delete(tmp, false)
+      if (!awaitStamped(fs, conf, file, geoJson))
+        throw new java.io.IOException(
+          s"geo footer stamp: rename $file -> $backup failed and no " +
+            "concurrent stamped copy appeared — genuine rename failure " +
+            "(permissions/quota/FS error); geo metadata NOT attached")
       return
     }
     if (!fs.rename(tmp, file)) {
       if (fs.exists(file)) {
-        // the concurrent winner refilled the slot with its stamped copy
+        // the slot was refilled while we held the backup — only a
+        // concurrent winner's stamped copy can do that; verify before
+        // discarding ours (same advisor rule as above)
+        if (!awaitStamped(fs, conf, file, geoJson))
+          throw new java.io.IOException(
+            s"geo footer stamp: $file refilled by a copy that does not " +
+              "carry the geo key — refusing to discard this attempt's " +
+              s"stamp (original preserved at $backup)")
         fs.delete(tmp, false)
         fs.delete(backup, false)
         return
@@ -181,5 +200,31 @@ object GeoParquetFooter {
         s"geo footer stamp: rename $tmp -> $file failed")
     }
     fs.delete(backup, false)
+  }
+
+  /** True once `file` exists and its footer carries EXACTLY `geoJson`
+    * under the geo key (a concurrent attempt stamps a byte-equivalent
+    * value — anything else is not a winner). Polls up to ~5 s: a
+    * concurrent swap's window between its two renames is milliseconds,
+    * so a miss after 5 s means the assumed winner never existed. */
+  private def awaitStamped(fs: org.apache.hadoop.fs.FileSystem,
+      conf: Configuration, file: Path, geoJson: String): Boolean = {
+    var waited = 0L
+    while (waited <= 5000L) {
+      val stamped =
+        try {
+          if (!fs.exists(file)) false
+          else {
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+            try geoJson == r.getFooter.getFileMetaData
+              .getKeyValueMetaData.get(GeoKey)
+            finally r.close()
+          }
+        } catch { case _: java.io.IOException => false } // mid-swap vanish
+      if (stamped) return true
+      Thread.sleep(100L)
+      waited += 100L
+    }
+    false
   }
 }
