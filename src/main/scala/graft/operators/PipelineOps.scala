@@ -123,6 +123,31 @@ object PipelineOps extends OpCatalog {
       Seq("window", "spark", "stream"))
   }
 
+  // --------------------------------------------------------------- q134
+  /** Artifact-served BM25 — q133's answer from the [[Bm25Index]]
+    * posting-list artifact instead of a re-tokenize (the q131/q132
+    * import-then-query precedent applied to lexical retrieval, per the
+    * round-8 verdict). First-ever touch of a corpus builds the index
+    * (logged — that run IS the offline step, exactly like q131); every
+    * later run, including fresh bench JVMs, serves from the
+    * bucket-pruned, term-pushed postings scan. Same corpus-identity +
+    * format-token artifact keying, same lock-serialized build, and the
+    * SAME exact DuckDB oracle as q133 — the index is lossless, so the
+    * answers are hash-identical (`Bm25IndexSpec` also pins them equal
+    * in-process). */
+  def bm25IndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val dir = VectorOps.artifactDir(s"graft_bm25_index_${Bm25Index.formatTag}",
+      sfDir, sourceFile = "documents.parquet")
+    if (VectorOps.buildArtifactOnce(dir, Seq("postings", "stats"))(tmp =>
+        Bm25Index.build(GraftSession.spread(
+          Tables.documents(spark, sfDir), col("doc_id")), tmp)))
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"q134: built BM25 posting-list artifact at $dir (first touch of " +
+          "this corpus — the offline step; later runs serve from disk)")
+    Bm25Index.probe(spark, dir.toString, Seq("window", "spark", "stream"))
+  }
+
   /** Core of q133 over any (doc_id, text) frame and query-term set. */
   private[graft] def bm25SearchOf(docs: DataFrame,
       query: Seq[String]): DataFrame = {
@@ -1153,6 +1178,8 @@ object PipelineOps extends OpCatalog {
       "TF-IDF salient-term extraction (top-1 per doc, rounded-score argmax)"),
     Op("q133_bm25_search", bm25Search, Some(bm25SearchSql),
       "Okapi BM25 lexical retrieval: top-20 docs for a fixed keyword query (k1=1.2, b=0.75, Lucene-style IDF; one tokenize pass, map-side query-term pruning)"),
+    Op("q134_bm25_index_probe", bm25IndexProbe, Some(bm25SearchSql),
+      "artifact-served BM25: offline-built Bm25Index (term-bucketed posting lists, denormalized dl/df) serves q133's exact answer from a bucket-pruned term-pushed scan -- no re-tokenize in-plan"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Bm25Index, PipelineOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** The offline BM25 posting-list artifact (q134): losslessness vs the
+  * q133 re-tokenize path, the pruned/pushed serving plan, empty-corpus
+  * degradation, and the declared form's artifact reuse. */
+class Bm25IndexSpec extends SparkSpec {
+
+  private val terms = Seq("window", "spark", "stream")
+
+  test("artifact probe == q133's re-tokenize answer (lossless index)") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    Bm25Index.build(docs, dir)
+    val served = Bm25Index.probe(spark, dir, terms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val reTokenized = PipelineOps.bm25Search(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served == reTokenized,
+      "the index is lossless: artifact scores must be hash-identical")
+    // different query terms against the SAME artifact (no rebuild): sane
+    // shape, scores positive, doc_id tiebreak ordering
+    val other = Bm25Index.probe(spark, dir, Seq("the", "data"), k = 5).collect()
+    assert(other.length <= 5)
+    assert(other.map(_.getLong(0)).toSeq ==
+      other.map(r => (-r.getDouble(1), r.getLong(0))).sorted.map(_._2).toSeq)
+  }
+
+  test("serving plan: bucket-pruned, term-pushed, no tokenize in-plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_plan").toString
+    Bm25Index.build(Tables.documents(spark, sfDir), dir)
+    val probe = Bm25Index.probe(spark, dir, terms)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("postings"), "must scan the artifact")
+    assert(!plan.toLowerCase.contains("explode"),
+      "serving must NOT re-tokenize — that is the artifact's whole point")
+    // the term predicate reaches the parquet scan, and the partition
+    // column filter prunes to the query terms' buckets
+    assert(plan.contains("w IN (") || plan.contains("w#"),
+      s"term filter must reach the scan")
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("postings") && l.contains("Batch")).getOrElse(plan)
+    assert(plan.contains("bucket"), "bucket pruning filter must be present")
+    // pruning is real: the scanned partition count equals the distinct
+    // buckets of the query terms, not the artifact's full bucket count
+    val allBuckets = spark.read.parquet(s"$dir/postings")
+      .select(col("bucket")).distinct().count()
+    val queryBuckets = spark.range(1)
+      .select(terms.map(t =>
+        pmod(xxhash64(lit(t)), lit(Bm25Index.Buckets.toLong)).cast("int")): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
+    assert(queryBuckets.size < allBuckets,
+      s"fixture must have more populated buckets (${allBuckets}) than the " +
+        s"query touches (${queryBuckets.size}) for pruning to be observable")
+    val scannedFiles = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }
+    info(s"query buckets ${queryBuckets.size} of $allBuckets populated; " +
+      s"scan partitions: $scannedFiles")
+  }
+
+  test("empty and degenerate corpora: build + probe degrade to empty, never throw") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dirE = java.nio.file.Files.createTempDirectory("graft_bm25_e").toString
+    Bm25Index.build(empty, dirE)
+    assert(Bm25Index.probe(spark, dirE, terms).collect().isEmpty)
+    // null text + docs with no matching terms
+    val sparse = Seq((1L, null: String), (2L, ""), (3L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val dirS = java.nio.file.Files.createTempDirectory("graft_bm25_s").toString
+    Bm25Index.build(sparse, dirS)
+    assert(Bm25Index.probe(spark, dirS, terms).collect().isEmpty)
+    // and a doc that DOES match still scores
+    val hit = Seq((1L, "spark streams"), (2L, "x")).toDF("doc_id", "text")
+    val dirH = java.nio.file.Files.createTempDirectory("graft_bm25_h").toString
+    Bm25Index.build(hit, dirH)
+    val r = Bm25Index.probe(spark, dirH, terms).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 1L && r.head.getLong(2) == 1L)
+  }
+
+  test("q134 declared form: equals q133, artifact reused not rebuilt") {
+    val law = PipelineOps.bm25IndexProbe(spark, sfDir).collect()
+    val q133 = PipelineOps.bm25Search(spark, sfDir).collect()
+    assert(law.map(_.toSeq).toSeq == q133.map(_.toSeq).toSeq,
+      "q134 must serve q133's exact answer")
+    val marker = VectorOps.artifactDir(
+        s"graft_bm25_index_${Bm25Index.formatTag}", sfDir,
+        sourceFile = "documents.parquet")
+      .resolve("postings").resolve("_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker).toMillis
+    val again = PipelineOps.bm25IndexProbe(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == law.map(_.toSeq).toSeq)
+    assert(java.nio.file.Files.getLastModifiedTime(marker).toMillis == mtime,
+      "second probe must reuse the artifact, not rebuild it")
+  }
+}
