@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Offline IVF index artifact (E13; the precompute pattern behind q45).
@@ -25,6 +26,14 @@ import org.apache.spark.sql.functions._
   * (`ParquetIngest`'s sinks could ship it anywhere a table goes).
   */
 object IvfIndex {
+
+  /** Format/params token folded into the shared-cache directory name
+    * ([[VectorOps.artifactDir]]): bump on any change to the layout,
+    * the √n nlist rule, or the training recipe, so stale artifacts
+    * built by old code are orphaned rather than served (round-8
+    * advisor). v1 = codebook + cell-partitioned assignments, 3-iter
+    * Lloyd, [[AnnParams.ivfCells]] sizing. */
+  def formatTag: String = "sqrtn-lloyd3-v1"
 
   /** Train a codebook over `(vec_id, embedding)` rows. `nlist` defaults
     * to the derived ≈√n rule over THIS frame's count; callers aligning
@@ -51,13 +60,22 @@ object IvfIndex {
   def loadCodebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
-  /** Serve one query vector from a built index: broadcast the ≤nlist-row
-    * codebook, pick the `nProbe` nearest cells in-plan, scan ONLY those
-    * cells' partitions (partition-pruned — `.explain` shows the cell
-    * PartitionFilters), exact cosine top-10 inside them. `q` is a 1-row
-    * frame with column `q_emb`. The `nProbe` DEFAULT derives from the
-    * TRAINED cell count — which is ≤ the requested nlist, because Lloyd
-    * can empty cells — so it can be one cell narrower than the in-query
+  /** Serve one query vector from a built index: score the ≤nlist-row
+    * codebook, pick the `nProbe` nearest cells, and scan ONLY those
+    * cells' partitions. The cell set is computed DRIVER-SIDE (a
+    * ≤nlist-row job collecting ≤nProbe ints) so the scan carries a
+    * LITERAL `cell IN (…)` partition predicate — static pruning visible
+    * in `PartitionFilters`, never dependent on the dynamic-partition-
+    * pruning heuristics (which decline small scans; an earlier in-plan
+    * broadcast-join formulation read every partition at fixture scale
+    * for exactly that reason). This is also the 100 TB shape: a
+    * retrieval tier resolves probe sets against the (tiny, often
+    * cached) codebook first, then issues the pruned scan — the literal
+    * predicate is what partition metadata services consume. Exact
+    * cosine top-10 inside the probed cells; `q` is a 1-row frame with
+    * column `q_emb`. The `nProbe` DEFAULT derives from the TRAINED
+    * cell count — which is ≤ the requested nlist, because Lloyd can
+    * empty cells — so it can be one cell narrower than the in-query
     * q45's width (derived from the REQUESTED nlist). Callers that need
     * exact q45 answer parity pass nProbe explicitly (q132 and
     * `IvfIndexSpec` do); the default is the right standalone behavior
@@ -67,20 +85,69 @@ object IvfIndex {
     val cb = loadCodebook(spark, path)
     val nProbe = nProbeOpt.getOrElse(
       AnnParams.ivfProbeCells(cb.count().toInt))
-    val bestCells = cb.crossJoin(broadcast(q))
+    val cells = cb.crossJoin(broadcast(q))
       .select(col("cell"),
         graft.functions.VectorExpressions
           .cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(nProbe)
-      .select(col("cell"))
+      .collect().map(_.getInt(0)).toSeq
     spark.read.parquet(s"$path/assignments")
-      .join(broadcast(bestCells), "cell")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(graft.functions.VectorExpressions
           .cosineSimilarity(col("embedding"), col("q_emb")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Batched serving — q122's query-batch frontier composed with the
+    * partition-pruned artifact probe (the shape an online retrieval
+    * tier actually runs at 100 TB): a BATCH of `(q_id, q_emb)` queries
+    * against the built index in ONE scan. Per query the `nProbe`
+    * nearest cells are picked against the tiny codebook; the UNION of
+    * probed cells becomes a LITERAL `cell IN (…)` partition predicate
+    * on the assignments scan (static pruning — [[probe]]'s rationale),
+    * and the (cell, q_id) probe map rides as a broadcast routing join,
+    * so each corpus row is scored only against the queries that probed
+    * its cell (no corpus row meets a query whose probe missed its
+    * cell). Top-`k` per query via `row_number ≤ k`, which Spark
+    * runs as a map-side `WindowGroupLimit` frontier (q122's law): the
+    * q_id exchange carries ≤ k·|queries|·partitions rows regardless of
+    * corpus size. Rounded sims + vec_id tiebreak keep the frontier
+    * deterministic cross-engine. */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val cb = loadCodebook(spark, path)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    // the probe map is |queries|·nProbe (cell, q_id) pairs — resolved
+    // DRIVER-SIDE against the tiny codebook (single-probe's rationale:
+    // a literal predicate, not a DPP heuristic), then re-broadcast as a
+    // local relation for the per-query routing join
+    val probed = cb.crossJoin(broadcast(queries))
+      .select(col("cell"), col("q_id"),
+        graft.functions.VectorExpressions
+          .cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("cell"), col("q_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val unionCells = probed.map(_._1).distinct
+    val routing = probed.toDF("cell", "q_id")
+    val frontier = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    spark.read.parquet(s"$path/assignments")
+      .filter(col("cell").isin(unionCells: _*)) // static partition pruning
+      .join(broadcast(routing), "cell") // rows meet ONLY their probers
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorExpressions
+          .cosineSimilarity(col("embedding"), col("q_emb")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(frontier))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
   }
 }

@@ -35,6 +35,13 @@ object PqIndex {
   val M = 8
   val K = 16
 
+  /** Format/params token folded into the shared-cache directory name
+    * ([[VectorOps.artifactDir]]): bump the trailing version on ANY
+    * change to the layout or training recipe so stale artifacts built
+    * by old code are orphaned, not served. v2 = adds the `codes_count`
+    * meta file the probe's default shortlist budget reads. */
+  def formatTag: String = s"m${M}k${K}v2"
+
   /** Train + encode at `path`. One pass trains ([[VectorOps.pqCodebook]],
     * deterministic), one pass encodes every vector's m sub-space argmins
     * into the dense positional code array. */
@@ -60,6 +67,13 @@ object PqIndex {
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
         "x -> x.code)").as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    // stored-codes row count as a plain meta file: the probe's default
+    // shortlist budget derives from it, and reading it must not cost a
+    // Spark job per probe (round-8 advisor — the old probe ran
+    // `read.parquet(codes).count()` at serve time)
+    val n = e.sparkSession.read.parquet(s"$path/codes").count()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "codes_count"),
+      n.toString.getBytes("UTF-8"))
   }
 
   /** Serve one query from the built artifact: ADC shortlist over the
@@ -67,12 +81,20 @@ object PqIndex {
     * the ≤`shortlist` survivors against `corpus` by vec_id. Returns
     * (vec_id, adc, l2) top-10 in q117's shape. The shortlist budget
     * defaults to the same corpus-derived size q117's in-query path uses
-    * ([[AnnParams.adcShortlist]] over the stored-codes count — a footer
-    * metadata read), keeping artifact and in-query answers identical. */
+    * ([[AnnParams.adcShortlist]] over the stored-codes count, read from
+    * the `codes_count` meta file the build stamps — no Spark job at
+    * serve time; a pre-v2 artifact without the file falls back to one
+    * count job), keeping artifact and in-query answers identical. */
   def probe(spark: SparkSession, path: String, qv: Array[Float],
       corpus: DataFrame, shortlistOpt: Option[Int] = None): DataFrame = {
-    val shortlist = shortlistOpt.getOrElse(
-      AnnParams.adcShortlist(spark.read.parquet(s"$path/codes").count()))
+    val shortlist = shortlistOpt.getOrElse {
+      val meta = java.nio.file.Paths.get(path, "codes_count")
+      val n =
+        if (java.nio.file.Files.exists(meta))
+          new String(java.nio.file.Files.readAllBytes(meta), "UTF-8").trim.toLong
+        else spark.read.parquet(s"$path/codes").count()
+      AnnParams.adcShortlist(n)
+    }
     // the ONE shared loader + ADC-table recipe (VectorOps.codebookMap /
     // adcSqTable — the positional ordering contract lives there, shared
     // with the in-query q117/q118 paths this probe is spec-pinned

@@ -261,6 +261,13 @@ object VectorOps extends OpCatalog {
   private val ivfRecallFloorHits = 5
   private val pqRecallFloorHits = 8
   private val ivfadcRecallFloorHits = 5
+  /** q135's AGGREGATE floor: total exact-top-5 hits across the whole
+    * 8-query batch (40 possible) — measured 31/31/26 at
+    * sf0.001/0.01/0.1 (quarter-cell probes on near-iid fixtures;
+    * per-query hits range 2–5 — queries 1–7 sit in the corpus so their
+    * own cells are probed first, while the tail rides the iid note
+    * above), floored with margin at half the measured minimum. */
+  private val batchIvfRecallFloorHits = 13
 
   /** Zero-row (vec_id, sim) frame — empty-corpus degrade for the cosine
     * ANN cores (q43), mirroring [[emptyTopK]]'s L2 shape. */
@@ -1336,11 +1343,20 @@ object VectorOps extends OpCatalog {
     * corpus shapes `spark.read.parquet` accepts: a single file (size +
     * mtime) and a Spark-written DIRECTORY — whose own size/mtime do NOT
     * change when a part file is rewritten in place, so directories hash
-    * the sorted part-file listing (name, size, mtime) instead. */
-  private[graft] def artifactDir(family: String,
-      sfDir: String): java.nio.file.Path = {
+    * the sorted part-file listing (name, size, mtime) instead.
+    *
+    * The `family` string MUST carry a format/params token (round-8
+    * advisor): corpus identity alone would let a change to the index
+    * parameters or training recipe silently serve a stale artifact
+    * built by OLD code from the shared temp dir across JVMs — surfacing
+    * only as downstream law-flag/parity failures instead of a rebuild.
+    * Each index object owns its token ([[PqIndex.formatTag]],
+    * [[IvfIndex.formatTag]], [[Bm25Index.formatTag]]); bumping it
+    * orphans old artifacts exactly the way a corpus rewrite does. */
+  private[graft] def artifactDir(family: String, sfDir: String,
+      sourceFile: String = "embeddings.parquet"): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$sfDir/embeddings.parquet")
+    val src = Paths.get(s"$sfDir/$sourceFile")
     val fp =
       if (!Files.exists(src)) "absent"
       else if (Files.isDirectory(src)) {
@@ -1363,7 +1379,7 @@ object VectorOps extends OpCatalog {
   }
 
   private[graft] def pqArtifactDir(sfDir: String): java.nio.file.Path =
-    artifactDir("graft_pq_index", sfDir)
+    artifactDir(s"graft_pq_index_${PqIndex.formatTag}", sfDir)
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
@@ -1380,40 +1396,87 @@ object VectorOps extends OpCatalog {
     }
   }
 
-  /** Race-safe artifact build: materialize into a unique tmp sibling,
-    * then atomically move into place — two sessions first-touching the
-    * same corpus cannot interleave writes into one directory (the loser
-    * of the rename race discards its build and serves the winner's;
-    * both artifacts are deterministic, so either is correct). `subdirs`
+  /** JVM-level mutex per artifact dir: `FileLock` is held per-process
+    * (a second overlapping lock attempt in the SAME JVM throws instead
+    * of waiting), so same-JVM build attempts serialize here first. */
+  private val artifactJvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Race-safe artifact build: heal + build + install run under an
+    * OS-level lock file (`<dir>.lock`, `FileChannel.lock` — round-8
+    * advisor), so concurrent sessions SERIALIZE instead of racing:
+    * the loser blocks, re-checks readiness, and serves the winner's
+    * artifact (both are deterministic, so either is correct). `subdirs`
     * are the artifact's components, each checked for a `_SUCCESS`
     * marker so a torn earlier build is never mistaken for ready.
     *
-    * A torn directory (a crashed earlier build) is healed BEFORE this
-    * session's build starts, never after: post-build the only install
-    * path is the atomic rename, so a competitor's COMPLETE artifact
-    * installed while we were building can never be deleted by us — the
-    * rename just fails and we discard our own tmp. (The pre-build heal
-    * still has a microsecond-scale window against a competitor's rename;
-    * the loser of THAT race rebuilds from scratch — wasteful once,
-    * never wrong.) A build that throws cleans its tmp up on the way
-    * out. */
+    * The lock closes the round-7 protocol's acknowledged window: the
+    * pre-build heal of a torn directory can no longer delete a
+    * competitor's COMPLETE artifact installed between the ready-check
+    * and the delete, because installs only happen under the same lock.
+    * Readers never take the lock (the fast path serves a ready
+    * artifact lock-free) — safe because a ready artifact is immutable:
+    * no path under the lock deletes a dir whose `_SUCCESS` markers are
+    * all present. A build that throws cleans its tmp up on the way out
+    * and releases the lock.
+    *
+    * Filesystem contract: this cache lives under `java.io.tmpdir` and
+    * is managed with `java.nio` + `FileChannel` — LOCAL-filesystem
+    * semantics. Spark's side of the build writes through the session's
+    * default Hadoop FS, so if that were remote (HDFS/S3) build and
+    * install would operate on different filesystems; [[requireLocalFs]]
+    * rejects that configuration explicitly instead of desyncing. A
+    * cluster deployment serves these artifacts from a shared-FS path
+    * written by an explicit offline job (the `PqIndex`/`IvfIndex`
+    * builders take any path), not from this per-machine cache. */
   private[graft] def buildArtifactOnce(dir: java.nio.file.Path,
       subdirs: Seq[String])(build: String => Unit): Boolean = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, StandardOpenOption}
     def ready = subdirs.forall(s =>
       Files.exists(dir.resolve(s).resolve("_SUCCESS")))
     if (ready) return false
-    if (Files.exists(dir)) deleteRecursively(dir) // heal a torn dir
+    requireLocalFs()
     Files.createDirectories(dir.getParent)
-    val tmp = dir.resolveSibling(
-      s"${dir.getFileName}.build-${java.util.UUID.randomUUID().toString.take(8)}")
-    try build(tmp.toString)
-    catch { case e: Throwable => deleteRecursively(tmp); throw e }
-    try { Files.move(tmp, dir); true }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        deleteRecursively(tmp); false // a concurrent build won the race
+    val jvmLock = artifactJvmLocks.computeIfAbsent(
+      dir.toAbsolutePath.toString, _ => new Object)
+    jvmLock.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolveSibling(s"${dir.getFileName}.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock() // blocks until a competing session finishes
+        try {
+          if (ready) return false // the competitor we waited on built it
+          if (Files.exists(dir)) deleteRecursively(dir) // torn build: heal
+          val tmp = dir.resolveSibling(s"${dir.getFileName}.build-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          try build(tmp.toString)
+          catch { case e: Throwable => deleteRecursively(tmp); throw e }
+          try { Files.move(tmp, dir); true }
+          catch {
+            // cannot happen under the lock protocol (nobody else may
+            // install while we hold it) — belt-and-braces tolerance for
+            // a writer outside the protocol: their complete artifact
+            // stands, ours is discarded
+            case _: java.nio.file.FileAlreadyExistsException =>
+              deleteRecursively(tmp); false
+          }
+        } finally osLock.release()
+      } finally ch.close()
     }
+  }
+
+  /** Reject a non-local default Hadoop FS before touching the local
+    * artifact cache (see [[buildArtifactOnce]]'s filesystem contract). */
+  private def requireLocalFs(): Unit = {
+    val scheme = org.apache.hadoop.fs.FileSystem.getDefaultUri(
+      org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()).getScheme
+    require(scheme == null || scheme == "file",
+      s"the local artifact cache requires a local default filesystem " +
+        s"(got '$scheme'): on a cluster, build index artifacts to a " +
+        "shared-FS path with PqIndex.build/IvfIndex.build/Bm25Index." +
+        "build directly and probe that path")
   }
 
   /** Artifact-served PQ probe — the import-then-query split as a DECLARED
@@ -1459,7 +1522,7 @@ object VectorOps extends OpCatalog {
   // --------------------------------------------------------------- q132
   /** [[artifactDir]] for the [[IvfIndex]] family. */
   private[graft] def ivfArtifactDir(sfDir: String): java.nio.file.Path =
-    artifactDir("graft_ivf_index", sfDir)
+    artifactDir(s"graft_ivf_index_${IvfIndex.formatTag}", sfDir)
 
   /** Artifact-served IVF probe — q131's pattern for the coarse-quantizer
     * family: the [[IvfIndex]] parquet artifact stores the codebook AND
@@ -1498,6 +1561,114 @@ object VectorOps extends OpCatalog {
       served, ivfRecallFloorHits)
   }
 
+  // --------------------------------------------------------------- q135
+  /** Batched law-flag frame — [[annLawFrame]] generalized to a query
+    * BATCH (q135): the rows are every query's exact top-`k` (fully
+    * DuckDB-expressible: window rank over the exact scored pairs), and
+    * the flags carry the engine laws over the WHOLE batch answer:
+    * `score_ok` — every served row reports exactly the true similarity
+    * of its (q_id, vec_id); `recall_ok` — the served batch finds at
+    * least `minTotalHits` of the k·|queries| exact-top rows IN
+    * AGGREGATE. The floor is aggregate rather than per-query because
+    * the near-iid fixtures put some single queries' per-probe recall
+    * near zero (no cluster structure — [[AnnParams]]'s adversarial-case
+    * note); the aggregate is the stable machinery tripwire. Both flags
+    * come from ONE pass over the served subplan; left joins make a
+    * bogus served id FAIL score_ok instead of vanishing. */
+  private[graft] def batchAnnLawFrame(exactScored: DataFrame,
+      served: DataFrame, k: Int, minTotalHits: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val exactTop = exactScored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+    val flags = served
+      .select(col("q_id"), col("vec_id"), col("sim").as("ann_sim"))
+      .join(exactScored.select(col("q_id"), col("vec_id"),
+        col("sim").as("exact_sim")), Seq("q_id", "vec_id"), "left")
+      .join(broadcast(exactTop.select(col("q_id"), col("vec_id"),
+        lit(true).as("in_top"))), Seq("q_id", "vec_id"), "left")
+      .agg(
+        coalesce(sum(when(col("in_top"), 1L).otherwise(0L)), lit(0L))
+          .as("n_hit"),
+        coalesce(expr("bool_and(coalesce(ann_sim = exact_sim, false))"),
+          lit(true)).as("score_ok"))
+      .select((col("n_hit") >= minTotalHits).as("recall_ok"),
+        col("score_ok"))
+    exactTop.crossJoin(broadcast(flags))
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"),
+        col("recall_ok"), col("score_ok"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Batched artifact-served ANN — the round-8 verdict's composition of
+    * q122 (batched-queries frontier) with q132 (partition-pruned
+    * artifact probe): a query BATCH (vec_id < 8) against the SAME
+    * [[IvfIndex]] artifact q132 serves, in ONE pruned scan whose
+    * partition filter is the union of every query's probed cells
+    * ([[IvfIndex.probeBatch]] — the shape an online retrieval tier
+    * actually runs at 100 TB). Artifact keying, lock-serialized build,
+    * and q45-parity nlist derivation are q132's verbatim; the declared
+    * output is the batched law-flag frame ([[batchAnnLawFrame]]).
+    * `IvfIndexSpec` pins the pruned multi-query plan and the planted-
+    * cluster recall. */
+  def batchIvfIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val exactScored = batchCosineScoredOf(corpus, queries)
+    val served =
+      if (queries.limit(1).collect().isEmpty ||
+          corpus.limit(1).collect().isEmpty)
+        spark.range(0).selectExpr("id AS q_id", "id AS vec_id",
+          "CAST(0.0 AS DOUBLE) AS sim")
+      else {
+        val dir = ivfArtifactDir(sfDir)
+        val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
+        if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
+            tmp => IvfIndex.build(corpus, tmp, nlist = Some(k))))
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"q135: built IVF index artifact at $dir (first touch of " +
+              "this corpus — the offline step; later runs serve from disk)")
+        IvfIndex.probeBatch(spark, dir.toString, queries,
+          AnnParams.ivfProbeCells(k), k = 5)
+      }
+    batchAnnLawFrame(exactScored, served, k = 5, batchIvfRecallFloorHits)
+  }
+
+  private val batchIvfIndexProbeSql =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 8),
+      |prods AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |sims AS (
+      |  SELECT q_id, vec_id,
+      |    sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY q_id, vec_id),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |         ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |  FROM sims),
+      |ranked AS (
+      |  SELECT q_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, vec_id) AS INT) AS rnk,
+      |    vec_id, sim
+      |  FROM scored)
+      |SELECT q_id, rnk, vec_id, sim,
+      |  TRUE AS recall_ok, TRUE AS score_ok
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   // --------------------------------------------------------------- q122
   /** Batched similarity serving — the shape online retrieval actually
     * runs: a BATCH of query vectors (here vec_id < 8) against the corpus
@@ -1519,18 +1690,24 @@ object VectorOps extends OpCatalog {
     batchCosineTopKOf(emb(spark, sfDir).filter(col("vec_id") >= 8), queries, 5)
   }
 
-  /** Core of q122 over any corpus x (q_id, q_emb) query block. */
-  private[graft] def batchCosineTopKOf(
-      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus
+  /** Every (query, corpus-row) exact cosine — the scored base q122's
+    * frontier and q135's batched law flags both build on. */
+  private[graft] def batchCosineScoredOf(
+      corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus
       .crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
+
+  /** Core of q122 over any corpus x (q_id, q_emb) query block. */
+  private[graft] def batchCosineTopKOf(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val frontier = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(frontier))
+    batchCosineScoredOf(corpus, queries)
+      .withColumn("rnk", row_number().over(frontier))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
@@ -1673,7 +1850,10 @@ object VectorOps extends OpCatalog {
     Op("q132_ivf_index_probe", ivfIndexProbe, Some(cosineLawSql),
       "artifact-served IVF probe: offline-built IvfIndex (codebook + cell-PARTITIONED assignments) serves via partition-pruned cell scans, no training in-plan; law-flag oracle vs exact cosine"),
     Op("q122_batch_cosine_topk", batchCosineTopK, Some(batchCosineTopKSql),
-      "batched serving: exact cosine top-5 per each of 8 broadcast query vectors in ONE corpus scan (map-side WindowGroupLimit frontier)"))
+      "batched serving: exact cosine top-5 per each of 8 broadcast query vectors in ONE corpus scan (map-side WindowGroupLimit frontier)"),
+    Op("q135_batch_ivf_index_probe", batchIvfIndexProbe,
+      Some(batchIvfIndexProbeSql),
+      "batched artifact-served ANN: 8-query batch against the IvfIndex artifact in ONE partition-pruned scan (union of probed cells = the partition filter, per-query routing via the cell join); batched law-flag oracle vs exact cosine"))
 
 
 }

@@ -85,6 +85,103 @@ class IvfIndexSpec extends SparkSpec {
       "probe plan must not contain training stages")
   }
 
+  test("√n boundary: nlist derived from the query-INCLUDING count keeps artifact == in-query parity") {
+    // The parity hazard documented at the q132 call site: q45's in-query
+    // core derives nlist from the FULL frame count (query row included),
+    // while a naive artifact build would derive it from the
+    // query-filtered corpus — at √-rounding boundary sizes the two
+    // derivations give DIFFERENT cell counts and the codebooks diverge.
+    // Corpus of 12 + 1 query row is exactly such a size:
+    assert(AnnParams.ivfCells(13) == 4 && AnnParams.ivfCells(12) == 3,
+      "13/12 must straddle a √n rounding boundary for this test to bite")
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 13)
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val k = AnnParams.ivfCells(e.count()) // q132's rule: INCLUDING the query
+    val nProbe = AnnParams.ivfProbeCells(k)
+    // in-query side (q45's recipe on this slice)
+    val cents = VectorOps.ivfCodebook(e, k, iters = 3)
+    val inQuery = VectorOps.ivfProbe(corpus, q, cents, nProbe).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // artifact side (q132's recipe: explicit nlist override)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_bnd").toString
+    IvfIndex.build(corpus, dir, nlist = Some(k))
+    val served = IvfIndex.probe(spark, dir, q, Some(nProbe)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(served == inQuery,
+      "artifact probe must equal the in-query core at the boundary size")
+    // and the naive derivation really is different here — the hazard is
+    // live at this size, not hypothetical
+    val naiveK = AnnParams.ivfCells(corpus.count())
+    assert(naiveK != k, "corpus-count derivation must diverge at the boundary")
+  }
+
+  test("q135 probeBatch: served rows are sound, plan is pruned + frontier-limited, batch == per-query probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val k = AnnParams.ivfCells(e.count())
+    IvfIndex.build(corpus, dir, nlist = Some(k))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nProbe = AnnParams.ivfProbeCells(k)
+    val batch = IvfIndex.probeBatch(spark, dir, queries, nProbe, k = 5)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // soundness: per query ≤5 rows, ranks contiguous from 1, sims are the
+    // exact cosines (cross-checked against the brute-force batch scorer)
+    val exact = VectorOps.batchCosineScoredOf(corpus, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length <= 5 && rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      rows.foreach { case (q, _, v, sim) =>
+        assert(exact((q, v)) == sim, s"served sim for ($q,$v) must be exact") }
+    }
+    // batch == union of single-query probes through the same artifact
+    // (the batched plan changes the EXECUTION, never the answer)
+    queries.collect().foreach { row =>
+      val qid = row.getLong(0)
+      val single = IvfIndex.probe(spark, dir,
+          queries.filter(col("q_id") === qid).select(col("q_emb")), Some(nProbe))
+        .limit(5).collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      val fromBatch = got.filter(_._1 == qid).sortBy(_._2)
+        .map(t => t._3 -> t._4).toSeq
+      assert(fromBatch == single, s"q$qid: batch must equal the single probe")
+    }
+    // plan: ONE statically partition-pruned scan of the assignments
+    // (literal `cell IN (…)` in PartitionFilters — the union of probed
+    // cells), no training lineage, map-side frontier
+    val plan = batch.queryExecution.executedPlan.toString
+    // AQE wraps the tree (collectLeaves sees only the adaptive root), so
+    // pin the FINAL plan's text: exactly one assignments scan line,
+    // carrying the literal probed-cell partition predicate
+    val finalSection = plan.split("== Initial Plan ==").head
+    val scanLines = finalSection.linesIterator.filter(l =>
+      l.contains("BatchScan") && l.contains("assignments")).toSeq
+    assert(scanLines.size == 1,
+      s"exactly ONE assignments scan for the whole batch, got ${scanLines.size}")
+    val partFilters = scanLines.head.replaceAll(".*PartitionFilters", "")
+    assert(scanLines.head.contains("PartitionFilters") &&
+      (partFilters.contains(" IN (") || partFilters.contains(" INSET ")),
+      s"assignments scan must carry the literal probed-cell partition " +
+        s"predicate: ${scanLines.head.take(400)}")
+    assert(!plan.toLowerCase.contains("posexplode"), "no training stages")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must run as the map-side frontier")
+  }
+
+  test("q135 declared form: exact batch top-5 + green flags; aggregate floor documented-current") {
+    val law = VectorOps.batchIvfIndexProbe(spark, sfDir).collect()
+    assert(law.length == 40, s"8 queries x top-5 = 40 rows, got ${law.length}")
+    assert(law.forall(r => r.getBoolean(4) && r.getBoolean(5)),
+      "recall_ok/score_ok must hold on the fixture")
+    // deterministic across invocations (artifact reuse + stable frontier)
+    val again = VectorOps.batchIvfIndexProbe(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == law.map(_.toSeq).toSeq)
+  }
+
   test("q132 declared form: exact top-10 + green flags; identity-keyed artifact reused, not rebuilt") {
     val law = VectorOps.ivfIndexProbe(spark, sfDir).collect()
     assert(law.length == 10)

@@ -57,7 +57,9 @@ class PlanRobustnessSpec extends SparkSpec {
       "q112_key_skew_profile",    // crossJoin(broadcast(1-row totals scalar))
       "q122_batch_cosine_topk",   // crossJoin(broadcast(the 8-row query batch))
       "q130_pmi_collocations",    // crossJoin(broadcast(1-row N1/N2 totals scalar))
-      "q133_bm25_search"          // crossJoin(broadcast(1-row corpus-stats scalar))
+      "q133_bm25_search",         // crossJoin(broadcast(1-row corpus-stats scalar))
+      "q134_bm25_index_probe",    // crossJoin(broadcast(the artifact's 1-row stats frame))
+      "q135_batch_ivf_index_probe" // law wrapper: 8-row query-batch + 1-row flag broadcasts
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(

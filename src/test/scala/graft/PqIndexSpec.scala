@@ -69,9 +69,10 @@ class PqIndexSpec extends SparkSpec {
     assert(VectorOps.buildArtifactOnce(dir, Seq("part"))(build))
     assert(builds == 2)
     assert(Files.readString(dir.resolve("part").resolve("data")) == "build-2")
-    // rename-race loser: a competitor installs the artifact BETWEEN this
-    // build and its move — the loser must discard its tmp and leave the
-    // winner's artifact untouched
+    // outside-the-protocol writer: a competitor installs the artifact
+    // BETWEEN this build and its move WITHOUT taking the lock (protocol
+    // participants would have blocked on it) — the loser must still
+    // discard its tmp and leave the winner's artifact untouched
     def deleteTree(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p)) {
         val cs = Files.list(p)
@@ -99,11 +100,45 @@ class PqIndexSpec extends SparkSpec {
         throw new RuntimeException("boom")
       }
     }
-    // no tmp build directories (or anything else) left behind
+    // no tmp build directories left behind — only the lock file may
+    // remain (deleting a lock file another process may be blocked on
+    // would let a third process acquire a fresh one concurrently)
     val leftovers = Files.list(root)
-    try assert(leftovers.toArray.isEmpty,
-      s"tmp dirs must be deleted: ${Files.list(root).toArray.toSeq}")
-    finally leftovers.close()
+    try {
+      val stray = leftovers.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filterNot(_.getFileName.toString.endsWith(".lock")).toSeq
+      assert(stray.isEmpty, s"tmp dirs must be deleted: $stray")
+    } finally leftovers.close()
+  }
+
+  test("buildArtifactOnce: concurrent same-JVM attempts serialize on the lock — one build, both served") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_bao_lock")
+    val dir = root.resolve("artifact")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inBuild = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(tmp: String): Unit = {
+      assert(inBuild.incrementAndGet() == 1,
+        "two builds of the same artifact must never overlap")
+      try {
+        builds.incrementAndGet()
+        Thread.sleep(200) // hold the lock long enough for real overlap
+        val sub = Paths.get(tmp, "part")
+        Files.createDirectories(sub)
+        Files.writeString(sub.resolve("_SUCCESS"), "")
+      } finally inBuild.decrementAndGet()
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val attempts = (1 to 4).map(_ => Future {
+      VectorOps.buildArtifactOnce(dir, Seq("part"))(build)
+    })
+    val results = Await.result(Future.sequence(attempts), 60.seconds)
+    assert(builds.get() == 1, s"exactly one attempt builds, got ${builds.get()}")
+    assert(results.count(identity) == 1, "exactly one attempt reports the install")
+    assert(Files.exists(dir.resolve("part").resolve("_SUCCESS")),
+      "every attempt returns with the artifact ready")
   }
 
   test("q131 declared form: exact top-10 + green flags; identity-keyed artifact reused, not rebuilt") {

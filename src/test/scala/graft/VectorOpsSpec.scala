@@ -229,6 +229,27 @@ class VectorOpsSpec extends SparkSpec {
     fixtureBlocked.foreach { case (ids, sim) =>
       assert(fixtureExact.get(ids).contains(sim)) }
     assert(pairs(VectorOps.lshPairs(fixtureEmb, 0.5, db, dr)) == fixtureBlocked)
+    // TRIPWIRE (round-8 advisor): q48's oracle asserts lsh_found = TRUE
+    // for every exact pair of its DECLARED slice (and q93's asserts
+    // cluster-set equality) — contracts that hold because measured LSH
+    // recall over those slices is exactly 1.0 on the FROZEN fixtures
+    // (bandedLsh targets 0.98; the full sf0.1 corpus at threshold 0.5
+    // genuinely carries one missed pair OUTSIDE the slice — 13/14 —
+    // which is the 0.98 target doing what it says). This pins the
+    // slice-recall measurement at every fixture SF: if it fails after a
+    // fixture regeneration, threshold tweak, or Spark hash-seed change,
+    // the banding parameters (AnnParams.bandedLsh) are what moved — fix
+    // THERE, instead of chasing an opaque driver hash mismatch on
+    // q48/q93.
+    for (sf <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val declared = VectorOps.embeddingNeardupLsh(spark, sf).collect()
+      val misses = declared.filterNot(_.getBoolean(3))
+      assert(misses.isEmpty,
+        s"$sf: q48's oracle asserts lsh_found=TRUE for every exact slice " +
+          s"pair; missed ${misses.map(r => (r.getLong(0), r.getLong(1))).toSeq} " +
+          "— the banding parameters (AnnParams.bandedLsh) are the first " +
+          "suspect, not the oracle hash")
+    }
     // declared q48 (law-flag form): rows are the exact slice pairs, and
     // every one the full-corpus LSH found carries lsh_found = TRUE
     val declared = VectorOps.embeddingNeardupLsh(spark, sfDir).collect()
