@@ -163,7 +163,19 @@ object Bench {
     if (toReplay.nonEmpty) {
       toReplay.foreach { n =>
         originals(n) = times(n)
-        times(n) = timeNoop(spark, n, sfDir)
+        // a replay that THROWS (transient OOM, flaky read) must not
+        // abort the suite after ~all measurements were taken — keep the
+        // first-run time as the query's number (conservative: the slow
+        // sample stands) and move on, same contract as the first-run loop
+        times(n) =
+          try timeNoop(spark, n, sfDir)
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] replay of $n FAILED (${e.getMessage}) — " +
+                  "keeping the first-run time")
+              originals(n)
+          }
       }
       // the replays themselves ran in SOME window — sample it too
       sentinels += timeNoop(spark, sentinel, sfDir)
@@ -215,7 +227,13 @@ object Bench {
     val sorted = r.times.toSeq.sortBy { case (_, v) => -v }
     val midSamples = r.sentinels.drop(1)
       .dropRight(if (r.replayed.nonEmpty) 2 else 1)
-    val adjudication =
+    // `maxReplayNames` bounds the replayed-name array: under round-8-
+    // shaped contention 40+ queries can trip their bands, and an
+    // unbounded name list would push the COMPACT line past the driver's
+    // ~2000-char tail window — the parsed:null failure this machinery
+    // exists to fix. The full line / bench.json carry every name; the
+    // compact line carries the count plus the first few.
+    def adjudication(maxReplayNames: Int): String =
       s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
       s""""sentinel_samples":[${r.sentinels.map(fmt).mkString(",")}],""" +
       s""""sentinel_pre_sec":${fmt(r.sentinels.head)},""" +
@@ -228,14 +246,16 @@ object Bench {
         s""""sentinel_post_replay_sec":${fmt(r.sentinels.last)},""" else "") +
       s""""sentinel_band_sec":${fmt(SentinelBandSec)},""" +
       s""""bands_applied":${r.bandsApplied},""" +
-      s""""replayed":[${r.replayed.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""replayed_n":${r.replayed.size},""" +
+      s""""replayed":[${r.replayed.take(maxReplayNames)
+          .map("\"" + _ + "\"").mkString(",")}],""" +
       s""""contaminated":${r.contaminated}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec",""" +
       s""""queries":${encMap(sorted)},""" +
       s""""original_sec":${encMap(r.originalSec)},""" +
       s""""load_avg_per_query":${encMap(r.loads)},""" +
-      s""""sf":"$sfDir","cpus":$cpus,$adjudication}"""
+      s""""sf":"$sfDir","cpus":$cpus,${adjudication(Int.MaxValue)}}"""
 
     // persist the COMPLETE record — the driver's log tail drops it
     val outPath = java.nio.file.Paths.get(outDir, "bench.json")
@@ -258,7 +278,7 @@ object Bench {
         buf.append(e)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":{$buf},"sf":"$sfDir",$adjudication,"queries_omitted_for_length":$omitted,"full_json_file":"${outPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":{$buf},"sf":"$sfDir",${adjudication(4)},"queries_omitted_for_length":$omitted,"full_json_file":"${outPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -100,28 +100,39 @@ object Bm25Index {
   def probe(spark: SparkSession, path: String, terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "empty query")
+    import spark.implicits._
+    // q133 parity under DUPLICATED query terms: bm25SearchOf scores one
+    // term-column per OCCURRENCE (a doubled term doubles its score and
+    // its n_query_terms contribution), while postings carry each
+    // (doc, term) once — so each matched posting is weighted by the
+    // term's multiplicity in the query. Distinct terms feed the scan
+    // predicates; the multiplicity rides as a broadcast k-row join.
+    val distinctTerms = terms.distinct
+    val mult = terms.groupBy(identity).toSeq
+      .map { case (t, occ) => (t, occ.size.toLong) }
     // the terms are driver literals, but the bucket rule is Spark's
     // xxhash64 — evaluate it on a literal frame (LocalTableScan, no
     // file I/O) rather than re-implementing the hash driver-side
     val buckets = spark.range(1).select(
-        terms.map(t => bucketCol(lit(t))): _*)
+        distinctTerms.map(t => bucketCol(lit(t))): _*)
       .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
     val stats = spark.read.schema(statsSchema).parquet(s"$path/stats")
     val postings = spark.read.schema(postingsSchema)
       .parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
-      .filter(col("w").isin(terms: _*)) // pushed into the pruned scan
+      .filter(col("w").isin(distinctTerms: _*)) // pushed into the pruned scan
     val score =
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * (lit(1.2) + 1.0)) /
         (col("tf") + lit(1.2) *
           (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
     postings.crossJoin(broadcast(stats))
+      .join(broadcast(mult.toDF("w", "mult")), "w")
       .withColumn("avgdl",
         col("total_len").cast("double") / col("n_docs"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(score), 4).as("bm25"),
-        count(lit(1)).as("n_query_terms"))
+      .agg(round(sum(score * col("mult")), 4).as("bm25"),
+        sum(col("mult")).as("n_query_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

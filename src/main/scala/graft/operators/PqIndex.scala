@@ -42,6 +42,12 @@ object PqIndex {
     * meta file the probe's default shortlist budget reads. */
   def formatTag: String = s"m${M}k${K}v2"
 
+  /** `<path>/codes_count` as a Hadoop path — works for local, hdfs://,
+    * s3a:// alike (build's direct-call contract is any Spark-writable
+    * path, only the [[VectorOps.artifactDir]] cache is local-only). */
+  private def metaPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "codes_count")
+
   /** Train + encode at `path`. One pass trains ([[VectorOps.pqCodebook]],
     * deterministic), one pass encodes every vector's m sub-space argmins
     * into the dense positional code array. */
@@ -72,8 +78,15 @@ object PqIndex {
     // Spark job per probe (round-8 advisor — the old probe ran
     // `read.parquet(codes).count()` at serve time)
     val n = e.sparkSession.read.parquet(s"$path/codes").count()
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "codes_count"),
-      n.toString.getBytes("UTF-8"))
+    // resolved through Hadoop FileSystem, not java.nio: build targets a
+    // cluster path (hdfs://, s3a://) when called directly — the
+    // documented non-local-cache route — and the meta file must land
+    // beside the codes wherever Spark wrote them
+    val meta = metaPath(path)
+    val fs = meta.getFileSystem(
+      e.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(meta, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Serve one query from the built artifact: ADC shortlist over the
@@ -88,11 +101,14 @@ object PqIndex {
   def probe(spark: SparkSession, path: String, qv: Array[Float],
       corpus: DataFrame, shortlistOpt: Option[Int] = None): DataFrame = {
     val shortlist = shortlistOpt.getOrElse {
-      val meta = java.nio.file.Paths.get(path, "codes_count")
+      val meta = metaPath(path)
+      val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
       val n =
-        if (java.nio.file.Files.exists(meta))
-          new String(java.nio.file.Files.readAllBytes(meta), "UTF-8").trim.toLong
-        else spark.read.parquet(s"$path/codes").count()
+        if (fs.exists(meta)) {
+          val in = fs.open(meta)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        } else spark.read.parquet(s"$path/codes").count()
       AnnParams.adcShortlist(n)
     }
     // the ONE shared loader + ADC-table recipe (VectorOps.codebookMap /

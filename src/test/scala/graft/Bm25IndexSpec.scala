@@ -26,6 +26,18 @@ class Bm25IndexSpec extends SparkSpec {
     assert(other.length <= 5)
     assert(other.map(_.getLong(0)).toSeq ==
       other.map(r => (-r.getDouble(1), r.getLong(0))).sorted.map(_._2).toSeq)
+    // DUPLICATED query terms: the re-tokenize path scores one term-
+    // column per OCCURRENCE (doubled term -> doubled score + doubled
+    // n_query_terms, same df), so the probe weights each matched
+    // posting by the term's query multiplicity — parity must hold for
+    // the degenerate input too, not just distinct-term queries
+    val dupTerms = Seq("spark", "window", "spark")
+    val servedDup = Bm25Index.probe(spark, dir, dupTerms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val reTokenizedDup = PipelineOps.bm25SearchOf(docs, dupTerms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(servedDup == reTokenizedDup,
+      "multiplicity weighting must reproduce per-occurrence scoring")
   }
 
   test("serving plan: bucket-pruned, term-pushed, no tokenize in-plan") {
@@ -40,8 +52,6 @@ class Bm25IndexSpec extends SparkSpec {
     // column filter prunes to the query terms' buckets
     assert(plan.contains("w IN (") || plan.contains("w#"),
       s"term filter must reach the scan")
-    val scanLine = plan.linesIterator.find(l =>
-      l.contains("postings") && l.contains("Batch")).getOrElse(plan)
     assert(plan.contains("bucket"), "bucket pruning filter must be present")
     // pruning is real: the scanned partition count equals the distinct
     // buckets of the query terms, not the artifact's full bucket count

@@ -241,7 +241,9 @@ class VectorOpsSpec extends SparkSpec {
     // the banding parameters (AnnParams.bandedLsh) are what moved — fix
     // THERE, instead of chasing an opaque driver hash mismatch on
     // q48/q93.
-    for (sf <- Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    // (sfDir itself is covered by the declared-q48 block just below —
+    // no need to run the multi-second full-LSH query there twice)
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val declared = VectorOps.embeddingNeardupLsh(spark, sf).collect()
       val misses = declared.filterNot(_.getBoolean(3))
       assert(misses.isEmpty,

@@ -23,6 +23,10 @@ def main(paths):
             sys.exit(f"{p}: self-labeled contaminated - not band material")
         if "sf0.1" not in d.get("sf", ""):
             sys.exit(f"{p}: sf is {d.get('sf')}, bands are sf0.1-only")
+        if str(d.get("cpus")) != "32":
+            # bands from a slower config silently raise every replay
+            # threshold at the driver's 32-CPU runs
+            sys.exit(f"{p}: cpus is {d.get('cpus')}, bands are local[32]-only")
         runs.append(d["queries"])
     names = sorted(set().union(*[set(r) for r in runs]))
     bands = {}
