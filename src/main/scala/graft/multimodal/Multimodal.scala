@@ -76,19 +76,29 @@ object Multimodal {
     * opened), and assigns files to tasks by size buckets — so ingest
     * parallelism scales with file count, no driver loop. Output is the same
     * MediaRow schema as packMedia: kind dispatched on file extension,
-    * media_id a deterministic content-path hash, pixel/rate metadata zero
+    * media_id a deterministic hash of the PATH (two mounts of the same
+    * file get distinct ids, identical bytes at distinct paths never
+    * share one — content-level dedup belongs to the q30-family exact
+    * dedup over `media`, not this id), pixel/rate metadata zero
     * until the decode stage ([[extractFeatures]]) fills it — so the whole
     * downstream pipeline (features/frames/resize) runs unchanged on
     * file-ingested corpora. */
   def ingestBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     val kind = element_at(
-      map(lit("jpg"), lit("image"), lit("png"), lit("image"),
+      map(lit("jpg"), lit("image"), lit("jpeg"), lit("image"),
+        lit("png"), lit("image"),
         lit("wav"), lit("audio"), lit("mp4"), lit("video")),
       lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
     spark.read.format("binaryFile")
       // listing-time prune; Hadoop globs are case-sensitive, so both cases
-      // are spelled out (media trees mix them)
-      .option("pathGlobFilter", "*.{jpg,png,wav,mp4,JPG,PNG,WAV,MP4}")
+      // are spelled out (media trees mix them), and .jpeg is as common as
+      // .jpg in the wild
+      .option("pathGlobFilter",
+        "*.{jpg,jpeg,png,wav,mp4,JPG,JPEG,PNG,WAV,MP4}")
+      // a media corpus is a TREE (dir/2024/cam1/a.jpg); without this the
+      // reader runs partition DISCOVERY over subdirectories instead of
+      // listing them, silently returning 0 rows for nested files
+      .option("recursiveFileLookup", "true")
       .load(dir)
       .select(
         xxhash64(col("path")).as("media_id"),
@@ -217,8 +227,13 @@ object Multimodal {
         }
       }
       fmt match {
+        // 0xFFFFFFFF data size is the streamed-WAV "length unknown at
+        // header time" sentinel (ffmpeg/sox pipe output) — a real frame
+        // count cannot be derived, so degrade to the stub path like any
+        // other unparseable header rather than reporting ~1e9 frames
         case Some((ch, rate, align, bits))
-            if !bad && dataSize >= 0 && ch > 0 && rate > 0 && align > 0 =>
+            if !bad && dataSize >= 0 && dataSize != 0xffffffffL &&
+              ch > 0 && rate > 0 && align > 0 =>
           Some(WavInfo(ch, rate, bits, dataSize / align))
         case _ => None
       }
@@ -278,7 +293,13 @@ object Multimodal {
           }
         }
         mvhd match {
-          case Some((ts, dur)) if ok && ts > 0 =>
+          // all-ones duration is the fragmented-MP4 "unknown" sentinel
+          // (the real duration lives in mehd/moof, which needs a
+          // demuxer) — degrade to the stub path instead of reporting an
+          // ~82-day video; and a hostile version-1 duration must not
+          // overflow the *1000 into a negative duration_ms
+          case Some((ts, dur)) if ok && ts > 0 && dur >= 0 &&
+              dur != 0xffffffffL && dur <= Long.MaxValue / 1000L =>
             Some((ts, dur * 1000L / ts, traks))
           case _ => None
         }
@@ -367,13 +388,20 @@ object Multimodal {
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
     val known = greatest(col("width"), col("height")) > 0
     val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")))
-    media.withColumn("width",
-        when(col("kind") === "image" && known,
-          floor(col("width") * scale).cast("int"))
-          .otherwise(col("width")))
-      .withColumn("height",
-        when(col("kind") === "image" && known,
-          floor(col("height") * scale).cast("int"))
-          .otherwise(col("height")))
+    // BOTH dims must scale against the ORIGINAL columns in one
+    // withColumns batch: sequential withColumn calls re-resolved `scale`
+    // for the height step against the already-resized width, destroying
+    // the aspect ratio of every landscape image (2000x1000 @ maxDim=100
+    // came out 100x100, not 100x50). A known nonzero dimension is also
+    // clamped to >= 1 the way real resizers do — floor alone can
+    // produce a degenerate 0-wide "decoded" image (width=1, height=200
+    // @ maxDim=64 -> floor(0.32) = 0).
+    def resized(c: String) =
+      when(col("kind") === "image" && known && col(c) > 0,
+        greatest(lit(1), floor(col(c) * scale)).cast("int"))
+        .otherwise(col(c)) // a 0 (unknown) dim stays 0, never invents 1
+    media.withColumns(Map(
+      "width" -> resized("width"),
+      "height" -> resized("height")))
   }
 }

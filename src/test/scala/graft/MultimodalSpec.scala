@@ -190,6 +190,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavInfo(wav(2, 16000, 16, 1000).take(30)).isEmpty)
     assert(Multimodal.wavInfo(wav(1, 8000, 16, 10, formatTag = 0x55)).isEmpty,
       "MP3-in-WAV (format tag 0x55) is not a parseable PCM header")
+    // streamed-WAV sentinel: pipe writers (ffmpeg/sox) stamp data size
+    // 0xFFFFFFFF when the length is unknown at header time — must
+    // degrade to the stub path, not report ~1e9 frames
+    val streamed = wav(2, 16000, 16, 10)
+    val dataAt = streamed.indexOfSlice("data".getBytes("US-ASCII"))
+    (0 until 4).foreach(j => streamed(dataAt + 4 + j) = 0xff.toByte)
+    assert(Multimodal.wavInfo(streamed).isEmpty,
+      "unknown-length data sentinel must not parse as a frame count")
     // end-to-end: planted .wav files flow through binaryFile ingest ->
     // extractFeatures with true sample counts, rates and durations
     val dir = Files.createTempDirectory("graft_wav")
@@ -235,6 +243,15 @@ class MultimodalSpec extends SparkSpec {
       box("ftyp", "isom".getBytes ++ be32(512))).isEmpty, "no moov")
     assert(Multimodal.mp4Info(mp4(600, 1200L, 2).take(40)).isEmpty,
       "truncated moov walk degrades, never throws")
+    // fragmented-MP4 sentinel (all-ones duration = "unknown, see
+    // mehd/moof") and hostile v1 durations that would overflow *1000
+    assert(Multimodal.mp4Info(mp4(600, 0xffffffffL, 1)).isEmpty,
+      "v0 all-ones duration is the unknown sentinel, not ~82 days")
+    assert(Multimodal.mp4Info(mp4(600, -1L, 1, mvhdV1 = true)).isEmpty,
+      "v1 all-ones (negative) duration rejected")
+    assert(Multimodal.mp4Info(
+      mp4(600, Long.MaxValue / 500L, 1, mvhdV1 = true)).isEmpty,
+      "v1 duration that would overflow duration_ms rejected")
     // end-to-end: planted .mp4 flows through binaryFile ingest ->
     // extractFeatures with its true duration, same as the image bar
     val dir = Files.createTempDirectory("graft_mp4")
@@ -284,5 +301,41 @@ class MultimodalSpec extends SparkSpec {
     val orig = media.filter(col("kind") =!= "image")
       .select("media_id", "width", "height").collect().toSet
     assert(untouched == orig)
+  }
+
+  test("resize preserves aspect ratio; extreme ratios clamp to 1, unknown dims stay 0") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, "image", 2000, 1000), // landscape: the withColumn-order trap
+      (2L, "image", 1000, 2000), // portrait
+      (3L, "image", 1, 200), // extreme ratio: floor would give width 0
+      (4L, "image", 0, 0), // undecoded: passes through
+      (5L, "image", 50, 25)) // already under maxDim: untouched
+      .toDF("media_id", "kind", "width", "height")
+      .withColumn("media", lit(Array[Byte](1)))
+      .withColumn("sample_rate", lit(0))
+    val got = Multimodal.resizeMeta(m, maxDim = 100)
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((100, 50)),
+      s"landscape must scale BOTH dims by the original ratio: ${got(1L)}")
+    assert(got(2L) == ((50, 100)), s"portrait: ${got(2L)}")
+    assert(got(3L) == ((1, 100)),
+      s"a known nonzero dim clamps to >= 1, never 0: ${got(3L)}")
+    assert(got(4L) == ((0, 0)), "undecoded rows pass through unchanged")
+    assert(got(5L) == ((50, 25)), "already-small images untouched")
+  }
+
+  test("binaryFile ingest recurses nested trees and takes .jpeg") {
+    val dir = Files.createTempDirectory("graft_tree")
+    val nested = dir.resolve("2024").resolve("cam1")
+    Files.createDirectories(nested)
+    Files.write(nested.resolve("a.jpeg"), Array[Byte](1, 2))
+    Files.write(nested.resolve("b.JPEG"), Array[Byte](3))
+    Files.write(dir.resolve("top.png"), Array[Byte](4))
+    val rows = Multimodal.ingestBinaryFiles(spark, dir.toString)
+      .select("kind").collect().map(_.getString(0)).toSeq
+    assert(rows.sorted == Seq("image", "image", "image"),
+      s"nested + .jpeg/.JPEG files must all ingest as images: $rows")
   }
 }
