@@ -137,26 +137,36 @@ object Bench {
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
-    sentinels += timeNoop(spark, sentinel, sfDir)
+    // a sentinel that THROWS must not abort the suite and lose every
+    // measurement (same contract as the query loops); a failed sample
+    // records as band-breaching so the run self-labels contaminated —
+    // a window in which the flagship query cannot even run is the
+    // strongest possible contamination signal
+    def sentinelSample(): Double =
+      try timeNoop(spark, sentinel, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] sentinel FAILED: ${e.getMessage} — recording a " +
+              "band-breaching sample")
+          sentinelBand + 999.0
+      }
+    sentinels += sentinelSample()
     names.zipWithIndex.foreach { case (name, i) =>
       onQueryStart(i)
       if (i > 0 && i % sentinelEvery == 0)
-        sentinels += timeNoop(spark, sentinel, sfDir)
+        sentinels += sentinelSample()
       loads(name) = loadAvg()
-      val t0 = System.nanoTime()
       times(name) =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
+        try timeNoop(spark, name, sfDir)
+        catch {
           case e: Throwable =>
             // a failed query must not masquerade as a fast one
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
     }
-    sentinels += timeNoop(spark, sentinel, sfDir)
+    sentinels += sentinelSample()
     val toReplay = names.filter(n =>
       times(n) >= 0 && needsReplay(times(n), bands.get(n)))
     val originals = scala.collection.mutable.Map[String, Double]()
@@ -178,7 +188,7 @@ object Bench {
           }
       }
       // the replays themselves ran in SOME window — sample it too
-      sentinels += timeNoop(spark, sentinel, sfDir)
+      sentinels += sentinelSample()
     }
     SuiteResult(
       scala.collection.immutable.ListMap(times.toSeq: _*),
@@ -216,10 +226,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // bands were measured at the driver config; at any other SF/CPU
-    // count the thresholds would be meaningless, so replay is disarmed
+    // bands AND the 2.0 s sentinel band were measured at sf0.1 — match
+    // the directory BASENAME exactly (a substring test would arm sf0.1
+    // thresholds at sf0.15 and replay the whole suite pointlessly).
+    // Per-query replay additionally needs the driver's 32 CPUs.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val calibrated = sfName == "sf0.1"
     val bands =
-      if (sfDir.contains("sf0.1") && cpus == "32") cleanBands
+      if (calibrated && cpus == "32") cleanBands
       else Map.empty[String, Double]
     val r = runSuite(spark, sfDir, SparkEntry.queries.keys.toSeq, bands)
     val loadEnd = loadAvg()
@@ -245,17 +259,22 @@ object Bench {
       (if (r.replayed.nonEmpty)
         s""""sentinel_post_replay_sec":${fmt(r.sentinels.last)},""" else "") +
       s""""sentinel_band_sec":${fmt(SentinelBandSec)},""" +
+      s""""sentinel_calibrated":$calibrated,""" +
       s""""bands_applied":${r.bandsApplied},""" +
       s""""replayed_n":${r.replayed.size},""" +
       s""""replayed":[${r.replayed.take(maxReplayNames)
           .map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""contaminated":${r.contaminated}"""
+      // the 2.0 s band is an sf0.1 measurement — at any other SF a
+      // clean q01 legitimately exceeds it, so a boolean verdict there
+      // would be unconditionally (and falsely) contaminated: null =
+      // "no calibrated verdict possible", never a silent clean
+      s""""contaminated":${if (calibrated) r.contaminated.toString else "null"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec",""" +
       s""""queries":${encMap(sorted)},""" +
       s""""original_sec":${encMap(r.originalSec)},""" +
       s""""load_avg_per_query":${encMap(r.loads)},""" +
-      s""""sf":"$sfDir","cpus":$cpus,${adjudication(Int.MaxValue)}}"""
+      s""""sf":${VerifyCommon.jsonStr(sfDir)},"cpus":$cpus,${adjudication(Int.MaxValue)}}"""
 
     // persist the COMPLETE record — the driver's log tail drops it
     val outPath = java.nio.file.Paths.get(outDir, "bench.json")
@@ -278,7 +297,7 @@ object Bench {
         buf.append(e)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":{$buf},"sf":"$sfDir",${adjudication(4)},"queries_omitted_for_length":$omitted,"full_json_file":"${outPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":{$buf},"sf":${VerifyCommon.jsonStr(sfDir)},${adjudication(4)},"queries_omitted_for_length":$omitted,"full_json_file":${VerifyCommon.jsonStr(outPath.toAbsolutePath.toString)}}""")
     spark.stop()
   }
 }

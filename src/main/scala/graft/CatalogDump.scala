@@ -38,11 +38,13 @@ object CatalogDump {
   def specCount(testRoot: java.nio.file.Path =
       java.nio.file.Paths.get("src/test/scala")): Int = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(testRoot).iterator().asScala
+    val walk = java.nio.file.Files.walk(testRoot) // stream holds dir fds
+    try walk.iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .map(p => java.nio.file.Files.readString(p))
       .map(src => "(?m)^\\s*test\\(\"".r.findAllIn(src).size)
       .sum
+    finally walk.close()
   }
 
   /** The marker-span values README.md / COVERAGE.md cite. */

@@ -8,10 +8,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * family, or the near-dup pair list consumed by both q32 and q60).
   *
   * Hygiene (the round-1 `pairsMemo` had none of this):
-  *  - Sessions are WEAK identity keys: a stopped, unreferenced session's
-  *    entries become unreachable and its cached RDDs are freed by the
-  *    ContextCleaner — no identity-hash reuse hazard, no process-lifetime
-  *    pinning.
+  *  - Sessions are WEAK identity keys, and the cached frames are held
+  *    through SoftReferences. The indirection is load-bearing: a
+  *    DataFrame strongly references its own SparkSession, so a strong
+  *    value would pin the weak key forever (the classic WeakHashMap
+  *    value-refers-to-key leak — a round-9 review finding). Soft refs
+  *    clear only under real memory pressure, so in a healthy heap the
+  *    memo stays hot for the whole bench; when one IS cleared, Spark's
+  *    ContextCleaner unpersists the orphaned cache blocks once the RDD
+  *    object is collected, and the next `cached` call rebuilds.
+  *  - Entries of sessions whose SparkContext has STOPPED are swept on
+  *    every map access (their cache blocks died with the context; only
+  *    the plan trees linger, and only until the sweep or GC pressure).
   *  - The build runs OUTSIDE any map lock (putIfAbsent pattern): a racing
   *    duplicate is unpersisted immediately, never leaked, and no other
   *    caller blocks behind a multi-second Spark job.
@@ -24,14 +32,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hot operator state.
   */
 object Memo {
-  private val bySession =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private type Entries =
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]
 
-  private def mapFor(spark: SparkSession) = bySession.synchronized {
+  private val bySession = new java.util.WeakHashMap[SparkSession, Entries]()
+
+  private def mapFor(spark: SparkSession): Entries = bySession.synchronized {
+    // sweep sessions whose context is gone — their blocks are already
+    // freed, this just unpins the plan trees and the session objects
+    val it = bySession.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.sparkContext.isStopped) it.remove()
+    }
     var m = bySession.get(spark)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      m = new Entries()
       bySession.put(spark, m)
     }
     m
@@ -41,19 +57,29 @@ object Memo {
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val m = mapFor(spark)
     val hit = m.get(key)
-    if (hit != null) hit
+    val live = if (hit != null) hit.get() else null
+    if (live != null) live
     else {
       val df = build.cache()
       df.count() // materialize once, outside the map lock
-      val prev = m.putIfAbsent(key, df)
-      if (prev != null) { df.unpersist(blocking = false); prev }
-      else df
+      val ref = new java.lang.ref.SoftReference(df)
+      val raced =
+        if (hit != null) !m.replace(key, hit, ref) // stale cleared ref
+        else m.putIfAbsent(key, ref) != null
+      if (raced) {
+        val winner = m.get(key)
+        val w = if (winner != null) winner.get() else null
+        if (w != null) { df.unpersist(blocking = false); w } else { m.put(key, ref); df }
+      } else df
     }
   }
 
   /** Unpersist and forget every memoized frame for this session. */
   def evict(spark: SparkSession): Unit = {
     val m = bySession.synchronized(bySession.remove(spark))
-    if (m != null) m.values().forEach(_.unpersist(false))
+    if (m != null) m.values().forEach { ref =>
+      val df = ref.get()
+      if (df != null) df.unpersist(false)
+    }
   }
 }

@@ -23,7 +23,11 @@ object Sql {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
     Tables.names.foreach { t =>
-      Tables(spark, sfDir, t).createOrReplaceTempView(t)
+      // the per-table loaders, NOT the raw reader: `events` normalizes
+      // ts to the engine's nanos-long contract, and ad-hoc SQL written
+      // against that contract must see the same column every operator
+      // and oracle sees
+      Tables.loader(t)(spark, sfDir).createOrReplaceTempView(t)
     }
     spark.sql(sql).show(50, truncate = false)
     spark.stop()

@@ -55,6 +55,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Name → normalizing loader ([[events]]' ts dispatch included) —
+    * callers registering every table (e.g. the ad-hoc SQL view setup)
+    * must get the same columns the operators consume, not the raw read. */
+  def loader(name: String): (SparkSession, String) => DataFrame = name match {
+    case "events" => events
+    case t => (s, d) => apply(s, d, t)
+  }
 }
 
 /** Session tuning applied by every operator builder: adaptive execution on,

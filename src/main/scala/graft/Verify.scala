@@ -55,6 +55,7 @@ private[graft] object VerifyCommon {
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: Verify <sfDir> <outDir>")
     val Array(sfDir, outDir) = args
     val spark = VerifyCommon.session()
     new java.io.File(outDir).mkdirs()
