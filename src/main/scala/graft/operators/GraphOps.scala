@@ -43,11 +43,25 @@ private[graft] object GraphOps {
   private[graft] def ccWithRounds(pairs: DataFrame, aCol: String,
       bCol: String): (DataFrame, Int) = {
     // canonical orientation: u > v (both star steps preserve it)
-    var cur = pairs
+    val canon = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .distinct()
       .localCheckpoint()
+    // DEGENERATE pairs collapse to u == v under greatest/least: a
+    // self-pair (x, x) directly, and a half-NULL pair (x, NULL) because
+    // both functions skip NULLs. The star steps silently delete such
+    // edges, so a node whose ONLY appearance is degenerate would vanish
+    // from the output — violating the "labels for every node that
+    // appears in an edge" contract (round-9 review). They are split off
+    // here: the loop runs on proper edges only (also saving the
+    // always-unconverged first round the self-loops caused), and any
+    // self-only node re-enters at the end as its own singleton
+    // component. Fully-NULL pairs name no node and are dropped.
+    val selfNodes = canon
+      .filter(col("u") === col("v") && col("u").isNotNull)
+      .select(col("u").as("node"))
+    var cur = canon.filter(col("u") > col("v")).localCheckpoint()
     var converged = false
     var round = 0
     val maxRounds = 25 // O(log n) bound; 2^25 nodes ≫ any input here
@@ -69,10 +83,15 @@ private[graft] object GraphOps {
         "impossible for graphs below 2^25 nodes; inputs are corrupt")
     // fixpoint = disjoint stars rooted at component minima: every non-root
     // node appears exactly once as u with its root as v; roots only as v.
-    (cur.select(col("u").as("node"), col("v").as("canon"))
+    val labels = cur.select(col("u").as("node"), col("v").as("canon"))
       .union(cur.select(col("v").as("node"), col("v").as("canon"))
-        .distinct()),
-      round)
+        .distinct())
+    // self-only nodes (no proper edge) are their own components; a node
+    // with both a self-pair and a proper edge already has a label
+    val singletons = selfNodes
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("canon"))
+    (labels.union(singletons), round)
   }
 
   /** Large-star step: for each center, re-point strictly larger neighbors

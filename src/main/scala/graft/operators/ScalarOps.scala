@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object ScalarOps extends OpCatalog {
 
+  /** Shared relative-tolerance flag for the approx-vs-exact queries
+    * (q27 at 10%, q67 at 5%) — ONE definition so the next tolerance
+    * tweak cannot land in one query's private copy and silently
+    * desynchronize the cross-engine flag semantics (both SQL twins
+    * spell out the identical expression). `exact` is non-negative in
+    * both uses, so `abs(exact)` is written for form, not effect. */
+  private def withinTol(approx: org.apache.spark.sql.Column,
+      exact: org.apache.spark.sql.Column, tol: Double) =
+    abs(approx.cast("double") - exact) <= abs(exact) * tol
+
   // ---------------------------------------------------------------- q18
   /** String + date + math function showcase over orders (bounded output:
     * orderkey < 200). Every function chosen to have an exact DuckDB twin. */
@@ -174,9 +184,6 @@ object ScalarOps extends OpCatalog {
     * (one buffer each) and the exact pass stays all-long-buffers. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    def withinTol(approx: org.apache.spark.sql.Column,
-        exact: org.apache.spark.sql.Column) =
-      abs(approx.cast("double") - exact) <= exact * 0.1
     val li = Tables.lineitem(spark, sfDir)
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
@@ -187,8 +194,10 @@ object ScalarOps extends OpCatalog {
     exact.join(broadcast(approx), "l_returnflag")
       .select(col("l_returnflag"),
         col("exact_orders"), col("exact_parts"),
-        withinTol(col("approx_orders"), col("exact_orders")).as("approx_orders_ok"),
-        withinTol(col("approx_parts"), col("exact_parts")).as("approx_parts_ok"))
+        withinTol(col("approx_orders"), col("exact_orders"), 0.1)
+          .as("approx_orders_ok"),
+        withinTol(col("approx_parts"), col("exact_parts"), 0.1)
+          .as("approx_parts_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -260,9 +269,6 @@ object ScalarOps extends OpCatalog {
     * correctness check; the flags are a cross-engine smoke signal). */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    def withinTol(approx: org.apache.spark.sql.Column,
-        exact: org.apache.spark.sql.Column) =
-      abs(approx - exact) <= abs(exact) * 0.05
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
@@ -272,8 +278,8 @@ object ScalarOps extends OpCatalog {
         expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
       .select(col("o_orderstatus"), col("n"),
         col("p50_exact"), col("p90_exact"),
-        withinTol(col("p50_approx"), col("p50_exact")).as("p50_ok"),
-        withinTol(col("p90_approx"), col("p90_exact")).as("p90_ok"))
+        withinTol(col("p50_approx"), col("p50_exact"), 0.05).as("p50_ok"),
+        withinTol(col("p90_approx"), col("p90_exact"), 0.05).as("p90_ok"))
       .orderBy(col("o_orderstatus"))
   }
 

@@ -84,9 +84,10 @@ object SkewOps extends OpCatalog {
   // ---------------------------------------------------------------- q112
   /** Join-key skew profile — the DIAGNOSTIC that decides whether q29's
     * salting (or AQE's skew split) is even needed: top-10 heaviest join
-    * keys on the fact side with row count, share, and an integer-exact
-    * hot-key verdict (`cnt·n_keys > 10·total` — "this key holds >10× the
-    * mean"). Run before every large production join; a flat profile
+    * keys on the fact side with row count, share, and a hot-key verdict
+    * (`cnt·n_keys > 10·total` in overflow-safe double arithmetic —
+    * "this key holds >10× the mean"). Run before every large
+    * production join; a flat profile
     * means the plain shuffle join is already optimal.
     *
     * Scale: one map-combined agg on the join key; the totals ride as a
@@ -106,7 +107,15 @@ object SkewOps extends OpCatalog {
     counts.crossJoin(broadcast(totals))
       .select(col(key), col("cnt"),
         round(col("cnt") / col("total").cast("double"), 6).as("share"),
-        (col("cnt") * col("n_keys") > col("total") * lit(10L)).as("hot_10x"))
+        // the verdict compares in DOUBLE, not Long: the integer form
+        // `cnt * n_keys > total * 10` wraps Long at exactly the 100 TB
+        // posture this diagnostic documents (1e10-row key × 1e9 keys =
+        // 1e19 > Long.Max under non-ANSI arithmetic → hot_10x FALSE for
+        // precisely the pathological key). IEEE doubles evaluate the
+        // same expression identically in DuckDB, and at a 10× heuristic
+        // the >2^53 mantissa edge is immaterial.
+        (col("cnt").cast("double") * col("n_keys") >
+          col("total").cast("double") * lit(10.0)).as("hot_10x"))
       .orderBy(col("cnt").desc, col(key))
       .limit(10)
   }
@@ -117,12 +126,12 @@ object SkewOps extends OpCatalog {
       |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
       |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
       |  round(cnt / CAST(total AS DOUBLE), 6) AS share,
-      |  (cnt * n_keys > total * 10) AS hot_10x
+      |  (CAST(cnt AS DOUBLE) * n_keys > CAST(total AS DOUBLE) * 10.0) AS hot_10x
       |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
 
   override val ops: Seq[Op] = Seq(
     Op("q112_key_skew_profile", keySkewProfile, Some(keySkewProfileSql),
-      "top-10 heaviest join keys with share + integer-exact 10x-mean hot verdict (the pre-join skew diagnostic)"),
+      "top-10 heaviest join keys with share + overflow-safe 10x-mean hot verdict (the pre-join skew diagnostic)"),
     Op("q29_salted_join", saltedJoin, Some(saltedJoinSql),
       "skew-salted join (deterministic salt), result == plain join"),
     Op("q49_range_join", rangeJoin, Some(rangeJoinSql),

@@ -507,6 +507,26 @@ class ScaleStressSpec extends SparkSpec {
     assert(rounds(2) <= 18, s"4096-chain took ${rounds(2)} rounds")
   }
 
+  test("connected components: degenerate edges (self-pairs, half-NULL) keep their nodes") {
+    // the contract says "labels for every node that appears in an edge";
+    // self-pairs and half-NULL pairs canonicalize to u == v, which the
+    // star steps silently delete — a round-9 review found nodes whose
+    // ONLY appearance was degenerate vanished from the output
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val edges = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), // proper edge
+      (Some(5L), Some(5L)), // self-pair: node 5 must label as itself
+      (Some(7L), None), // half-NULL: node 7 must label as itself
+      (Some(2L), Some(2L)), // self-pair on a node that ALSO has an edge
+      (None, None)) // names no node: dropped
+      .toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L),
+      s"degenerate-edge nodes must survive with singleton labels: $got")
+  }
+
   test("connected components == union-find on random graphs across densities") {
     // seeded sweep over sparse (forest-ish), critical (~1 edge/node), and
     // dense (supercritical giant-component) regimes — the three phases
