@@ -49,10 +49,16 @@ object EventOps extends OpCatalog {
       .orderBy(col("event_type"))
   }
 
+  // json_extract_STRING, not json_extract: Spark's get_json_object
+  // yields the UNQUOTED string, so the oracle must TRY_CAST the string
+  // form too — casting the JSON-typed value diverges on quoted numbers
+  // ('"7"' casts via JSON rules) and fractional payloads (JSON 1.5
+  // casts via double, the string '1.5' casts to NULL) — fixture-hidden
+  // today, a hash mismatch the day a payload goes non-integral
   private val jsonExtractSql =
     """SELECT event_type, count(*) AS n_events,
-      |  round(avg(TRY_CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
-      |  CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY event_type
@@ -111,20 +117,31 @@ object EventOps extends OpCatalog {
       |ORDER BY win_start""".stripMargin
 
   // ---------------------------------------------------------------- q23
-  /** Gap-based sessionization (E17): a session ends after 30 idle minutes.
-    * Classic lag + cumulative-sum formulation — one window sort per user,
-    * linear in events, no self-join; DuckDB mirrors it verbatim. */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tune(spark)
+  /** THE session rule, in one place: a session ends after 30 idle
+    * minutes; ids are per-user cumulative sums over the lag-detected
+    * boundaries (one window sort per user, linear in events, no
+    * self-join). Shared by q23's summary and q105's path mining so the
+    * gap constant and boundary predicate cannot drift apart (their SQL
+    * twins spell the identical formulation). */
+  private[graft] val SessionGapMs = 1800000L
+
+  private[graft] def withSessionIds(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
-    val sessions = eventsMs(spark, sfDir)
+    events
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
-          .otherwise(0))
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > SessionGapMs, 1).otherwise(0))
       .withColumn("sess", sum(col("new_sess"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Gap-based sessionization (E17) over [[withSessionIds]]'s rule;
+    * DuckDB mirrors it verbatim. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val sessions = withSessionIds(eventsMs(spark, sfDir))
       .groupBy(col("user_id"), col("sess"))
       .agg(count(lit(1)).as("sess_events"),
         ((max(col("ms")) - min(col("ms"))) / 1000).cast("long")
@@ -600,18 +617,9 @@ object EventOps extends OpCatalog {
   /** Core of q105 over any (user_id, event_id, event_type, ms) frame —
     * spec entry point. */
   private[graft] def eventPathsOf(events: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ms"), col("event_id"))
-    val sess = events
-      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
-          .otherwise(0))
-      .withColumn("sess", sum(col("new_sess"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bySess = Window.partitionBy(col("user_id"), col("sess"))
       .orderBy(col("ms"), col("event_id"))
-    sess
+    withSessionIds(events) // q23's rule, one definition
       .withColumn("t1", col("event_type"))
       .withColumn("t2", lead(col("event_type"), 1).over(bySess))
       .withColumn("t3", lead(col("event_type"), 2).over(bySess))
@@ -719,8 +727,14 @@ object EventOps extends OpCatalog {
 
   private[graft] def variantExtractOf(events: DataFrame): DataFrame =
     events
-      .withColumn("k",
-        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')"))
+      // extract as STRING, cast outside: 'bigint' extraction applies
+      // typed variant-cast rules (boolean true -> 1, 1.5 truncates)
+      // that DuckDB's TRY_CAST-of-extracted-string cannot mirror —
+      // string-then-try_cast evaluates identically in both engines for
+      // every payload shape, and the parse-once VARIANT path this query
+      // demonstrates is the try_parse_json, unchanged
+      .withColumn("k", expr(
+        "try_cast(try_variant_get(try_parse_json(props), '$.k', 'string') AS BIGINT)"))
       .filter(col("k").isNotNull)
       .groupBy(col("event_type"), pmod(col("k"), lit(10L)).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))

@@ -85,14 +85,17 @@ object TextOps extends OpCatalog {
     }
 
   // ---------------------------------------------------------------- q30
-  /** Exact dedup, content-keyed (E11): group by full text, keep the lowest
-    * doc_id. Summary row so the result is stable at any SF. Equivalent to
-    * `dropDuplicates("text")` but with a deterministic survivor. */
+  /** Exact dedup, content-keyed (E11): group by full text and report the
+    * dedup summary (stable at any SF). The survivor-picking variant with
+    * a deterministic keeper (lowest doc_id) is q31. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     Tables.documents(spark, sfDir)
       .groupBy(col("text"))
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      // (q31 is the keeper-REPORTING variant; this summary never reads a
+      // keeper, so computing min(doc_id) here would just add a dead
+      // aggregation buffer to the corpus-sized shuffle)
+      .agg(count(lit(1)).as("cnt"))
       .agg(count(lit(1)).as("n_unique"),
         sum(col("cnt") - 1).as("n_dups_removed"),
         sum(col("cnt")).as("n_docs"))
@@ -102,8 +105,7 @@ object TextOps extends OpCatalog {
     """SELECT count(*) AS n_unique,
       |  CAST(sum(cnt - 1) AS BIGINT) AS n_dups_removed,
       |  CAST(sum(cnt) AS BIGINT) AS n_docs
-      |FROM (SELECT count(*) AS cnt, min(doc_id) AS keeper
-      |      FROM documents GROUP BY text)""".stripMargin
+      |FROM (SELECT count(*) AS cnt FROM documents GROUP BY text)""".stripMargin
 
   // ---------------------------------------------------------------- q31
   /** Keyed dedup with deterministic survivor (E11): one row per
@@ -815,7 +817,13 @@ object TextOps extends OpCatalog {
       .withColumn("lt", lower(col("text")))
       .select(col("doc_id"),
         size(split(col("lt"), " ")).as("ws_tokens"),
-        size(expr("regexp_extract_all(lt, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        // the whitespace class is spelled OUT, not \s: Java regex \s
+        // includes vertical tab \x0B, RE2 (DuckDB) \s does not — a
+        // document carrying \x0B would tokenize differently per engine.
+        // With the explicit class both engines treat \x0B as a
+        // punctuation token, identically.
+        size(expr(
+          "regexp_extract_all(lt, '[a-z0-9]+|[^a-z0-9 \\\\t\\\\n\\\\r\\\\f]', 0)"))
           .as("re_tokens"),
         round(col("n_chars") / size(split(col("lt"), " ")).cast("double"), 4)
           .as("chars_per_ws_token"))
@@ -825,7 +833,7 @@ object TextOps extends OpCatalog {
   private val tokenEstimateSql =
     """SELECT doc_id,
       |  len(string_split(lower(text), ' ')) AS ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\r\f]')) AS re_tokens,
       |  round(n_chars / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS chars_per_ws_token
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -875,8 +883,7 @@ object TextOps extends OpCatalog {
   def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val n = 15
-    GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
-      .withColumn("w", split(lower(col("text")), " "))
+    toks(spark, sfDir) // the one tokenization definition
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(wordGramExpr(n)).as("span"))
       .groupBy(col("span"))
@@ -928,8 +935,9 @@ object TextOps extends OpCatalog {
     * filter structurally cannot miss a member — the exact answer is 0,
     * and any engine bug that broke that guarantee breaks the hash
     * compare; the bit-layout-dependent false-positive rate becomes the
-    * `fp_ok` flag (≤ 5% — the sketch is sized 1 MiB for 100k keys,
-    * ~0.9% fp at capacity, far under-loaded at fixture scale). The full
+    * `fp_ok` flag (≤ 5% — the sketch is sized 2^20 BITS = 128 KiB for
+    * 100k keys, ~10.5 bits/key ≈ 0.9% fp at capacity, far under-loaded
+    * at fixture scale). The full
     * numeric audit (n_flagged/n_false_pos/fp_rate) stays available via
     * [[incrementalDedupBloomAudit]], which the spec gates. */
   def incrementalDedupBloom(spark: SparkSession, sfDir: String): DataFrame = {

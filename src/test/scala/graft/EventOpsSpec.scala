@@ -134,12 +134,20 @@ class EventOpsSpec extends SparkSpec {
       (3L, "view", """not json at all"""), // corrupt -> try_parse_json NULL
       (4L, "view", """{"other": 1}"""), // missing field -> variant_get NULL
       (5L, "view", """{"k": "text"}"""),// wrong type -> bigint cast NULL
-      (6L, "click", null)               // null payload
+      (6L, "click", null),              // null payload
+      // string-then-cast extraction semantics (round-9 review): these
+      // MUST drop, exactly as DuckDB's TRY_CAST of the extracted string
+      // drops them — the old 'bigint'-typed variant_get would have
+      // coerced true -> 1 and truncated 1.5 -> 1, silently diverging
+      // from the oracle the day a payload went non-integral
+      (7L, "view", """{"k": true}"""),  // boolean -> NULL, not 1
+      (8L, "view", """{"k": 1.5}"""),   // fractional -> NULL, not 1
+      (9L, "view", """{"k": "7"}""")    // quoted integer -> 7 (both engines)
     ).toDF("event_id", "event_type", "props")
     val out = graft.operators.EventOps.variantExtractOf(events).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // only the two well-formed rows survive, folded into one (view, 7) cell
-    assert(out.toSeq == Seq(("view", 7L, 2L, 24L)),
+    // the well-formed rows fold into one (view, 7) cell: 7 + 17 + "7"
+    assert(out.toSeq == Seq(("view", 7L, 3L, 31L)),
       s"degradation contract broken: ${out.toSeq}")
     // agreement law: VARIANT path == q20's get_json_object path on the fixture
     val ev = Tables.events(spark, sfDir)
