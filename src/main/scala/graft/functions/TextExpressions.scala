@@ -136,6 +136,13 @@ object TextExpressions {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
+        // k is validated HERE (analysis time) rather than per-row in
+        // minhashEval: an out-of-range k used to pass the analyzer and
+        // then throw from every executor task mid-job (or, for k <= 0,
+        // silently emit length-0 signatures that break banding)
+        case ArrayType(StringType, _) if k < 1 || k > MaxMinhashK =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_signature k=$k out of range [1, $MaxMinhashK]")
         case ArrayType(StringType, _) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
@@ -156,10 +163,10 @@ object TextExpressions {
     override def prettyName: String = "minhash_signature"
   }
 
-  /** Static eval used by MinHashSignature's generated code. */
+  /** Static eval used by MinHashSignature's generated code. k is
+    * bounds-checked at analysis time by [[MinHashSignature]]'s
+    * `checkInputDataTypes` — no per-row guard in this hot loop. */
   def minhashEval(arr: ArrayData, k: Int): ArrayData = {
-    require(k <= MaxMinhashK,
-      s"minhash_signature k=$k exceeds the coefficient table ($MaxMinhashK)")
     val sig = Array.fill[Long](k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {

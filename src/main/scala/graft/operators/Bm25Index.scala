@@ -131,7 +131,8 @@ object Bm25Index {
       .withColumn("avgdl",
         col("total_len").cast("double") / col("n_docs"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(score * col("mult")), 4).as("bm25"),
+      .agg(graft.functions.Rounding.roundVal(sum(score * col("mult")), 4)
+        .as("bm25"),
         sum(col("mult")).as("n_query_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * All four are oracle-declared: every decision predicate is integer
   * arithmetic (LCG / md5-hex-nibble hashes, `k·df ≥ n` threshold forms)
   * so both engines agree bit-for-bit, and every emitted double is one
-  * `round(·, 4)` of a ratio of exact integers.
+  * [[roundVal]] (`floor(x·1e4+0.5)/1e4`) of a ratio of exact integers —
+  * the floor form, not SQL `round`, because Spark and DuckDB `round`
+  * genuinely disagree on half-way doubles and integer ratios land on
+  * exactly those (see [[roundKey]]).
   */
 object CurationOps extends OpCatalog {
 
@@ -71,6 +74,35 @@ object CurationOps extends OpCatalog {
     pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
       + lit(12345L), lit(modulus))
 
+  /** Content-hash split bucket + split label — ONE definition for the
+    * q96/q99/q110 "same document, same split, everywhere" invariant
+    * (`bucket = last-4-hex-nibbles of md5(text) mod 100`; <90 train,
+    * <95 valid, else test). The three consumers previously carried
+    * hand-copied clones of this expression; an edit to the nibble
+    * offset or the 90/95 thresholds in one of them would silently
+    * desync the cross-query split — the exact drift [[plantedV2]] was
+    * factored out to prevent. */
+  private[graft] def splitBucket: Column = pmod(
+    conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
+
+  /** The split label over [[splitBucket]] — q96/q99/q110's shared CASE. */
+  private[graft] def splitLabel: Column =
+    when(splitBucket < 90, "train").when(splitBucket < 95, "valid")
+      .otherwise("test")
+
+  /** Cross-engine half-up rounding — [[graft.functions.Rounding]] is
+    * the canonical definition (and the WHY: Spark and DuckDB SQL
+    * `round(DOUBLE, n)` genuinely disagree on half-way doubles, which
+    * integer ratios land on). Local aliases for this file's dense use. */
+  private[graft] def roundKey(c: Column, scale: Int): Column =
+    graft.functions.Rounding.roundKey(c, scale)
+  private[graft] def roundVal(c: Column, scale: Int): Column =
+    graft.functions.Rounding.roundVal(c, scale)
+  private[graft] def roundKeySql(e: String, scale: Int): String =
+    graft.functions.Rounding.roundKeySql(e, scale)
+  private[graft] def roundValSql(e: String, scale: Int): String =
+    graft.functions.Rounding.roundValSql(e, scale)
+
   /** Core of q94 over any (source, doc_id) frame — spec entry point. */
   private[graft] def sourceCapOf(docs: DataFrame, cap: Int): DataFrame = {
     val h = lcgPriority(1000000007L)
@@ -124,7 +156,7 @@ object CurationOps extends OpCatalog {
       .withColumn("rn", row_number().over(top))
       .filter(col("rn") <= 3)
       .select(col("source"), col("ngram"), col("df"), col("n_src"),
-        round(col("df") / col("n_src").cast("double"), 4).as("df_rate"),
+        roundVal(col("df") / col("n_src").cast("double"), 4).as("df_rate"),
         (col("df") * 5 >= col("n_src")).as("is_boilerplate"))
       .orderBy(col("source"), col("df").desc, col("ngram"))
   }
@@ -146,7 +178,7 @@ object CurationOps extends OpCatalog {
       |      ORDER BY df DESC, ngram) AS rn
       |  FROM df JOIN ns ON df.source = ns.source)
       |SELECT source, ngram, df, n_src,
-      |  round(df / CAST(n_src AS DOUBLE), 4) AS df_rate,
+      |  floor((df / CAST(n_src AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS df_rate,
       |  df * 5 >= n_src AS is_boilerplate
       |FROM r WHERE rn <= 3
       |ORDER BY source, df DESC, ngram""".stripMargin
@@ -173,18 +205,14 @@ object CurationOps extends OpCatalog {
 
   /** Core of q96 over any (text, lang) frame — spec entry point. */
   private[graft] def splitAssignOf(docs: DataFrame): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
     val lang = Window.partitionBy(col("lang"))
     docs
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "valid")
-          .otherwise("test"))
+      .withColumn("split", splitLabel)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n"))
       .withColumn("lang_total", sum(col("n")).over(lang))
       .select(col("split"), col("lang"), col("n"), col("lang_total"),
-        round(col("n") / col("lang_total").cast("double"), 4).as("share"))
+        roundVal(col("n") / col("lang_total").cast("double"), 4).as("share"))
       .orderBy(col("split"), col("lang"))
   }
 
@@ -200,7 +228,8 @@ object CurationOps extends OpCatalog {
       |c AS (SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2)
       |SELECT split, lang, n,
       |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
-      |  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4)
+      |  floor((n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4
       |    AS share
       |FROM c ORDER BY split, lang""".stripMargin
 
@@ -226,7 +255,7 @@ object CurationOps extends OpCatalog {
     wc.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
       .crossJoin(broadcast(vocab))
       .select(col("freq"), col("n_types"), col("vocab"),
-        round(col("n_types") / col("vocab").cast("double"), 4).as("share"))
+        roundVal(col("n_types") / col("vocab").cast("double"), 4).as("share"))
       .orderBy(col("freq"))
   }
 
@@ -238,7 +267,7 @@ object CurationOps extends OpCatalog {
       |sp AS (SELECT freq, count(*) AS n_types FROM wc GROUP BY 1),
       |v AS (SELECT count(*) AS vocab FROM wc)
       |SELECT freq, n_types, vocab,
-      |  round(n_types / CAST(vocab AS DOUBLE), 4) AS share
+      |  floor((n_types / CAST(vocab AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS share
       |FROM sp, v ORDER BY freq""".stripMargin
 
   // ---------------------------------------------------------------- q98
@@ -250,10 +279,16 @@ object CurationOps extends OpCatalog {
     * distance it closed) and how many corpus vectors assign to it.
     *
     * Cross-engine determinism is the interesting part: selection argmax
-    * and assignment argmin both order by the ROUNDED distance
-    * `(round(d², 4), vec_id)` — the q63 rule: rank on the exact value
-    * you output, with a total-order integer tiebreak — so last-ulp sum
-    * differences between engines can never flip a pick. Distances are
+    * and assignment argmin both order by the ROUNDED distance with a
+    * total-order `vec_id` tiebreak — the q63 rule: rank on the exact
+    * value you output — so last-ulp sum differences between engines
+    * (the SQL twin sums dims in GROUP BY order, Spark in-row) are
+    * absorbed by the key's 10⁻⁴ granularity. The rounding is
+    * [[roundKey]]'s floor form, NOT SQL `round`: Spark and DuckDB
+    * `round(DOUBLE, 4)` genuinely disagree on half-way doubles (see
+    * [[roundKey]]'s scaladoc), so a `round` key could flip a pick even
+    * on bit-identical distances; the floor form is the same IEEE ops in
+    * both engines and in the driver-side radius below. Distances are
     * squared L2 computed in-row over doubles (no cross-row float
     * accumulation); the oracle replays all 8 selection steps as
     * mechanically-generated SQL CTEs.
@@ -296,11 +331,13 @@ object CurationOps extends OpCatalog {
       .localCheckpoint()
     for (rank <- 2 to k) {
       val next = frame
-        .orderBy(round(col("mind"), 4).desc, col("vec_id").asc)
+        .orderBy(roundKey(col("mind"), 4).desc, col("vec_id").asc)
         .limit(1).collect()(0)
       val emb = embOf(next)
+      // radius = the SAME floor-form rounding the rank key used (one
+      // definition: rank on the exact value you output)
       centers :+= ((rank, next.getLong(0),
-        Some(math.round(next.getDouble(2) * 10000.0) / 10000.0), emb))
+        Some(graft.functions.Rounding.roundValDouble(next.getDouble(2), 4)), emb))
       frame = frame
         .withColumn("mind",
           least(col("mind"), sqDist(col("embedding"), typedlit(emb))))
@@ -309,12 +346,12 @@ object CurationOps extends OpCatalog {
     val centerDf = broadcast(
       centers.map { case (r, id, rad, em) => (r.toLong, id, rad, em) }
         .toDF("seed_rank", "center_id", "radius", "center_emb"))
-    // assignment: packed (round(d²,4)·1e4, seed_rank) argmin per vector —
-    // stays in HashAggregate (k ≤ 15 fits the low nibble)
+    // assignment: packed (floor(d²·1e4+0.5), seed_rank) argmin per
+    // vector — stays in HashAggregate (k ≤ 15 fits the low nibble)
     val packed = corpus.crossJoin(centerDf)
       .select(col("vec_id"), col("seed_rank"),
-        (round(round(sqDist(col("embedding"), col("center_emb")), 4) *
-          lit(10000.0), 0).cast("long") * 16L + col("seed_rank")).as("pk"))
+        (roundKey(sqDist(col("embedding"), col("center_emb")), 4)
+          .cast("long") * 16L + col("seed_rank")).as("pk"))
       .groupBy(col("vec_id")).agg(min(col("pk")).as("pk"))
       .select(pmod(col("pk"), lit(16L)).as("seed_rank"))
       .groupBy(col("seed_rank")).agg(count(lit(1)).as("n_assigned"))
@@ -327,8 +364,9 @@ object CurationOps extends OpCatalog {
 
   /** Mechanically-generated 8-step replay of the greedy selection: CTE
     * `c<i>` picks step i's argmax of the running min-distance `m<i-1>`
-    * by `(round(mind,4) DESC, vec_id)`, `d<i>`/`m<i>` fold the new
-    * center's distances in with `least`. */
+    * by `(floor(mind·1e4+0.5) DESC, vec_id)` — [[roundKeySql]], the
+    * same floor-form key the Spark loop ranks on — `d<i>`/`m<i>` fold
+    * the new center's distances in with `least`. */
   private val diversityCoresetSql: String = {
     val steps = (2 to 8).map { i =>
       s"""d$i AS (
@@ -342,8 +380,8 @@ object CurationOps extends OpCatalog {
     }
     val picks = (2 to 8).map { i =>
       s"""c$i AS (
-         |  SELECT vec_id AS id, round(mind, 4) AS r FROM m${i - 1}
-         |  ORDER BY round(mind, 4) DESC, vec_id LIMIT 1)""".stripMargin
+         |  SELECT vec_id AS id, ${roundValSql("mind", 4)} AS r FROM m${i - 1}
+         |  ORDER BY ${roundKeySql("mind", 4)} DESC, vec_id LIMIT 1)""".stripMargin
     }
     // interleave: c2 needs m1; d2/m2 need c2; c3 needs m2; ...
     val chain = (2 to 8).map(i => picks(i - 2) + ",\n" + steps(i - 2))
@@ -377,7 +415,7 @@ object CurationOps extends OpCatalog {
        |asg AS (
        |  SELECT vec_id, seed_rank,
        |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY round(d, 4), seed_rank) AS rn
+       |      ORDER BY ${roundKeySql("d", 4)}, seed_rank) AS rn
        |  FROM cd)
        |SELECT c.seed_rank, c.center_id, c.radius,
        |  CAST(coalesce(count(a.vec_id), 0) AS BIGINT) AS n_assigned
@@ -419,13 +457,9 @@ object CurationOps extends OpCatalog {
     val dedup = Window.partitionBy(lower(col("text"))).orderBy(col("doc_id"))
     val capW = Window.partitionBy(col("source"))
       .orderBy(lcgPriority(1000000007L), col("doc_id"))
-    val bucket = pmod(
-      conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
     d.withColumn("drn", row_number().over(dedup)).filter(col("drn") === 1)
       .withColumn("crn", row_number().over(capW)).filter(col("crn") <= 100)
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "valid")
-          .otherwise("test"))
+      .withColumn("split", splitLabel)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("split"), col("lang"))
@@ -631,6 +665,13 @@ object CurationOps extends OpCatalog {
     * merged per-word state, `k1..k10` the picked rules. Both the q101
     * and q102 oracles append their own final SELECT. */
   private val bpeChainSql: String = {
+    // k<i> is an aggregate over the (0-or-1)-row argmax subquery so it is
+    // ALWAYS exactly 1 row (all-NULL when p<i> is empty): a degenerate
+    // corpus (all words single-symbol) runs out of pairs before round 10,
+    // and the old `FROM s<i-1>, k<i>` cross join with an EMPTY k<i> would
+    // empty s<i>..s10 — making q102's ledger vanish while the Spark side
+    // (bpeMergesOf's early stop) still aggregates the full table. The
+    // CASE keeps s<i> = s<i-1> verbatim when there is no rule to apply.
     val steps = (1 to 10).map { i =>
       s"""p$i AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -640,13 +681,15 @@ object CurationOps extends OpCatalog {
          |          FROM s${i - 1}))
          |  GROUP BY pair),
          |k$i AS (
-         |  SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
-         |    cnt
-         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |  SELECT min(l) AS l, min(r) AS r, min(cnt) AS cnt FROM (
+         |    SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
+         |      cnt
+         |    FROM p$i ORDER BY cnt DESC, pair LIMIT 1)),
          |s$i AS (
          |  SELECT word, freq,
-         |    replace(state, '|' || k$i.l || '||' || k$i.r || '|',
-         |      '|' || k$i.l || k$i.r || '|') AS state
+         |    CASE WHEN k$i.l IS NULL THEN state
+         |         ELSE replace(state, '|' || k$i.l || '||' || k$i.r || '|',
+         |           '|' || k$i.l || k$i.r || '|') END AS state
          |  FROM s${i - 1}, k$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH tok AS (
@@ -661,9 +704,11 @@ object CurationOps extends OpCatalog {
   }
 
   private val bpeMergesSql: String = {
+    // k<i> is 1-row-always (all-NULL when pairs ran dry) — filter the
+    // NULL sentinel so the rule list stops early exactly like Spark's
     val rows = (1 to 10).map(i =>
       s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
-        s"l || r AS merged, cnt AS pair_count FROM k$i")
+        s"l || r AS merged, cnt AS pair_count FROM k$i WHERE l IS NOT NULL")
       .mkString("\nUNION ALL ")
     s"""$bpeChainSql
        |$rows
@@ -702,9 +747,9 @@ object CurationOps extends OpCatalog {
         sum(col("freq") * length(col("word"))).as("n_chars"))
       .select(col("n_words"), col("ws_tokens"), col("bpe_tokens"),
         col("n_chars"),
-        round(col("bpe_tokens") / col("ws_tokens").cast("double"), 4)
+        roundVal(col("bpe_tokens") / col("ws_tokens").cast("double"), 4)
           .as("tokens_per_word"),
-        round(col("n_chars") / col("bpe_tokens").cast("double"), 4)
+        roundVal(col("n_chars") / col("bpe_tokens").cast("double"), 4)
           .as("chars_per_token"))
   }
 
@@ -715,11 +760,11 @@ object CurationOps extends OpCatalog {
        |  CAST(sum(freq * len(string_split(trim(state, '|'), '||')))
        |    AS BIGINT) AS bpe_tokens,
        |  CAST(sum(freq * len(word)) AS BIGINT) AS n_chars,
-       |  round(sum(freq * len(string_split(trim(state, '|'), '||')))
-       |    / CAST(sum(freq) AS DOUBLE), 4) AS tokens_per_word,
-       |  round(sum(freq * len(word))
+       |  floor((sum(freq * len(string_split(trim(state, '|'), '||')))
+       |    / CAST(sum(freq) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS tokens_per_word,
+       |  floor((sum(freq * len(word))
        |    / CAST(sum(freq * len(string_split(trim(state, '|'), '||')))
-       |        AS DOUBLE), 4) AS chars_per_token
+       |        AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS chars_per_token
        |FROM s10""".stripMargin
 
   // ---------------------------------------------------------------- q108
@@ -756,10 +801,10 @@ object CurationOps extends OpCatalog {
       .withColumn("doc_delta", col("n_docs_v2") - col("n_docs_v1"))
       .withColumn("token_delta", col("tokens_v2") - col("tokens_v1"))
       .withColumn("share_v1",
-        round(col("tokens_v1") / sum(col("tokens_v1")).over(all).cast("double"), 4))
+        roundVal(col("tokens_v1") / sum(col("tokens_v1")).over(all).cast("double"), 4))
       .withColumn("share_v2",
-        round(col("tokens_v2") / sum(col("tokens_v2")).over(all).cast("double"), 4))
-      .withColumn("share_shift", round(
+        roundVal(col("tokens_v2") / sum(col("tokens_v2")).over(all).cast("double"), 4))
+      .withColumn("share_shift", roundVal(
         col("tokens_v2") / sum(col("tokens_v2")).over(all).cast("double") -
           col("tokens_v1") / sum(col("tokens_v1")).over(all).cast("double"), 4))
       .orderBy(col("source"))
@@ -794,10 +839,13 @@ object CurationOps extends OpCatalog {
       |  CAST(tokens_v2 AS BIGINT) AS tokens_v2,
       |  CAST(n_docs_v2 - n_docs_v1 AS BIGINT) AS doc_delta,
       |  CAST(tokens_v2 - tokens_v1 AS BIGINT) AS token_delta,
-      |  round(tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE), 4) AS share_v1,
-      |  round(tokens_v2 / CAST(sum(tokens_v2) OVER () AS DOUBLE), 4) AS share_v2,
-      |  round(tokens_v2 / CAST(sum(tokens_v2) OVER () AS DOUBLE)
-      |    - tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE), 4) AS share_shift
+      |  floor((tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS share_v1,
+      |  floor((tokens_v2 / CAST(sum(tokens_v2) OVER () AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS share_v2,
+      |  floor((tokens_v2 / CAST(sum(tokens_v2) OVER () AS DOUBLE)
+      |    - tokens_v1 / CAST(sum(tokens_v1) OVER () AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS share_shift
       |FROM j ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q110
@@ -821,11 +869,8 @@ object CurationOps extends OpCatalog {
       .join(v1, Seq("doc_id"), "left")
       .filter(col("h1").isNull || col("h1") =!= col("h2"))
       .withColumn("status", when(col("h1").isNull, "added").otherwise("changed"))
-    val bucket = pmod(
-      conv(substring(md5(col("text")), 29, 4), 16, 10).cast("long"), lit(100L))
     work
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
+      .withColumn("split", splitLabel)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
@@ -897,7 +942,7 @@ object CurationOps extends OpCatalog {
         sum(when(col("restricted"), 1L).otherwise(0L)).as("n_restricted"))
       .select(col("source"), col("n_docs"), col("n_nc"), col("n_arr"),
         col("n_noai"), col("n_restricted"),
-        round((col("n_docs") - col("n_restricted")) /
+        roundVal((col("n_docs") - col("n_restricted")) /
           col("n_docs").cast("double"), 4).as("keep_rate"))
       .orderBy(col("source"))
   }
@@ -923,9 +968,9 @@ object CurationOps extends OpCatalog {
       |  CAST(sum(CASE WHEN f_noai THEN 1 ELSE 0 END) AS BIGINT) AS n_noai,
       |  CAST(sum(CASE WHEN f_nc OR f_arr OR f_noai THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_restricted,
-      |  round((count(*) - sum(CASE WHEN f_nc OR f_arr OR f_noai
-      |                             THEN 1 ELSE 0 END))
-      |    / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+      |  floor(((count(*) - sum(CASE WHEN f_nc OR f_arr OR f_noai
+      |                              THEN 1 ELSE 0 END))
+      |    / CAST(count(*) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS keep_rate
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q111
@@ -987,7 +1032,9 @@ object CurationOps extends OpCatalog {
       .limit(1)
       .select(col("n1"), col("n2"), col("ds").as("ks_scaled"),
         col("len").as("at_len"),
-        round(col("ds") / (col("n1") * col("n2")).cast("double"), 6).as("ks"),
+        // integer-ratio output: 3/20000-style doubles are exactly the
+        // class SQL round diverges on cross-engine — floor form (roundVal)
+        roundVal(col("ds") / (col("n1") * col("n2")).cast("double"), 6).as("ks"),
         (col("ds").cast("decimal(38,0)") * col("ds") * lit(1000000L) >
           lit(1844164L).cast("decimal(38,0)") *
             (col("n1") + col("n2")) * col("n1") * col("n2")).as("reject_05"))
@@ -1018,7 +1065,7 @@ object CurationOps extends OpCatalog {
       |scored AS (SELECT *, abs(cum1*n2 - cum2*n1) AS ds FROM cum)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |  CAST(ds AS BIGINT) AS ks_scaled, CAST(len AS BIGINT) AS at_len,
-      |  round(ds / CAST(n1*n2 AS DOUBLE), 6) AS ks,
+      |  floor((ds / CAST(n1*n2 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks,
       |  (CAST(ds AS HUGEINT)*ds*1000000
       |     > CAST(1844164 AS HUGEINT)*(n1+n2)*n1*n2) AS reject_05
       |FROM scored ORDER BY ds DESC, len LIMIT 1""".stripMargin
@@ -1119,7 +1166,7 @@ object CurationOps extends OpCatalog {
         sum(when(madOutlierPredicate, 1L).otherwise(0L)).as("n_outliers"))
       .select(col("lang"), col("n_docs"), col("med_chars"), col("mad_chars"),
         col("n_outliers"),
-        round(col("n_outliers") / col("n_docs").cast("double"), 4)
+        roundVal(col("n_outliers") / col("n_docs").cast("double"), 4)
           .as("outlier_rate"))
       .orderBy(col("lang"))
   }
@@ -1138,8 +1185,8 @@ object CurationOps extends OpCatalog {
       |  max(v.med_chars) AS med_chars, max(a.mad_chars) AS mad_chars,
       |  CAST(sum(CASE WHEN v.dev > a.mad_chars * 4.4478 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_outliers,
-      |  round(sum(CASE WHEN v.dev > a.mad_chars * 4.4478 THEN 1 ELSE 0 END)
-      |    / CAST(count(*) AS DOUBLE), 4) AS outlier_rate
+      |  floor((sum(CASE WHEN v.dev > a.mad_chars * 4.4478 THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS outlier_rate
       |FROM dev v JOIN mad a ON v.lang = a.lang
       |GROUP BY v.lang ORDER BY v.lang""".stripMargin
 
@@ -1181,7 +1228,7 @@ object CurationOps extends OpCatalog {
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .select(col("src_a"), col("src_b"), col("nh_a"), col("nh_b"),
         col("n_common"),
-        round(col("n_common") /
+        roundVal(col("n_common") /
           (col("nh_a") + col("nh_b") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
@@ -1197,9 +1244,9 @@ object CurationOps extends OpCatalog {
       |SELECT pa.source AS src_a, pb.source AS src_b,
       |  CAST(pa.nh AS BIGINT) AS nh_a, CAST(pb.nh AS BIGINT) AS nh_b,
       |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
-      |  round(coalesce(i.n_common, 0)
-      |    / CAST(pa.nh + pb.nh - coalesce(i.n_common, 0) AS DOUBLE), 4)
-      |    AS jaccard
+      |  floor((coalesce(i.n_common, 0)
+      |    / CAST(pa.nh + pb.nh - coalesce(i.n_common, 0) AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS jaccard
       |FROM per pa JOIN per pb ON pa.source < pb.source
       |LEFT JOIN inter i ON i.src_a = pa.source AND i.src_b = pb.source
       |ORDER BY src_a, src_b""".stripMargin
@@ -1215,9 +1262,9 @@ object CurationOps extends OpCatalog {
     * exactly what a distributed top-k needs. Here w = n_chars
     * (byte-budget-proportional) and u is replayable on both engines:
     * the first 8 md5 hex nibbles of the doc id, `(v+1)/(2^32+1)`.
-    * Keys are ranked as `round(-ln(u)·1000/w, 4)` with doc_id
-    * tie-break — the q63/q98 rounded-key rule, absorbing last-ulp `ln`
-    * differences cross-engine.
+    * Keys are ranked as `floor(-ln(u)·1000/w · 1e4 + 0.5)/1e4` with
+    * doc_id tie-break — the q63/q98 rounded-key rule in [[roundVal]]'s
+    * floor form, absorbing last-ulp `ln` differences cross-engine.
     *
     * Scale: the plan is `TakeOrderedAndProject` — per-partition top-k
     * then a k·partitions merge, NO global sort, NO shuffle of the
@@ -1228,16 +1275,20 @@ object CurationOps extends OpCatalog {
     weightedSampleOf(Tables.documents(spark, sfDir), k = 100)
   }
 
-  /** The A-Res rank key as a reusable column: `round(-ln(u)·1000/w, 4)`
-    * with u replayed from the first 8 md5 hex nibbles of the doc id.
-    * Shared verbatim by q116 and its streaming twin
-    * [[graft.streaming.StreamingOps.reservoirStream]] — ONE definition,
-    * so the stream==batch law can never drift on rounding. */
+  /** The A-Res rank key as a reusable column:
+    * `floor(-ln(u)·1000/w · 1e4 + 0.5)/1e4` ([[roundVal]] — the floor
+    * form, because the key is BOTH the rank and an output column the
+    * driver hashes, and SQL `round` diverges cross-engine on half-way
+    * doubles, see [[roundKey]]) with u replayed from the first 8 md5
+    * hex nibbles of the doc id. Shared verbatim by q116 and its
+    * streaming twin [[graft.streaming.StreamingOps.reservoirStream]] —
+    * ONE definition, so the stream==batch law can never drift on
+    * rounding. */
   private[graft] def aResKey(docId: Column, nChars: Column): Column = {
     val v = conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
       .cast("long")
     val u = (v.cast("double") + 1.0) / 4294967297.0
-    round(-log(u) * 1000.0 / nChars.cast("double"), 4)
+    roundVal(-log(u) * 1000.0 / nChars.cast("double"), 4)
   }
 
   /** Core of q116 over any (doc_id, lang, source, n_chars) frame. */
@@ -1257,10 +1308,11 @@ object CurationOps extends OpCatalog {
   }
 
   private val weightedSampleSql =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT doc_id, lang, source, n_chars,
-      |    round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-      |               + 1) / 4294967297.0) * 1000.0 / n_chars, 4) AS rkey
+      |    ${roundValSql(
+        "-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT" +
+          " + 1) / 4294967297.0) * 1000.0 / n_chars", 4)} AS rkey
       |  FROM documents)
       |SELECT CAST(row_number() OVER (ORDER BY rkey, doc_id) AS INT)
       |    AS sample_rank,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,7 +44,7 @@ object EventOps extends OpCatalog {
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("k")), 4).as("avg_k"),
+        roundVal(avg(col("k")), 4).as("avg_k"),
         sum(col("k")).as("sum_k"),
         money(sum(dec(col("value")))).as("sum_value"))
       .orderBy(col("event_type"))
@@ -57,7 +58,7 @@ object EventOps extends OpCatalog {
   // today, a hash mismatch the day a payload goes non-integral
   private val jsonExtractSql =
     """SELECT event_type, count(*) AS n_events,
-      |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  floor((avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))) * 1e4 + 0.5) / 1e4 AS avg_k,
       |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events
@@ -450,7 +451,7 @@ object EventOps extends OpCatalog {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"))
     grid
-      .withColumn("p", round(col("cnt") /
+      .withColumn("p", roundVal(col("cnt") /
         sum(col("cnt")).over(Window.partitionBy(col("from_type")))
           .cast("double"), 4))
       .orderBy(col("from_type"), col("to_type"))
@@ -466,7 +467,7 @@ object EventOps extends OpCatalog {
       |  SELECT from_type, to_type, count(*) AS cnt FROM seq
       |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
       |SELECT from_type, to_type, cnt,
-      |  round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+      |  floor((cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)) * 1e4 + 0.5) / 1e4
       |    AS p
       |FROM grid
       |ORDER BY from_type, to_type""".stripMargin
@@ -504,7 +505,7 @@ object EventOps extends OpCatalog {
   /** The reported z score (the one rounded float) for rows with the
     * stats columns attached — shared with the streaming twin. */
   private[graft] def zScoreExpr: org.apache.spark.sql.Column =
-    round((col("cnt") - col("s") / col("n").cast("double")) /
+    roundVal((col("cnt") - col("s") / col("n").cast("double")) /
       sqrt((col("n") * col("q") - col("s") * col("s")) /
         (col("n") * (col("n") - 1)).cast("double")), 4)
 
@@ -539,9 +540,9 @@ object EventOps extends OpCatalog {
       |    count(*) AS n
       |  FROM h GROUP BY event_type)
       |SELECT h.event_type, h.hour, h.cnt,
-      |  round((h.cnt - s.s / CAST(s.n AS DOUBLE)) /
+      |  floor(((h.cnt - s.s / CAST(s.n AS DOUBLE)) /
       |    sqrt((s.n * s.q - s.s * s.s) /
-      |      CAST(s.n * (s.n - 1) AS DOUBLE)), 4) AS z
+      |      CAST(s.n * (s.n - 1) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS z
       |FROM h JOIN s USING (event_type)
       |WHERE (h.cnt * s.n - s.s) > 0
       |  AND (h.cnt * s.n - s.s) * (h.cnt * s.n - s.s) * (s.n - 1)
@@ -685,8 +686,8 @@ object EventOps extends OpCatalog {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"),
-        round(expr("percentile(gap_ms, 0.5)") / 1000.0, 4).as("p50_gap_s"),
-        round(expr("percentile(gap_ms, 0.9)") / 1000.0, 4).as("p90_gap_s"))
+        roundVal(expr("percentile(gap_ms, 0.5)") / 1000.0, 4).as("p50_gap_s"),
+        roundVal(expr("percentile(gap_ms, 0.9)") / 1000.0, 4).as("p90_gap_s"))
       .orderBy(col("from_type"), col("to_type"))
   }
 
@@ -698,8 +699,8 @@ object EventOps extends OpCatalog {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
       |SELECT from_type, to_type, count(*) AS cnt,
-      |  round(quantile_cont(gap_ms, 0.5) / 1000.0, 4) AS p50_gap_s,
-      |  round(quantile_cont(gap_ms, 0.9) / 1000.0, 4) AS p90_gap_s
+      |  floor((quantile_cont(gap_ms, 0.5) / 1000.0) * 1e4 + 0.5) / 1e4 AS p50_gap_s,
+      |  floor((quantile_cont(gap_ms, 0.9) / 1000.0) * 1e4 + 0.5) / 1e4 AS p90_gap_s
       |FROM seq WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,7 +97,7 @@ object IvfIndex {
       .filter(col("cell").isin(cells: _*)) // static partition pruning
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(graft.functions.VectorExpressions
+        roundVal(graft.functions.VectorExpressions
           .cosineSimilarity(col("embedding"), col("q_emb")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
@@ -144,7 +145,7 @@ object IvfIndex {
       .join(broadcast(routing), "cell") // rows meet ONLY their probers
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"),
-        round(graft.functions.VectorExpressions
+        roundVal(graft.functions.VectorExpressions
           .cosineSimilarity(col("embedding"), col("q_emb")), 4).as("sim"))
       .withColumn("rnk", row_number().over(frontier))
       .filter(col("rnk") <= k)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +66,7 @@ object PipelineOps extends OpCatalog {
     tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))
+        roundVal(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))
       .withColumn("rn", row_number().over(rank))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
@@ -81,7 +82,7 @@ object PipelineOps extends OpCatalog {
       |n AS (SELECT count(*) AS n FROM documents),
       |scored AS (
       |  SELECT t.doc_id, t.word, t.tf, d.df,
-      |    round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 4) AS tfidf
+      |    floor((t.tf * ln((n.n + 1.0) / (d.df + 1.0))) * 1e4 + 0.5) / 1e4 AS tfidf
       |  FROM tf t JOIN df d USING (word) CROSS JOIN n)
       |SELECT doc_id, word, tf, df, tfidf
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -181,7 +182,7 @@ object PipelineOps extends OpCatalog {
     perDoc.crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("total_len").cast("double") / col("n_docs"))
-      .withColumn("bm25", round(termScore.reduce(_ + _), 4))
+      .withColumn("bm25", roundVal(termScore.reduce(_ + _), 4))
       .withColumn("n_query_terms", nTerms)
       .filter(col("n_query_terms") > 0)
       .select(col("doc_id"), col("bm25"), col("n_query_terms"))
@@ -208,7 +209,7 @@ object PipelineOps extends OpCatalog {
       |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
       |        (CAST(total_len AS DOUBLE) / n_docs))) AS sc
       |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id), stats)
-      |SELECT doc_id, round(sum(sc), 4) AS bm25,
+      |SELECT doc_id, floor((sum(sc)) * 1e4 + 0.5) / 1e4 AS bm25,
       |  CAST(count(*) AS BIGINT) AS n_query_terms
       |FROM s GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
@@ -231,7 +232,7 @@ object PipelineOps extends OpCatalog {
         min(when(sampled, col("doc_id"))).as("first_sampled"),
         max(when(sampled, col("doc_id"))).as("last_sampled"))
       .select(col("lang"), col("n_total"), col("n_sampled"),
-        round(col("n_sampled") / col("n_total").cast("double"), 4)
+        roundVal(col("n_sampled") / col("n_total").cast("double"), 4)
           .as("sample_rate"),
         col("first_sampled"), col("last_sampled"))
       .orderBy(col("lang"))
@@ -239,7 +240,7 @@ object PipelineOps extends OpCatalog {
 
   private val stratifiedSampleSql =
     """SELECT lang, n_total, n_sampled,
-      |  round(n_sampled / CAST(n_total AS DOUBLE), 4) AS sample_rate,
+      |  floor((n_sampled / CAST(n_total AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS sample_rate,
       |  first_sampled, last_sampled
       |FROM (
       |  SELECT lang, count(*) AS n_total,
@@ -358,10 +359,10 @@ object PipelineOps extends OpCatalog {
         max(col("cnt")).as("top_tri_cnt"))
     topWord.join(triAgg, "doc_id")
       .select(col("doc_id"), col("top_word"), col("top_word_cnt"),
-        round(col("top_word_cnt") * length(col("top_word")) /
+        roundVal(col("top_word_cnt") * length(col("top_word")) /
           col("sum_len").cast("double"), 4).as("top_word_char_frac"),
         col("top_tri_cnt"),
-        round(lit(1.0) - col("n_tri_distinct") / col("n_tri").cast("double"), 4)
+        roundVal(lit(1.0) - col("n_tri_distinct") / col("n_tri").cast("double"), 4)
           .as("dup_tri_frac"))
       .orderBy(col("doc_id"))
   }
@@ -387,10 +388,10 @@ object PipelineOps extends OpCatalog {
       |ta AS (SELECT doc_id, sum(cnt) AS n_tri, count(*) AS n_tri_distinct,
       |         max(cnt) AS top_tri_cnt FROM tc GROUP BY 1)
       |SELECT t.doc_id, top_word, top_word_cnt,
-      |  round(top_word_cnt * length(top_word) / CAST(sum_len AS DOUBLE), 4)
+      |  floor((top_word_cnt * length(top_word) / CAST(sum_len AS DOUBLE)) * 1e4 + 0.5) / 1e4
       |    AS top_word_char_frac,
       |  top_tri_cnt,
-      |  round(1.0 - n_tri_distinct / CAST(n_tri AS DOUBLE), 4) AS dup_tri_frac
+      |  floor((1.0 - n_tri_distinct / CAST(n_tri AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_tri_frac
       |FROM topw t JOIN ta USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
@@ -462,8 +463,8 @@ object PipelineOps extends OpCatalog {
     agg.crossJoin(broadcast(total))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .select(col("lang"), col("source"), col("docs"), col("tokens"),
-        round(col("tokens") / col("total").cast("double"), 4).as("share"),
-        round(col("cum_tokens") / col("total").cast("double"), 4).as("cum_share"),
+        roundVal(col("tokens") / col("total").cast("double"), 4).as("share"),
+        roundVal(col("cum_tokens") / col("total").cast("double"), 4).as("cum_share"),
         (col("tokens") * 10 > col("total")).as("over_cap"))
       .orderBy(col("tokens").desc, col("lang"), col("source"))
   }
@@ -475,10 +476,10 @@ object PipelineOps extends OpCatalog {
       |  FROM documents GROUP BY 1, 2),
       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM agg)
       |SELECT lang, source, docs, tokens,
-      |  round(tokens / CAST(total AS DOUBLE), 4) AS share,
-      |  round(CAST(sum(tokens) OVER (ORDER BY tokens DESC, lang, source
+      |  floor((tokens / CAST(total AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS share,
+      |  floor((CAST(sum(tokens) OVER (ORDER BY tokens DESC, lang, source
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |    / total, 4) AS cum_share,
+      |    / total) * 1e4 + 0.5) / 1e4 AS cum_share,
       |  tokens * 10 > total AS over_cap
       |FROM agg CROSS JOIN tot
       |ORDER BY tokens DESC, lang, source""".stripMargin
@@ -552,14 +553,14 @@ object PipelineOps extends OpCatalog {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
       .select(col("source"), col("n_docs"), col("n_dup_docs"),
-        round(col("n_dup_docs") / col("n_docs").cast("double"), 4)
+        roundVal(col("n_dup_docs") / col("n_docs").cast("double"), 4)
           .as("dup_rate"))
       .orderBy(col("dup_rate").desc, col("source"))
   }
 
   private val dupRateBySourceSql =
     """SELECT source, n_docs, n_dup_docs,
-      |  round(n_dup_docs / CAST(n_docs AS DOUBLE), 4) AS dup_rate
+      |  floor((n_dup_docs / CAST(n_docs AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_rate
       |FROM (
       |  SELECT source, count(*) AS n_docs,
       |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
@@ -635,8 +636,8 @@ object PipelineOps extends OpCatalog {
       .agg((sum(col("c") * -log2(col("p"))) / sum(col("c"))).as("bits"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("bits")), 4).as("avg_bits"),
-        round(max(col("bits")), 4).as("max_bits"))
+        roundVal(avg(col("bits")), 4).as("avg_bits"),
+        roundVal(max(col("bits")), 4).as("max_bits"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -657,7 +658,7 @@ object PipelineOps extends OpCatalog {
       |  JOIN tot x ON t.lang = x.lang
       |  GROUP BY t.doc_id, t.lang, t.source)
       |SELECT lang, source, count(*) AS n_docs,
-      |  round(avg(bits), 4) AS avg_bits, round(max(bits), 4) AS max_bits
+      |  floor((avg(bits)) * 1e4 + 0.5) / 1e4 AS avg_bits, floor((max(bits)) * 1e4 + 0.5) / 1e4 AS max_bits
       |FROM scored
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
@@ -786,9 +787,9 @@ object PipelineOps extends OpCatalog {
       .withColumn("pa", pow(col("p"), 0.7))
       .withColumn("q", col("pa") / sum(col("pa")).over(all))
       .select(col("lang"), col("source"), col("tokens"),
-        round(col("p"), 4).as("p_natural"),
-        round(col("q"), 4).as("q_sampled"),
-        round(col("q") / col("p"), 4).as("boost"))
+        roundVal(col("p"), 4).as("p_natural"),
+        roundVal(col("q"), 4).as("q_sampled"),
+        roundVal(col("q") / col("p"), 4).as("boost"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -806,8 +807,8 @@ object PipelineOps extends OpCatalog {
       |    pow(p, 0.7) / sum(pow(p, 0.7)) OVER () AS q
       |  FROM shares)
       |SELECT lang, source, tokens,
-      |  round(p, 4) AS p_natural, round(q, 4) AS q_sampled,
-      |  round(q / p, 4) AS boost
+      |  floor((p) * 1e4 + 0.5) / 1e4 AS p_natural, floor((q) * 1e4 + 0.5) / 1e4 AS q_sampled,
+      |  floor((q / p) * 1e4 + 0.5) / 1e4 AS boost
       |FROM adj
       |ORDER BY lang, source""".stripMargin
 
@@ -1089,11 +1090,11 @@ object PipelineOps extends OpCatalog {
     scored.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("wsum") > 0, 1L).otherwise(0L)).as("n_keep"),
-        round(avg(lit(1.0) /
+        roundVal(avg(lit(1.0) /
           (lit(1.0) + exp(lit(-4.0) * col("wsum") /
             (lit(1000.0) * col("n"))))), 4).as("avg_p"))
       .withColumn("keep_rate",
-        round(col("n_keep").cast("double") / col("n_docs"), 4))
+        roundVal(col("n_keep").cast("double") / col("n_docs"), 4))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -1115,9 +1116,9 @@ object PipelineOps extends OpCatalog {
       |  FROM feat GROUP BY doc_id, lang, source)
       |SELECT lang, source, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-      |  round(avg(1.0 / (1.0 + exp(-4.0 * wsum / (1000.0 * n)))), 4) AS avg_p,
-      |  round(CAST(sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / count(*), 4) AS keep_rate
+      |  floor((avg(1.0 / (1.0 + exp(-4.0 * wsum / (1000.0 * n))))) * 1e4 + 0.5) / 1e4 AS avg_p,
+      |  floor((CAST(sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*)) * 1e4 + 0.5) / 1e4 AS keep_rate
       |FROM doc GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
@@ -1147,11 +1148,11 @@ object PipelineOps extends OpCatalog {
   /** Core of q119 over any (doc_id, lang, source, text) frame. */
   private[graft] def compressionQualityOf(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("lang"), col("source"), col("doc_id"),
-      round(expr("deflate_len(text)") /
+      roundVal(expr("deflate_len(text)") /
         octet_length(col("text")).cast("double"), 4).as("ratio"))
     scored.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("ratio")), 4).as("avg_ratio"),
+        roundVal(avg(col("ratio")), 4).as("avg_ratio"),
         min(struct(col("ratio"), col("doc_id"))).as("lo"),
         // neg_id so a ratio tie still breaks to the LOWEST doc id under max
         max(struct(col("ratio"), (-col("doc_id")).as("neg_id"))).as("hi"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,12 +128,12 @@ object PqIndex {
         element_at(element_at(dtLit, s + 1),
           element_at(col("codes"), s + 1) + 1))
     val ids = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id"), round(adc, 4).as("adc"))
+      .select(col("vec_id"), roundVal(adc, 4).as("adc"))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(shortlist)
     ids.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("adc"),
-        round(VectorOps.sqDist(col("embedding"), typedlit(qv)), 4)
+        roundVal(VectorOps.sqDist(col("embedding"), typedlit(qv)), 4)
           .as("l2"))
       .orderBy(col("l2").asc, col("vec_id"))
       .limit(10)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,9 +57,9 @@ object Relational extends OpCatalog {
           .as("sum_disc_price"),
         money(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
           * dec(lit(1) + col("l_tax")))).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        roundVal(avg(col("l_quantity")), 4).as("avg_qty"),
+        roundVal(avg(col("l_extendedprice")), 4).as("avg_price"),
+        roundVal(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -69,9 +70,9 @@ object Relational extends OpCatalog {
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+      |  floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+      |  floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -433,7 +434,7 @@ object Relational extends OpCatalog {
       .agg(
         money(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
           .as("revenue"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        roundVal(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
   }
@@ -441,7 +442,7 @@ object Relational extends OpCatalog {
   private val brandRevenueSql =
     """SELECT p_brand,
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
-      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand
@@ -525,8 +526,8 @@ object Relational extends OpCatalog {
     monthly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(grid))
       .select(col("month"), col("n_orders"), col("revenue"),
-        round(col("revenue") - col("prev_revenue"), 2).as("mom_delta"),
-        round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 4)
+        roundVal(col("revenue") - col("prev_revenue"), 2).as("mom_delta"),
+        roundVal((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 4)
           .as("mom_pct"))
       .orderBy(col("month"))
   }
@@ -539,9 +540,10 @@ object Relational extends OpCatalog {
       |      AS revenue
       |  FROM orders GROUP BY 1)
       |SELECT month, n_orders, revenue,
-      |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
-      |  round((revenue - lag(revenue) OVER (ORDER BY month))
-      |    / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+      |  floor((revenue - lag(revenue) OVER (ORDER BY month)) * 1e2 + 0.5)
+      |    / 1e2 AS mom_delta,
+      |  floor(((revenue - lag(revenue) OVER (ORDER BY month))
+      |    / lag(revenue) OVER (ORDER BY month)) * 1e4 + 0.5) / 1e4 AS mom_pct
       |FROM monthly ORDER BY month""".stripMargin
 
   override val ops: Seq[Op] = Seq(

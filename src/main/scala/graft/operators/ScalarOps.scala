@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,10 +44,10 @@ object ScalarOps extends OpCatalog {
         trim(lit("  x  ")).as("trimmed"),
         floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
         ceil(col("o_totalprice") / 1000).cast("long").as("price_k_up"),
-        round(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
-        round(abs(col("o_totalprice") - 250000), 2).as("price_dev"),
+        roundVal(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+        roundVal(abs(col("o_totalprice") - 250000), 2).as("price_dev"),
         pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
-        round(pow(lit(1.05), col("o_orderkey") % 10), 4).as("compound"))
+        roundVal(pow(lit(1.05), col("o_orderkey") % 10), 4).as("compound"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -65,10 +66,10 @@ object ScalarOps extends OpCatalog {
       |  trim('  x  ') AS trimmed,
       |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
       |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_up,
-      |  round(sqrt(o_totalprice), 4) AS price_sqrt,
-      |  round(abs(o_totalprice - 250000), 2) AS price_dev,
+      |  floor((sqrt(o_totalprice)) * 1e4 + 0.5) / 1e4 AS price_sqrt,
+      |  floor((abs(o_totalprice - 250000)) * 1e2 + 0.5) / 1e2 AS price_dev,
       |  CAST(((o_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
-      |  round(power(1.05, mod(o_orderkey, 10)), 4) AS compound
+      |  floor((power(1.05, mod(o_orderkey, 10))) * 1e4 + 0.5) / 1e4 AS compound
       |FROM orders
       |WHERE o_orderkey < 200
       |ORDER BY o_orderkey""".stripMargin
@@ -89,13 +90,13 @@ object ScalarOps extends OpCatalog {
         least(greatest(col("o_totalprice"), lit(50000.0)), lit(450000.0)))
       .groupBy(col("price_band"), col("status_or_prio"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("clamped")), 4).as("avg_clamped"))
+        roundVal(avg(col("clamped")), 4).as("avg_clamped"))
       .orderBy(col("price_band"), col("status_or_prio"))
   }
 
   private val conditionalFuncsSql =
     """SELECT price_band, status_or_prio, count(*) AS n,
-      |  round(avg(clamped), 4) AS avg_clamped
+      |  floor((avg(clamped)) * 1e4 + 0.5) / 1e4 AS avg_clamped
       |FROM (
       |  SELECT
       |    CASE WHEN o_totalprice < 100000 THEN 'low'
@@ -118,7 +119,7 @@ object ScalarOps extends OpCatalog {
       v => spark.sql(
         s"""SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
            |FROM $v o
-           |WHERE o_totalprice > (SELECT round(1.5 * avg(i.o_totalprice), 2)
+           |WHERE o_totalprice > (SELECT floor((1.5 * avg(i.o_totalprice)) * 1e2 + 0.5) / 1e2
            |                      FROM $v i
            |                      WHERE i.o_custkey = o.o_custkey)
            |GROUP BY o_custkey
@@ -129,7 +130,7 @@ object ScalarOps extends OpCatalog {
   private val correlatedSubquerySql =
     """SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
       |FROM orders o
-      |WHERE o_totalprice > (SELECT round(1.5 * avg(i.o_totalprice), 2)
+      |WHERE o_totalprice > (SELECT floor((1.5 * avg(i.o_totalprice)) * 1e2 + 0.5) / 1e2
       |                      FROM orders i
       |                      WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o_custkey
@@ -226,19 +227,19 @@ object ScalarOps extends OpCatalog {
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
-        round(stddev_pop(col("o_totalprice")), 2).as("sd"))
+        roundVal(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        roundVal(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        roundVal(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        roundVal(stddev_pop(col("o_totalprice")), 2).as("sd"))
       .orderBy(col("o_orderstatus"))
   }
 
   private val percentilesSql =
     """SELECT o_orderstatus, count(*) AS n,
-      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-      |  round(stddev_pop(o_totalprice), 2) AS sd
+      |  floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+      |  floor((quantile_cont(o_totalprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+      |  floor((quantile_cont(o_totalprice, 0.99)) * 1e4 + 0.5) / 1e4 AS p99,
+      |  floor((stddev_pop(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sd
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
@@ -272,8 +273,8 @@ object ScalarOps extends OpCatalog {
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
+        roundVal(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        roundVal(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
         expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
       .select(col("o_orderstatus"), col("n"),
@@ -289,8 +290,8 @@ object ScalarOps extends OpCatalog {
       |  abs(p90_approx - p90_exact) <= abs(p90_exact) * 0.05 AS p90_ok
       |FROM (
       |  SELECT o_orderstatus, count(*) AS n,
-      |    round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
-      |    round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+      |    floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+      |    floor((quantile_cont(o_totalprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90_exact,
       |    approx_quantile(o_totalprice, 0.5) AS p50_approx,
       |    approx_quantile(o_totalprice, 0.9) AS p90_approx
       |  FROM orders

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Op, OpCatalog, Tables}
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,7 +107,7 @@ object SkewOps extends OpCatalog {
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
       .select(col(key), col("cnt"),
-        round(col("cnt") / col("total").cast("double"), 6).as("share"),
+        roundVal(col("cnt") / col("total").cast("double"), 6).as("share"),
         // the verdict compares in DOUBLE, not Long: the integer form
         // `cnt * n_keys > total * 10` wraps Long at exactly the 100 TB
         // posture this diagnostic documents (1e10-row key × 1e9 keys =
@@ -125,7 +126,7 @@ object SkewOps extends OpCatalog {
       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
       |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
       |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
-      |  round(cnt / CAST(total AS DOUBLE), 6) AS share,
+      |  floor((cnt / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS share,
       |  (CAST(cnt AS DOUBLE) * n_keys > CAST(total AS DOUBLE) * 10.0) AS hot_10x
       |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
 

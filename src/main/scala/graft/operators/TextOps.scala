@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftSession, Memo, Op, OpCatalog, Tables}
+import graft.functions.Rounding.roundVal
 import graft.functions.TextExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -208,7 +209,7 @@ object TextOps extends OpCatalog {
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jac") >= t)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .select(col("id_a"), col("id_b"), roundVal(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -218,7 +219,7 @@ object TextOps extends OpCatalog {
       |    list_distinct(list_transform(range(1, len(w) - 1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents))
-      |SELECT id_a, id_b, round(jac, 4) AS jac FROM (
+      |SELECT id_a, id_b, floor((jac) * 1e4 + 0.5) / 1e4 AS jac FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.sh, b.sh)) /
       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
@@ -295,7 +296,7 @@ object TextOps extends OpCatalog {
       .withColumn("jac", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jac") >= t)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .select(col("id_a"), col("id_b"), roundVal(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -328,7 +329,7 @@ object TextOps extends OpCatalog {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig
       |    AND a.lang = b.lang AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, round(jac, 4) AS jac FROM (
+      |SELECT id_a, id_b, floor((jac) * 1e4 + 0.5) / 1e4 AS jac FROM (
       |  SELECT c.id_a, c.id_b,
       |    len(list_intersect(x.sh, y.sh)) /
       |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jac
@@ -424,9 +425,9 @@ object TextOps extends OpCatalog {
       .select(col("doc_id"),
         size(col("w")).as("n_tokens"),
         size(array_distinct(col("w"))).as("n_distinct"),
-        round(size(array_distinct(col("w"))) / size(col("w")).cast("double"), 4)
+        roundVal(size(array_distinct(col("w"))) / size(col("w")).cast("double"), 4)
           .as("ttr"),
-        round(expr("aggregate(w, 0, (acc, x) -> acc + length(x))") /
+        roundVal(expr("aggregate(w, 0, (acc, x) -> acc + length(x))") /
           size(col("w")).cast("double"), 4).as("avg_tok_len"))
       .orderBy(col("doc_id"))
   }
@@ -435,8 +436,8 @@ object TextOps extends OpCatalog {
     """SELECT doc_id,
       |  len(w) AS n_tokens,
       |  len(list_distinct(w)) AS n_distinct,
-      |  round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS ttr,
-      |  round(list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE), 4) AS avg_tok_len
+      |  floor((len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS ttr,
+      |  floor((list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_tok_len
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -500,7 +501,7 @@ object TextOps extends OpCatalog {
       .groupBy(col("word"), col("n")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 32 >= col("n"))
       .select(col("word"), col("cnt"),
-        round(col("cnt") / col("n").cast("double"), 4).as("share"))
+        roundVal(col("cnt") / col("n").cast("double"), 4).as("share"))
       .orderBy(col("cnt").desc, col("word"))
   }
 
@@ -509,7 +510,7 @@ object TextOps extends OpCatalog {
       |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
       |tot AS (SELECT count(*) AS n FROM tok)
       |SELECT word, count(*) AS cnt,
-      |  round(count(*) / CAST(n AS DOUBLE), 4) AS share
+      |  floor((count(*) / CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS share
       |FROM tok CROSS JOIN tot
       |GROUP BY word, n
       |HAVING count(*) * 32 >= n
@@ -585,17 +586,17 @@ object TextOps extends OpCatalog {
       .withColumn("chars_per_tok", col("n_chars") / col("n_tok").cast("double"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("ttr")), 4).as("avg_ttr"),
-        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
-        round(avg(col("chars_per_tok")), 4).as("avg_chars_per_tok"))
+        roundVal(avg(col("ttr")), 4).as("avg_ttr"),
+        roundVal(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        roundVal(avg(col("chars_per_tok")), 4).as("avg_chars_per_tok"))
       .orderBy(col("lang"))
   }
 
   private val qualityScoreSql =
     """SELECT lang, count(*) AS n_docs,
-      |  round(avg(len(list_distinct(w)) / CAST(len(w) AS DOUBLE)), 4) AS avg_ttr,
-      |  round(avg(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) / CAST(len(w) AS DOUBLE)), 4) AS avg_stop_ratio,
-      |  round(avg(n_chars / CAST(len(w) AS DOUBLE)), 4) AS avg_chars_per_tok
+      |  floor((avg(len(list_distinct(w)) / CAST(len(w) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_ttr,
+      |  floor((avg(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) / CAST(len(w) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_stop_ratio,
+      |  floor((avg(n_chars / CAST(len(w) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_chars_per_tok
       |FROM (SELECT lang, n_chars, string_split(lower(text), ' ') AS w FROM documents)
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -825,7 +826,7 @@ object TextOps extends OpCatalog {
         size(expr(
           "regexp_extract_all(lt, '[a-z0-9]+|[^a-z0-9 \\\\t\\\\n\\\\r\\\\f]', 0)"))
           .as("re_tokens"),
-        round(col("n_chars") / size(split(col("lt"), " ")).cast("double"), 4)
+        roundVal(col("n_chars") / size(split(col("lt"), " ")).cast("double"), 4)
           .as("chars_per_ws_token"))
       .orderBy(col("doc_id"))
   }
@@ -834,7 +835,7 @@ object TextOps extends OpCatalog {
     """SELECT doc_id,
       |  len(string_split(lower(text), ' ')) AS ws_tokens,
       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\r\f]')) AS re_tokens,
-      |  round(n_chars / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS chars_per_ws_token
+      |  floor((n_chars / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS chars_per_ws_token
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -989,7 +990,7 @@ object TextOps extends OpCatalog {
       // failed fp_ok law flag against the oracle's literal TRUE)
       .withColumn("fp_rate",
         when(col("n_arriving") === col("n_true_dups"), lit(0.0))
-          .otherwise(round(col("n_false_pos") /
+          .otherwise(roundVal(col("n_false_pos") /
             (col("n_arriving") - col("n_true_dups")).cast("double"), 4)))
   }
 
@@ -1057,7 +1058,7 @@ object TextOps extends OpCatalog {
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")),
         "doc_a")
       .select(col("doc_a"), col("doc_b"), col("n_grams_a"), col("n_common"),
-        round(col("n_common") / col("n_grams_a").cast("double"), 4)
+        roundVal(col("n_common") / col("n_grams_a").cast("double"), 4)
           .as("containment"))
       .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
       .limit(20)
@@ -1087,7 +1088,7 @@ object TextOps extends OpCatalog {
       |SELECT doc_a, doc_b,
       |  CAST(sa.n AS BIGINT) AS n_grams_a,
       |  CAST(n_common AS BIGINT) AS n_common,
-      |  round(n_common / CAST(sa.n AS DOUBLE), 4) AS containment
+      |  floor((n_common / CAST(sa.n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS containment
       |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
       |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
@@ -1149,7 +1150,7 @@ object TextOps extends OpCatalog {
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")),
         "doc_a")
       .select(col("doc_a"), col("doc_b"), col("n_grams_a"), col("n_common"),
-        round(col("n_common") / col("n_grams_a").cast("double"), 4)
+        roundVal(col("n_common") / col("n_grams_a").cast("double"), 4)
           .as("containment"))
       .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
       .limit(20)
@@ -1267,7 +1268,7 @@ object TextOps extends OpCatalog {
       |SELECT doc_a, doc_b,
       |  CAST(sa.n AS BIGINT) AS n_grams_a,
       |  CAST(n_common AS BIGINT) AS n_common,
-      |  round(n_common / CAST(sa.n AS DOUBLE), 4) AS containment
+      |  floor((n_common / CAST(sa.n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS containment
       |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
       |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
@@ -1286,8 +1287,9 @@ object TextOps extends OpCatalog {
     * combine, where this shape does alphabet-bounded work per document
     * inside whole-stage codegen and shuffles nothing but the final
     * top-20 candidates (TakeOrderedAndProject on the ROUNDED key
-    * (round(·,4), doc_id) — q63's ordering policy, so last-ulp `log2`
-    * skew cannot flip the cross-engine order). The split is
+    * ([[graft.functions.Rounding.roundVal]](·,4), doc_id) — q63's
+    * ordering policy in the cross-engine floor form, so last-ulp
+    * `log2` skew cannot flip the cross-engine order). The split is
     * code-POINT-aware (`(?s).` matches a full code point, surrogate
     * pairs included), matching the DuckDB oracle's `string_split`
     * semantics even on astral-plane text. */
@@ -1314,7 +1316,7 @@ object TextOps extends OpCatalog {
       .select(col("doc_id"), col("lang"),
         col("n").cast("long").as("n_chars_total"),
         size(col("starts")).cast("long").as("n_distinct_chars"),
-        round(log2(col("n").cast("double")) -
+        roundVal(log2(col("n").cast("double")) -
           expr("aggregate(counts, CAST(0 AS DOUBLE), (acc, c) -> acc + c * log2(c))") /
             col("n").cast("double"), 4).as("entropy"))
       .orderBy(col("entropy"), col("doc_id"))
@@ -1331,9 +1333,9 @@ object TextOps extends OpCatalog {
       |SELECT doc_id, lang,
       |  CAST(sum(c) AS BIGINT) AS n_chars_total,
       |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
-      |  round(log2(CAST(sum(c) AS DOUBLE))
-      |    - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
-      |    AS entropy
+      |  floor((log2(CAST(sum(c) AS DOUBLE))
+      |    - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS entropy
       |FROM cnt GROUP BY doc_id, lang
       |ORDER BY entropy, doc_id LIMIT 20""".stripMargin
 
@@ -1387,7 +1389,7 @@ object TextOps extends OpCatalog {
       .select(col("source"), col("n_docs"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
         col("total_grams"),
-        round(coalesce(col("novel_grams"), lit(0L)) /
+        roundVal(coalesce(col("novel_grams"), lit(0L)) /
           col("total_grams").cast("double"), 4).as("novelty"))
       .orderBy(col("source"))
   }
@@ -1419,8 +1421,8 @@ object TextOps extends OpCatalog {
       |  CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(coalesce(novel_grams, 0) AS BIGINT) AS novel_grams,
       |  CAST(total_grams AS BIGINT) AS total_grams,
-      |  round(coalesce(novel_grams, 0) / CAST(total_grams AS DOUBLE), 4)
-      |    AS novelty
+      |  floor((coalesce(novel_grams, 0) / CAST(total_grams AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS novelty
       |FROM t LEFT JOIN novel ON novel.source = t.source
       |ORDER BY t.source""".stripMargin
 
@@ -1458,9 +1460,9 @@ object TextOps extends OpCatalog {
       .filter(col("r") <= 200)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_ranks"),
-        round(expr("regr_slope(log2(c), log2(r))"), 4).as("zipf_slope"),
-        round(expr("regr_intercept(log2(c), log2(r))"), 4).as("zipf_intercept"),
-        round(expr("regr_r2(log2(c), log2(r))"), 4).as("fit_r2"))
+        roundVal(expr("regr_slope(log2(c), log2(r))"), 4).as("zipf_slope"),
+        roundVal(expr("regr_intercept(log2(c), log2(r))"), 4).as("zipf_intercept"),
+        roundVal(expr("regr_r2(log2(c), log2(r))"), 4).as("fit_r2"))
       .orderBy(col("source"))
   }
 
@@ -1477,9 +1479,9 @@ object TextOps extends OpCatalog {
       |  FROM counts),
       |top AS (SELECT * FROM ranked WHERE r <= 200)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
-      |  round(regr_slope(log2(c), log2(r)), 4) AS zipf_slope,
-      |  round(regr_intercept(log2(c), log2(r)), 4) AS zipf_intercept,
-      |  round(regr_r2(log2(c), log2(r)), 4) AS fit_r2
+      |  floor((regr_slope(log2(c), log2(r))) * 1e4 + 0.5) / 1e4 AS zipf_slope,
+      |  floor((regr_intercept(log2(c), log2(r))) * 1e4 + 0.5) / 1e4 AS zipf_intercept,
+      |  floor((regr_r2(log2(c), log2(r))) * 1e4 + 0.5) / 1e4 AS fit_r2
       |FROM top GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q130
@@ -1522,7 +1524,7 @@ object TextOps extends OpCatalog {
       .join(uni.select(col("tok").as("b"), col("cnt").as("cnt_b")), "b")
       .crossJoin(broadcast(totals))
       .select(col("gram"), col("n_ab"), col("cnt_a"), col("cnt_b"),
-        round(log2(col("n_ab")) + lit(2.0) * log2(col("n1"))
+        roundVal(log2(col("n_ab")) + lit(2.0) * log2(col("n1"))
           - log2(col("n2")) - log2(col("cnt_a")) - log2(col("cnt_b")), 4)
           .as("pmi"))
       .orderBy(col("pmi").desc, col("gram"))
@@ -1547,8 +1549,8 @@ object TextOps extends OpCatalog {
       |  CAST(n_ab AS BIGINT) AS n_ab,
       |  CAST(a.cnt AS BIGINT) AS cnt_a,
       |  CAST(b.cnt AS BIGINT) AS cnt_b,
-      |  round(log2(n_ab) + 2.0 * log2(n1) - log2(n2)
-      |    - log2(a.cnt) - log2(b.cnt), 4) AS pmi
+      |  floor((log2(n_ab) + 2.0 * log2(n1) - log2(n2)
+      |    - log2(a.cnt) - log2(b.cnt)) * 1e4 + 0.5) / 1e4 AS pmi
       |FROM bcnt
       |JOIN ucnt a ON a.tok = string_split(gram, ' ')[1]
       |JOIN ucnt b ON b.tok = string_split(gram, ' ')[2], tot

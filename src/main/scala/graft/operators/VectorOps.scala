@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftSession, Memo, Op, OpCatalog, Tables}
 import graft.functions.VectorExpressions
+import graft.functions.Rounding.roundVal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,7 @@ object VectorOps extends OpCatalog {
     emb(spark, sfDir).filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(spark, sfDir)))
       .select(col("vec_id"),
-        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+        roundVal(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
 
   // ---------------------------------------------------------------- q40
@@ -117,7 +118,7 @@ object VectorOps extends OpCatalog {
       |  FROM prods GROUP BY vec_id)
       |SELECT vec_id,
       |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
-      |       ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |       ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim
       |FROM sims
       |ORDER BY sim DESC, vec_id
       |LIMIT 10""".stripMargin
@@ -143,7 +144,7 @@ object VectorOps extends OpCatalog {
       .join(good, "vec_id")
       .crossJoin(broadcast(queryVec(spark, sfDir)))
       .select(col("vec_id"), col("lang"),
-        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+        roundVal(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
@@ -165,7 +166,7 @@ object VectorOps extends OpCatalog {
       |  FROM prods GROUP BY vec_id, lang)
       |SELECT vec_id, lang,
       |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
-      |       ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |       ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim
       |FROM sims
       |ORDER BY sim DESC, vec_id
       |LIMIT 10""".stripMargin
@@ -180,17 +181,17 @@ object VectorOps extends OpCatalog {
         "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("norm")), 4).as("avg_norm"),
-        round(min(col("norm")), 4).as("min_norm"),
-        round(max(col("norm")), 4).as("max_norm"))
+        roundVal(avg(col("norm")), 4).as("avg_norm"),
+        roundVal(min(col("norm")), 4).as("min_norm"),
+        roundVal(max(col("norm")), 4).as("max_norm"))
       .orderBy(col("label"))
   }
 
   private val vectorNormsSql =
     """SELECT label, count(*) AS n_vecs,
-      |  round(avg(norm), 4) AS avg_norm,
-      |  round(min(norm), 4) AS min_norm,
-      |  round(max(norm), 4) AS max_norm
+      |  floor((avg(norm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+      |  floor((min(norm)) * 1e4 + 0.5) / 1e4 AS min_norm,
+      |  floor((max(norm)) * 1e4 + 0.5) / 1e4 AS max_norm
       |FROM (
       |  SELECT label, sqrt(sum(v * v)) AS norm FROM (
       |    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
@@ -218,8 +219,8 @@ object VectorOps extends OpCatalog {
         .as("dist"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("dist")), 4).as("avg_dist"),
-        round(max(col("dist")), 4).as("max_dist"))
+        roundVal(avg(col("dist")), 4).as("avg_dist"),
+        roundVal(max(col("dist")), 4).as("max_dist"))
       .orderBy(col("label"))
   }
 
@@ -235,8 +236,8 @@ object VectorOps extends OpCatalog {
       |  FROM dims d JOIN cents ON d.label = cents.label AND d.pos = cents.pos
       |  GROUP BY d.vec_id, d.label)
       |SELECT label, count(*) AS n_vecs,
-      |  round(avg(dist), 4) AS avg_dist,
-      |  round(max(dist), 4) AS max_dist
+      |  floor((avg(dist)) * 1e4 + 0.5) / 1e4 AS avg_dist,
+      |  floor((max(dist)) * 1e4 + 0.5) / 1e4 AS max_dist
       |FROM dists
       |GROUP BY label
       |ORDER BY label""".stripMargin
@@ -305,7 +306,7 @@ object VectorOps extends OpCatalog {
         bucketed.filter(col("vec_id") =!= 0)
           .filter(col("bucket").isin(probe: _*))
           .select(col("vec_id"),
-            round(VectorExpressions.cosineSimilarity(
+            roundVal(VectorExpressions.cosineSimilarity(
               col("embedding"), typedlit(qv)), 4).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
@@ -332,7 +333,7 @@ object VectorOps extends OpCatalog {
       |  FROM prods GROUP BY vec_id)
       |SELECT vec_id,
       |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
-      |       ELSE round(dot / sqrt(na * nq), 4) END AS sim,
+      |       ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim,
       |  TRUE AS recall_ok, TRUE AS score_ok
       |FROM sims
       |ORDER BY sim DESC, vec_id
@@ -346,7 +347,7 @@ object VectorOps extends OpCatalog {
       |    CAST(unnest(q.qe) AS DOUBLE) AS w
       |  FROM embeddings e, q WHERE e.vec_id <> 0),
       |d AS (
-      |  SELECT vec_id, round(sum((v - w) * (v - w)), 4) AS l2
+      |  SELECT vec_id, floor((sum((v - w) * (v - w))) * 1e4 + 0.5) / 1e4 AS l2
       |  FROM prods GROUP BY vec_id)
       |SELECT vec_id, l2, TRUE AS recall_ok, TRUE AS score_ok
       |FROM d
@@ -365,7 +366,7 @@ object VectorOps extends OpCatalog {
       .groupBy(col("label"))
       .agg(vecSum(col("embedding")).as("vsum"), count(lit(1)).as("n_vecs"))
       .select(col("label"), col("n_vecs"),
-        round(sqrt(expr(
+        roundVal(sqrt(expr(
           "aggregate(vsum, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")), 4)
           .as("sum_vec_norm"))
       .orderBy(col("label"))
@@ -380,7 +381,7 @@ object VectorOps extends OpCatalog {
       |    FROM embeddings)
       |  GROUP BY label, pos),
       |counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
-      |SELECT sums.label, n_vecs, round(sqrt(sum(s * s)), 4) AS sum_vec_norm
+      |SELECT sums.label, n_vecs, floor((sqrt(sum(s * s))) * 1e4 + 0.5) / 1e4 AS sum_vec_norm
       |FROM sums JOIN counts ON sums.label = counts.label
       |GROUP BY sums.label, n_vecs
       |ORDER BY sums.label""".stripMargin
@@ -531,7 +532,7 @@ object VectorOps extends OpCatalog {
       .join(broadcast(bestCells), "cell")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+        roundVal(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
@@ -600,7 +601,7 @@ object VectorOps extends OpCatalog {
       .select(col("id_a"), col("id_b"),
         VectorExpressions.cosineSimilarity(col("emb_a"), col("emb_b")).as("raw"))
       .filter(col("raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"), roundVal(col("raw"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -674,7 +675,7 @@ object VectorOps extends OpCatalog {
       .select(col("id_a"), col("id_b"),
         VectorExpressions.cosineSimilarity(col("emb_a"), col("emb_b")).as("raw"))
     verify.filter(col("raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"), roundVal(col("raw"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -688,7 +689,7 @@ object VectorOps extends OpCatalog {
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
       |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
-      |SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS sim
+      |SELECT id_a, id_b, floor((dot / sqrt(na * nb)) * 1e4 + 0.5) / 1e4 AS sim
       |FROM pairs
       |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
@@ -704,7 +705,7 @@ object VectorOps extends OpCatalog {
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
       |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
-      |SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS sim,
+      |SELECT id_a, id_b, floor((dot / sqrt(na * nb)) * 1e4 + 0.5) / 1e4 AS sim,
       |  TRUE AS lsh_found
       |FROM pairs
       |WHERE na > 0 AND nb > 0 AND dot / sqrt(na * nb) >= 0.5
@@ -843,10 +844,10 @@ object VectorOps extends OpCatalog {
       .filter(col("scale") > 0) // zero vector has nothing to quantize
       .withColumn("q", expr("transform(x, v -> floor(v / scale + 0.5))"))
       .select(col("vec_id"),
-        round(col("scale"), 6).as("scale6"),
+        roundVal(col("scale"), 6).as("scale6"),
         expr("CAST(size(filter(q, v -> abs(v) = 127.0D)) AS BIGINT)")
           .as("n_sat"),
-        round(expr(
+        roundVal(expr(
           "array_max(zip_with(x, q, (a, b) -> abs(a - b * scale)))"), 6)
           .as("max_err6"))
       .orderBy(col("vec_id"))
@@ -864,10 +865,10 @@ object VectorOps extends OpCatalog {
       |  SELECT vec_id, x, scale,
       |    list_transform(x, v -> floor(v / scale + 0.5)) AS q
       |  FROM s WHERE scale > 0)
-      |SELECT vec_id, round(scale, 6) AS scale6,
+      |SELECT vec_id, floor((scale) * 1e6 + 0.5) / 1e6 AS scale6,
       |  CAST(len(list_filter(q, v -> abs(v) = 127.0)) AS BIGINT) AS n_sat,
-      |  round(list_max(list_transform(range(1, len(x) + 1),
-      |    i -> abs(x[i] - q[i] * scale))), 6) AS max_err6
+      |  floor((list_max(list_transform(range(1, len(x) + 1),
+      |    i -> abs(x[i] - q[i] * scale)))) * 1e6 + 0.5) / 1e6 AS max_err6
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
@@ -914,27 +915,28 @@ object VectorOps extends OpCatalog {
       .withColumn("cos",
         when(col("nx") > 0 && col("nc") > 0,
           col("dot") / sqrt(col("nx") * col("nc"))).otherwise(lit(0.0)))
-      .withColumn("cos4", round(col("cos"), 4))
+      .withColumn("cos4", roundVal(col("cos"), 4))
     // argmin as min over a PACKED LONG rather than min(struct(...)):
     // a struct-typed agg buffer forces SortAggregate (a per-partition
     // sort of the corpus by label); a long buffer keeps the rollup in
     // HashAggregate. Packing is order-preserving for the lexicographic
-    // (cos4, vec_id) order: cos4 has exactly 4 decimals so
-    // round(cos4·10⁴) is an exact integer in [-10⁴, 10⁴], shifted left
-    // 40 bits and added to vec_id ∈ [0, 2⁴⁰) — arithmetic shift and
-    // low-bit mask invert it exactly for either sign. 2⁴⁰ ≈ 1.1e12 ids
-    // of headroom; an id OUTSIDE that range would silently corrupt both
-    // the ordering and the unpacked id, so it raises instead.
+    // (cos4, vec_id) order: Rounding.roundKey(cos, 4) IS cos4's exact
+    // integer form (cos4 = key/10⁴ by construction), in [-10⁴, 10⁴],
+    // shifted left 40 bits and added to vec_id ∈ [0, 2⁴⁰) — arithmetic
+    // shift and low-bit mask invert it exactly for either sign. 2⁴⁰ ≈
+    // 1.1e12 ids of headroom; an id OUTSIDE that range would silently
+    // corrupt both the ordering and the unpacked id, so it raises.
     val packed = when(
       col("vec_id") >= 0 && col("vec_id") < (1L << 40),
-      round(col("cos4") * 10000).cast("long") * lit(1L << 40) + col("vec_id"))
+      graft.functions.Rounding.roundKey(col("cos"), 4).cast("long") *
+        lit(1L << 40) + col("vec_id"))
       .otherwise(raise_error(concat(
         lit("q92 packed argmin requires 0 <= vec_id < 2^40; got "),
         col("vec_id").cast("string"))))
     scored.withColumn("p", packed)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("cos")), 4).as("avg_cos"),
+        roundVal(avg(col("cos")), 4).as("avg_cos"),
         min(col("p")).as("p"))
       .select(col("label"), col("n_vecs"), col("avg_cos"),
         expr(s"p & ${(1L << 40) - 1}L").as("outlier_vec_id"),
@@ -961,12 +963,12 @@ object VectorOps extends OpCatalog {
       |         THEN s.dot / sqrt(s.nx * n.nc) ELSE 0.0 END AS cos
       |  FROM scored s JOIN nc n ON s.label = n.label),
       |ranked AS (
-      |  SELECT label, vec_id, cos, round(cos, 4) AS cos4,
+      |  SELECT label, vec_id, cos, floor((cos) * 1e4 + 0.5) / 1e4 AS cos4,
       |    row_number() OVER (PARTITION BY label
-      |      ORDER BY round(cos, 4) ASC, vec_id ASC) AS rn
+      |      ORDER BY floor((cos) * 1e4 + 0.5) / 1e4 ASC, vec_id ASC) AS rn
       |  FROM cosv)
       |SELECT c.label, count(*) AS n_vecs,
-      |  round(avg(c.cos), 4) AS avg_cos,
+      |  floor((avg(c.cos)) * 1e4 + 0.5) / 1e4 AS avg_cos,
       |  min(r.vec_id) AS outlier_vec_id,
       |  min(r.cos4) AS outlier_cos
       |FROM cosv c JOIN ranked r ON c.label = r.label AND r.rn = 1
@@ -1116,7 +1118,7 @@ object VectorOps extends OpCatalog {
         .selectExpr("id AS vec_id", "CAST(0.0 AS DOUBLE) AS l2")
       case Some(qv) => emb(spark, sfDir).filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+          roundVal(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
     }
 
   /** Zero-row (vec_id, adc, l2) frame — the empty-corpus degrade result
@@ -1166,7 +1168,7 @@ object VectorOps extends OpCatalog {
     val budget = AnnParams.adcShortlist(e.count() - 1)
     val shortlist = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        round(adcCol, 4).as("adc"))
+        roundVal(adcCol, 4).as("adc"))
       // PqAdcScore degrades short/malformed vectors to null, and an ASC
       // sort would rank nulls FIRST — drop them before the frontier
       .filter(col("adc").isNotNull)
@@ -1177,7 +1179,7 @@ object VectorOps extends OpCatalog {
     // get read, and only the shortlist's
     shortlist
       .select(col("vec_id"), col("adc"),
-        round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+        roundVal(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
       .orderBy(col("l2").asc, col("vec_id"))
       .limit(10)
   }
@@ -1239,7 +1241,7 @@ object VectorOps extends OpCatalog {
       shortlist: Int = 100): DataFrame =
     cands.orderBy(col("adc").asc, col("vec_id").asc).limit(shortlist)
       .select(col("vec_id"), col("adc"),
-        round(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+        roundVal(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
       .orderBy(col("l2").asc, col("vec_id"))
       .limit(10)
 
@@ -1329,7 +1331,7 @@ object VectorOps extends OpCatalog {
     }
     val cands = e.filter(col("vec_id") =!= 0)
       .filter(cellCol.isin(probed: _*))
-      .select(col("vec_id"), round(caseScore, 4).as("adc"), col("embedding"))
+      .select(col("vec_id"), roundVal(caseScore, 4).as("adc"), col("embedding"))
     Some((cands, qv))
   }
 
@@ -1656,7 +1658,7 @@ object VectorOps extends OpCatalog {
       |scored AS (
       |  SELECT q_id, vec_id,
       |    CASE WHEN na = 0 OR nq = 0 THEN 0.0
-      |         ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |         ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim
       |  FROM sims),
       |ranked AS (
       |  SELECT q_id,
@@ -1697,7 +1699,7 @@ object VectorOps extends OpCatalog {
     corpus
       .crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
-        round(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
+        roundVal(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
 
   /** Core of q122 over any corpus x (q_id, q_emb) query block. */
@@ -1729,7 +1731,7 @@ object VectorOps extends OpCatalog {
       |scored AS (
       |  SELECT q_id, vec_id,
       |    CASE WHEN na = 0 OR nq = 0 THEN 0.0
-      |         ELSE round(dot / sqrt(na * nq), 4) END AS sim
+      |         ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim
       |  FROM sims),
       |ranked AS (
       |  SELECT q_id,
@@ -1781,7 +1783,7 @@ object VectorOps extends OpCatalog {
         sum(col("xb") * col("xb")).as("nb"))
       .select(col("src_a"), col("src_b"),
         when(col("na") === 0 || col("nb") === 0, 0.0)
-          .otherwise(round(col("dot") / sqrt(col("na") * col("nb")), 4))
+          .otherwise(roundVal(col("dot") / sqrt(col("na") * col("nb")), 4))
           .as("centroid_cos"))
       .orderBy(col("src_a"), col("src_b"))
   }
@@ -1805,7 +1807,7 @@ object VectorOps extends OpCatalog {
       |  GROUP BY 1, 2)
       |SELECT src_a, src_b,
       |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
-      |       ELSE round(dot / sqrt(na * nb), 4) END AS centroid_cos
+      |       ELSE floor((dot / sqrt(na * nb)) * 1e4 + 0.5) / 1e4 END AS centroid_cos
       |FROM pairs ORDER BY src_a, src_b""".stripMargin
 
   override val ops: Seq[Op] = Seq(

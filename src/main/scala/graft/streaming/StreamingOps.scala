@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextExpressions
+import graft.functions.Rounding.roundVal
 import graft.operators.TextOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,7 +28,7 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        roundVal(sum(col("value")), 2).as("sum_value"))
       .select(unix_millis(col("window.start")).as("win_start"),
         col("n_events"), col("sum_value"))
 
@@ -41,7 +42,7 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        roundVal(sum(col("value")), 2).as("sum_value"))
       .select(unix_millis(col("window.start")).as("win_start"),
         col("n_events"), col("sum_value"))
 
@@ -473,7 +474,7 @@ object StreamingOps {
     val maxCos = if (cosines.size == 1) cosines.head
       else greatest(cosines: _*)
     vecs.select(col("vec_id"),
-      round(maxCos, 4).as("max_center_sim"),
+      roundVal(maxCos, 4).as("max_center_sim"),
       (maxCos >= lit(tau)).as("is_near"))
   }
 
