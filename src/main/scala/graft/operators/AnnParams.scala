@@ -93,7 +93,12 @@ object AnnParams {
     def bandsFor(r: Int): Double = {
       val pr = math.pow(p, r)
       if (pr >= 1.0) 1.0
-      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pr))
+      // log1p, NOT log(1.0 - pr): for pr below ~1.1e-16 (low thresholds,
+      // large r) 1.0 - pr rounds to exactly 1.0, log gives -0.0, and the
+      // quotient is +Infinity-turned--Infinity through ceil — which would
+      // win the cost argmin and silently return a near-zero-recall
+      // (1, r) shape instead of honoring targetRecall (round-9 review)
+      else math.ceil(math.log(1.0 - targetRecall) / math.log1p(-pr))
     }
     val nD = math.max(2.0, n.toDouble)
     val r = (2 to 24).minBy(r => bandsFor(r) * (r + nD / math.pow(2.0, r)))

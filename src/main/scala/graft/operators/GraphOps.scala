@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected edge list, shared by
@@ -23,8 +22,15 @@ import org.apache.spark.sql.functions._
   * over an ever-deeper plan was 33% of the whole bench). Each round here is
   * ONE materializing job (`localCheckpoint` truncates lineage, so round r
   * never re-plans rounds 1..r-1) plus one tiny set-difference probe over
-  * the two materialized frames. No data ever lands on the driver; every
-  * step is a shuffle the cluster absorbs at any scale.
+  * the two materialized frames; the superseded round's checkpoint storage
+  * is freed as soon as the convergence probe has consumed it, so peak
+  * executor storage stays ~2×|E| instead of rounds×|E|. No data ever
+  * lands on the driver; every step is a shuffle the cluster absorbs at
+  * any scale — the per-center neighborhood minima are `groupBy().min`
+  * aggregates (map-side combinable, AQE-skew-safe), NOT window functions:
+  * a `Window.partitionBy(center)` min has no partial aggregation and
+  * would ship every edge of a high-degree hub (dedup graphs routinely
+  * have near-clique boilerplate blocks) uncombined into one task.
   */
 private[graft] object GraphOps {
 
@@ -75,6 +81,13 @@ private[graft] object GraphOps {
         .groupBy(col("u"), col("v")).count()
         .filter(col("count") === 1)
         .isEmpty
+      // the convergence probe was this round's LAST read of the old
+      // frame — free its checkpoint storage now rather than waiting for
+      // nondeterministic driver GC + ContextCleaner (round-9 review:
+      // without this, a 10-round run holds ~10 materialized edge-set
+      // copies in executor storage). The final `cur` is never freed
+      // here: the returned labels plan reads it.
+      unpersistCheckpoint(cur)
       cur = next
       round += 1
     }
@@ -94,26 +107,45 @@ private[graft] object GraphOps {
     (labels.union(singletons), round)
   }
 
+  /** Free the executor storage of a superseded `localCheckpoint` frame.
+    * A checkpointed Dataset's plan is a `LogicalRDD` over the cached
+    * RDD; `Dataset.unpersist()` only consults the cache manager and
+    * leaves that RDD alone, so this goes to the RDD directly. No-op for
+    * non-checkpoint plans. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Large-star step: for each center, re-point strictly larger neighbors
-    * at the min of the closed neighborhood. Emitted edges keep u > v. */
+    * at the min of the closed neighborhood. Emitted edges keep u > v.
+    *
+    * Shape: per-center minima as a map-side-combinable aggregate joined
+    * back to the edges — for an input edge (u, v) (u > v always) the only
+    * strictly-larger neighbor relation is "u is larger than center v", so
+    * the emit is exactly {(u, m_v)} and only the v side needs the join. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val w = Window.partitionBy(col("u"))
-    sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
-      .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
+    val mins = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("m"))
+    e.join(mins.select(col("u").as("v"), col("m")), "v")
+      .select(col("u"), col("m").as("v"))
       .distinct()
   }
 
   /** Small-star step: input edges are (u > v); for each center u, re-point
-    * all smaller neighbors AND u itself at u's minimum neighbor. */
+    * all smaller neighbors AND u itself at u's minimum neighbor. The
+    * (center → min) re-point edges are `mins` itself — already one row per
+    * center, so no extra distinct on that branch. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("u"))
-    val withM = e.withColumn("m", min(col("v")).over(w))
-    withM.filter(col("v") =!= col("m"))
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .union(withM.select(col("u"), col("m").as("v")).distinct())
+      .union(mins.select(col("u"), col("m").as("v")))
       .distinct()
   }
 }

@@ -40,6 +40,16 @@ class IvfIndexSpec extends SparkSpec {
     val (bHigh, rHigh) = AnnParams.bandedLsh(2000, 0.95)
     assert(bHigh * rHigh * 4 < bLow * rLow,
       s"work at 0.95 ($bHigh×$rHigh) should be ≪ work at 0.5 ($bLow×$rLow)")
+    // deep-negative thresholds: p^r underflows 1-p^r to 1.0 for large r,
+    // where log(1-pr) is -0.0 and the cost argmin would return a silent
+    // near-zero-recall (1, r) shape — log1p keeps the formula finite, so
+    // the returned shape still honors the target (or visibly clamps)
+    for (t <- Seq(-0.9, -0.5); n <- Seq(500L, 100000L)) {
+      val (b, r) = AnnParams.bandedLsh(n, t)
+      assert(r >= 2 && r <= 24 && b >= 1 && b <= 256)
+      assert(b == 256 || AnnParams.bandedRecall(b, r, t) >= 0.98,
+        s"t=$t n=$n -> ($b,$r) recall ${AnnParams.bandedRecall(b, r, t)}")
+    }
   }
 
   test("built index round-trips: artifact probe == in-query q45, partition-pruned") {
