@@ -19,6 +19,21 @@ case class NGramGenerator(child: Expression, n: Int)
     extends UnaryExpression with CollectionGenerator with CodegenFallback {
   require(n >= 1, "n must be >= 1")
 
+  // exposed on the SQL surface (GraftFunctions "ngrams"): reject a
+  // non-array child at ANALYSIS time — without this a string argument
+  // passes the analyzer and every executor task dies mid-scan with an
+  // opaque ClassCastException (round-9 review; Spark's own ExplodeBase
+  // generators do the same check)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngrams requires an array<string> argument, got ${other.catalogString}")
+    }
+
   override def position: Boolean = false
   override def inline: Boolean = false
 

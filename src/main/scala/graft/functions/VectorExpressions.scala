@@ -18,18 +18,24 @@ object VectorExpressions {
     a.toFloatArray()
 
   /** Cosine similarity of two float vectors, computed in one pass with
-    * double accumulation. Returns null if either side is null; 0.0 if
-    * either norm is zero. Full `doGenCode` (not CodegenFallback): the
-    * expression runs once per corpus row in brute-force top-k, and a
-    * fallback there would break the scan→project→TakeOrdered whole-stage
-    * codegen span. Array elements must be non-null (parquet float lists). */
+    * double accumulation. Returns null if either side is null OR the
+    * lengths differ (a truncated row from a failed embedder degrades to
+    * null like every other malformed-input path in this file — the old
+    * min-length truncation let a 1-dim garbage prefix score cosine 1.0
+    * and rank first in top-k, round-9 review); 0.0 if either norm is
+    * zero. Full `doGenCode` (not CodegenFallback): the expression runs
+    * once per corpus row in brute-force top-k, and a fallback there
+    * would break the scan→project→TakeOrdered whole-stage codegen span.
+    * Array elements must be non-null (parquet float lists). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = floatsOf(l.asInstanceOf[ArrayData])
       val b = floatsOf(r.asInstanceOf[ArrayData])
-      val n = math.min(a.length, b.length)
+      if (a.length != b.length) return null
+      val n = a.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -52,15 +58,19 @@ object VectorExpressions {
         val x = ctx.freshName("x")
         val y = ctx.freshName("y")
         s"""
-           |int $n = Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $x = (double) $a.getFloat($i);
-           |  double $y = (double) $b.getFloat($i);
-           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = (double) $a.getFloat($i);
+           |    double $y = (double) $b.getFloat($i);
+           |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |  }
+           |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |    ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
            |}
-           |${ev.value} = ($na == 0.0 || $nb == 0.0)
-           |  ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
          """.stripMargin
       })
     }
@@ -219,6 +229,10 @@ object VectorExpressions {
   case class NearestCentroid(child: Expression, cents: Array[Array[Float]])
       extends UnaryExpression {
     require(cents.nonEmpty, "empty centroid table")
+    // width guard precomputed ONCE from the constructor-constant table
+    // (round-9 review: recomputing the max per row was an O(k) loop on
+    // exactly the hot serving scan this expression exists to optimize)
+    private val need: Int = cents.map(_.length).max
     override def dataType: DataType = IntegerType
     // a vector SHORTER than the centroid dimension (an empty array from a
     // failed embedder, a truncated row) degrades to null like every other
@@ -227,7 +241,7 @@ object VectorExpressions {
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       VectorExpressions.nearestCentroidOrNull(
-        input.asInstanceOf[ArrayData], cents)
+        input.asInstanceOf[ArrayData], cents, need)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -237,7 +251,7 @@ object VectorExpressions {
         val tmp = ctx.freshName("cell")
         s"""
            |java.lang.Integer $tmp =
-           |  graft.functions.VectorExpressions.nearestCentroidOrNull($c, $ref);
+           |  graft.functions.VectorExpressions.nearestCentroidOrNull($c, $ref, $need);
            |if ($tmp == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = $tmp.intValue(); }
          """.stripMargin
@@ -249,18 +263,11 @@ object VectorExpressions {
   }
 
   /** Boxed guard for NearestCentroid: null when the vector is shorter
-    * than the widest centroid. */
+    * than the widest centroid (`need`, precomputed by the expression). */
   def nearestCentroidOrNull(arr: ArrayData,
-      cents: Array[Array[Float]]): java.lang.Integer = {
-    var need = 0
-    var j = 0
-    while (j < cents.length) {
-      if (cents(j).length > need) need = cents(j).length
-      j += 1
-    }
+      cents: Array[Array[Float]], need: Int): java.lang.Integer =
     if (arr.numElements() < need) null
     else java.lang.Integer.valueOf(nearestCentroidEval(arr, cents))
-  }
 
   /** Static eval for NearestCentroid's generated code. */
   def nearestCentroidEval(arr: ArrayData, cents: Array[Array[Float]]): Int = {
@@ -293,12 +300,15 @@ object VectorExpressions {
       dt: Array[Array[Double]], center: Array[Float])
       extends UnaryExpression {
     require(cb.nonEmpty && cb.length == dt.length, "codebook/table shape")
+    // concatenated sub-space width precomputed once (NearestCentroid's
+    // rule): the per-row guard is a single comparison
+    private val need: Int = cb.map(_(0).length).sum
     override def dataType: DataType = DoubleType
     // short/malformed vectors degrade to null (NearestCentroid's rule)
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       VectorExpressions.pqAdcScoreOrNull(
-        input.asInstanceOf[ArrayData], cb, dt, center)
+        input.asInstanceOf[ArrayData], cb, dt, center, need)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -310,7 +320,7 @@ object VectorExpressions {
         val tmp = ctx.freshName("adc")
         s"""
            |java.lang.Double $tmp = graft.functions.VectorExpressions
-           |  .pqAdcScoreOrNull($c, $cbRef, $dtRef, $cRef);
+           |  .pqAdcScoreOrNull($c, $cbRef, $dtRef, $cRef, $need);
            |if ($tmp == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = $tmp.doubleValue(); }
          """.stripMargin
@@ -322,15 +332,12 @@ object VectorExpressions {
   }
 
   /** Boxed guard for PqAdcScore: null when the vector is shorter than
-    * the concatenated sub-space width. */
+    * the concatenated sub-space width (`need`, precomputed). */
   def pqAdcScoreOrNull(arr: ArrayData, cb: Array[Array[Array[Float]]],
-      dt: Array[Array[Double]], center: Array[Float]): java.lang.Double = {
-    var need = 0
-    var s = 0
-    while (s < cb.length) { need += cb(s)(0).length; s += 1 }
+      dt: Array[Array[Double]], center: Array[Float], need: Int)
+      : java.lang.Double =
     if (arr.numElements() < need) null
     else java.lang.Double.valueOf(pqAdcScoreEval(arr, cb, dt, center))
-  }
 
   /** Static eval for PqAdcScore's generated code. */
   def pqAdcScoreEval(arr: ArrayData, cb: Array[Array[Array[Float]]],

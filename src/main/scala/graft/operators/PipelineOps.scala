@@ -604,9 +604,13 @@ object PipelineOps extends OpCatalog {
     // without the cache the explode+agg pass runs once per branch
     val docTri = graft.Memo.cached(spark, s"pipelineops:doc_tri:$sfDir") {
       GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
+        // filter on the RAW text length to match the oracle's
+        // `length(text) >= 3`: lowercasing can change the code-point
+        // count (U+0130 lowers to 'i' + U+0307), which would flip
+        // threshold-adjacent docs between engines (round-9 review)
+        .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("source"),
           lower(col("text")).as("t"))
-        .filter(length(col("t")) >= 3)
         // trigrams via a char array, NOT substring(t, i, 3): UTF8String
         // substring seeks from the string start (variable-width encoding),
         // so a per-position substring loop is O(len²) per document — split
@@ -1079,11 +1083,17 @@ object PipelineOps extends OpCatalog {
       // sequence(1, 0) is the DESCENDING [1, 0], not [] — the oracle's
       // range(1, 1) IS empty, so the polynomial must short-circuit to 0
       // on both sides rather than evaluate over different index sets
+      // CAST ascii(...) to BIGINT BEFORE the i*i multiply: sequence()
+      // yields INTs, so the uncast product wraps 32-bit for
+      // ascii·i² > 2³¹ (i ≳ 4700 ASCII chars, or i ≳ 44 astral-plane
+      // code points) while the oracle's range() is BIGINT-exact — the
+      // mod-64 congruence self-heals 2³²-multiple wraps only while the
+      // long sum stays non-negative (round-9 review)
       .withColumn("wsum", expr(
         """aggregate(w, 0L, (acc, word) -> acc +
           |  ((((IF(length(word) = 0, 0L,
           |      aggregate(transform(sequence(1, length(word)),
-          |          i -> CAST(ascii(substring(word, i, 1)) * i * i AS BIGINT)),
+          |          i -> CAST(ascii(substring(word, i, 1)) AS BIGINT) * i * i),
           |        0L, (a, x) -> a + x))
           |     + 7L * length(word)) % 64L) * 2654435761L) % 1001L) - 500L)""".stripMargin))
       .withColumn("n", size(col("w")))
