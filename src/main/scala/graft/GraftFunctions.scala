@@ -79,10 +79,28 @@ object GraftFunctions {
     // the incremental-dedup seen-set sketch (q77) is exactly their shape.
     // might_contain's bloom side must be a constant or scalar subquery
     // (enforced by its own checkInputDataTypes).
+    // arity is matched explicitly (Spark's own constructor defaults for
+    // the 1-/2-arg forms): a bare es(1)/es(2) index would surface a raw
+    // IndexOutOfBoundsException from function resolution instead of a
+    // usable arity error
     "bloom_filter_agg" -> { es =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        es.head, es(1), es(2)).toAggregateExpression() },
+      val agg = es match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1 to 3 arguments, got ${es.length}")
+      }
+      agg.toAggregateExpression() },
     "might_contain" -> { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"might_contain expects 2 arguments, got ${es.length}")
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         es.head, es(1)) })
 

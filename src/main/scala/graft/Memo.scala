@@ -66,11 +66,26 @@ object Memo {
       val raced =
         if (hit != null) !m.replace(key, hit, ref) // stale cleared ref
         else m.putIfAbsent(key, ref) != null
-      if (raced) {
-        val winner = m.get(key)
-        val w = if (winner != null) winner.get() else null
-        if (w != null) { df.unpersist(blocking = false); w } else { m.put(key, ref); df }
-      } else df
+      val result =
+        if (raced) {
+          val winner = m.get(key)
+          val w = if (winner != null) winner.get() else null
+          if (w != null) { df.unpersist(blocking = false); w }
+          else { m.put(key, ref); df }
+        } else df
+      // evict() may have removed this session's map between mapFor and
+      // the insert above; the entry would then live in an ORPHANED map no
+      // future evict can reach, keeping the frame persisted forever.
+      // Re-check under the same lock evict holds and honor the eviction
+      // (the caller still gets a usable frame — just uncached, like any
+      // other post-evict read).
+      bySession.synchronized {
+        if (bySession.get(spark) ne m) {
+          result.unpersist(blocking = false)
+          m.clear()
+        }
+      }
+      result
     }
   }
 

@@ -303,6 +303,12 @@ object VectorExpressions {
     // concatenated sub-space width precomputed once (NearestCentroid's
     // rule): the per-row guard is a single comparison
     private val need: Int = cb.map(_(0).length).sum
+    // the need guard only checks the INPUT vector's width — a residual
+    // center shorter than the sub-space concatenation would index past
+    // its end on the first row and abort the serving scan; reject the
+    // malformed construction here instead
+    require(center.isEmpty || center.length >= need,
+      s"residual center width ${center.length} < sub-space total $need")
     override def dataType: DataType = DoubleType
     // short/malformed vectors degrade to null (NearestCentroid's rule)
     override def nullable: Boolean = true

@@ -409,9 +409,8 @@ object PipelineOps extends OpCatalog {
     * Nothing quadratic: cost is linear in corpus grams + true overlaps. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val grams = GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 8)
+    val grams = TextOps.gramTokenized(
+        GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id")))
       .select(col("doc_id"), explode(TextOps.wordGramExpr(8)).as("gram"))
       .distinct()
     val bench = grams.filter(pmod(col("doc_id"), lit(5)) === 0)

@@ -65,6 +65,18 @@ object TextOps extends OpCatalog {
       s"i -> concat_ws(' ', $terms))")
   }
 
+  /** The contamination family's TOKENIZER half, completing what
+    * [[wordGramExpr]] does for the gram half: lower + space-split into
+    * `w` + the ≥8-token gate. ONE definition for batch q69
+    * ([[graft.operators.PipelineOps]].contamination), the streaming
+    * screen, and the benchmark-gram-set builder — previously three
+    * hand-synced copies, where a delimiter/casing/min-length change in
+    * one would silently break the spec-asserted screen==q69 law
+    * (round-9 review). */
+  private[graft] def gramTokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 8)
+
   /** Shingle base of ANY `(doc_id, lang, text)` frame — the parameterized
     * core behind [[shingled]], also driven directly by `ScaleStressSpec`
     * over planted-duplicate corpora. */

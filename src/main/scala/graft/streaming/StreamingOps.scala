@@ -169,6 +169,11 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // A-Res needs w > 0: n_chars NULL or 0 makes aResKey's division
+      // yield a NULL rkey, which the non-nullable Double field below
+      // turns into an encoder error that KILLS the query — one malformed
+      // doc must degrade (zero weight = never sampled), not abort ingest
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
       .select(
         pmod(col("doc_id"), lit(nBuckets)).cast("int").as("bucket"),
         col("doc_id"),
@@ -226,7 +231,10 @@ object StreamingOps {
         (bucket: Int, rows: Iterator[TokenArrival],
             state: GroupState[MgState]) =>
           val prev = state.getOption.getOrElse(MgState(0L, mg.zero))
-          val summary = rows.map(_.tok).toSeq.sorted
+          // null tokens: MisraGriesAggregator.reduce skips them in the
+          // batch plan; drop them BEFORE the sort (Seq[String].sorted
+          // NPEs on null, which would kill the whole streaming query)
+          val summary = rows.map(_.tok).filter(_ != null).toSeq.sorted
             .foldLeft(prev.summary)(mg.reduce)
           val next = MgState(prev.seq + 1, summary)
           state.update(next)
@@ -258,7 +266,7 @@ object StreamingOps {
     * key with no value); `content_hash` is ignored on tombstones. */
   final case class DocVersion(doc_id: Long, seq: Long, content_hash: String,
       tombstone: Boolean = false)
-  final case class DocHashState(hash: String)
+  final case class DocHashState(hash: String, seq: Long)
   final case class DocChange(doc_id: Long, status: String)
 
   /** Streaming twin of q100's snapshot diff, as a CDC upsert+delete
@@ -294,14 +302,23 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (docId: Long, rows: Iterator[DocVersion], state: GroupState[DocHashState]) =>
           val net = rows.maxBy(_.seq)
-          val prev = state.getOption.map(_.hash)
-          if (net.tombstone) {
+          val prevState = state.getOption
+          val prev = prevState.map(_.hash)
+          // state carries the last APPLIED seq: a stale lower-seq
+          // redelivery arriving in a LATER micro-batch (multi-partition
+          // sources do not order across partitions) must be dropped, or
+          // it would regress state and emit spurious changed/removed
+          // events. (After a tombstone frees the key, protection against
+          // even-staler resurrections is the log's tombstone-retention
+          // job, as in a compacted topic.)
+          if (prevState.exists(_.seq >= net.seq)) Iterator.empty
+          else if (net.tombstone) {
             if (prev.isDefined) {
               state.remove()
               Iterator(DocChange(docId, "removed"))
             } else Iterator.empty // delete of a doc we never admitted
           } else {
-            state.update(DocHashState(net.content_hash))
+            state.update(DocHashState(net.content_hash, net.seq))
             prev match {
               case None => Iterator(DocChange(docId, "added"))
               case Some(h) if h != net.content_hash =>
@@ -361,9 +378,7 @@ object StreamingOps {
     * `benchGrams`: STATIC 1-row frame (join_key INT, bench_grams
     * ARRAY<STRING>, ascending-sorted) from [[benchmarkGramSet]]. */
   def contaminationScreen(docs: DataFrame, benchGrams: DataFrame): DataFrame =
-    docs
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 8)
+    TextOps.gramTokenized(docs)
       .withColumn("grams", array_distinct(TextOps.wordGramExpr(8)))
       .withColumn("join_key", lit(1))
       .join(benchGrams, "join_key")
@@ -376,9 +391,7 @@ object StreamingOps {
     * frame [[contaminationScreen]] joins against (sorted — the screen's
     * binary search requires it). */
   def benchmarkGramSet(bench: DataFrame): DataFrame =
-    bench
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 8)
+    TextOps.gramTokenized(bench)
       .select(explode(TextOps.wordGramExpr(8)).as("gram"))
       .distinct()
       .agg(array_sort(collect_list(col("gram"))).as("bench_grams"))
@@ -430,9 +443,15 @@ object StreamingOps {
   def anomalyScreenStream(hourCounts: DataFrame, stats: DataFrame)
       : DataFrame = {
     import graft.operators.EventOps
-    hourCounts.join(broadcast(stats), "event_type")
+    // LEFT join: an event type absent from the static stats (it appeared
+    // after the stats were computed) is the most anomalous signal there
+    // is — an inner join would silently drop it, contradicting the
+    // emits-EVERY-row contract. Unseen types flag is_anomaly = true
+    // with a null z (no fence to score against).
+    hourCounts.join(broadcast(stats), Seq("event_type"), "left_outer")
       .select(col("event_type"), col("hour"), col("cnt"),
-        EventOps.anomalyPredicate.as("is_anomaly"),
+        when(col("n").isNull, lit(true))
+          .otherwise(EventOps.anomalyPredicate).as("is_anomaly"),
         // a type with n=1 in the static stats has zero variance-degrees
         // (n*(n-1) = 0): batch q88 never evaluates z there because it
         // filters on the predicate first, but the screen emits EVERY row,
@@ -450,7 +469,11 @@ object StreamingOps {
     * cannot drift. In production the stats frame refreshes on a crawl
     * cadence; the arriving side never shuffles. */
   def madScreenStream(docs: DataFrame, stats: DataFrame): DataFrame =
-    docs.join(broadcast(stats), "lang")
+    // LEFT join: a doc in a language missing from the static stats has
+    // no fence to judge against — it must pass through with a null flag
+    // (bloomScreenStream's unscreenable-must-not-vanish rule), not
+    // silently disappear from the screen output
+    docs.join(broadcast(stats), Seq("lang"), "left_outer")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         graft.operators.CurationOps.madOutlierPredicate.as("is_outlier"))
 
@@ -563,12 +586,32 @@ object StreamingOps {
       // replayed batch DUPLICATES its rows — the exact failure this
       // function exists to prevent. Probe the name as-given plus both
       // foldings.
+      // getTables matches the bare TABLE_NAME only — a schema-qualified
+      // "app.events" must send "app" as schemaPattern or it matches
+      // NOTHING, the DELETE silently skips, and a replayed batch
+      // duplicates its rows. Both patterns are LIKE patterns, so literal
+      // '_'/'%' in identifiers are escaped with the driver's escape
+      // string. (Convention: a dot splits schema.table; quoted
+      // identifiers containing dots are out of contract.)
       val exists = {
         val md = conn.getMetaData
-        Seq(table, table.toUpperCase(java.util.Locale.ROOT),
-          table.toLowerCase(java.util.Locale.ROOT)).distinct.exists { t =>
-          val rs = md.getTables(null, null, t, null)
-          try rs.next() finally rs.close()
+        val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+        def lit(p: String) = p.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+        def foldings(x: String) = Seq(x,
+          x.toUpperCase(java.util.Locale.ROOT),
+          x.toLowerCase(java.util.Locale.ROOT)).distinct
+        val (schemaPart, namePart) = table.lastIndexOf('.') match {
+          case -1 => (None, table)
+          case i => (Some(table.substring(0, i)), table.substring(i + 1))
+        }
+        val schemaPatterns: Seq[String] =
+          schemaPart.map(sp => foldings(sp).map(lit)).getOrElse(Seq(null))
+        foldings(namePart).map(lit).exists { t =>
+          schemaPatterns.exists { sp =>
+            val rs = md.getTables(null, sp, t, null)
+            try rs.next() finally rs.close()
+          }
         }
       }
       if (exists) {

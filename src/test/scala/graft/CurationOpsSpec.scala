@@ -329,6 +329,37 @@ class CurationOpsSpec extends SparkSpec {
       "net state must be the max-seq hash: re-delivery of 'c' is suppressed")
   }
 
+  test("CDC screen: stale lower-seq redelivery in a LATER batch is dropped, not applied") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DocVersion
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocVersion]
+    val q = StreamingOps.changeScreenStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("changescreen_stale_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val out = try {
+      mem.addData(Seq(DocVersion(9L, 2L, "b")))
+      q.processAllAvailable()
+      // cross-partition sources reorder across batches: the OLD seq-1
+      // version and an old tombstone arrive after seq 2 was applied —
+      // both must be dropped (no spurious changed/removed, no state
+      // regression), and a genuinely newer version still lands
+      mem.addData(Seq(DocVersion(9L, 1L, "a")))
+      q.processAllAvailable()
+      mem.addData(Seq(DocVersion(9L, 1L, "", tombstone = true)))
+      q.processAllAvailable()
+      mem.addData(Seq(DocVersion(9L, 3L, "c")))
+      q.processAllAvailable()
+      spark.table("changescreen_stale_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    } finally q.stop()
+    assert(out == Seq((9L, "added"), (9L, "changed")),
+      s"stale redeliveries must be no-ops: $out")
+  }
+
   test("q103: epoch shuffle is a permutation — unique (shard,pos), contiguous positions, doc set preserved") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = CurationOps.epochShuffleOf(docs, epoch = 1, shards = 16)
