@@ -94,7 +94,8 @@ object Ingest {
     }
     // an stdin spool was already validated in main and goes through the
     // same path-based pipeline any source file does — one spool total
-    val report = ParquetIngest.ingest(spark, source, sink, mode, onProgress)
+    val report = ParquetIngest.ingest(spark, source, sink, mode, onProgress,
+      preProbed = Some(probe))
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[ingest] wrote rows=${report.rowsWritten} mode=$mode sink=$sinkSpec " +
       f"in $secs%.2f s (${report.rowsWritten / secs}%.0f rows/s)")

@@ -35,16 +35,34 @@ object SpatialExpressions {
       else return None
     val buf = ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
     val geomType = buf.getInt
-    // strict: plain 2D WKB point only. EWKB flag bits (SRID/Z/M) change the
-    // byte layout after the type word — masking them here would silently
-    // read the SRID as half of the x coordinate.
-    if (geomType != 1) return None
+    // plain 2D WKB point, or the SRID-flagged EWKB 2D point — the exact
+    // bytes [[setSrid]]/PostGIS emit, whose 4-byte SRID payload is
+    // SKIPPED explicitly (round-9 review: st_x(st_set_srid(p, 4326))
+    // returned null). Z/M flag bits change the coordinate layout itself
+    // and stay rejected: blind masking would misread the extra dims.
+    if (geomType == 1) ()
+    else if (geomType == (1 | EwkbSrid)) {
+      if (buf.remaining() < 20) return None
+      buf.getInt // skip embedded SRID
+    } else return None
     Some((buf.getDouble, buf.getDouble))
   }
 
   /** `st_point(x, y)` → WKB bytes (reference O20). */
   case class StPoint(left: Expression, right: Expression)
       extends BinaryExpression {
+    // WkbInput's rule for the binary-args family: reject wrong types at
+    // analysis (the SQL builder casts to double; a raw int from the
+    // Scala API used to CCE in eval yet silently widen in codegen)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (DoubleType, DoubleType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"st_point requires (double, double), got (${l.catalogString}, ${r.catalogString})")
+      }
     override def dataType: DataType = BinaryType
     override def nullSafeEval(x: Any, y: Any): Any =
       encodePoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
@@ -201,7 +219,11 @@ object SpatialExpressions {
   /** Embedded EWKB SRID of the top-level geometry, if the SRID flag is set
     * and the header is well-formed. */
   private[graft] def sridOf(wkb: Array[Byte]): Option[Int] = {
-    if (wkb == null || wkb.length < 9) return None
+    // full structural walk first: validating only the 9-byte header let
+    // st_srid return an arbitrary int for bytes st_is_valid_wkb rejects
+    // and st_set_srid refuses to produce (round-9 review) — the trio now
+    // agrees on what counts as a geometry
+    if (wkb == null || wkb.length < 9 || walkWkb(wkb).isEmpty) return None
     val order = wkb(0) match {
       case 1 => ByteOrder.LITTLE_ENDIAN
       case 0 => ByteOrder.BIG_ENDIAN
@@ -314,6 +336,17 @@ object SpatialExpressions {
     * structurally invalid input). The PostGIS sink's wire format. */
   case class StSetSrid(left: Expression, right: Expression)
       extends BinaryExpression {
+    // analysis-time guard (WkbInput's rule — a string first arg used to
+    // fail janino compilation or CCE mid-job instead of analysis)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, IntegerType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"st_set_srid requires (binary, int), got (${l.catalogString}, ${r.catalogString})")
+      }
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(wkb: Any, srid: Any): Any =

@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.MetadataBuilder
   * `generate_data.py:7-21`): integer range, seeded random normal, cyclic
   * categorical, random WKB points with EPSG:4326 CRS metadata.
   *
-  * Deterministic for a fixed seed (Spark's `randn`/`rand` are seeded per
-  * partition), distributed (`spark.range` scales to any n — no driver-side
+  * Deterministic for a fixed seed ON ANY MACHINE: `randn`/`rand` seed per
+  * partition, so the range is generated with a FIXED slice count rather
+  * than defaultParallelism. Distributed (`spark.range` scales to any n — no driver-side
   * row building).
   */
 object Generator {
@@ -20,7 +21,12 @@ object Generator {
       .putString("crs", ParquetIngest.DefaultCrs)
       .putString("encoding", "WKB")
       .build()
-    spark.range(n) // O17: 'id': range(n)  (generate_data.py:8)
+    // FIXED slice count, not defaultParallelism: randn/rand seed PER
+    // PARTITION, so the same seed on local[4] vs local[8] used to emit
+    // different values, breaking the documented seed determinism across
+    // machines (round-9 review). 32 preserves the values every fixture
+    // generated at the driver config (local[32]) already has.
+    spark.range(0, n, 1, numPartitions = 32) // O17: 'id': range(n)  (generate_data.py:8)
       .select(
         col("id"),
         // O18: np.random.randn  (generate_data.py:9)

@@ -56,8 +56,12 @@ object GeoParquetFooter {
 
   private object AuthorityCode {
     def unapply(crs: String): Option[(String, Int)] = crs.split(':') match {
+      // Try, not bare toInt: an all-digits code beyond Int range would
+      // throw out of the extractor AFTER the parquet data was written
+      // (round-9 review); it falls through to the raw-string crs branch
+      // instead, exactly like the Postgis twin's guarded parse
       case Array(auth, code) if code.forall(_.isDigit) && code.nonEmpty =>
-        Some((auth, code.toInt))
+        scala.util.Try(code.toInt).toOption.map((auth, _))
       case _ => None
     }
   }
@@ -75,23 +79,20 @@ object GeoParquetFooter {
     // has a plain leaf name, and stamping those orphans wastes whole-file
     // copies on data no reader will ever use (and fails the job if one
     // is corrupt). This mirrors what Spark's own reader skips.
-    def hiddenUnder(p: Path): Boolean = {
-      var cur = p
-      while (cur != null && cur != qRoot) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
-    }
+    // ONE hidden-path rule with the probe (ParquetIngest.hiddenBelow):
+    // the two previously carried divergent hand-rolled copies. The
+    // extension filter is gone for the same probe==read reason — a
+    // reader consumes every non-hidden file, so every non-hidden file
+    // must carry the geo footer.
+    def hiddenUnder(p: Path): Boolean =
+      ParquetIngest.hiddenBelow(qRoot.toString, p)
     val files: Seq[String] =
       if (fs.getFileStatus(root).isDirectory) {
         val it = fs.listFiles(root, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
           val f = it.next().getPath
-          if (f.getName.endsWith(".parquet") && !hiddenUnder(f))
-            buf += f.toString
+          if (!hiddenUnder(f)) buf += f.toString
         }
         buf.toSeq
       } else Seq(root.toString)

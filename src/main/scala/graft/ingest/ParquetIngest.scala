@@ -61,40 +61,53 @@ object ParquetIngest {
     * `spark.read.parquet(dir).count()` would return. Note partition-key
     * columns live in directory names, not footers, so `columns` reports
     * the data columns only. */
+  /** True iff any path component strictly BELOW the qualified root
+    * starts with '_' or '.' — the filter Spark's own file index applies
+    * when reading. ONE definition shared by [[probe]] and the geo-footer
+    * stamper ([[GeoParquetFooter.attach]]); the two used to carry
+    * divergent hand-rolled copies of the same rule (round-9 review).
+    * listFiles returns already-qualified paths, so one string prefix
+    * strip per file suffices; unexpected qualification falls back to
+    * walking every component (ancestor DIRS included — a
+    * `.staging/part.parquet` leaf has an unsuspicious name but a hidden
+    * parent). */
+  private[ingest] def hiddenBelow(qualifiedRootPrefix: String,
+      f: Path): Boolean = {
+    val s = f.toString
+    val rel =
+      if (s.startsWith(qualifiedRootPrefix))
+        s.substring(qualifiedRootPrefix.length)
+      else {
+        var cur = f
+        val names = scala.collection.mutable.ListBuffer.empty[String]
+        while (cur != null && cur.getName.nonEmpty) {
+          names += cur.getName
+          cur = cur.getParent
+        }
+        names.mkString("/")
+      }
+    rel.split('/').exists(n => n.startsWith("_") || n.startsWith("."))
+  }
+
   def probe(spark: SparkSession, path: String): ProbeResult = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    // true iff any path component strictly below the probe root starts
-    // with '_' or '.' — Spark ignores those files/dirs when reading.
-    // listFiles returns already-qualified paths, so one string prefix
-    // strip per file suffices (no per-ancestor re-qualification).
     val rootPrefix = fs.makeQualified(p).toString
-    def hidden(f: Path): Boolean = {
-      val s = f.toString
-      val rel =
-        if (s.startsWith(rootPrefix)) s.substring(rootPrefix.length)
-        else {
-          // unexpected FS qualification: fall back to walking every path
-          // component (ancestor DIRS included — a `.staging/part.parquet`
-          // leaf has an unsuspicious name but a hidden parent)
-          var cur = f
-          val names = scala.collection.mutable.ListBuffer.empty[String]
-          while (cur != null && cur.getName.nonEmpty) {
-            names += cur.getName
-            cur = cur.getParent
-          }
-          names.mkString("/")
-        }
-      rel.split('/').exists(n => n.startsWith("_") || n.startsWith("."))
-    }
+    def hidden(f: Path): Boolean = hiddenBelow(rootPrefix, f)
     val files =
       if (fs.getFileStatus(p).isDirectory) {
         val it = fs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
         while (it.hasNext) {
           val f = it.next().getPath
-          if (f.getName.endsWith(".parquet") && !hidden(f)) buf += f
+          // every non-hidden file, NOT just *.parquet: spark.read.parquet
+          // reads all of them (Hive writes extension-less part files like
+          // 000000_0), so an extension filter here broke the documented
+          // probe==read invariant (round-9 review). A non-parquet stray
+          // makes the footer open throw — the same failure the Spark read
+          // itself would hit.
+          if (!hidden(f)) buf += f
         }
         buf.sortBy(_.toString).toSeq
       } else Seq(p)
@@ -272,7 +285,8 @@ object ParquetIngest {
       sourcePath: String,
       sink: Sink,
       ifExists: String = "fail",
-      onProgress: Double => Unit = _ => ()): IngestReport = {
+      onProgress: Double => Unit = _ => (),
+      preProbed: Option[ProbeResult] = None): IngestReport = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.functions.{count, lit}
     import org.apache.spark.sql.util.QueryExecutionListener
@@ -281,7 +295,11 @@ object ParquetIngest {
     // ONE footer walk serves both the spatial attach and the progress
     // total (read() used to probe again: two sequential driver-side
     // sweeps of every footer before any distributed work)
-    val probed = probe(spark, sourcePath)
+    // a caller that already probed (the CLI prints a probe report first)
+    // passes its result — on a many-thousand-file object store each walk
+    // is minutes of sequential footer reads, and paying it twice per run
+    // is the exact waste readWithProbe eliminated INSIDE ingest
+    val probed = preProbed.getOrElse(probe(spark, sourcePath))
     val observed = readWithProbe(spark, sourcePath, probed)
       .observe(metricName, count(lit(1)).as("rows"))
     // The write runs as its own QueryExecution; the observed metric is
