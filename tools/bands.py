@@ -21,7 +21,9 @@ def main(paths):
         d = json.loads(pathlib.Path(p).read_text())
         if d.get("contaminated"):
             sys.exit(f"{p}: self-labeled contaminated - not band material")
-        if "sf0.1" not in d.get("sf", ""):
+        # exact basename, not substring: "sf0.15" / "sf0.1_regen" must
+        # NOT become band material (silent replay-threshold skew)
+        if pathlib.PurePath(d.get("sf", "")).name != "sf0.1":
             sys.exit(f"{p}: sf is {d.get('sf')}, bands are sf0.1-only")
         if str(d.get("cpus")) != "32":
             # bands from a slower config silently raise every replay
@@ -38,8 +40,9 @@ def main(paths):
     out = pathlib.Path(__file__).resolve().parent.parent / \
         "src/main/resources/graft/bench_bands.json"
     out.parent.mkdir(parents=True, exist_ok=True)
-    body = ",\n".join(f'  "{n}": {bands[n]}' for n in sorted(bands))
-    out.write_text("{\n" + body + "\n}\n")
+    # json.dumps, not hand-built strings: a query name with a quote or
+    # backslash must round-trip (the Scala side escapes via jsonStr)
+    out.write_text(json.dumps(bands, indent=2, sort_keys=True) + "\n")
     print(f"wrote {out} ({len(bands)} bands from {len(runs)} run(s))")
 
 if __name__ == "__main__":

@@ -30,10 +30,21 @@ def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # views derive from the fixtures actually present (not a hardcoded
+    # copy of Tables.names that would go stale when a table is added)
+    for f in sorted(Path(sf_dir).glob("*.parquet")):
+        con.sql(f"CREATE VIEW {f.stem} AS SELECT * FROM '{f}'")
     n_ok = n_bad = 0
+    # manifest (written by Verify/VerifyOne) = every query the run
+    # ATTEMPTED: a rows-only query that crashed leaves no dir and no
+    # oracle entry, and without this it was invisible to the gate
+    manifest_path = Path(out_dir) / "manifest.json"
+    manifest = set(json.loads(manifest_path.read_text())) \
+        if manifest_path.exists() else set()
+    for name in sorted(manifest - set(oracle)):
+        if not (Path(out_dir) / name).exists():
+            print(f"FAIL {name}: attempted (manifest) but no result dir")
+            n_bad += 1
     for name in sorted(oracle):
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
@@ -64,12 +75,16 @@ def main() -> int:
         except AssertionError as e:
             print(f"FAIL {name}: values differ\n{str(e)[:800]}")
             n_bad += 1
-    # queries without oracle: rows-only check
+    # queries without oracle: rows-only check (driver semantics: rows>0)
     for d in sorted(Path(out_dir).iterdir()):
         if d.is_dir() and d.name not in oracle:
             try:
                 n = len(pd.read_parquet(d))
-                print(f"ROWS {d.name}: {n} rows (no oracle)")
+                if n > 0:
+                    print(f"ROWS {d.name}: {n} rows (no oracle)")
+                else:
+                    print(f"FAIL {d.name}: 0 rows (rows-only check needs >0)")
+                    n_bad += 1
             except Exception as e:
                 print(f"FAIL {d.name}: unreadable result: {e}")
                 n_bad += 1
