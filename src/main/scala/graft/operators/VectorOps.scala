@@ -684,10 +684,15 @@ object VectorOps extends OpCatalog {
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE vec_id < 1000),
+      |lens AS (
+      |  SELECT vec_id, len(embedding) AS nd
+      |  FROM embeddings WHERE vec_id < 1000),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
       |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  JOIN lens la ON la.vec_id = a.vec_id
+      |  JOIN lens lb ON lb.vec_id = b.vec_id AND la.nd = lb.nd
       |  GROUP BY a.vec_id, b.vec_id)
       |SELECT id_a, id_b, floor((dot / sqrt(na * nb)) * 1e4 + 0.5) / 1e4 AS sim
       |FROM pairs
@@ -700,10 +705,15 @@ object VectorOps extends OpCatalog {
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE vec_id < 1000),
+      |lens AS (
+      |  SELECT vec_id, len(embedding) AS nd
+      |  FROM embeddings WHERE vec_id < 1000),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
       |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  JOIN lens la ON la.vec_id = a.vec_id
+      |  JOIN lens lb ON lb.vec_id = b.vec_id AND la.nd = lb.nd
       |  GROUP BY a.vec_id, b.vec_id)
       |SELECT id_a, id_b, floor((dot / sqrt(na * nb)) * 1e4 + 0.5) / 1e4 AS sim,
       |  TRUE AS lsh_found
@@ -775,10 +785,13 @@ object VectorOps extends OpCatalog {
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),
+      |lens AS (SELECT vec_id, len(embedding) AS nd FROM embeddings),
       |sums AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
       |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  JOIN lens la ON la.vec_id = a.vec_id
+      |  JOIN lens lb ON lb.vec_id = b.vec_id AND la.nd = lb.nd
       |  GROUP BY a.vec_id, b.vec_id),
       |pairs AS (
       |  SELECT id_a, id_b FROM sums
@@ -800,10 +813,15 @@ object VectorOps extends OpCatalog {
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings WHERE vec_id < 1000),
+      |lens AS (
+      |  SELECT vec_id, len(embedding) AS nd
+      |  FROM embeddings WHERE vec_id < 1000),
       |sums AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
       |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  JOIN lens la ON la.vec_id = a.vec_id
+      |  JOIN lens lb ON lb.vec_id = b.vec_id AND la.nd = lb.nd
       |  GROUP BY a.vec_id, b.vec_id),
       |pairs AS (
       |  SELECT id_a, id_b FROM sums
@@ -980,11 +998,17 @@ object VectorOps extends OpCatalog {
     * per the paper — cosine stays the metric of the LSH/IVF routes). */
   private[graft] def sqDist(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    // null on length mismatch (CosineSimilarity's malformed-input rule):
+    // zip_with pads the shorter side with nulls and the sum degraded to
+    // null SILENTLY — and every ASC ordering on an L2 score ranks nulls
+    // FIRST, so one truncated embedding became the #1 row of a top-k
+    // (round-9 review). Consumers filter isNotNull before ranking.
+    when(size(a) === size(b),
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }),
+        lit(0.0), (acc, v) => acc + v))
 
   /** One row per (vec_id, sub): the dsub-wide contiguous slice of the
     * embedding — the sub-vector frame PQ trains on. */
@@ -1108,17 +1132,26 @@ object VectorOps extends OpCatalog {
       pqRecallFloorHits)
   }
 
-  /** Exact L2-scored corpus vs the vec_id-0 query — `(vec_id, l2)` for
-    * every corpus row, the L2 twin of [[exactCosineScored]]. */
-  private def exactL2Scored(spark: SparkSession, sfDir: String): DataFrame =
-    emb(spark, sfDir).filter(col("vec_id") === 0)
+  /** The vec_id-0 query vector as a driver literal — ONE definition for
+    * the serving paths (q117/q118/q131 and the exact scorer each
+    * hand-rolled this collect; round-9 review). */
+  private def collectQueryVec(e: DataFrame): Option[Array[Float]] =
+    e.filter(col("vec_id") === 0)
       .select(col("embedding")).limit(1).collect().headOption
-      .map(_.getSeq[Float](0).toArray) match {
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Exact L2-scored corpus vs the vec_id-0 query — `(vec_id, l2)` for
+    * every corpus row, the L2 twin of [[exactCosineScored]]. Malformed
+    * (length-mismatched) rows score null and are dropped — they must
+    * not occupy exact-answer ranks. */
+  private def exactL2Scored(spark: SparkSession, sfDir: String): DataFrame =
+    collectQueryVec(emb(spark, sfDir)) match {
       case None => spark.range(0)
         .selectExpr("id AS vec_id", "CAST(0.0 AS DOUBLE) AS l2")
       case Some(qv) => emb(spark, sfDir).filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           roundVal(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+        .filter(col("l2").isNotNull)
     }
 
   /** Zero-row (vec_id, adc, l2) frame — the empty-corpus degrade result
@@ -1133,9 +1166,7 @@ object VectorOps extends OpCatalog {
     * empty result when the query vector or a trainable corpus is absent. */
   private[graft] def pqAdcTopKOf(e: DataFrame, spark: SparkSession,
       memoKey: Option[String]): DataFrame = {
-    val qOpt = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).limit(1).collect().headOption
-      .map(_.getSeq[Float](0).toArray)
+    val qOpt = collectQueryVec(e)
     if (qOpt.isEmpty) return emptyTopK(spark)
     val dim = qOpt.get.length
     val m = 8
@@ -1164,8 +1195,10 @@ object VectorOps extends OpCatalog {
     val adcCol = VectorExpressions.pqAdcScore(col("embedding"), cbArr, dt,
       Array.empty[Float])
     // stage 1 (map-only over codes): ADC shortlist, budget sized per
-    // corpus (qOpt is present here, so e.count()-1 is the corpus size)
-    val budget = AnnParams.adcShortlist(e.count() - 1)
+    // corpus (query row excluded); keyed runs reuse the memoized
+    // corpusSize instead of paying a fresh count job per execution
+    val budget = AnnParams.adcShortlist(
+      memoKey.map(sf => corpusSize(spark, sf) - 1).getOrElse(e.count() - 1))
     val shortlist = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         roundVal(adcCol, 4).as("adc"))
@@ -1180,6 +1213,7 @@ object VectorOps extends OpCatalog {
     shortlist
       .select(col("vec_id"), col("adc"),
         roundVal(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+      .filter(col("l2").isNotNull) // over-length rows pass the adc guard
       .orderBy(col("l2").asc, col("vec_id"))
       .limit(10)
   }
@@ -1242,6 +1276,7 @@ object VectorOps extends OpCatalog {
     cands.orderBy(col("adc").asc, col("vec_id").asc).limit(shortlist)
       .select(col("vec_id"), col("adc"),
         roundVal(sqDist(col("embedding"), typedlit(qv)), 4).as("l2"))
+      .filter(col("l2").isNotNull) // sqDist nulls malformed rows
       .orderBy(col("l2").asc, col("vec_id"))
       .limit(10)
 
@@ -1254,17 +1289,21 @@ object VectorOps extends OpCatalog {
   private[graft] def ivfAdcCandidates(e: DataFrame, spark: SparkSession,
       memoKey: Option[String], nProbe: Option[Int] = None)
       : Option[(DataFrame, Array[Float])] = {
-    val qOpt = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).limit(1).collect().headOption
-      .map(_.getSeq[Float](0).toArray)
+    val qOpt = collectQueryVec(e)
     if (qOpt.isEmpty) return None
     val dim = qOpt.get.length
     val m = 8
     val dsub = dim / m
     val k = 16
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val n = e.count() - 1
-    val kc = AnnParams.ivfCells(n)
+    // nlist from the query-INCLUDING count — q45/q132/q135's derivation
+    // (deriving from the query-filtered frame forked the shared
+    // ivf_codebook memo key and the coarse quantizer itself at
+    // √-rounding boundary corpus sizes, the exact divergence
+    // ivfIndexProbe's comment warns about; round-9 review). Keyed runs
+    // reuse the memoized corpusSize instead of a fresh count job.
+    val kc = AnnParams.ivfCells(
+      memoKey.map(sf => corpusSize(spark, sf)).getOrElse(e.count()))
     def memo(tag: String)(build: => DataFrame): DataFrame = memoKey match {
       case Some(sf) => Memo.cached(spark, s"vectorops:$tag:$sf:m=$m:k=$k") {
         build
@@ -1362,13 +1401,20 @@ object VectorOps extends OpCatalog {
     val fp =
       if (!Files.exists(src)) "absent"
       else if (Files.isDirectory(src)) {
-        val entries = Files.list(src)
+        // RECURSIVE walk over regular files: a top-level listing missed
+        // in-place rewrites inside partition subdirectories (a dir's
+        // name/size/mtime only change on entry add/remove), silently
+        // serving a stale index for nested corpora (round-9 review)
+        val entries = Files.walk(src)
         val listing =
           try entries.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filterNot(_.getFileName.toString.startsWith("."))
-            .sortBy(_.getFileName.toString)
-            .map(p => s"${p.getFileName}:${Files.size(p)}:" +
-              s"${Files.getLastModifiedTime(p).toMillis}")
+            .filter(p => Files.isRegularFile(p))
+            .map(p => src.relativize(p).toString)
+            .filterNot(_.split('/').exists(seg =>
+              seg.startsWith(".") || seg.startsWith("_")))
+            .sorted
+            .map(rel => s"$rel:${Files.size(src.resolve(rel))}:" +
+              s"${Files.getLastModifiedTime(src.resolve(rel)).toMillis}")
             .mkString("|")
           finally entries.close()
         java.lang.Long.toUnsignedString(
@@ -1436,8 +1482,12 @@ object VectorOps extends OpCatalog {
     import java.nio.file.{Files, StandardOpenOption}
     def ready = subdirs.forall(s =>
       Files.exists(dir.resolve(s).resolve("_SUCCESS")))
-    if (ready) return false
+    // the FS contract binds the SERVING path too: with a remote default
+    // Hadoop FS, a ready artifact (visible to java.nio) would be probed
+    // by spark.read against the WRONG filesystem — reject before the
+    // ready fast-path, not only on the build branch (round-9 review)
     requireLocalFs()
+    if (ready) return false
     Files.createDirectories(dir.getParent)
     val jvmLock = artifactJvmLocks.computeIfAbsent(
       dir.toAbsolutePath.toString, _ => new Object)
@@ -1498,9 +1548,7 @@ object VectorOps extends OpCatalog {
   def pqIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val e = emb(spark, sfDir)
-    val qOpt = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).limit(1).collect().headOption
-      .map(_.getSeq[Float](0).toArray)
+    val qOpt = collectQueryVec(e)
     val served = qOpt match {
       case None => emptyTopK(spark) // no query vector: empty report
       // query-only corpus: nothing to index — degrade like q117's core
@@ -1526,6 +1574,24 @@ object VectorOps extends OpCatalog {
   private[graft] def ivfArtifactDir(sfDir: String): java.nio.file.Path =
     artifactDir(s"graft_ivf_index_${IvfIndex.formatTag}", sfDir)
 
+  /** Ensure the per-corpus IVF artifact exists and return (dir, nlist) —
+    * ONE definition of the build arguments and the q45-parity nlist rule
+    * (query-INCLUDING corpus count; deriving from the query-filtered
+    * frame diverges the codebook at √-rounding boundary sizes) shared by
+    * q132 and q135, which previously carried verbatim copies a future
+    * edit could silently fork onto different artifacts. */
+  private def ensureIvfArtifact(spark: SparkSession, sfDir: String,
+      corpus: DataFrame, qname: String): (java.nio.file.Path, Int) = {
+    val dir = ivfArtifactDir(sfDir)
+    val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
+    if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
+        tmp => IvfIndex.build(corpus, tmp, nlist = Some(k))))
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"$qname: built IVF index artifact at $dir (first touch of " +
+          "this corpus — the offline step; later runs serve from disk)")
+    (dir, k)
+  }
+
   /** Artifact-served IVF probe — q131's pattern for the coarse-quantizer
     * family: the [[IvfIndex]] parquet artifact stores the codebook AND
     * every vector's cell assignment PARTITIONED BY cell, so the serving
@@ -1544,17 +1610,7 @@ object VectorOps extends OpCatalog {
       if (q.limit(1).collect().isEmpty ||
           corpus.limit(1).collect().isEmpty) emptyCosTopK(spark)
       else {
-        val dir = ivfArtifactDir(sfDir)
-        // train with q45's EXACT nlist (derived from the corpus count
-        // INCLUDING the query row, like annIvfCore) — deriving it from
-        // the query-filtered frame instead diverges from the in-query
-        // codebook at √-rounding boundary corpus sizes
-        val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
-        if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
-            tmp => IvfIndex.build(corpus, tmp, nlist = Some(k))))
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"q132: built IVF index artifact at $dir (first touch of " +
-              "this corpus — the offline step; later runs serve from disk)")
+        val (dir, k) = ensureIvfArtifact(spark, sfDir, corpus, "q132")
         // the same derived probe width as the in-query q45 core
         IvfIndex.probe(spark, dir.toString, q,
           Some(AnnParams.ivfProbeCells(k)))
@@ -1629,13 +1685,7 @@ object VectorOps extends OpCatalog {
         spark.range(0).selectExpr("id AS q_id", "id AS vec_id",
           "CAST(0.0 AS DOUBLE) AS sim")
       else {
-        val dir = ivfArtifactDir(sfDir)
-        val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
-        if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
-            tmp => IvfIndex.build(corpus, tmp, nlist = Some(k))))
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"q135: built IVF index artifact at $dir (first touch of " +
-              "this corpus — the offline step; later runs serve from disk)")
+        val (dir, k) = ensureIvfArtifact(spark, sfDir, corpus, "q135")
         IvfIndex.probeBatch(spark, dir.toString, queries,
           AnnParams.ivfProbeCells(k), k = 5)
       }
