@@ -29,12 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends OpCatalog {
 
+  /** THE whitespace tokenizer: lower + single-space split into tokens —
+    * ONE Column definition for the shingle family (q32/q33/q34/q60), the
+    * gram family (q109/q115/q120), the doc-stat family (q35–q39) and the
+    * Zipf ranker: the round-9 gramTokenized fix closed this drift class
+    * for the ≥8-token gate, and five hand-rolled copies of the split
+    * itself remained — a delimiter/casing change in one would silently
+    * desync the families while each oracle still matched its own side. */
+  private[graft] def wsTokens: org.apache.spark.sql.Column =
+    split(lower(col("text")), " ")
+
   /** Documents with lowercased word tokens. Lowercasing is applied here (not
     * assumed of the corpus) so token-level ops behave on mixed-case input;
     * every DuckDB oracle mirrors it with `lower(text)`. */
   private def toks(spark: SparkSession, sfDir: String): DataFrame =
     GraftSession.spread(Tables.documents(spark, sfDir), col("doc_id"))
-      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("w", wsTokens)
 
   /** Distinct 3-gram word shingles: order-sensitive near-dup features.
     * Docs shorter than 3 tokens yield an EMPTY set (guard needed: Spark's
@@ -74,7 +84,7 @@ object TextOps extends OpCatalog {
     * one would silently break the spec-asserted screen==q69 law
     * (round-9 review). */
   private[graft] def gramTokenized(docs: DataFrame): DataFrame =
-    docs.withColumn("w", split(lower(col("text")), " "))
+    docs.withColumn("w", wsTokens)
       .filter(size(col("w")) >= 8)
 
   /** Shingle base of ANY `(doc_id, lang, text)` frame — the parameterized
@@ -82,7 +92,7 @@ object TextOps extends OpCatalog {
     * over planted-duplicate corpora. */
   private[graft] def shingledOf(docs: DataFrame): DataFrame =
     GraftSession.spread(docs, col("doc_id"))
-      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("w", wsTokens)
       .select(col("lang"), col("doc_id"), array_sort(shingles).as("sh"))
       .withColumn("n", size(col("sh")))
 
@@ -225,13 +235,27 @@ object TextOps extends OpCatalog {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The 3-gram shingle-docs CTE, parameterized by CTE name — ONE
+    * definition (ccOracleCtes' q73/q83 rule) for the q32/q33/q34 oracles
+    * and the q60/q86 closure chain; previously four verbatim copies an
+    * edit to the shingle construction would have to hand-sync. */
+  /** [[graft.functions.Rounding.roundValSql]] alias for this file's
+    * oracle strings — the floor form is generated, not hand-rolled, so
+    * a convention change edits ONE definition (round-9 review; commit
+    * e4c8c29 paid the 17-copy edit this removes). */
+  private def rv(e: String, scale: Int): String =
+    graft.functions.Rounding.roundValSql(e, scale)
+
+  private def shingleDocsCte(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents))""".stripMargin
+
   private val neardupShingleSql =
-    """WITH d AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents))
-      |SELECT id_a, id_b, floor((jac) * 1e4 + 0.5) / 1e4 AS jac FROM (
+    s"""WITH ${shingleDocsCte("d")}
+      |SELECT id_a, id_b, ${rv("jac", 4)} AS jac FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.sh, b.sh)) /
       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
@@ -319,11 +343,7 @@ object TextOps extends OpCatalog {
     * matching the engine's `slice(sig, b*4+1, 4)`, then the exact-Jaccard
     * verify shared with q32. */
   private val neardupMinhashSql =
-    """WITH d AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
+    s"""WITH ${shingleDocsCte("d")},
       |hh AS (
       |  SELECT doc_id, lang,
       |    md5_number_lower(g)::HUGEINT % 2305843009213693951 AS h
@@ -341,7 +361,7 @@ object TextOps extends OpCatalog {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig
       |    AND a.lang = b.lang AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, floor((jac) * 1e4 + 0.5) / 1e4 AS jac FROM (
+      |SELECT id_a, id_b, ${rv("jac", 4)} AS jac FROM (
       |  SELECT c.id_a, c.id_b,
       |    len(list_intersect(x.sh, y.sh)) /
       |      CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jac
@@ -397,11 +417,7 @@ object TextOps extends OpCatalog {
     * bit_count Hamming — DuckDB's bit_count on BIGINT is two's-complement,
     * matching Spark's. */
   private val simhashPairsSql =
-    """WITH d AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
+    s"""WITH ${shingleDocsCte("d")},
       |hh AS (
       |  SELECT doc_id, lang, md5_number_lower(g)::HUGEINT AS u
       |  FROM (SELECT doc_id, lang, unnest(sh) AS g FROM d)),
@@ -445,11 +461,11 @@ object TextOps extends OpCatalog {
   }
 
   private val tokenStatsSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  len(w) AS n_tokens,
       |  len(list_distinct(w)) AS n_distinct,
-      |  floor((len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS ttr,
-      |  floor((list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_tok_len
+      |  ${rv("len(list_distinct(w)) / CAST(len(w) AS DOUBLE)", 4)} AS ttr,
+      |  ${rv("list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE)", 4)} AS avg_tok_len
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -518,11 +534,11 @@ object TextOps extends OpCatalog {
   }
 
   private val heavyHittersSql =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
       |tot AS (SELECT count(*) AS n FROM tok)
       |SELECT word, count(*) AS cnt,
-      |  floor((count(*) / CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS share
+      |  ${rv("count(*) / CAST(n AS DOUBLE)", 4)} AS share
       |FROM tok CROSS JOIN tot
       |GROUP BY word, n
       |HAVING count(*) * 32 >= n
@@ -605,10 +621,10 @@ object TextOps extends OpCatalog {
   }
 
   private val qualityScoreSql =
-    """SELECT lang, count(*) AS n_docs,
-      |  floor((avg(len(list_distinct(w)) / CAST(len(w) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_ttr,
-      |  floor((avg(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) / CAST(len(w) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_stop_ratio,
-      |  floor((avg(n_chars / CAST(len(w) AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS avg_chars_per_tok
+    s"""SELECT lang, count(*) AS n_docs,
+      |  ${rv("avg(len(list_distinct(w)) / CAST(len(w) AS DOUBLE))", 4)} AS avg_ttr,
+      |  ${rv("avg(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) / CAST(len(w) AS DOUBLE))", 4)} AS avg_stop_ratio,
+      |  ${rv("avg(n_chars / CAST(len(w) AS DOUBLE))", 4)} AS avg_chars_per_tok
       |FROM (SELECT lang, n_chars, string_split(lower(text), ' ') AS w FROM documents)
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -777,11 +793,7 @@ object TextOps extends OpCatalog {
     * queries reuse (`neardupShingle` + `GraphOps`), or an edit to one
     * dialect copy would silently desync the other's oracle. */
   private val ccOracleCtes =
-    """sh_docs AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)),
+    s"""${shingleDocsCte("sh_docs")},
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh_docs a
       |  JOIN sh_docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -844,10 +856,10 @@ object TextOps extends OpCatalog {
   }
 
   private val tokenEstimateSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  len(string_split(lower(text), ' ')) AS ws_tokens,
       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\r\f]')) AS re_tokens,
-      |  floor((n_chars / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS chars_per_ws_token
+      |  ${rv("n_chars / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)", 4)} AS chars_per_ws_token
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -964,10 +976,14 @@ object TextOps extends OpCatalog {
   private[graft] def incrementalDedupBloomAudit(
       spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val redelivered = seen.filter(pmod(col("doc_id"), lit(10)) === 0)
+    // sign-following % (not pmod), matching the oracle's DuckDB `%`: a
+    // negative doc_id under pmod(·,2)=1 lands in the arriving batch here
+    // while the oracle's `% 2` yields -1 and drops the doc entirely —
+    // identity at fixture ids (non-negative), divergent in general
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val redelivered = seen.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-    val arriving = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
       .unionByName(redelivered)
     // might_contain requires its bloom side to be constant-foldable — the
     // scalar subquery evaluates once and broadcasts the sketch
@@ -1048,9 +1064,13 @@ object TextOps extends OpCatalog {
     containmentPairsFrom(keptGramBase(spark, sfDir))
   }
 
-  /** Core of q109 over any (doc_id, text) frame — spec entry point. */
+  /** Core of q109 over any (doc_id, text) frame — spec entry point.
+    * The kept-gram base is MATERIALIZED (q115's measured fix: the
+    * pairing stage reads it ~5×; unmaterialized, each read replayed the
+    * dominant explode+distinct chain) — the declared query instead
+    * feeds the session-shared memo, which is already cached. */
   private[graft] def containmentPairsOf(docs: DataFrame): DataFrame =
-    containmentPairsFrom(keptGramsOf(docs))
+    containmentPairsFrom(keptGramsOf(docs).localCheckpoint())
 
   /** q109's pairing stage over a (doc_id, gkey, df) kept-gram base. The
     * declared query feeds it the SESSION-SHARED memoized base
@@ -1076,19 +1096,30 @@ object TextOps extends OpCatalog {
       .limit(20)
   }
 
+  /** The 8-gram kept-gram oracle base (d → g0 → g CTEs), parameterized
+    * by the extra carried columns — ONE definition for the q109/q115/
+    * q120 oracle family: the gram construction and the md5-prefix gkey
+    * must change in lockstep with [[keptGramsOf]] (ccOracleCtes' rule);
+    * previously three hand-synced copies. */
+  private def gramBaseCtes(extraCols: String = ""): String = {
+    val ec = if (extraCols.isEmpty) "" else s", $extraCols"
+    s"""d AS (
+       |  SELECT doc_id$ec, string_split(lower(text), ' ') AS w
+       |  FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 8),
+       |g0 AS (
+       |  SELECT doc_id$ec, unnest(list_transform(range(1, len(w) - 6),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+       |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+       |  FROM d),
+       |g AS (
+       |  SELECT DISTINCT doc_id$ec,
+       |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
+       |  FROM g0)""".stripMargin
+  }
+
   private val containmentPairsSql =
-    """WITH d AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-      |  WHERE len(string_split(lower(text), ' ')) >= 8),
-      |g0 AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
-      |  FROM d),
-      |g AS (
-      |  SELECT DISTINCT doc_id,
-      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
-      |  FROM g0),
+    s"""WITH ${gramBaseCtes()},
       |df AS (SELECT gkey, count(*) AS df FROM g GROUP BY gkey),
       |keep AS (
       |  SELECT doc_id, g.gkey FROM g JOIN df USING (gkey) WHERE df <= 50),
@@ -1100,7 +1131,7 @@ object TextOps extends OpCatalog {
       |SELECT doc_a, doc_b,
       |  CAST(sa.n AS BIGINT) AS n_grams_a,
       |  CAST(n_common AS BIGINT) AS n_common,
-      |  floor((n_common / CAST(sa.n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS containment
+      |  ${rv("n_common / CAST(sa.n AS DOUBLE)", 4)} AS containment
       |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
       |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
@@ -1195,7 +1226,7 @@ object TextOps extends OpCatalog {
     val src = if (docs.columns.contains("source")) docs
       else docs.withColumn("source", lit("_"))
     src
-      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("w", wsTokens)
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), col("source"),
         explode(TextOps.wordGramExpr(8)).as("gram"))
@@ -1247,18 +1278,7 @@ object TextOps extends OpCatalog {
   }
 
   private val containmentPairsRareSql =
-    """WITH d AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-      |  WHERE len(string_split(lower(text), ' ')) >= 8),
-      |g0 AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
-      |  FROM d),
-      |g AS (
-      |  SELECT DISTINCT doc_id,
-      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
-      |  FROM g0),
+    s"""WITH ${gramBaseCtes()},
       |df AS (SELECT gkey, count(*) AS df FROM g GROUP BY gkey),
       |keep AS (
       |  SELECT doc_id, g.gkey, df FROM g JOIN df USING (gkey) WHERE df <= 50),
@@ -1280,7 +1300,7 @@ object TextOps extends OpCatalog {
       |SELECT doc_a, doc_b,
       |  CAST(sa.n AS BIGINT) AS n_grams_a,
       |  CAST(n_common AS BIGINT) AS n_common,
-      |  floor((n_common / CAST(sa.n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS containment
+      |  ${rv("n_common / CAST(sa.n AS DOUBLE)", 4)} AS containment
       |FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
       |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
@@ -1336,7 +1356,7 @@ object TextOps extends OpCatalog {
   }
 
   private val charEntropySql =
-    """WITH chars AS (
+    s"""WITH chars AS (
       |  SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
       |  FROM documents),
       |cnt AS (
@@ -1345,9 +1365,9 @@ object TextOps extends OpCatalog {
       |SELECT doc_id, lang,
       |  CAST(sum(c) AS BIGINT) AS n_chars_total,
       |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
-      |  floor((log2(CAST(sum(c) AS DOUBLE))
-      |    - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE))
-      |    * 1e4 + 0.5) / 1e4 AS entropy
+      |  ${rv("log2(CAST(sum(c) AS DOUBLE)) " +
+        "- sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE)", 4)}
+      |    AS entropy
       |FROM cnt GROUP BY doc_id, lang
       |ORDER BY entropy, doc_id LIMIT 20""".stripMargin
 
@@ -1407,19 +1427,7 @@ object TextOps extends OpCatalog {
   }
 
   private val gramNoveltySql =
-    """WITH d AS (
-      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
-      |  FROM documents
-      |  WHERE len(string_split(lower(text), ' ')) >= 8),
-      |g0 AS (
-      |  SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 6),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
-      |  FROM d),
-      |g AS (
-      |  SELECT DISTINCT doc_id, source,
-      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gkey
-      |  FROM g0),
+    s"""WITH ${gramBaseCtes("source")},
       |f AS (SELECT gkey, min(doc_id) AS first_doc FROM g GROUP BY gkey),
       |novel AS (
       |  SELECT g.source, count(*) AS novel_grams
@@ -1433,8 +1441,8 @@ object TextOps extends OpCatalog {
       |  CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(coalesce(novel_grams, 0) AS BIGINT) AS novel_grams,
       |  CAST(total_grams AS BIGINT) AS total_grams,
-      |  floor((coalesce(novel_grams, 0) / CAST(total_grams AS DOUBLE))
-      |    * 1e4 + 0.5) / 1e4 AS novelty
+      |  ${rv("coalesce(novel_grams, 0) / CAST(total_grams AS DOUBLE)", 4)}
+      |    AS novelty
       |FROM t LEFT JOIN novel ON novel.source = t.source
       |ORDER BY t.source""".stripMargin
 
@@ -1464,7 +1472,7 @@ object TextOps extends OpCatalog {
       .orderBy(col("c").desc, col("w"))
     docs
       .select(col("source"),
-        explode(split(lower(col("text")), " ")).as("w"))
+        explode(wsTokens).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
@@ -1479,7 +1487,7 @@ object TextOps extends OpCatalog {
   }
 
   private val zipfSlopeSql =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
       |  FROM documents),
       |counts AS (
@@ -1491,9 +1499,9 @@ object TextOps extends OpCatalog {
       |  FROM counts),
       |top AS (SELECT * FROM ranked WHERE r <= 200)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
-      |  floor((regr_slope(log2(c), log2(r))) * 1e4 + 0.5) / 1e4 AS zipf_slope,
-      |  floor((regr_intercept(log2(c), log2(r))) * 1e4 + 0.5) / 1e4 AS zipf_intercept,
-      |  floor((regr_r2(log2(c), log2(r))) * 1e4 + 0.5) / 1e4 AS fit_r2
+      |  ${rv("regr_slope(log2(c), log2(r))", 4)} AS zipf_slope,
+      |  ${rv("regr_intercept(log2(c), log2(r))", 4)} AS zipf_intercept,
+      |  ${rv("regr_r2(log2(c), log2(r))", 4)} AS fit_r2
       |FROM top GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q130
@@ -1544,7 +1552,7 @@ object TextOps extends OpCatalog {
   }
 
   private val pmiCollocationsSql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT string_split(lower(text), ' ') AS w FROM documents),
       |ucnt AS (
       |  SELECT tok, count(*) AS cnt
@@ -1561,8 +1569,8 @@ object TextOps extends OpCatalog {
       |  CAST(n_ab AS BIGINT) AS n_ab,
       |  CAST(a.cnt AS BIGINT) AS cnt_a,
       |  CAST(b.cnt AS BIGINT) AS cnt_b,
-      |  floor((log2(n_ab) + 2.0 * log2(n1) - log2(n2)
-      |    - log2(a.cnt) - log2(b.cnt)) * 1e4 + 0.5) / 1e4 AS pmi
+      |  ${rv("log2(n_ab) + 2.0 * log2(n1) - log2(n2) " +
+        "- log2(a.cnt) - log2(b.cnt)", 4)} AS pmi
       |FROM bcnt
       |JOIN ucnt a ON a.tok = string_split(gram, ' ')[1]
       |JOIN ucnt b ON b.tok = string_split(gram, ' ')[2], tot
