@@ -68,6 +68,16 @@ object Multimodal {
         .cast("int").as("sample_rate"))
   }
 
+  /** The media-extension listing glob. Hadoop globs are case-sensitive,
+    * so each extension is a per-character [aA] class — covering MIXED
+    * case (a.Jpg, b.Mp4) that an all-lower/all-upper alternation
+    * silently skipped at listing time (round-9 review); .jpeg is as
+    * common as .jpg in the wild. ONE definition for
+    * [[ingestBinaryFiles]] and [[idCollisions]]. */
+  private val MediaGlob: String =
+    "*.{[jJ][pP][gG],[jJ][pP][eE][gG],[pP][nN][gG]," +
+      "[wW][aA][vV],[mM][pP]4}"
+
   /** Ingest raw media FILES via Spark's `binaryFile` source — the shape
     * 100 TB of media actually arrives in (a directory tree of image/audio/
     * video files), vs [[packMedia]]'s in-table fixture. The source lists
@@ -90,22 +100,42 @@ object Multimodal {
         lit("wav"), lit("audio"), lit("mp4"), lit("video")),
       lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
     spark.read.format("binaryFile")
-      // listing-time prune; Hadoop globs are case-sensitive, so both cases
-      // are spelled out (media trees mix them), and .jpeg is as common as
-      // .jpg in the wild
-      .option("pathGlobFilter",
-        "*.{jpg,jpeg,png,wav,mp4,JPG,JPEG,PNG,WAV,MP4}")
+      // listing-time prune — ONE glob definition ([[MediaGlob]]) shared
+      // with the collision audit
+      .option("pathGlobFilter", MediaGlob)
       // a media corpus is a TREE (dir/2024/cam1/a.jpg); without this the
       // reader runs partition DISCOVERY over subdirectories instead of
       // listing them, silently returning 0 rows for nested files
       .option("recursiveFileLookup", "true")
       .load(dir)
       .select(
+        // deterministic 64-bit id from the path: re-ingest stable, and
+        // the id the fixture tables key on. Honest limit: 64-bit
+        // birthday math puts P(any collision) ≈ 2.7% at 10⁹ files — at
+        // that scale run [[idCollisions]] after ingest (or key on the
+        // path itself) before trusting per-id aggregation
         xxhash64(col("path")).as("media_id"),
         kind.as("kind"),
         col("content").as("media"),
         lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
   }
+
+  /** Collision audit for [[ingestBinaryFiles]]'s 64-bit path-hash id: media_ids
+    * claimed by more than one distinct path under `dir` (empty = safe to
+    * key on media_id). Re-lists the tree with the path retained (the
+    * ingest schema deliberately matches the fixture tables and carries
+    * no path) and projects ONLY the path, so no payload bytes are read —
+    * one listing-sized groupBy, cheap next to ingesting the media. */
+  def idCollisions(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", MediaGlob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(xxhash64(col("path")).as("media_id"), col("path"))
+      .groupBy(col("media_id"))
+      .agg(countDistinct(col("path")).as("n_paths"),
+        sort_array(collect_set(col("path"))).as("paths"))
+      .filter(col("n_paths") > 1)
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

@@ -50,20 +50,47 @@ object EventOps extends OpCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** Oracle twin of Spark's ANSI `try_cast(string AS BIGINT)`: DuckDB's
+    * bare TRY_CAST ROUNDS fractional/scientific numeric strings
+    * ('1.5'→2, '1e3'→1000 on the pinned jdbc 1.0.0) where Spark yields
+    * NULL (EventOpsSpec pins that), so the oracle gates on the integer
+    * SHAPE first and TRY_CASTs only those — overflow beyond BIGINT then
+    * nulls identically on both sides. ONE definition for q20/q125
+    * (round-9 review: the previous bare TRY_CAST re-opened exactly the
+    * class the json_extract_STRING comment claims to close). */
+  private val intCastK: String =
+    "CASE WHEN regexp_full_match(trim(json_extract_string(props, '$.k'))," +
+      " '[+-]?[0-9]+')" +
+      " THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END"
+
   // json_extract_STRING, not json_extract: Spark's get_json_object
-  // yields the UNQUOTED string, so the oracle must TRY_CAST the string
-  // form too — casting the JSON-typed value diverges on quoted numbers
-  // ('"7"' casts via JSON rules) and fractional payloads (JSON 1.5
-  // casts via double, the string '1.5' casts to NULL) — fixture-hidden
-  // today, a hash mismatch the day a payload goes non-integral
+  // yields the UNQUOTED string, so the oracle must cast the string form
+  // too — casting the JSON-typed value diverges on quoted numbers
+  // ('"7"' casts via JSON rules); the cast itself is [[intCastK]]
   private val jsonExtractSql =
-    """SELECT event_type, count(*) AS n_events,
-      |  floor((avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))) * 1e4 + 0.5) / 1e4 AS avg_k,
-      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+    ("""SELECT event_type, count(*) AS n_events,
+      |  floor((avg(""" + intCastK + """)) * 1e4 + 0.5) / 1e4 AS avg_k,
+      |  CAST(sum(""" + intCastK + """) AS BIGINT) AS sum_k,
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
+      |ORDER BY event_type""").stripMargin
+
+  /** Per-user consecutive-event TRANSITION frame — ONE definition of the
+    * edge rule (the (ms, event_id) total order, the lead, the
+    * terminal-event filter) for q85/q123/q129, which each re-spelled it
+    * (the SessionGapMs/anomalyPredicate single-definition discipline;
+    * round-9 review). Emits (user_id, event_id, ms, event_type, to_type,
+    * gap_ms); the extra lead rides the SAME window sort. */
+  private[graft] def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("to_type").isNotNull)
+  }
 
   // ---------------------------------------------------------------- q21
   /** Tumbling event-time window (E16): Spark's native `window()` operator,
@@ -84,7 +111,11 @@ object EventOps extends OpCatalog {
   }
 
   private val eventTumblingSql =
-    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start,
+    // floor-ALIGNED start (Spark's window(): start <= t), not // which
+    // truncates toward zero — divergent for pre-epoch (negative-ms)
+    // timestamps (round-9 review); the floor-mod form is sign-safe
+    """SELECT epoch_ms(ts) - ((epoch_ms(ts) % 3600000) + 3600000) % 3600000
+      |    AS win_start,
       |  count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
@@ -112,7 +143,8 @@ object EventOps extends OpCatalog {
     """SELECT win_start, count(*) AS n_events,
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM (
-      |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - off * 1800000 AS win_start, value
+      |  SELECT epoch_ms(ts) - ((epoch_ms(ts) % 1800000) + 1800000) % 1800000
+      |      - off * 1800000 AS win_start, value
       |  FROM events, (SELECT unnest([0, 1]) AS off) offs)
       |GROUP BY win_start
       |ORDER BY win_start""".stripMargin
@@ -306,12 +338,8 @@ object EventOps extends OpCatalog {
   private[graft] def recursiveReachOf(events: DataFrame,
       maxHops: Int = 4): DataFrame = {
     val spark = events.sparkSession
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ms").asc, col("event_id").asc)
-    val edges = events
-      .select(col("event_type").as("from_type"),
-        lead(col("event_type"), 1).over(w).as("to_type"))
-      .filter(col("to_type").isNotNull)
+    val edges = transitions(events)
+      .select(col("event_type").as("from_type"), col("to_type"))
       .distinct()
       .localCheckpoint()
     graft.TempViews.withView(edges, "graft_edges_reach") { view =>
@@ -442,12 +470,7 @@ object EventOps extends OpCatalog {
     * — the same single-heavy-exchange shape as q24's as-of join. */
   def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ms").asc, col("event_id").asc)
-    val grid = eventsMs(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
-      .filter(col("to_type").isNotNull)
+    val grid = transitions(eventsMs(spark, sfDir))
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"))
     grid
@@ -677,13 +700,7 @@ object EventOps extends OpCatalog {
     * exactly as q67 does for q47 (same flag-based oracle recipe). */
   def transitionDwell(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ms").asc, col("event_id").asc)
-    eventsMs(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
-      .withColumn("gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
-      .filter(col("to_type").isNotNull)
+    transitions(eventsMs(spark, sfDir))
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"),
         roundVal(expr("percentile(gap_ms, 0.5)") / 1000.0, 4).as("p50_gap_s"),
@@ -742,16 +759,16 @@ object EventOps extends OpCatalog {
       .orderBy(col("event_type"), col("k_mod"))
 
   private val variantExtractSql =
-    """SELECT event_type, (k % 10 + 10) % 10 AS k_mod,
+    ("""SELECT event_type, (k % 10 + 10) % 10 AS k_mod,
       |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (
       |  SELECT event_type,
-      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |    """ + intCastK + """ AS k
       |  FROM events)
       |WHERE k IS NOT NULL
       |GROUP BY event_type, k_mod
-      |ORDER BY event_type, k_mod""".stripMargin
+      |ORDER BY event_type, k_mod""").stripMargin
 
   override val ops: Seq[Op] = Seq(
     Op("q129_recursive_reach", recursiveReach, Some(recursiveReachSql),

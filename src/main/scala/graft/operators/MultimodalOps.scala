@@ -72,7 +72,8 @@ object MultimodalOps extends OpCatalog {
       |  FROM documents WHERE doc_id % 3 = 2)
       |SELECT media_id,
       |  CAST((n_frames - 1) // 4 + 1 AS BIGINT) AS n_sampled,
-      |  CAST(CASE WHEN len < 256 THEN len
+      |  CAST(CASE WHEN len IS NULL THEN NULL
+      |            WHEN len < 256 THEN len
       |            ELSE ((n_frames - 1) // 4 + 1) * 256 END AS BIGINT)
       |    AS sampled_bytes
       |FROM v

@@ -333,9 +333,18 @@ class MultimodalSpec extends SparkSpec {
     Files.write(nested.resolve("a.jpeg"), Array[Byte](1, 2))
     Files.write(nested.resolve("b.JPEG"), Array[Byte](3))
     Files.write(dir.resolve("top.png"), Array[Byte](4))
+    // MIXED case (title-cased by some export tools): the per-character
+    // glob classes must list these too — the old lower/upper alternation
+    // silently skipped them at listing time
+    Files.write(nested.resolve("c.Jpg"), Array[Byte](5))
+    Files.write(dir.resolve("clip.Mp4"), Array[Byte](6))
     val rows = Multimodal.ingestBinaryFiles(spark, dir.toString)
       .select("kind").collect().map(_.getString(0)).toSeq
-    assert(rows.sorted == Seq("image", "image", "image"),
-      s"nested + .jpeg/.JPEG files must all ingest as images: $rows")
+    assert(rows.sorted == Seq("image", "image", "image", "image", "video"),
+      s"nested + mixed-case files must all ingest: $rows")
+    // the collision audit over a healthy tree is empty (distinct paths
+    // hashing to one id would surface here)
+    assert(Multimodal.idCollisions(spark, dir.toString).isEmpty,
+      "no 64-bit id collisions expected on a 5-file tree")
   }
 }
