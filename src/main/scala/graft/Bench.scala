@@ -41,6 +41,18 @@ import org.apache.spark.sql.SparkSession
   *    inside a still-open contention window must not launder the
   *    number. Bands apply only at the config they were measured at
   *    (`bands_applied` says whether replay was armed).
+  *  - **Clean by construction** (round-10): the calibrated config
+  *    first WAITS for the machine to go quiet ([[waitForQuiet]] —
+  *    both r8's false-clean and r9's honest-contaminated official
+  *    benches started inside the round's own wind-down), and if the
+  *    suite verdict is STILL contaminated, the breached spans
+  *    ([[breachedQueryIdx]] — the queries adjacent to every hot
+  *    sentinel sample) are re-run ONCE after a second quiet wait
+  *    ([[runAdjudicated]]). The re-run's own sentinels adjudicate the
+  *    re-measured numbers; first-run times are preserved in
+  *    `original_sec` and the first verdict in `contaminated_first_run`
+  *    — the final `contaminated` flips to clean only when the re-run
+  *    MEASURED clean, never by assertion.
   *  - **The full line reaches disk**: eight straight rounds of
   *    `parsed:null` prove the driver's ~2000-char log tail never
   *    carries the 128-query map. The complete JSON (per-query times,
@@ -75,6 +87,56 @@ object Bench {
     * pre, post, mid-suite, or post-replay alike. */
   private[graft] def isContaminated(samples: Seq[Double],
       band: Double = SentinelBandSec): Boolean = samples.exists(_ > band)
+
+  /** Wait for the MACHINE to go quiet before measuring (round-9
+    * verdict: two rounds running, the driver's end-of-round bench
+    * landed inside the round's own sbt/DuckDB wind-down — the fix is
+    * to not start measuring until the 1-min load average has decayed).
+    * Polls until load < `quietLoad` or `maxWaitSec` elapses; returns
+    * the seconds actually waited (recorded as `waited_quiet_sec`).
+    * `load`/`sleep` are test seams. The 1-min average decays by ~e per
+    * minute after the offending processes exit, so a wind-down load of
+    * ~10 clears the 1.5 threshold in ~2 min — inside the budget; a
+    * GENUINELY busy machine times out and the sentinel verdict (which
+    * this wait does not replace) still tells the truth. */
+  private[graft] def waitForQuiet(maxWaitSec: Double = 240.0,
+      quietLoad: Double = 1.5, pollSec: Double = 5.0,
+      load: () => Double = () => loadAvg(),
+      sleep: Long => Unit = Thread.sleep): Double = {
+    var waited = 0.0
+    while (load() > quietLoad && waited < maxWaitSec) {
+      sleep((pollSec * 1000).toLong)
+      waited += pollSec
+    }
+    waited
+  }
+
+  /** Map breached sentinel samples back to the query indices they
+    * adjudicate. Sample 0 (pre) sits before query 0; mid samples sit
+    * before queries `sentinelEvery, 2·sentinelEvery, …`; the post
+    * sample after query n-1; an optional post-replay sample (present
+    * iff `hadReplay`) adjudicates only the replayed set. A breached
+    * sample taints BOTH adjacent spans — the contention window that
+    * inflated the sample overlaps queries on either side of it.
+    * Returns (tainted first-run query indices, post-replay breached). */
+  private[graft] def breachedQueryIdx(n: Int, samples: Seq[Double],
+      sentinelEvery: Int, band: Double,
+      hadReplay: Boolean): (Set[Int], Boolean) = {
+    if (n == 0) return (Set.empty, hadReplay && samples.exists(_ > band))
+    val mid = (n - 1) / sentinelEvery
+    // boundary position of each main-run sample: pre=0, mids, post=n
+    val pos = 0 +: (1 to mid).map(_ * sentinelEvery) :+ n
+    val mainSamples = samples.take(pos.size)
+    val tainted = mainSamples.zipWithIndex.collect {
+      case (s, j) if s > band =>
+        val lo = pos(math.max(0, j - 1))
+        val hi = pos(math.min(pos.size - 1, j + 1))
+        lo until hi
+    }.flatten.toSet
+    val postReplayBreached = hadReplay &&
+      samples.drop(pos.size).exists(_ > band)
+    (tainted, postReplayBreached)
+  }
 
   /** Replay trigger for a query with clean-band median `band`: 3× the
     * band (the verdict's rule), floored at band+1 s so a 0.2 s query
@@ -199,6 +261,68 @@ object Bench {
       bandsApplied = bands.nonEmpty)
   }
 
+  // ------------------------------------- clean-by-construction verdict
+  /** The whole-run adjudication (round-9 verdict item 1): `first` is
+    * the full-suite result; if its sentinel verdict was contaminated
+    * and the config is calibrated, the tainted spans were RE-RUN once
+    * after a second quiet wait — `rerun` carries that sub-suite's
+    * result, `times`/`originalSec` the merged headline (re-run numbers
+    * where available, first-run numbers preserved), and `contaminated`
+    * the FINAL verdict: the re-run's own sentinels adjudicate the
+    * re-measured spans, and every other query's number comes from a
+    * first-run span whose surrounding sentinels were in-band. */
+  final case class AdjudicatedRun(
+      first: SuiteResult,
+      rerunSpan: Seq[String],
+      rerun: Option[SuiteResult],
+      rerunWaitedSec: Double,
+      times: scala.collection.immutable.ListMap[String, Double],
+      originalSec: Map[String, Double],
+      contaminated: Boolean) {
+    def total: Double = times.values.filter(_ >= 0).sum
+  }
+
+  /** Run the suite; if the verdict is contaminated (and `calibrated`
+    * armed a verdict at all), wait for quiet and re-run ONLY the
+    * breached spans, merging their re-measured times into the
+    * headline. A re-run whose own sentinels stay in-band flips the
+    * final verdict to clean BY MEASUREMENT, not by assertion; a re-run
+    * that is itself contaminated leaves the verdict true (both runs'
+    * numbers are preserved either way). */
+  private[graft] def runAdjudicated(spark: SparkSession, sfDir: String,
+      names: Seq[String], bands: Map[String, Double], calibrated: Boolean,
+      waitQuiet: () => Double = () => waitForQuiet(),
+      sentinelBand: Double = SentinelBandSec,
+      sentinelEvery: Int = SentinelEvery,
+      onQueryStart: Int => Unit = _ => ()): AdjudicatedRun = {
+    val first = runSuite(spark, sfDir, names, bands,
+      sentinelEvery = sentinelEvery, sentinelBand = sentinelBand,
+      onQueryStart = onQueryStart)
+    if (!calibrated || !first.contaminated)
+      return AdjudicatedRun(first, Nil, None, 0.0, first.times,
+        first.originalSec, calibrated && first.contaminated)
+    val (taintedIdx, postReplayBreached) = breachedQueryIdx(names.size,
+      first.sentinels, sentinelEvery, sentinelBand,
+      first.replayed.nonEmpty)
+    // suite order; replays re-ran inside the final window, so a breach
+    // of THAT window taints every replayed query too
+    val span = names.zipWithIndex.collect {
+      case (n, i) if taintedIdx(i) ||
+        (postReplayBreached && first.replayed.contains(n)) => n
+    }
+    val waited = waitQuiet()
+    val rr = runSuite(spark, sfDir, span, bands,
+      sentinelEvery = sentinelEvery, sentinelBand = sentinelBand,
+      onQueryStart = onQueryStart)
+    val merged = scala.collection.immutable.ListMap(names.map { n =>
+      n -> rr.times.getOrElse(n, first.times(n))
+    }: _*)
+    val originals = first.originalSec ++
+      span.map(n => n -> first.originalSec.getOrElse(n, first.times(n)))
+    AdjudicatedRun(first, span, Some(rr), waited, merged, originals,
+      rr.contaminated)
+  }
+
   // ------------------------------------------------------------ output
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -226,19 +350,27 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // bands AND the 2.0 s sentinel band were measured at sf0.1 — match
-    // the directory BASENAME exactly (a substring test would arm sf0.1
-    // thresholds at sf0.15 and replay the whole suite pointlessly).
-    // Per-query replay additionally needs the driver's 32 CPUs.
+    // bands AND the 2.0 s sentinel band were measured at sf0.1 AND the
+    // driver's 32 CPUs — match the directory BASENAME exactly (a
+    // substring test would arm sf0.1 thresholds at sf0.15 and replay
+    // the whole suite pointlessly) and the CPU count too: a clean q01
+    // at sf0.1 on local[4] legitimately exceeds 2.0 s, so a sentinel
+    // verdict there would be a false alarm, not a measurement
+    // (round-9 advisor) — contaminated:null, like any other SF.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val calibrated = sfName == "sf0.1"
-    val bands =
-      if (calibrated && cpus == "32") cleanBands
-      else Map.empty[String, Double]
-    val r = runSuite(spark, sfDir, SparkEntry.queries.keys.toSeq, bands)
+    val calibrated = sfName == "sf0.1" && cpus == "32"
+    val bands = if (calibrated) cleanBands else Map.empty[String, Double]
+    // clean BY CONSTRUCTION (round-9 verdict item 1): at the calibrated
+    // config, don't start measuring inside someone else's wind-down —
+    // wait for the 1-min load to decay first (the sentinel verdict
+    // still adjudicates whatever window we actually got)
+    val waitedQuietSec = if (calibrated) waitForQuiet() else 0.0
+    val a = runAdjudicated(spark, sfDir, SparkEntry.queries.keys.toSeq,
+      bands, calibrated)
+    val r = a.first
     val loadEnd = loadAvg()
 
-    val sorted = r.times.toSeq.sortBy { case (_, v) => -v }
+    val sorted = a.times.toSeq.sortBy { case (_, v) => -v }
     val midSamples = r.sentinels.drop(1)
       .dropRight(if (r.replayed.nonEmpty) 2 else 1)
     // `maxReplayNames` bounds the replayed-name array: under round-8-
@@ -264,15 +396,29 @@ object Bench {
       s""""replayed_n":${r.replayed.size},""" +
       s""""replayed":[${r.replayed.take(maxReplayNames)
           .map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""waited_quiet_sec":${fmt(waitedQuietSec)},""" +
+      s""""contaminated_first_run":${
+          if (calibrated) r.contaminated.toString else "null"},""" +
+      (a.rerun match {
+        case Some(rr) =>
+          s""""rerun_span_n":${a.rerunSpan.size},""" +
+          s""""rerun_span":[${a.rerunSpan.take(maxReplayNames)
+              .map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""rerun_waited_sec":${fmt(a.rerunWaitedSec)},""" +
+          s""""rerun_sentinels":[${rr.sentinels.map(fmt).mkString(",")}],"""
+        case None => ""
+      }) +
       // the 2.0 s band is an sf0.1 measurement — at any other SF a
       // clean q01 legitimately exceeds it, so a boolean verdict there
       // would be unconditionally (and falsely) contaminated: null =
-      // "no calibrated verdict possible", never a silent clean
-      s""""contaminated":${if (calibrated) r.contaminated.toString else "null"}"""
+      // "no calibrated verdict possible", never a silent clean. With a
+      // quiet re-run of the breached spans, THIS is the final verdict:
+      // the re-run's sentinels adjudicate the re-measured numbers.
+      s""""contaminated":${if (calibrated) a.contaminated.toString else "null"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt(a.total)},"unit":"sec",""" +
       s""""queries":${encMap(sorted)},""" +
-      s""""original_sec":${encMap(r.originalSec)},""" +
+      s""""original_sec":${encMap(a.originalSec)},""" +
       s""""load_avg_per_query":${encMap(r.loads)},""" +
       s""""sf":${VerifyCommon.jsonStr(sfDir)},"cpus":$cpus,${adjudication(Int.MaxValue)}}"""
 
@@ -297,7 +443,7 @@ object Bench {
         buf.append(e)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":{$buf},"sf":${VerifyCommon.jsonStr(sfDir)},${adjudication(4)},"queries_omitted_for_length":$omitted,"full_json_file":${VerifyCommon.jsonStr(outPath.toAbsolutePath.toString)}}""")
+    println(s"""{"metric":"total","value":${fmt(a.total)},"unit":"sec","queries":{$buf},"sf":${VerifyCommon.jsonStr(sfDir)},${adjudication(4)},"queries_omitted_for_length":$omitted,"full_json_file":${VerifyCommon.jsonStr(outPath.toAbsolutePath.toString)}}""")
     spark.stop()
   }
 }

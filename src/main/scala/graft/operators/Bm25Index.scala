@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   * Serving a query is then: map its terms to their buckets (partition
   * pruning — the scan touches |terms| of [[Buckets]] partitions), push
   * `w IN (terms)` into the pruned scan (`PushedFilters`), score each
-  * surviving posting row against the broadcast 1-row stats, and
+  * surviving posting row against the memoized corpus constants
+  * (literals in the plan — the stats parquet is read once per path per
+  * JVM, not once per probe), and
   * aggregate per doc — cost proportional to the matched postings, not
   * the corpus. `Bm25IndexSpec` pins the pruned/pushed plan and the
   * answer's equality to q133's re-tokenize path; the declared q134
@@ -67,6 +69,33 @@ object Bm25Index {
   private def bucketCol(w: org.apache.spark.sql.Column) =
     pmod(xxhash64(w), lit(Buckets.toLong)).cast("int")
 
+  /** Per-artifact (n_docs, total_len) memo: a ready artifact is
+    * immutable (identity-keyed cache dirs; [[updateFrom]] invalidates
+    * explicitly), so the 1-row stats parquet is read ONCE per path per
+    * JVM instead of once per probe (round-9 verdict item 6 — the
+    * PqIndex family already memoizes its corpus metadata this way).
+    * The constants then enter the probe plan as literals: no stats
+    * scan, no crossJoin, one less file read per query. */
+  private val statsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def corpusStats(spark: SparkSession, path: String): (Long, Long) =
+    statsMemo.computeIfAbsent(path, _ => {
+      val r = spark.read.schema(statsSchema).parquet(s"$path/stats")
+        .collect().headOption
+      (r.map(_.getLong(0)).getOrElse(0L),
+        r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+    })
+
+  /** q133's lower+space-split token contract — ONE definition shared
+    * by [[build]] and [[updateFrom]], whose df/dl math silently
+    * diverges from the stored postings if the tokenize forks. */
+  private def termFreq(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    .filter(col("w") =!= "")
+    .groupBy(col("doc_id"), col("w"))
+    .agg(count(lit(1)).as("tf"))
+
   /** Build the index at `path` from a `(doc_id, text)` frame: ONE
     * tokenize pass (q133's lower+space-split token contract), tf per
     * (doc, term), dl/df derived from the tf frame (no second
@@ -74,11 +103,7 @@ object Bm25Index {
     * postings. Offline cost: the tokenize plus two tf-frame
     * aggregations and two joins — paid once per corpus. */
   def build(docs: DataFrame, path: String): Unit = {
-    val tf = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(docs)
       .localCheckpoint() // dl, df, AND the postings write all read it
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -90,6 +115,92 @@ object Bm25Index {
       .parquet(s"$path/postings")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incremental maintenance — apply a corpus delta (q100's diff
+    * classes: `upserts` = added ∪ changed docs as `(doc_id, text)`,
+    * `removedIds` = `(doc_id)` of removed docs) to a built index
+    * WITHOUT re-tokenizing the unchanged corpus. Only the delta is
+    * tokenized; the rewrite touches exactly the buckets of the
+    * AFFECTED terms — every term whose doc-set changed, which is by
+    * construction the union of the delta docs' term sets, so every
+    * stale row (dropped doc, moved df) lives inside the rewritten
+    * partitions and untouched buckets stay byte-identical. df is
+    * denormalized, so affected terms' surviving rows are rewritten
+    * with `df − removedDocs(w) + addedDocs(w)`; dl rides only on the
+    * delta docs' own rows. One pushed-`doc_id IN` read of the old
+    * postings recovers the dropped docs' term sets and lengths (the
+    * reverse index IS the forward information at delta size; a 100 TB
+    * deployment that wants to skip even that keeps a doc→terms
+    * manifest beside the index). Stats move by the same deltas.
+    * `IndexMaintenanceSpec` pins `updateFrom(v1→v2) == build(v2)` as
+    * row-set + stats equality on the planted-v2 fixture. */
+  def updateFrom(spark: SparkSession, path: String, upserts: DataFrame,
+      removedIds: DataFrame): Unit = {
+    val dropIds = removedIds.select(col("doc_id"))
+      .union(upserts.select(col("doc_id"))).distinct().localCheckpoint()
+    val old = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    // the delta docs' OLD rows: df decrements + dropped dl both come
+    // from here (delta-sized output, pushed-predicate scan)
+    val droppedOld = old.join(broadcast(dropIds), "doc_id")
+      .localCheckpoint()
+    val newTf = termFreq(upserts).localCheckpoint()
+    val newDl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    val dfMinus = droppedOld.groupBy(col("w"))
+      .agg(count(lit(1)).as("minus"))
+    val dfPlus = newTf.groupBy(col("w")).agg(count(lit(1)).as("plus"))
+    val deltas = dfMinus.join(dfPlus, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("minus"), lit(0L)).as("minus"),
+        coalesce(col("plus"), lit(0L)).as("plus"))
+      .localCheckpoint()
+    val affectedBuckets = IndexMaintenance.distinctVals(
+      deltas.select(bucketCol(col("w")).as("bucket")), "bucket")
+    // old df of every affected term — from the FULL postings (a term
+    // can gain docs without losing any, so droppedOld alone would
+    // reset its count), read bucket-pruned to the affected set; 0 for
+    // brand-new terms. df2 = df − minus + plus; a term whose df2 hits
+    // 0 has no surviving rows to carry it — it vanishes, as in build
+    val oldDf = old.filter(col("bucket").isin(affectedBuckets: _*))
+      .join(broadcast(deltas.select(col("w"))), "w")
+      .groupBy(col("w")).agg(max(col("df")).as("df_old"))
+    val df2 = deltas.join(oldDf, Seq("w"), "left")
+      .select(col("w"),
+        (coalesce(col("df_old"), lit(0L)) - col("minus") + col("plus"))
+          .as("df2"))
+      .localCheckpoint()
+    // surviving rows of the affected buckets, with moved df values;
+    // the bucket filter partition-prunes the read to the rewrite set
+    val kept = old
+      .filter(col("bucket").isin(affectedBuckets: _*))
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(df2), Seq("w"), "left")
+      .select(col("w"), col("doc_id"), col("tf"), col("dl"),
+        coalesce(col("df2"), col("df")).as("df"), col("bucket"))
+    val added = newTf.join(newDl, "doc_id")
+      .join(broadcast(df2), "w")
+      .select(col("w"), col("doc_id"), col("tf"), col("dl"),
+        col("df2").as("df"), bucketCol(col("w")).as("bucket"))
+    IndexMaintenance.replacePartitions(spark, s"$path/postings", "bucket",
+      affectedBuckets, kept.unionByName(added))
+    // corpus constants move by the delta (a doc counts iff it has ≥1
+    // token — droppedOld/newDl carry exactly those docs)
+    val oldStats = spark.read.schema(statsSchema).parquet(s"$path/stats")
+      .collect().headOption
+    val (n1, len1) = (oldStats.map(_.getLong(0)).getOrElse(0L),
+      oldStats.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+    val droppedDl = droppedOld.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("len"))
+      .collect().head
+    val addedDl = newDl
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("len"))
+      .collect().head
+    import spark.implicits._
+    Seq((n1 - droppedDl.getLong(0) + addedDl.getLong(0),
+        len1 - droppedDl.getLong(1) + addedDl.getLong(1)))
+      .toDF("n_docs", "total_len")
+      .write.mode("overwrite").parquet(s"$path/stats")
+    statsMemo.remove(path) // the artifact at this path is no longer v1
   }
 
   /** Serve one keyword query from the built artifact: top-`k` docs by
@@ -116,20 +227,26 @@ object Bm25Index {
     val buckets = spark.range(1).select(
         distinctTerms.map(t => bucketCol(lit(t))): _*)
       .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
-    val stats = spark.read.schema(statsSchema).parquet(s"$path/stats")
+    // corpus constants from the per-path memo — LITERALS in the plan,
+    // so the only scan left is the pruned postings read
+    val (nDocs, totalLen) = corpusStats(spark, path)
     val postings = spark.read.schema(postingsSchema)
       .parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
       .filter(col("w").isin(distinctTerms: _*)) // pushed into the pruned scan
     val score =
-      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * (lit(1.2) + 1.0)) /
         (col("tf") + lit(1.2) *
           (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
-    postings.crossJoin(broadcast(stats))
+    // nDocs == 0 means no postings exist to score — but the avgdl
+    // literal still constant-folds eagerly under ANSI, so the 0/0 must
+    // be resolved driver-side, not left to the (empty) plan
+    val avgdl =
+      if (nDocs == 0) 0.0 else totalLen.toDouble / nDocs
+    postings
       .join(broadcast(mult.toDF("w", "mult")), "w")
-      .withColumn("avgdl",
-        col("total_len").cast("double") / col("n_docs"))
+      .withColumn("avgdl", lit(avgdl))
       .groupBy(col("doc_id"))
       .agg(graft.functions.Rounding.roundVal(sum(score * col("mult")), 4)
         .as("bm25"),

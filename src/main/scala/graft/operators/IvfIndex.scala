@@ -61,6 +61,34 @@ object IvfIndex {
   def loadCodebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
+  /** Incremental maintenance under the FROZEN codebook (the
+    * FAISS/Lucene split — assignments are derived state and move with
+    * the delta; retraining centroids is a model refresh, a different
+    * operation): apply q100's diff (`upserts` = added ∪ changed
+    * `(vec_id, embedding)`, `removedIds` = `(vec_id)`) by rewriting
+    * ONLY the affected cell partitions — the cells the dropped vectors
+    * sat in (one pushed-`vec_id IN` read recovers them) plus the cells
+    * the upserts assign to. Untouched cells stay byte-identical, so
+    * probe plans keep partition-pruning over mostly-unchanged data.
+    * `IndexMaintenanceSpec` pins `updateFrom(v1→v2)` row-set-equal to
+    * a fresh `assignCells(v2, frozen codebook)`. */
+  def updateFrom(spark: SparkSession, path: String, upserts: DataFrame,
+      removedIds: DataFrame): Unit = {
+    val cb = loadCodebook(spark, path).localCheckpoint()
+    val dropIds = removedIds.select(col("vec_id"))
+      .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
+    val old = spark.read.parquet(s"$path/assignments")
+    val newAssign = VectorOps.assignCells(
+      upserts.select(col("vec_id"), col("embedding")), cb).localCheckpoint()
+    val affectedCells = IndexMaintenance.distinctVals(
+      old.join(broadcast(dropIds), "vec_id").select(col("cell"))
+        .union(newAssign.select(col("cell"))), "cell")
+    val kept = old.filter(col("cell").isin(affectedCells: _*))
+      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+    IndexMaintenance.replacePartitions(spark, s"$path/assignments", "cell",
+      affectedCells, kept.unionByName(newAssign))
+  }
+
   /** Serve one query vector from a built index: score the ≤nlist-row
     * codebook, pick the `nProbe` nearest cells, and scan ONLY those
     * cells' partitions. The cell set is computed DRIVER-SIDE (a

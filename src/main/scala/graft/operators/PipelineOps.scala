@@ -142,10 +142,13 @@ object PipelineOps extends OpCatalog {
       sfDir, sourceFile = "documents.parquet")
     if (VectorOps.buildArtifactOnce(dir, Seq("postings", "stats"))(tmp =>
         Bm25Index.build(GraftSession.spread(
-          Tables.documents(spark, sfDir), col("doc_id")), tmp)))
+          Tables.documents(spark, sfDir), col("doc_id")), tmp))) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"q134: built BM25 posting-list artifact at $dir (first touch of " +
           "this corpus — the offline step; later runs serve from disk)")
+      VectorOps.sweepStaleArtifacts(dir, "graft_bm25_index_",
+        VectorOps.sfTag(sfDir) + "_")
+    }
     Bm25Index.probe(spark, dir.toString, Seq("window", "spark", "stream"))
   }
 

@@ -36,12 +36,25 @@ object PqIndex {
   val M = 8
   val K = 16
 
+  /** vec_id-hash shard count for the codes table. Serving scans every
+    * bucket anyway (the shortlist is corpus-wide), so the layout costs
+    * probes nothing — its point is [[updateFrom]]: a delta's affected
+    * buckets are computable from its IDS alone (`xxhash64(vec_id) mod
+    * VBuckets`), no read of the old artifact needed to route the
+    * partition rewrite. */
+  val VBuckets = 64
+
   /** Format/params token folded into the shared-cache directory name
     * ([[VectorOps.artifactDir]]): bump the trailing version on ANY
     * change to the layout or training recipe so stale artifacts built
     * by old code are orphaned, not served. v2 = adds the `codes_count`
-    * meta file the probe's default shortlist budget reads. */
-  def formatTag: String = s"m${M}k${K}v2"
+    * meta file the probe's default shortlist budget reads; v3 = codes
+    * partitioned by the [[VBuckets]] vec_id shard for incremental
+    * maintenance. */
+  def formatTag: String = s"m${M}k${K}v3"
+
+  private def vbucketCol(vecId: org.apache.spark.sql.Column) =
+    pmod(xxhash64(vecId), lit(VBuckets.toLong)).cast("int")
 
   /** `<path>/codes_count` as a Hadoop path — works for local, hdfs://,
     * s3a:// alike (build's direct-call contract is any Spark-writable
@@ -64,30 +77,71 @@ object PqIndex {
         .orderBy(col("cell"))) - 1).cast("int"))
     dense.select(col("sub"), col("code"), col("centroid"))
       .write.mode("overwrite").parquet(s"$path/codebook")
-    // encode: per-(vec, sub) argmin against the trained centroids, then
-    // positional code via the same dense mapping the codebook stored
-    VectorOps.assignPq(VectorOps.subVectors(corpus, M, dsub),
-        cents.select(col("sub"), col("cell"), col("centroid")))
-      .join(broadcast(dense.select(col("sub"), col("cell"), col("code"))),
-        Seq("sub", "cell"))
+    encodeWith(corpus, dense.select(col("sub"), col("code"), col("centroid")))
+      .write.mode("overwrite").partitionBy("vbucket").parquet(s"$path/codes")
+    writeCodesCount(e.sparkSession, path)
+  }
+
+  /** Encode `(vec_id, embedding)` rows against a stored DENSE codebook
+    * `(sub, code, centroid)`: per-(vec, sub) argmin, positional codes
+    * array, vec_id shard column. Shared by [[build]] and
+    * [[updateFrom]] — the dense ids ARE the argmin cell ids here, and
+    * the dense mapping is order-preserving over the trained cell ids,
+    * so encoding against the stored codebook reproduces the build's
+    * encode bit-for-bit (lowest-cell tiebreak included). */
+  private def encodeWith(vecs: DataFrame, denseCb: DataFrame): DataFrame = {
+    val dsub = denseCb.select(size(col("centroid"))).limit(1)
+      .collect().head.getInt(0)
+    VectorOps.assignPq(VectorOps.subVectors(vecs, M, dsub),
+        denseCb.select(col("sub"), col("code").as("cell"), col("centroid")))
       .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
-        "x -> x.code)").as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-    // stored-codes row count as a plain meta file: the probe's default
-    // shortlist budget derives from it, and reading it must not cost a
-    // Spark job per probe (round-8 advisor — the old probe ran
-    // `read.parquet(codes).count()` at serve time)
-    val n = e.sparkSession.read.parquet(s"$path/codes").count()
-    // resolved through Hadoop FileSystem, not java.nio: build targets a
-    // cluster path (hdfs://, s3a://) when called directly — the
-    // documented non-local-cache route — and the meta file must land
-    // beside the codes wherever Spark wrote them
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), " +
+        "x -> x.cell)").as("codes"))
+      .select(col("vec_id"), col("codes"), vbucketCol(col("vec_id")).as("vbucket"))
+  }
+
+  /** Stored-codes row count as a plain meta file: the probe's default
+    * shortlist budget derives from it, and reading it must not cost a
+    * Spark job per probe (round-8 advisor — the old probe ran
+    * `read.parquet(codes).count()` at serve time). Resolved through
+    * Hadoop FileSystem, not java.nio: build targets a cluster path
+    * (hdfs://, s3a://) when called directly — the documented
+    * non-local-cache route — and the meta file must land beside the
+    * codes wherever Spark wrote them. */
+  private def writeCodesCount(spark: SparkSession, path: String): Unit = {
+    val n = spark.read.parquet(s"$path/codes").count()
     val meta = metaPath(path)
-    val fs = meta.getFileSystem(
-      e.sparkSession.sessionState.newHadoopConf())
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(meta, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Incremental maintenance under the FROZEN codebook (the
+    * FAISS/Lucene split, as in [[IvfIndex.updateFrom]]): only the
+    * delta (`upserts` = added ∪ changed `(vec_id, embedding)`,
+    * `removedIds` = `(vec_id)`) is encoded, and the rewrite touches
+    * exactly the [[VBuckets]] shards the delta ids hash to — computed
+    * WITHOUT reading the old artifact, which is the point of the
+    * vec_id-keyed layout. The codes_count meta is re-stamped (one
+    * count job — offline-maintenance cost). `IndexMaintenanceSpec`
+    * pins `updateFrom(v1→v2)` row-set-equal to a fresh encode of v2
+    * under the same frozen codebook. */
+  def updateFrom(spark: SparkSession, path: String, upserts: DataFrame,
+      removedIds: DataFrame): Unit = {
+    val denseCb = spark.read.parquet(s"$path/codebook").localCheckpoint()
+    val dropIds = removedIds.select(col("vec_id"))
+      .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
+    val affectedBuckets = IndexMaintenance.distinctVals(
+      dropIds.select(vbucketCol(col("vec_id")).as("vbucket")), "vbucket")
+    val kept = spark.read.parquet(s"$path/codes")
+      .filter(col("vbucket").isin(affectedBuckets: _*))
+      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("codes"), col("vbucket"))
+    val added = encodeWith(
+      upserts.select(col("vec_id"), col("embedding")), denseCb)
+    IndexMaintenance.replacePartitions(spark, s"$path/codes", "vbucket",
+      affectedBuckets, kept.unionByName(added))
+    writeCodesCount(spark, path)
   }
 
   /** Serve one query from the built artifact: ADC shortlist over the
@@ -104,12 +158,16 @@ object PqIndex {
     val shortlist = shortlistOpt.getOrElse {
       val meta = metaPath(path)
       val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-      val n =
-        if (fs.exists(meta)) {
+      // a corrupt/empty meta file (a build killed between create and
+      // write) degrades to the same count job the absent-file case
+      // pays, not a NumberFormatException at serve time
+      val n = (if (fs.exists(meta)) {
           val in = fs.open(meta)
-          try new String(in.readAllBytes(), "UTF-8").trim.toLong
-          finally in.close()
-        } else spark.read.parquet(s"$path/codes").count()
+          val txt = try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          scala.util.Try(txt.toLong).toOption
+        } else None)
+        .getOrElse(spark.read.parquet(s"$path/codes").count())
       AnnParams.adcShortlist(n)
     }
     // the ONE shared loader + ADC-table recipe (VectorOps.codebookMap /
@@ -135,6 +193,11 @@ object PqIndex {
       .select(col("vec_id"), col("adc"),
         roundVal(VectorOps.sqDist(col("embedding"), typedlit(qv)), 4)
           .as("l2"))
+      // sqDist NULLs length-mismatched embeddings and asc sorts nulls
+      // FIRST — without this a malformed corpus row in the shortlist
+      // would serve as the #1 result (the guard every sibling exact
+      // re-rank carries; round-9 advisor)
+      .filter(col("l2").isNotNull)
       .orderBy(col("l2").asc, col("vec_id"))
       .limit(10)
   }

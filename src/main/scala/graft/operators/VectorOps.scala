@@ -1422,9 +1422,14 @@ object VectorOps extends OpCatalog {
             (h, b) => h * 31 + b
           }, 16)
       } else s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    Paths.get(sys.props("java.io.tmpdir"), family, s"${tag}_$fp")
+    Paths.get(sys.props("java.io.tmpdir"), family, s"${sfTag(sfDir)}_$fp")
   }
+
+  /** The corpus-directory component of an artifact entry name — shared
+    * with [[sweepStaleArtifacts]], whose same-corpus stale-fingerprint
+    * sweep keys on it. */
+  private[graft] def sfTag(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private[graft] def pqArtifactDir(sfDir: String): java.nio.file.Path =
     artifactDir(s"graft_pq_index_${PqIndex.formatTag}", sfDir)
@@ -1518,6 +1523,83 @@ object VectorOps extends OpCatalog {
     }
   }
 
+  /** Best-effort garbage collection of orphaned artifact dirs
+    * (round-9 verdict item 5): a format-token bump orphans every
+    * `graft_<family>_index_<oldToken>` sibling, and a corpus rewrite
+    * orphans the old-fingerprint entry inside the CURRENT family —
+    * both accumulated forever under `java.io.tmpdir`. Called after a
+    * successful build (the moment a fresh artifact proves the old ones
+    * superseded), it deletes (a) sibling family dirs sharing
+    * `familyPrefix` but carrying a stale token, and (b) same-corpus
+    * (`entryPrefix` = the sfDir tag) entries with a different
+    * fingerprint. Every deletion first `tryLock`s the target's own
+    * build lock file NON-blocking — a concurrent session still
+    * building or healing that dir keeps it alive (and `tryLock` in
+    * the same JVM surfaces as [[OverlappingFileLockException]], also
+    * a skip) — so concurrent probes of the CURRENT artifact are
+    * untouched and an in-flight competitor is never pulled out from
+    * under its lock. Failures are swallowed: GC is hygiene, not
+    * correctness — the worst outcome of a skipped sweep is the disk
+    * usage we had for nine rounds. */
+  private[graft] def sweepStaleArtifacts(current: java.nio.file.Path,
+      familyPrefix: String, entryPrefix: String): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val familyDir = current.getParent
+    val entryName = current.getFileName.toString
+    def tryDelete(target: java.nio.file.Path): Unit =
+      try {
+        val lockPath = target.resolveSibling(s"${target.getFileName}.lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val l = ch.tryLock()
+          if (l != null) try deleteRecursively(target) finally l.release()
+        } finally ch.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    def eligible(n: String): Boolean =
+      !n.endsWith(".lock") && !n.contains(".build-")
+    try {
+      // (a) sibling FAMILY dirs with a stale format token: every entry
+      // inside is unusable by current code, whatever corpus it keyed
+      val tmpRoot = familyDir.getParent
+      val fams = Files.list(tmpRoot)
+      try fams.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(familyPrefix) &&
+            n != familyDir.getFileName.toString &&
+            eligible(n) && Files.isDirectory(p)) {
+          val entries = Files.list(p)
+          try entries.forEach { e =>
+            if (eligible(e.getFileName.toString) && Files.isDirectory(e))
+              tryDelete(e)
+          } finally entries.close()
+          // sweep lock-file litter whose entry is gone, then remove the
+          // family dir IF now empty — never recursively: an entry that
+          // survived did so because its lock is HELD, and a recursive
+          // delete would pull it out from under the holder
+          val rest = Files.list(p)
+          try rest.forEach { e =>
+            val n = e.getFileName.toString
+            if (n.endsWith(".lock") &&
+                !Files.isDirectory(e.resolveSibling(n.stripSuffix(".lock"))))
+              Files.deleteIfExists(e)
+          } finally rest.close()
+          try Files.delete(p)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } finally fams.close()
+      // (b) the SAME corpus (tag) at a stale fingerprint in the
+      // current family — superseded by the build that just installed.
+      // Other corpora's entries (other SFs, other tables) stay.
+      val entries = Files.list(familyDir)
+      try entries.forEach { e =>
+        val n = e.getFileName.toString
+        if (n.startsWith(entryPrefix) && n != entryName &&
+            eligible(n) && Files.isDirectory(e)) tryDelete(e)
+      } finally entries.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Reject a non-local default Hadoop FS before touching the local
     * artifact cache (see [[buildArtifactOnce]]'s filesystem contract). */
   private def requireLocalFs(): Unit = {
@@ -1558,10 +1640,12 @@ object VectorOps extends OpCatalog {
       case Some(qv) =>
         val dir = pqArtifactDir(sfDir)
         if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
-            tmp => PqIndex.build(e, tmp)))
+            tmp => PqIndex.build(e, tmp))) {
           org.slf4j.LoggerFactory.getLogger(getClass).info(
             s"q131: built PQ index artifact at $dir (first touch of " +
               "this corpus — the offline step; later runs serve from disk)")
+          sweepStaleArtifacts(dir, "graft_pq_index_", sfTag(sfDir) + "_")
+        }
         PqIndex.probe(spark, dir.toString, qv,
           e.filter(col("vec_id") =!= 0))
     }
@@ -1585,10 +1669,12 @@ object VectorOps extends OpCatalog {
     val dir = ivfArtifactDir(sfDir)
     val k = AnnParams.ivfCells(corpusSize(spark, sfDir))
     if (buildArtifactOnce(dir, Seq("codebook", "assignments"))(
-        tmp => IvfIndex.build(corpus, tmp, nlist = Some(k))))
+        tmp => IvfIndex.build(corpus, tmp, nlist = Some(k)))) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"$qname: built IVF index artifact at $dir (first touch of " +
           "this corpus — the offline step; later runs serve from disk)")
+      sweepStaleArtifacts(dir, "graft_ivf_index_", sfTag(sfDir) + "_")
+    }
     (dir, k)
   }
 

@@ -266,15 +266,23 @@ object StreamingOps {
     * key with no value); `content_hash` is ignored on tombstones. */
   final case class DocVersion(doc_id: Long, seq: Long, content_hash: String,
       tombstone: Boolean = false)
-  final case class DocHashState(hash: String, seq: Long)
+  /** `hash = None` is a TOMBSTONE MARKER: the doc was removed but its
+    * last-applied `seq` is retained so stale pre-tombstone redeliveries
+    * stay rejected (round-9 advisor — `state.remove()` discarded the
+    * guard exactly when reordering makes it matter). Markers expire via
+    * processing-time timeout after the retention window, mirroring a
+    * compacted topic's `delete.retention.ms`. */
+  final case class DocHashState(hash: Option[String], seq: Long)
   final case class DocChange(doc_id: Long, status: String)
 
   /** Streaming twin of q100's snapshot diff, as a CDC upsert+delete
     * screen: docs arrive as (doc_id, content_hash) versions or
     * tombstones; per-key state remembers the last hash and each net
     * arrival is classified `added` (never seen), `changed` (hash
-    * moved), or `removed` (tombstone for a live doc — state is dropped,
-    * so a later re-crawl of the id is `added` again); unchanged
+    * moved), or `removed` (tombstone for a live doc — the hash is
+    * dropped, so a later higher-seq re-crawl of the id is `added`
+    * again; a hash-less marker holds the seq for the retention window
+    * so STALE pre-tombstone redeliveries cannot resurrect); unchanged
     * re-deliveries and tombstones for unseen ids are SUPPRESSED (the
     * dedup-at-ingest behavior). All four q100 classes are therefore
     * observable online: added/changed/removed emitted, unchanged =
@@ -286,45 +294,82 @@ object StreamingOps {
     * topic. The iterator's order inside a group is not contractual, so
     * folding by seq (not `versions.last`) keeps replay-after-failure
     * deterministic — the same reason `sourceCapStream` sorts its group.
-    * State is O(#live docs) and SHRINKS on removal (tombstones free
-    * their key's state — the unbounded-state fix log compaction exists
-    * for): the RocksDB provider (spec'd in `StreamingSpec`) is the
+    * State is O(#live docs + markers) and SHRINKS on removal (a
+    * tombstone demotes its key's state to a seq-only marker; passing
+    * `tombstoneRetentionMs` arms a processing-time timeout that frees
+    * markers after the retention window — the unbounded-state fix log
+    * compaction exists for, with the same bounded-resurrection caveat
+    * as `delete.retention.ms`): the
+    * RocksDB provider (spec'd in `StreamingSpec`) is the
     * production backend at corpus scale, exactly the SemDeDup-ingest
     * state-store argument. `CurationOpsSpec` proves the two-batch
     * replay emits exactly the batch diff's added∪changed set;
     * `StreamingSpec` proves the four-class replay law against the
     * batch full-outer-join classification, removals included. */
-  def changeScreenStream(docs: Dataset[DocVersion]): Dataset[DocChange] = {
+  def changeScreenStream(docs: Dataset[DocVersion],
+      tombstoneRetentionMs: Option[Long] = None): Dataset[DocChange] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Retention expiry is OPT-IN: Spark's ProcessingTimeTimeout makes
+    // `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` return true
+    // unconditionally, so the query schedules no-data micro-batches
+    // CONTINUOUSLY at the trigger rate (a busy loop under the default
+    // immediate trigger, and `processAllAvailable` never quiesces).
+    // Callers that want markers reclaimed pass a retention AND a real
+    // trigger interval; the default keeps markers forever — state
+    // grows by one seq-only row per removed key, the documented
+    // bound, with NO extra batches.
+    val timeoutConf =
+      if (tombstoneRetentionMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.groupByKey(_.doc_id)
       .flatMapGroupsWithState[DocHashState, DocChange](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (docId: Long, rows: Iterator[DocVersion], state: GroupState[DocHashState]) =>
+          // timeouts fire only for hash-less tombstone markers (live
+          // states never arm one, and Spark clears the arm on every
+          // data invocation) — retention elapsed, free the key; a
+          // yet-staler resurrection after this point is re-admitted,
+          // the same bounded guarantee a compacted topic gives once
+          // delete.retention.ms passes
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val net = rows.maxBy(_.seq)
           val prevState = state.getOption
-          val prev = prevState.map(_.hash)
+          val prev = prevState.flatMap(_.hash)
           // state carries the last APPLIED seq: a stale lower-seq
           // redelivery arriving in a LATER micro-batch (multi-partition
           // sources do not order across partitions) must be dropped, or
           // it would regress state and emit spurious changed/removed
-          // events. (After a tombstone frees the key, protection against
-          // even-staler resurrections is the log's tombstone-retention
-          // job, as in a compacted topic.)
-          if (prevState.exists(_.seq >= net.seq)) Iterator.empty
+          // events — including AFTER a removal, which is why a tombstone
+          // keeps a hash-less (marker, seq) state for the retention
+          // window instead of state.remove() (round-9 advisor).
+          if (prevState.exists(_.seq >= net.seq)) {
+            // Spark clears the timeout arm on every data invocation —
+            // a marker key hit by a stale redelivery must RE-arm or
+            // the marker leaks forever instead of expiring
+            if (prev.isEmpty && prevState.isDefined)
+              tombstoneRetentionMs.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          }
           else if (net.tombstone) {
-            if (prev.isDefined) {
-              state.remove()
-              Iterator(DocChange(docId, "removed"))
-            } else Iterator.empty // delete of a doc we never admitted
+            // store/refresh the marker even for a never-admitted key:
+            // a reordered source can deliver the tombstone BEFORE the
+            // version it deletes, and the marker's seq is what keeps
+            // that late pre-tombstone version from resurrecting
+            state.update(DocHashState(None, net.seq))
+            tombstoneRetentionMs.foreach(state.setTimeoutDuration)
+            if (prev.isDefined) Iterator(DocChange(docId, "removed"))
+            else Iterator.empty // delete of a doc we never admitted
           } else {
-            state.update(DocHashState(net.content_hash, net.seq))
+            state.update(DocHashState(Some(net.content_hash), net.seq))
             prev match {
               case None => Iterator(DocChange(docId, "added"))
               case Some(h) if h != net.content_hash =>
                 Iterator(DocChange(docId, "changed"))
               case _ => Iterator.empty
             }
+          }
           }
       }
   }

@@ -71,6 +71,19 @@ class Bm25IndexSpec extends SparkSpec {
       }
     info(s"query buckets ${queryBuckets.size} of $allBuckets populated; " +
       s"scan partitions: $scannedFiles")
+    // round-10: the corpus constants are memoized literals — the ONLY
+    // file scan in a probe plan is the pruned postings read (the old
+    // plan re-read the 1-row stats parquet on every query)
+    assert(!plan.contains("/stats"),
+      "stats must come from the per-path memo, not a per-probe file read")
+    // string-based: AQE wraps the plan in a leaf AdaptiveSparkPlanExec,
+    // so node-class collection sees no scans at all
+    val scanLines = plan.linesIterator.filter(l =>
+      l.toLowerCase.contains("scan") && l.toLowerCase.contains("parquet"))
+      .toList
+    assert(scanLines.size == 1,
+      s"probe plan must contain exactly the postings scan:\n" +
+        scanLines.mkString("\n"))
   }
 
   test("empty and degenerate corpora: build + probe degrade to empty, never throw") {

@@ -360,6 +360,91 @@ class CurationOpsSpec extends SparkSpec {
       s"stale redeliveries must be no-ops: $out")
   }
 
+  test("CDC screen: tombstone marker rejects stale pre-tombstone redeliveries (round-9 advisor)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DocVersion
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocVersion]
+    val q = StreamingOps.changeScreenStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("changescreen_marker_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val out = try {
+      mem.addData(Seq(DocVersion(9L, 2L, "b")))
+      q.processAllAvailable()
+      mem.addData(Seq(DocVersion(9L, 3L, "", tombstone = true)))
+      q.processAllAvailable()
+      // the round-9 advisor's scenario: a stale PRE-tombstone version
+      // redelivered AFTER the removal — the seq-only marker must
+      // reject it instead of resurrecting a spurious 'added'
+      mem.addData(Seq(DocVersion(9L, 1L, "a")))
+      q.processAllAvailable()
+      // a tombstone for a NEVER-admitted key also stores a marker
+      // (reordering can deliver the delete before its version), so the
+      // late pre-tombstone version stays out too
+      mem.addData(Seq(DocVersion(11L, 5L, "", tombstone = true)))
+      q.processAllAvailable()
+      mem.addData(Seq(DocVersion(11L, 4L, "x")))
+      q.processAllAvailable()
+      // a genuinely NEWER version after the tombstone is re-admitted
+      mem.addData(Seq(DocVersion(9L, 4L, "c")))
+      q.processAllAvailable()
+      spark.table("changescreen_marker_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    } finally q.stop()
+    assert(out == Seq((9L, "added"), (9L, "removed"), (9L, "added")),
+      s"marker must reject stale redeliveries (9/seq1, 11/seq4) and " +
+        s"admit the newer 9/seq4: $out")
+  }
+
+  test("CDC screen: armed retention expires markers, bounding state (post-retention resurrection re-admitted)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.DocVersion
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocVersion]
+    // ProcessingTimeTimeout makes the engine run no-data batches
+    // continuously (shouldRunAnotherBatch == true), so this test drives
+    // by POLLING the sink, never processAllAvailable (which would wait
+    // forever for quiescence); a real trigger interval keeps the loop
+    // from busy-spinning
+    val q = StreamingOps.changeScreenStream(mem.toDS(),
+        tombstoneRetentionMs = Some(1L)).toDF()
+      .writeStream.format("memory").queryName("changescreen_expiry_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("25 milliseconds"))
+      .start()
+    def rows() = spark.table("changescreen_expiry_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def awaitRows(n: Int): Seq[(Long, String)] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var r = rows()
+      while (r.size < n && System.nanoTime() < deadline) {
+        Thread.sleep(25); r = rows()
+      }
+      r
+    }
+    try {
+      mem.addData(Seq(DocVersion(9L, 2L, "b")))
+      awaitRows(1)
+      mem.addData(Seq(DocVersion(9L, 3L, "", tombstone = true)))
+      assert(awaitRows(2) == Seq((9L, "added"), (9L, "removed")))
+      // the 1 ms retention has long passed after a few trigger cycles:
+      // the marker is freed, so even a STALE pre-tombstone version is
+      // re-admitted — the documented bounded guarantee, exactly a
+      // compacted topic past delete.retention.ms
+      Thread.sleep(200)
+      mem.addData(Seq(DocVersion(9L, 1L, "a")))
+      assert(awaitRows(3) == Seq((9L, "added"), (9L, "removed"),
+        (9L, "added")),
+        "post-retention resurrection must be re-admitted (marker freed)")
+    } finally q.stop()
+  }
+
   test("q103: epoch shuffle is a permutation — unique (shard,pos), contiguous positions, doc set preserved") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = CurationOps.epochShuffleOf(docs, epoch = 1, shards = 16)

@@ -41,8 +41,9 @@ class PqIndexSpec extends SparkSpec {
     // the shortlist stage reads ONLY the codes table: no embedding column
     // in its scan schema, no join below the shortlist limit
     val ids = spark.read.parquet(s"$path/codes").columns.toSeq
-    assert(ids == Seq("vec_id", "codes"),
-      "codes artifact must hold nothing but ids and codes")
+    assert(ids == Seq("vec_id", "codes", "vbucket"),
+      "codes artifact must hold nothing but ids, codes, and the " +
+        "vec_id shard key (v3 incremental layout)")
   }
 
   test("buildArtifactOnce: builds once, reuses, heals torn dirs, loses races cleanly") {
@@ -109,6 +110,47 @@ class PqIndexSpec extends SparkSpec {
         .filterNot(_.getFileName.toString.endsWith(".lock")).toSeq
       assert(stray.isEmpty, s"tmp dirs must be deleted: $stray")
     } finally leftovers.close()
+  }
+
+  test("sweepStaleArtifacts: stale tokens and fingerprints GC'd; other corpora and lock-held entries survive") {
+    import java.nio.file.{Files, StandardOpenOption}
+    // a private tmp root standing in for java.io.tmpdir: the sweep only
+    // ever navigates relative to the CURRENT entry, so the layout is all
+    // that matters
+    val tmpRoot = Files.createTempDirectory("graft_gc_root")
+    val famCur = tmpRoot.resolve("graft_tst_index_v2")
+    val famOld = tmpRoot.resolve("graft_tst_index_v1")
+    val unrelated = tmpRoot.resolve("graft_other_index_v1")
+    val cur = famCur.resolve("sfA_fp2")
+    val staleFp = famCur.resolve("sfA_fp1")
+    val otherCorpus = famCur.resolve("sfB_fp9")
+    val lockedStale = famOld.resolve("sfA_fpX")
+    val unrelatedEntry = unrelated.resolve("sfA_fp1")
+    Seq(cur, staleFp, otherCorpus, lockedStale, unrelatedEntry).foreach { d =>
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("data"), "x")
+    }
+    // an in-flight competitor: its entry's build lock is HELD (same-JVM
+    // overlap surfaces as OverlappingFileLockException — the same skip)
+    val ch = java.nio.channels.FileChannel.open(
+      famOld.resolve("sfA_fpX.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "sfA_")
+    finally { held.release(); ch.close() }
+    assert(Files.exists(cur.resolve("data")), "current artifact untouched")
+    assert(!Files.exists(staleFp),
+      "same-corpus stale fingerprint must be GC'd")
+    assert(Files.exists(otherCorpus), "other corpora's entries survive")
+    assert(Files.exists(lockedStale),
+      "a lock-held stale entry must survive the sweep")
+    assert(Files.exists(unrelatedEntry),
+      "a different family prefix is out of scope")
+    // lock released: the next build's sweep removes the old-token family
+    VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "sfA_")
+    assert(!Files.exists(famOld),
+      "stale-token family dir must be fully removed once unlocked")
+    assert(Files.exists(cur.resolve("data")))
   }
 
   test("buildArtifactOnce: concurrent same-JVM attempts serialize on the lock — one build, both served") {

@@ -567,7 +567,9 @@ class StreamingSpec extends SparkSpec {
       "same-batch upsert+tombstone must net to ONE removal")
     // removal frees state: the re-crawled id was added twice (b1 + b3)
     assert(emitted.count(_ == (removedId, "added")) == 2)
-    // a tombstone for an unseen key emits nothing, stores nothing
+    // a tombstone for an unseen key emits nothing (it does store a
+    // retention-window seq marker, guarding against a reordered
+    // pre-tombstone version arriving after it)
     assert(!emitted.exists(_._1 == 999999999L), "unseen tombstone must be silent")
     assert(ids("removed").nonEmpty && ids("changed").nonEmpty &&
       ids("added").nonEmpty && ids("unchanged").nonEmpty,
