@@ -116,6 +116,74 @@ object PqIndex {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Batched serving — [[probe]]'s ADC shortlist + exact re-rank for a
+    * query BATCH in ONE codes scan (round-9 verdict item 3, completing
+    * what [[IvfIndex.probeBatch]] did for the coarse-quantizer family).
+    * The per-query ADC distance tables are computed DRIVER-side
+    * against the m·k-row codebook (the batch is bounded — a retrieval
+    * tier's micro-batch, not a corpus) and ride as ONE broadcast
+    * (q_id, dt) block, so each stored code row is scored against every
+    * query in-row with table lookups — embeddings untouched, no
+    * shuffle below the frontier. Both the shortlist and the final
+    * top-`k` run as `row_number ≤ n` per q_id — Spark's map-side
+    * `WindowGroupLimit` frontier (q122/q135's law): the q_id exchange
+    * carries ≤ n·|queries|·partitions rows regardless of corpus size.
+    * Only the ≤ shortlist·|queries| survivors' embeddings are fetched
+    * for the exact re-rank (null-filtered: a malformed corpus row
+    * must not outrank real ones). Returns (q_id, rnk, vec_id, l2). */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, k: Int = 10,
+      shortlistOpt: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("q_id"), col("q_emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qs.nonEmpty, "empty query batch")
+    val shortlist = shortlistOpt.getOrElse {
+      val meta = metaPath(path)
+      val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+      val n = (if (fs.exists(meta)) {
+          val in = fs.open(meta)
+          val txt = try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          scala.util.Try(txt.toLong).toOption
+        } else None)
+        .getOrElse(spark.read.parquet(s"$path/codes").count())
+      AnnParams.adcShortlist(n)
+    }
+    val cb = VectorOps.codebookMap(
+      spark.read.parquet(s"$path/codebook"), "code")
+    require(cb.size == M, s"codebook covers ${cb.size} of $M sub-spaces")
+    val qdt = qs.map { case (qid, qv) =>
+      val dsub = qv.length / M
+      (qid, VectorOps.adcSqTable(cb, M,
+        s => qv.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
+        .map(_.toSeq).toSeq)
+    }.toSeq.toDF("q_id", "dt")
+    val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(col("dt"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    val shortlistW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val ids = spark.read.parquet(s"$path/codes")
+      .crossJoin(broadcast(qdt))
+      .select(col("q_id"), col("vec_id"), roundVal(adc, 4).as("adc"))
+      .withColumn("srn", row_number().over(shortlistW))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id"))
+    ids.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        roundVal(VectorOps.sqDist(col("embedding"), col("q_emb")), 4)
+          .as("l2"))
+      .filter(col("l2").isNotNull)
+      .withColumn("rnk", row_number().over(rerankW))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("l2"))
+  }
+
   /** Incremental maintenance under the FROZEN codebook (the
     * FAISS/Lucene split, as in [[IvfIndex.updateFrom]]): only the
     * delta (`upserts` = added ∪ changed `(vec_id, embedding)`,

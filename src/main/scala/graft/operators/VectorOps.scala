@@ -1720,17 +1720,21 @@ object VectorOps extends OpCatalog {
     * come from ONE pass over the served subplan; left joins make a
     * bogus served id FAIL score_ok instead of vanishing. */
   private[graft] def batchAnnLawFrame(exactScored: DataFrame,
-      served: DataFrame, k: Int, minTotalHits: Int): DataFrame = {
+      served: DataFrame, k: Int, minTotalHits: Int,
+      score: String = "sim", asc: Boolean = false): DataFrame = {
+    val ord =
+      if (asc) Seq(col(score).asc, col("vec_id"))
+      else Seq(col(score).desc, col("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      .partitionBy(col("q_id")).orderBy(ord: _*)
     val exactTop = exactScored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"))
+      .select(col("q_id"), col("rnk"), col("vec_id"), col(score))
     val flags = served
-      .select(col("q_id"), col("vec_id"), col("sim").as("ann_sim"))
+      .select(col("q_id"), col("vec_id"), col(score).as("ann_sim"))
       .join(exactScored.select(col("q_id"), col("vec_id"),
-        col("sim").as("exact_sim")), Seq("q_id", "vec_id"), "left")
+        col(score).as("exact_sim")), Seq("q_id", "vec_id"), "left")
       .join(broadcast(exactTop.select(col("q_id"), col("vec_id"),
         lit(true).as("in_top"))), Seq("q_id", "vec_id"), "left")
       .agg(
@@ -1741,7 +1745,7 @@ object VectorOps extends OpCatalog {
       .select((col("n_hit") >= minTotalHits).as("recall_ok"),
         col("score_ok"))
     exactTop.crossJoin(broadcast(flags))
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("sim"),
+      .select(col("q_id"), col("rnk"), col("vec_id"), col(score),
         col("recall_ok"), col("score_ok"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -1777,6 +1781,90 @@ object VectorOps extends OpCatalog {
       }
     batchAnnLawFrame(exactScored, served, k = 5, batchIvfRecallFloorHits)
   }
+
+  // --------------------------------------------------------------- q137
+  /** q137's AGGREGATE recall floor: total exact-top-5 hits across the
+    * 8-query batch (40 possible). The ADC shortlist is corpus-derived
+    * ([[AnnParams.adcShortlist]]) and the re-rank is exact, so batched
+    * PQ recall tracks q131's single-probe recall closely — measured
+    * 39/34/37 at sf0.001/0.01/0.1; floored with margin at half the
+    * measured minimum (the fixtures are deterministic: a breach means
+    * machinery change, not noise). */
+  private val batchPqRecallFloorHits = 17
+
+  /** Every (query, corpus-row) exact SQUARED-L2 — the L2 twin of
+    * [[batchCosineScoredOf]], null-filtered ([[exactL2Scored]]'s rule:
+    * malformed rows must not occupy exact-answer ranks). */
+  private[graft] def batchL2ScoredOf(
+      corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        roundVal(sqDist(col("embedding"), col("q_emb")), 4).as("l2"))
+      .filter(col("l2").isNotNull)
+
+  /** Batched PQ/ADC artifact serving (round-9 verdict item 3): a query
+    * BATCH (vec_id < 8) against the SAME [[PqIndex]] artifact q131
+    * serves, in ONE codes scan — per-query distance tables broadcast
+    * as a (q_id, dt) block, map-side `WindowGroupLimit` shortlist and
+    * re-rank frontiers ([[PqIndex.probeBatch]]). Completes the serving
+    * matrix: q122 batched brute, q135 batched IVF, q137 batched PQ.
+    * Declared as the batched law-flag frame over the exact L2 answer
+    * ([[batchAnnLawFrame]] in asc mode); same artifact keying,
+    * lock-serialized build, first-touch-builds lifecycle as q131.
+    * `PqIndexSpec` pins the single-scan multi-query plan and the
+    * batch==single-probe consistency. */
+  def batchPqIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val exactScored = batchL2ScoredOf(corpus, queries)
+    val served =
+      if (queries.limit(1).collect().isEmpty ||
+          corpus.limit(1).collect().isEmpty)
+        spark.range(0).selectExpr("id AS q_id", "id AS vec_id",
+          "CAST(0.0 AS DOUBLE) AS l2")
+      else {
+        val dir = pqArtifactDir(sfDir)
+        if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
+            tmp => PqIndex.build(e, tmp))) {
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"q137: built PQ index artifact at $dir (first touch of " +
+              "this corpus — the offline step; later runs serve from disk)")
+          sweepStaleArtifacts(dir, "graft_pq_index_", sfTag(sfDir) + "_")
+        }
+        PqIndex.probeBatch(spark, dir.toString, queries, corpus, k = 5)
+      }
+    batchAnnLawFrame(exactScored, served, k = 5, batchPqRecallFloorHits,
+      score = "l2", asc = true)
+  }
+
+  private val batchPqIndexProbeSql =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 8),
+      |prods AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |d AS (
+      |  SELECT q_id, vec_id,
+      |    floor((sum((v - w) * (v - w))) * 1e4 + 0.5) / 1e4 AS l2
+      |  FROM prods GROUP BY q_id, vec_id),
+      |ranked AS (
+      |  SELECT q_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY l2 ASC, vec_id) AS INT) AS rnk,
+      |    vec_id, l2
+      |  FROM d)
+      |SELECT q_id, rnk, vec_id, l2,
+      |  TRUE AS recall_ok, TRUE AS score_ok
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
 
   private val batchIvfIndexProbeSql =
     """WITH q AS (
@@ -1991,7 +2079,10 @@ object VectorOps extends OpCatalog {
       "batched serving: exact cosine top-5 per each of 8 broadcast query vectors in ONE corpus scan (map-side WindowGroupLimit frontier)"),
     Op("q135_batch_ivf_index_probe", batchIvfIndexProbe,
       Some(batchIvfIndexProbeSql),
-      "batched artifact-served ANN: 8-query batch against the IvfIndex artifact in ONE partition-pruned scan (union of probed cells = the partition filter, per-query routing via the cell join); batched law-flag oracle vs exact cosine"))
+      "batched artifact-served ANN: 8-query batch against the IvfIndex artifact in ONE partition-pruned scan (union of probed cells = the partition filter, per-query routing via the cell join); batched law-flag oracle vs exact cosine"),
+    Op("q137_batch_pq_index_probe", batchPqIndexProbe,
+      Some(batchPqIndexProbeSql),
+      "batched PQ/ADC artifact serving: 8-query batch against the PqIndex codes in ONE scan (broadcast per-query distance tables, WindowGroupLimit shortlist + exact re-rank frontiers); batched law-flag oracle vs exact L2"))
 
 
 }

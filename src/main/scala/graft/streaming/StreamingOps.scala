@@ -685,6 +685,35 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming retrieval twin (round-9 verdict item 4): an arriving
+    * QUERY stream served against the STATIC [[graft.operators.IvfIndex]]
+    * artifact — the online half of the import-then-query lifecycle the
+    * whole index family builds offline. Each micro-batch of
+    * `(q_id, q_emb)` queries is answered by ONE partition-pruned codes
+    * scan ([[graft.operators.IvfIndex.probeBatch]]: union-of-probed-
+    * cells literal filter, broadcast routing join, map-side
+    * `WindowGroupLimit` frontier) — exactly what an online retrieval
+    * tier does with a request queue: micro-batch it, serve each batch
+    * in one pruned scan. STATELESS between batches (no watermark, no
+    * state store): each query's answer depends only on the immutable
+    * artifact, so ingest rate is flat no matter how much query history
+    * has streamed past, and the stream==batch law is exact — the union
+    * of per-batch answers equals one big [[graft.operators.IvfIndex
+    * .probeBatch]] over all queries (per-query independence:
+    * `StreamingSpec`). `sink` receives each batch's answer frame
+    * (q_id, rnk, vec_id, sim) — a memory table in the spec, a serving
+    * log/push channel in production. */
+  def ivfServeStream(queries: DataFrame, path: String, nProbe: Int,
+      k: Int)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.IvfIndex.probeBatch(
+            batch.sparkSession, path, batch.toDF(), nProbe, k))
+      }
+
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */
   def runToMemory(stream: DataFrame, name: String,

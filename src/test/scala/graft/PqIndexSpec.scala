@@ -46,6 +46,39 @@ class PqIndexSpec extends SparkSpec {
         "vec_id shard key (v3 incremental layout)")
   }
 
+  test("probeBatch: batched ADC serving == per-query probe, one codes scan (q137)") {
+    val path = Files.createTempDirectory("graft_pq_batch").toString
+    PqIndex.build(e, path)
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val batchDf = PqIndex.probeBatch(spark, path, queries, corpus)
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val qs = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(qs.length >= 4 && batch.keySet == qs.map(_._1).toSet)
+    qs.foreach { case (qid, qv) =>
+      // same default shortlist, same tiebreaks -> identical ranked ids
+      // and distances per query as the single-query probe
+      val single = PqIndex.probe(spark, path, qv, corpus).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == single, s"q$qid batched != single: $got vs $single")
+    }
+    // ONE codes scan serves the whole batch (the broadcast dt block is
+    // a LocalTableScan, the re-rank reads the corpus — but the codes
+    // table must not be scanned per query). Pin on a FRESH frame: an
+    // executed AQE plan's toString prints Final AND Initial plans,
+    // double-counting every scan line.
+    val plan = PqIndex.probeBatch(spark, path, queries, corpus)
+      .queryExecution.executedPlan.toString
+    val codeScans = plan.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("/codes"))
+    assert(codeScans == 1, s"batch must scan codes ONCE, got $codeScans")
+  }
+
   test("buildArtifactOnce: builds once, reuses, heals torn dirs, loses races cleanly") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_bao")

@@ -738,4 +738,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "HLL register state must make stream estimates EQUAL batch, not close")
   }
+
+  test("streaming IVF retrieval twin: union of per-batch artifact answers == one batched probe (stateless)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    graft.operators.IvfIndex.build(corpus, dir)
+    val queryRows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(queryRows.length >= 4, "fixture must provide a real batch")
+    val nProbe = 3
+    val k = 5
+    val mem = MemoryStream[(Long, Array[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val q = StreamingOps.ivfServeStream(
+        mem.toDS().toDF("q_id", "q_emb"), dir, nProbe, k) { ans =>
+      buf.synchronized {
+        buf ++= ans.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
+    }.start()
+    try {
+      // two REAL micro-batches: the twin must serve each batch from the
+      // static artifact with no state carried between them
+      val (b1, b2) = queryRows.splitAt(queryRows.length / 2)
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queriesDf = queryRows.toSeq.toDF("q_id", "q_emb")
+    val batchAns = graft.operators.IvfIndex
+      .probeBatch(spark, dir, queriesDf, nProbe, k)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(buf.toSet == batchAns,
+      "per-query independence: streamed answers must equal the one-shot " +
+        "batched probe exactly")
+    assert(buf.size == batchAns.size, "no duplicate emissions across batches")
+  }
 }
