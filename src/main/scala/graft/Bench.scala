@@ -314,8 +314,11 @@ object Bench {
     val rr = runSuite(spark, sfDir, span, bands,
       sentinelEvery = sentinelEvery, sentinelBand = sentinelBand,
       onQueryStart = onQueryStart)
+    // a re-run that FAILED a query (-1.0) must not shadow a valid
+    // first-run measurement — same keep-the-first-number contract as
+    // runSuite's replay-failure path
     val merged = scala.collection.immutable.ListMap(names.map { n =>
-      n -> rr.times.getOrElse(n, first.times(n))
+      n -> rr.times.get(n).filter(_ >= 0).getOrElse(first.times(n))
     }: _*)
     val originals = first.originalSec ++
       span.map(n => n -> first.originalSec.getOrElse(n, first.times(n)))

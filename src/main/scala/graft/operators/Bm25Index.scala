@@ -141,8 +141,10 @@ object Bm25Index {
       .union(upserts.select(col("doc_id"))).distinct().localCheckpoint()
     val old = spark.read.schema(postingsSchema).parquet(s"$path/postings")
     // the delta docs' OLD rows: df decrements + dropped dl both come
-    // from here (delta-sized output, pushed-predicate scan)
-    val droppedOld = old.join(broadcast(dropIds), "doc_id")
+    // from here — a literal pushed `doc_id IN` predicate (row-group
+    // skipping makes the read delta-bounded; join fallback for huge
+    // deltas)
+    val droppedOld = IndexMaintenance.filterByIds(old, "doc_id", dropIds)
       .localCheckpoint()
     val newTf = termFreq(upserts).localCheckpoint()
     val newDl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

@@ -71,4 +71,22 @@ object IndexMaintenance {
     * terms/ids, cells of the delta's vectors), never corpus-sized. */
   private[graft] def distinctVals(df: DataFrame, colName: String): Seq[Any] =
     df.select(colName).distinct().collect().map(_.get(0)).toSeq
+
+  /** Rows of `df` whose `idCol` is in `ids` — as a LITERAL
+    * `IN`-predicate pushed into the scan when the delta is small
+    * enough to ship in a plan (the common nightly case: parquet
+    * row-group stats then skip everything the delta doesn't touch, so
+    * recovering the dropped docs'/vectors' old rows reads
+    * delta-bounded data, not the corpus — a broadcast JOIN can't do
+    * that: it scans everything and filters after). Very large deltas
+    * fall back to the broadcast join, where the full scan is
+    * proportionate to the work anyway. */
+  private[graft] def filterByIds(df: DataFrame, idCol: String,
+      ids: DataFrame, pushLimit: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sample = ids.select(col(idCol)).limit(pushLimit + 1).collect()
+    if (sample.length <= pushLimit)
+      df.filter(col(idCol).isin(sample.map(_.get(0)).toSeq: _*))
+    else df.join(broadcast(ids.select(col(idCol))), Seq(idCol))
+  }
 }

@@ -81,7 +81,8 @@ object IvfIndex {
     val newAssign = VectorOps.assignCells(
       upserts.select(col("vec_id"), col("embedding")), cb).localCheckpoint()
     val affectedCells = IndexMaintenance.distinctVals(
-      old.join(broadcast(dropIds), "vec_id").select(col("cell"))
+      IndexMaintenance.filterByIds(old, "vec_id", dropIds)
+        .select(col("cell"))
         .union(newAssign.select(col("cell"))), "cell")
     val kept = old.filter(col("cell").isin(affectedCells: _*))
       .join(broadcast(dropIds), Seq("vec_id"), "left_anti")

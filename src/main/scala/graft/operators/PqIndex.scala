@@ -138,18 +138,7 @@ object PqIndex {
     val qs = queries.select(col("q_id"), col("q_emb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qs.nonEmpty, "empty query batch")
-    val shortlist = shortlistOpt.getOrElse {
-      val meta = metaPath(path)
-      val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-      val n = (if (fs.exists(meta)) {
-          val in = fs.open(meta)
-          val txt = try new String(in.readAllBytes(), "UTF-8").trim
-            finally in.close()
-          scala.util.Try(txt.toLong).toOption
-        } else None)
-        .getOrElse(spark.read.parquet(s"$path/codes").count())
-      AnnParams.adcShortlist(n)
-    }
+    val shortlist = shortlistOpt.getOrElse(defaultShortlist(spark, path))
     val cb = VectorOps.codebookMap(
       spark.read.parquet(s"$path/codebook"), "code")
     require(cb.size == M, s"codebook covers ${cb.size} of $M sub-spaces")
@@ -212,6 +201,25 @@ object PqIndex {
     writeCodesCount(spark, path)
   }
 
+  /** Default shortlist budget — [[AnnParams.adcShortlist]] over the
+    * stored-codes count from the `codes_count` meta the build stamps
+    * (no Spark job at serve time; a missing OR corrupt/empty meta —
+    * e.g. a build killed between create and write — degrades to one
+    * count job). ONE definition shared by [[probe]] and [[probeBatch]]
+    * so the meta format and budget rule cannot silently fork. */
+  private def defaultShortlist(spark: SparkSession, path: String): Int = {
+    val meta = metaPath(path)
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    val n = (if (fs.exists(meta)) {
+        val in = fs.open(meta)
+        val txt = try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+        scala.util.Try(txt.toLong).toOption
+      } else None)
+      .getOrElse(spark.read.parquet(s"$path/codes").count())
+    AnnParams.adcShortlist(n)
+  }
+
   /** Serve one query from the built artifact: ADC shortlist over the
     * stored CODES (map-only — embeddings untouched), exact re-rank of
     * the ≤`shortlist` survivors against `corpus` by vec_id. Returns
@@ -223,21 +231,7 @@ object PqIndex {
     * count job), keeping artifact and in-query answers identical. */
   def probe(spark: SparkSession, path: String, qv: Array[Float],
       corpus: DataFrame, shortlistOpt: Option[Int] = None): DataFrame = {
-    val shortlist = shortlistOpt.getOrElse {
-      val meta = metaPath(path)
-      val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-      // a corrupt/empty meta file (a build killed between create and
-      // write) degrades to the same count job the absent-file case
-      // pays, not a NumberFormatException at serve time
-      val n = (if (fs.exists(meta)) {
-          val in = fs.open(meta)
-          val txt = try new String(in.readAllBytes(), "UTF-8").trim
-            finally in.close()
-          scala.util.Try(txt.toLong).toOption
-        } else None)
-        .getOrElse(spark.read.parquet(s"$path/codes").count())
-      AnnParams.adcShortlist(n)
-    }
+    val shortlist = shortlistOpt.getOrElse(defaultShortlist(spark, path))
     // the ONE shared loader + ADC-table recipe (VectorOps.codebookMap /
     // adcSqTable — the positional ordering contract lives there, shared
     // with the in-query q117/q118 paths this probe is spec-pinned

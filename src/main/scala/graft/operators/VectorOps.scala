@@ -1469,9 +1469,16 @@ object VectorOps extends OpCatalog {
     * and the delete, because installs only happen under the same lock.
     * Readers never take the lock (the fast path serves a ready
     * artifact lock-free) — safe because a ready artifact is immutable:
-    * no path under the lock deletes a dir whose `_SUCCESS` markers are
-    * all present. A build that throws cleans its tmp up on the way out
-    * and releases the lock.
+    * no path under the lock deletes a CURRENT dir whose `_SUCCESS`
+    * markers are all present. The one carve-out is
+    * [[sweepStaleArtifacts]]: a SUPERSEDED artifact (stale format
+    * token or stale corpus fingerprint) may be GC'd while an old
+    * binary / pre-rewrite session still probes it — that reader's
+    * scan can die mid-flight, which is accepted: it was already
+    * serving answers for a world that no longer exists, and the
+    * alternative (readers locking) would put a file lock on every
+    * probe's hot path. A build that throws cleans its tmp up on the
+    * way out and releases the lock.
     *
     * Filesystem contract: this cache lives under `java.io.tmpdir` and
     * is managed with `java.nio` + `FileChannel` — LOCAL-filesystem
@@ -1551,10 +1558,19 @@ object VectorOps extends OpCatalog {
         val lockPath = target.resolveSibling(s"${target.getFileName}.lock")
         val ch = java.nio.channels.FileChannel.open(lockPath,
           StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        var deleted = false
         try {
           val l = ch.tryLock()
-          if (l != null) try deleteRecursively(target) finally l.release()
+          if (l != null)
+            try { deleteRecursively(target); deleted = true }
+            finally l.release()
         } finally ch.close()
+        // the entry is gone, so its lock file is litter — delete it too
+        // or every GC'd fingerprint leaks one immortal lock file (a
+        // waiter blocked on the old inode can race a fresh-lock taker,
+        // but only toward rebuilding a SUPERSEDED entry — a torn stale
+        // dir the next heal handles)
+        if (deleted) Files.deleteIfExists(lockPath)
       } catch { case scala.util.control.NonFatal(_) => () }
     def eligible(n: String): Boolean =
       !n.endsWith(".lock") && !n.contains(".build-")
@@ -1590,11 +1606,18 @@ object VectorOps extends OpCatalog {
       } finally fams.close()
       // (b) the SAME corpus (tag) at a stale fingerprint in the
       // current family — superseded by the build that just installed.
-      // Other corpora's entries (other SFs, other tables) stay.
+      // Other corpora's entries (other SFs, other tables) stay. The
+      // prefix alone is NOT enough: sfTag erases path boundaries, so a
+      // sibling corpus '/data/sf0.1_alt' prefix-matches '/data/sf0.1'
+      // — the remainder must additionally LOOK like a fingerprint
+      // (hex dir-hash, `size_mtime`, or the absent marker), which a
+      // tag extension ('alt_<fp>') never does.
+      val fpShape = "^([0-9a-f]+|[0-9]+_[0-9]+|absent)$".r
       val entries = Files.list(familyDir)
       try entries.forEach { e =>
         val n = e.getFileName.toString
         if (n.startsWith(entryPrefix) && n != entryName &&
+            fpShape.matches(n.substring(entryPrefix.length)) &&
             eligible(n) && Files.isDirectory(e)) tryDelete(e)
       } finally entries.close()
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -1638,19 +1661,29 @@ object VectorOps extends OpCatalog {
       case Some(_) if e.filter(col("vec_id") =!= 0)
           .limit(1).collect().isEmpty => emptyTopK(spark)
       case Some(qv) =>
-        val dir = pqArtifactDir(sfDir)
-        if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
-            tmp => PqIndex.build(e, tmp))) {
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"q131: built PQ index artifact at $dir (first touch of " +
-              "this corpus — the offline step; later runs serve from disk)")
-          sweepStaleArtifacts(dir, "graft_pq_index_", sfTag(sfDir) + "_")
-        }
+        val dir = ensurePqArtifact(sfDir, e, "q131")
         PqIndex.probe(spark, dir.toString, qv,
           e.filter(col("vec_id") =!= 0))
     }
     annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
       served, pqRecallFloorHits)
+  }
+
+  /** Ensure the per-corpus PQ artifact exists and return its dir — ONE
+    * definition of the build/log/sweep sequence shared by q131 and
+    * q137 (the IVF family's [[ensureIvfArtifact]] precedent: a change
+    * to the artifact contract must have one site, not two). */
+  private def ensurePqArtifact(sfDir: String, e: DataFrame,
+      qname: String): java.nio.file.Path = {
+    val dir = pqArtifactDir(sfDir)
+    if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
+        tmp => PqIndex.build(e, tmp))) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"$qname: built PQ index artifact at $dir (first touch of " +
+          "this corpus — the offline step; later runs serve from disk)")
+      sweepStaleArtifacts(dir, "graft_pq_index_", sfTag(sfDir) + "_")
+    }
+    dir
   }
 
   // --------------------------------------------------------------- q132
@@ -1828,14 +1861,7 @@ object VectorOps extends OpCatalog {
         spark.range(0).selectExpr("id AS q_id", "id AS vec_id",
           "CAST(0.0 AS DOUBLE) AS l2")
       else {
-        val dir = pqArtifactDir(sfDir)
-        if (buildArtifactOnce(dir, Seq("codes", "codebook"))(
-            tmp => PqIndex.build(e, tmp))) {
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"q137: built PQ index artifact at $dir (first touch of " +
-              "this corpus — the offline step; later runs serve from disk)")
-          sweepStaleArtifacts(dir, "graft_pq_index_", sfTag(sfDir) + "_")
-        }
+        val dir = ensurePqArtifact(sfDir, e, "q137")
         PqIndex.probeBatch(spark, dir.toString, queries, corpus, k = 5)
       }
     batchAnnLawFrame(exactScored, served, k = 5, batchPqRecallFloorHits,

@@ -294,12 +294,17 @@ object StreamingOps {
     * topic. The iterator's order inside a group is not contractual, so
     * folding by seq (not `versions.last`) keeps replay-after-failure
     * deterministic — the same reason `sourceCapStream` sorts its group.
-    * State is O(#live docs + markers) and SHRINKS on removal (a
-    * tombstone demotes its key's state to a seq-only marker; passing
-    * `tombstoneRetentionMs` arms a processing-time timeout that frees
-    * markers after the retention window — the unbounded-state fix log
-    * compaction exists for, with the same bounded-resurrection caveat
-    * as `delete.retention.ms`): the
+    * State is O(#live docs + markers): a tombstone demotes its key's
+    * state to a seq-only marker rather than freeing it, so stale
+    * pre-tombstone redeliveries cannot resurrect. BE AWARE of the
+    * default's trade: with `tombstoneRetentionMs = None` markers are
+    * IMMORTAL — a delete-heavy or tombstone-spammy topic grows state
+    * monotonically with ever-removed keys. Such deployments MUST pass
+    * a retention (arming a processing-time timeout that frees markers
+    * — the same bounded-resurrection contract as Kafka's
+    * `delete.retention.ms`) AND set a real trigger interval, because
+    * ProcessingTimeTimeout makes Spark schedule no-data micro-batches
+    * continuously at the trigger rate. The
     * RocksDB provider (spec'd in `StreamingSpec`) is the
     * production backend at corpus scale, exactly the SemDeDup-ingest
     * state-store argument. `CurationOpsSpec` proves the two-batch

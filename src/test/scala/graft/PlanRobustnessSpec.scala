@@ -58,8 +58,9 @@ class PlanRobustnessSpec extends SparkSpec {
       "q122_batch_cosine_topk",   // crossJoin(broadcast(the 8-row query batch))
       "q130_pmi_collocations",    // crossJoin(broadcast(1-row N1/N2 totals scalar))
       "q133_bm25_search",         // crossJoin(broadcast(1-row corpus-stats scalar))
-      "q134_bm25_index_probe",    // crossJoin(broadcast(the artifact's 1-row stats frame))
-      "q135_batch_ivf_index_probe" // law wrapper: 8-row query-batch + 1-row flag broadcasts
+      "q134_bm25_index_probe",    // legacy entry: stats are memoized literals since round 10 (no BNLJ left; harmless to keep listed)
+      "q135_batch_ivf_index_probe", // law wrapper: 8-row query-batch + 1-row flag broadcasts
+      "q137_batch_pq_index_probe" // crossJoin(broadcast(8-row per-query ADC distance-table block)) + law wrapper's query-batch/flag broadcasts
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(

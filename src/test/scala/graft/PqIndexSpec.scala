@@ -154,27 +154,42 @@ class PqIndexSpec extends SparkSpec {
     val famCur = tmpRoot.resolve("graft_tst_index_v2")
     val famOld = tmpRoot.resolve("graft_tst_index_v1")
     val unrelated = tmpRoot.resolve("graft_other_index_v1")
-    val cur = famCur.resolve("sfA_fp2")
-    val staleFp = famCur.resolve("sfA_fp1")
-    val otherCorpus = famCur.resolve("sfB_fp9")
-    val lockedStale = famOld.resolve("sfA_fpX")
-    val unrelatedEntry = unrelated.resolve("sfA_fp1")
-    Seq(cur, staleFp, otherCorpus, lockedStale, unrelatedEntry).foreach { d =>
+    // entry names follow artifactDir's `${tag}_${fp}` scheme: hex
+    // dir-hashes and size_mtime file fingerprints
+    val cur = famCur.resolve("sfA_deadbee2")
+    val staleFp = famCur.resolve("sfA_deadbee1")
+    val staleFileFp = famCur.resolve("sfA_500_1700")
+    val otherCorpus = famCur.resolve("sfB_deadbee9")
+    // a SIBLING corpus whose tag extends this one's ('/x/sfA' vs
+    // '/x/sfA_alt' — sfTag erases the path boundary): prefix-matches
+    // but its remainder is no fingerprint, so it must SURVIVE
+    val prefixCousin = famCur.resolve("sfA_alt_deadbeef")
+    val lockedStale = famOld.resolve("sfA_deadbeeX")
+    val unrelatedEntry = unrelated.resolve("sfA_deadbee1")
+    Seq(cur, staleFp, staleFileFp, otherCorpus, prefixCousin, lockedStale,
+        unrelatedEntry).foreach { d =>
       Files.createDirectories(d)
       Files.writeString(d.resolve("data"), "x")
     }
     // an in-flight competitor: its entry's build lock is HELD (same-JVM
     // overlap surfaces as OverlappingFileLockException — the same skip)
     val ch = java.nio.channels.FileChannel.open(
-      famOld.resolve("sfA_fpX.lock"),
+      famOld.resolve("sfA_deadbeeX.lock"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val held = ch.lock()
     try VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "sfA_")
     finally { held.release(); ch.close() }
     assert(Files.exists(cur.resolve("data")), "current artifact untouched")
     assert(!Files.exists(staleFp),
-      "same-corpus stale fingerprint must be GC'd")
+      "same-corpus stale hex fingerprint must be GC'd")
+    assert(!Files.exists(staleFileFp),
+      "same-corpus stale size_mtime fingerprint must be GC'd")
+    assert(!Files.exists(famCur.resolve("sfA_deadbee1.lock")),
+      "a GC'd entry's lock file must go with it")
     assert(Files.exists(otherCorpus), "other corpora's entries survive")
+    assert(Files.exists(prefixCousin),
+      "a tag-extension sibling corpus must survive (its remainder is " +
+        "no fingerprint)")
     assert(Files.exists(lockedStale),
       "a lock-held stale entry must survive the sweep")
     assert(Files.exists(unrelatedEntry),
