@@ -103,18 +103,39 @@ object Bm25Index {
     * postings. Offline cost: the tokenize plus two tf-frame
     * aggregations and two joins — paid once per corpus. */
   def build(docs: DataFrame, path: String): Unit = {
+    val (rows, stats) = buildFrames(docs)
+    rows.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** ONE tokenize pass → (posting rows incl. `bucket`, 1-row stats) —
+    * the math of [[build]], shared verbatim with [[buildVersioned]] so
+    * the two layouts cannot drift. */
+  private def buildFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val tf = termFreq(docs)
       .localCheckpoint() // dl, df, AND the postings write all read it
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(dl, "doc_id").join(df, "w")
+    val rows = tf.join(dl, "doc_id").join(df, "w")
       .withColumn("bucket", bucketCol(col("w")))
       .select(col("w"), col("doc_id"), col("tf"), col("dl"), col("df"),
         col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    (rows, stats)
+  }
+
+  /** [[build]] into a [[VersionedTable]] at `root` instead of a plain
+    * directory: postings partitions and the stats side-table publish as
+    * ONE atomic snapshot (they must agree — df/n_docs enter the same
+    * formula), the contract [[IndexMaintenance.replacePartitions]]'
+    * in-place layout cannot give. */
+  def buildVersioned(spark: SparkSession, docs: DataFrame,
+      root: String): Long = {
+    val (rows, stats) = buildFrames(docs)
+    VersionedTable.publishFull(spark, root, "bucket", rows,
+      Map("stats" -> stats))
   }
 
   /** Incremental maintenance — apply a corpus delta (q100's diff
@@ -137,9 +158,49 @@ object Bm25Index {
     * row-set + stats equality on the planted-v2 fixture. */
   def updateFrom(spark: SparkSession, path: String, upserts: DataFrame,
       removedIds: DataFrame): Unit = {
+    val old = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    val oldStats = spark.read.schema(statsSchema).parquet(s"$path/stats")
+      .collect().headOption
+    val stats1 = (oldStats.map(_.getLong(0)).getOrElse(0L),
+      oldStats.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+    val (affectedBuckets, replacement, newStats) =
+      deltaFrames(spark, old, stats1, upserts, removedIds)
+    IndexMaintenance.replacePartitions(spark, s"$path/postings", "bucket",
+      affectedBuckets, replacement)
+    newStats.write.mode("overwrite").parquet(s"$path/stats")
+    statsMemo.remove(path) // the artifact at this path is no longer v1
+  }
+
+  /** [[updateFrom]] against a [[VersionedTable]] at `root`: the same
+    * delta math, but the affected buckets' replacements and the moved
+    * stats land as ONE copy-on-write snapshot — readers see the old
+    * index or the new one, never postings from v2 scored against v1's
+    * corpus constants, and the previous snapshot stays serveable until
+    * [[VersionedTable.vacuum]]. */
+  def updateFromVersioned(spark: SparkSession, root: String,
+      upserts: DataFrame, removedIds: DataFrame): Long = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no BM25 snapshot at $root"))
+    val old = VersionedTable.read(spark, snap, root, postingsSchema)
+    val s = VersionedTable.readExtra(spark, snap, root, "stats", statsSchema)
+      .collect().headOption
+    val stats1 = (s.map(_.getLong(0)).getOrElse(0L),
+      s.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+    val (affectedBuckets, replacement, newStats) =
+      deltaFrames(spark, old, stats1, upserts, removedIds)
+    VersionedTable.publishDelta(spark, root, affectedBuckets, replacement,
+      Map("stats" -> newStats))
+  }
+
+  /** The delta math of [[updateFrom]] (doc-set diff → affected buckets,
+    * full replacement rows for exactly those buckets, moved corpus
+    * stats), factored over an abstract `old` postings frame so the
+    * in-place and versioned layouts share it verbatim. */
+  private def deltaFrames(spark: SparkSession, old: DataFrame,
+      stats1: (Long, Long), upserts: DataFrame,
+      removedIds: DataFrame): (Seq[Any], DataFrame, DataFrame) = {
     val dropIds = removedIds.select(col("doc_id"))
       .union(upserts.select(col("doc_id"))).distinct().localCheckpoint()
-    val old = spark.read.schema(postingsSchema).parquet(s"$path/postings")
     // the delta docs' OLD rows: df decrements + dropped dl both come
     // from here — a literal pushed `doc_id IN` predicate (row-group
     // skipping makes the read delta-bounded; join fallback for huge
@@ -183,14 +244,9 @@ object Bm25Index {
       .join(broadcast(df2), "w")
       .select(col("w"), col("doc_id"), col("tf"), col("dl"),
         col("df2").as("df"), bucketCol(col("w")).as("bucket"))
-    IndexMaintenance.replacePartitions(spark, s"$path/postings", "bucket",
-      affectedBuckets, kept.unionByName(added))
     // corpus constants move by the delta (a doc counts iff it has ≥1
     // token — droppedOld/newDl carry exactly those docs)
-    val oldStats = spark.read.schema(statsSchema).parquet(s"$path/stats")
-      .collect().headOption
-    val (n1, len1) = (oldStats.map(_.getLong(0)).getOrElse(0L),
-      oldStats.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+    val (n1, len1) = stats1
     val droppedDl = droppedOld.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("len"))
       .collect().head
@@ -198,11 +254,10 @@ object Bm25Index {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("len"))
       .collect().head
     import spark.implicits._
-    Seq((n1 - droppedDl.getLong(0) + addedDl.getLong(0),
+    val newStats = Seq((n1 - droppedDl.getLong(0) + addedDl.getLong(0),
         len1 - droppedDl.getLong(1) + addedDl.getLong(1)))
       .toDF("n_docs", "total_len")
-      .write.mode("overwrite").parquet(s"$path/stats")
-    statsMemo.remove(path) // the artifact at this path is no longer v1
+    (affectedBuckets, kept.unionByName(added), newStats)
   }
 
   /** Serve one keyword query from the built artifact: top-`k` docs by
@@ -213,22 +268,7 @@ object Bm25Index {
   def probe(spark: SparkSession, path: String, terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    import spark.implicits._
-    // q133 parity under DUPLICATED query terms: bm25SearchOf scores one
-    // term-column per OCCURRENCE (a doubled term doubles its score and
-    // its n_query_terms contribution), while postings carry each
-    // (doc, term) once — so each matched posting is weighted by the
-    // term's multiplicity in the query. Distinct terms feed the scan
-    // predicates; the multiplicity rides as a broadcast k-row join.
-    val distinctTerms = terms.distinct
-    val mult = terms.groupBy(identity).toSeq
-      .map { case (t, occ) => (t, occ.size.toLong) }
-    // the terms are driver literals, but the bucket rule is Spark's
-    // xxhash64 — evaluate it on a literal frame (LocalTableScan, no
-    // file I/O) rather than re-implementing the hash driver-side
-    val buckets = spark.range(1).select(
-        distinctTerms.map(t => bucketCol(lit(t))): _*)
-      .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
+    val (distinctTerms, mult, buckets) = queryPrep(spark, terms)
     // corpus constants from the per-path memo — LITERALS in the plan,
     // so the only scan left is the pruned postings read
     val (nDocs, totalLen) = corpusStats(spark, path)
@@ -236,6 +276,62 @@ object Bm25Index {
       .parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*)) // partition pruning
       .filter(col("w").isin(distinctTerms: _*)) // pushed into the pruned scan
+    scorePostings(spark, postings, mult, nDocs, totalLen, k)
+  }
+
+  /** [[probe]] against the CURRENT snapshot of a [[VersionedTable]]
+    * BM25 index: identical scoring, but bucket pruning is literal path
+    * selection off the manifest (only the query terms' partitions are
+    * even handed to the scan) and the corpus constants come from the
+    * snapshot the postings came from — a mid-probe publish cannot mix
+    * versions. Stats memo keyed by (root, version): a new snapshot is
+    * a new key, no invalidation protocol needed. */
+  def probeVersioned(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no BM25 snapshot at $root"))
+    val (distinctTerms, mult, buckets) = queryPrep(spark, terms)
+    val (nDocs, totalLen) = statsMemo.computeIfAbsent(
+      s"$root#v${snap.version}", _ => {
+        val r = VersionedTable.readExtra(spark, snap, root, "stats",
+          statsSchema).collect().headOption
+        (r.map(_.getLong(0)).getOrElse(0L),
+          r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+      })
+    val postings = VersionedTable.read(spark, snap, root, postingsSchema,
+        wanted = Some(buckets))
+      .filter(col("w").isin(distinctTerms: _*)) // pushed into each gen scan
+    scorePostings(spark, postings, mult, nDocs, totalLen, k)
+  }
+
+  /** Query-side prep shared by both probes: distinct terms for the scan
+    * predicates, per-term multiplicity for q133 parity under duplicated
+    * query terms (bm25SearchOf scores one term-column per OCCURRENCE,
+    * postings carry each (doc, term) once — so each matched posting is
+    * weighted by its term's query multiplicity), and the terms' buckets.
+    * The terms are driver literals, but the bucket rule is Spark's
+    * xxhash64 — evaluated on a literal frame (LocalTableScan, no file
+    * I/O) rather than re-implemented driver-side. */
+  private def queryPrep(spark: SparkSession, terms: Seq[String])
+      : (Seq[String], Seq[(String, Long)], Seq[Int]) = {
+    val distinctTerms = terms.distinct
+    val mult = terms.groupBy(identity).toSeq
+      .map { case (t, occ) => (t, occ.size.toLong) }
+    val buckets = spark.range(1).select(
+        distinctTerms.map(t => bucketCol(lit(t))): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
+    (distinctTerms, mult, buckets)
+  }
+
+  /** Okapi BM25 scoring over an already-pruned postings frame —
+    * (doc_id, bm25, n_query_terms) in q133's exact shape (k1=1.2,
+    * b=0.75, Lucene's +1-inside-the-log IDF, rounded score, doc_id
+    * tiebreak). Everything here is posting-proportional. */
+  private def scorePostings(spark: SparkSession, postings: DataFrame,
+      mult: Seq[(String, Long)], nDocs: Long, totalLen: Long,
+      k: Int): DataFrame = {
+    import spark.implicits._
     val score =
       log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * (lit(1.2) + 1.0)) /

@@ -204,6 +204,61 @@ object PipelineOps extends OpCatalog {
     Bm25Index.probe(spark, dir.toString, Seq("window", "spark", "stream"))
   }
 
+  // --------------------------------------------------------------- q138
+  /** BM25 served through the [[VersionedTable]] manifest layer — the
+    * full serving-tier lifecycle as ONE declared query: publish v1 as
+    * an atomic snapshot, publish the q100 hash-diff delta as a
+    * copy-on-write snapshot (postings AND corpus stats move together —
+    * the consistency the in-place layout cannot give), COMPACT the
+    * delta's fragmentation (content-identical commit), VACUUM the
+    * superseded snapshot, and serve q133's fixed query off the current
+    * manifest. Same answer as q136 (the DuckDB oracle hash-checks the
+    * whole lifecycle against BM25 computed directly on v2); what q138
+    * adds over q136 is the STORAGE contract under maintenance: atomic
+    * publishes, manifest-routed literal-path pruning, snapshot-isolated
+    * readers, reclaimed garbage. The READY marker is written only after
+    * vacuum completes, so a torn first build re-runs the lifecycle from
+    * scratch (the artifact dir is identity+format keyed like every
+    * index family). */
+  def bm25VersionedProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val dir = VectorOps.artifactDir(
+      s"graft_bm25vt_index_${Bm25Index.formatTag}",
+      sfDir, sourceFile = "documents.parquet")
+    if (VectorOps.buildArtifactOnce(dir, Seq("READY"))(tmp => {
+        val v1 = GraftSession.spread(
+            Tables.documents(spark, sfDir), col("doc_id"))
+          .select(col("doc_id"), col("text"))
+        Bm25Index.buildVersioned(spark, v1, tmp)
+        val v2 = CurationOps.plantedV2(Tables.documents(spark, sfDir))
+          .select(col("doc_id"), col("text"))
+        val d = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+            lit(true).as("in1"))
+          .join(v2.select(col("doc_id"), md5(col("text")).as("h2"),
+            lit(true).as("in2")), Seq("doc_id"), "full_outer")
+        val removed = d.filter(col("in2").isNull).select(col("doc_id"))
+        val upsertIds = d.filter(col("in2").isNotNull &&
+          (col("in1").isNull || !(col("h1") <=> col("h2"))))
+          .select(col("doc_id"))
+        Bm25Index.updateFromVersioned(spark, tmp,
+          v2.join(upsertIds, "doc_id"), removed)
+        VersionedTable.compact(spark, tmp, Bm25Index.postingsSchema)
+        VersionedTable.vacuum(spark, tmp, keepVersions = 1, graceMs = 0L)
+        val ready = java.nio.file.Paths.get(tmp, "READY")
+        java.nio.file.Files.createDirectories(ready)
+        java.nio.file.Files.createFile(ready.resolve("_SUCCESS"))
+      })) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"q138: published v1 + delta + compact + vacuum snapshots at $dir " +
+          "(first touch — the versioned maintenance lifecycle; later runs " +
+          "serve off the committed manifest)")
+      VectorOps.sweepStaleArtifacts(dir, "graft_bm25vt_index_",
+        VectorOps.sfTag(sfDir) + "_")
+    }
+    Bm25Index.probeVersioned(spark, dir.toString,
+      Seq("window", "spark", "stream"))
+  }
+
   /** q133's oracle over the planted v2 snapshot — what the
     * incrementally-maintained index must serve. */
   private val bm25IncrementalSql =
@@ -1280,6 +1335,9 @@ object PipelineOps extends OpCatalog {
       "artifact-served BM25: offline-built Bm25Index (term-bucketed posting lists, denormalized dl/df) serves q133's exact answer from a bucket-pruned term-pushed scan -- no re-tokenize in-plan"),
     Op("q136_bm25_incremental", bm25IncrementalProbe, Some(bm25IncrementalSql),
       "incrementally-maintained BM25: v1 index + q100's hash-diff delta applied via Bm25Index.updateFrom (frozen layout, affected-bucket partition rewrite, df/dl/stats moved by the delta) must serve BM25-over-v2 exactly"),
+    Op("q138_bm25_versioned_probe", bm25VersionedProbe,
+      Some(bm25IncrementalSql),
+      "BM25 through the VersionedTable manifest layer: atomic v1 publish, copy-on-write delta (postings+stats as ONE snapshot), compaction, vacuum -- then q133's query served off the committed manifest with literal-path bucket pruning; must equal BM25-over-v2"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

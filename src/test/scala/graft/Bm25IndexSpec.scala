@@ -86,6 +86,39 @@ class Bm25IndexSpec extends SparkSpec {
         scanLines.mkString("\n"))
   }
 
+  test("versioned probe plan: literal-path pruning off the manifest, no stats read, no tokenize") {
+    import graft.operators.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_vtp").toString
+    Bm25Index.buildVersioned(spark, Tables.documents(spark, sfDir), root)
+    val probe = Bm25Index.probeVersioned(spark, root, terms)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("explode"), "no re-tokenize in-plan")
+    assert(!plan.contains("/stats"),
+      "corpus constants are per-(root,version) memoized literals")
+    // pruning is LITERAL path selection: only the query terms' bucket
+    // directories are handed to the scan at all — the file index never
+    // lists the rest (stronger than a partition filter, which still
+    // discovers everything). The scan's root paths ARE the wanted dirs.
+    val queryBuckets = spark.range(1)
+      .select(terms.map(t =>
+        pmod(xxhash64(lit(t)), lit(Bm25Index.Buckets.toLong)).cast("int")): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
+      .map(b => s"bucket=$b")
+    val scannedDirs = plan.linesIterator.filter(l =>
+      l.contains("Location") || l.contains("file:")).mkString("\n")
+    queryBuckets.foreach(b => assert(scannedDirs.contains(b),
+      s"wanted dir $b must be a scan root:\n$scannedDirs"))
+    assert(!scannedDirs.split("[,\\s\\]]").exists(s =>
+      s.contains("bucket=") && !queryBuckets.exists(s.contains)),
+      s"scan roots must contain ONLY the wanted bucket dirs:\n$scannedDirs")
+    // and the answer equals the plain-layout probe's
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_vtq").toString
+    Bm25Index.build(Tables.documents(spark, sfDir), dir)
+    assert(probe.collect().map(_.toSeq).toSeq ==
+      Bm25Index.probe(spark, dir, terms).collect().map(_.toSeq).toSeq,
+      "versioned and plain layouts must serve identical answers")
+  }
+
   test("empty and degenerate corpora: build + probe degrade to empty, never throw") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -102,6 +102,49 @@ class IndexMaintenanceSpec extends SparkSpec {
       "untouched buckets must survive")
   }
 
+  test("BM25 versioned: full lifecycle — build, delta, compact, vacuum — serves v2's answer with snapshot isolation") {
+    import graft.operators.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_im_vt").toString
+    Bm25Index.buildVersioned(spark, docsV1, root)
+    val terms = Seq("window", "spark", "stream")
+    val v1Answer = Bm25Index.probeVersioned(spark, root, terms)
+      .collect().map(_.toSeq).toSeq
+    assert(v1Answer == PipelineOps.bm25SearchOf(docsV1, terms)
+      .collect().map(_.toSeq).toSeq,
+      "versioned layout must serve q133's v1 answer")
+    // a reader pinned to snapshot v1 BEFORE the delta publishes
+    val snap1 = VersionedTable.currentSnapshot(spark, root).get
+    val (upserts, removed) = docDiff
+    Bm25Index.updateFromVersioned(spark, root, upserts, removed)
+    // postings+stats moved as ONE snapshot: the served answer is v2's
+    val v2Answer = PipelineOps.bm25SearchOf(docsV2, terms)
+      .collect().map(_.toSeq).toSeq
+    assert(Bm25Index.probeVersioned(spark, root, terms)
+      .collect().map(_.toSeq).toSeq == v2Answer,
+      "delta-maintained snapshot must serve q133's answer over v2")
+    // snapshot isolation: the pinned v1 postings still read v1's rows
+    val pinned = VersionedTable.read(spark, snap1, root,
+      Bm25Index.postingsSchema)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_im_vt_ref").toString
+    Bm25Index.build(docsV1, fresh)
+    assert(pinned.collect().map(_.toSeq).toSet ==
+      spark.read.schema(Bm25Index.postingsSchema)
+        .parquet(s"$fresh/postings").collect().map(_.toSeq).toSet,
+      "a v1-pinned reader must keep v1's exact postings after v2 lands")
+    // compaction folds the delta's fragmentation; answer unchanged
+    VersionedTable.compact(spark, root, Bm25Index.postingsSchema,
+      maxFilesPerPart = 1)
+    assert(Bm25Index.probeVersioned(spark, root, terms)
+      .collect().map(_.toSeq).toSeq == v2Answer,
+      "compaction must not change the served answer")
+    // vacuum to current only; serving still works, v1 gens reclaimed
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(Bm25Index.probeVersioned(spark, root, terms)
+      .collect().map(_.toSeq).toSeq == v2Answer,
+      "vacuum must never touch the current snapshot's files")
+  }
+
   /** Planted embeddings v2 mirroring the documents rule: `%89` removed,
     * `%97` changed (negated vector — same dim, different cell), `%101`
     * re-crawled as `+1000000`. */

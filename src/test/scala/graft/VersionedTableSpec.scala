@@ -1,0 +1,192 @@
+package graft
+
+import graft.operators.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The snapshot/manifest storage laws: atomic publish, copy-on-write
+  * deltas that share untouched partitions, snapshot-isolated readers,
+  * content-preserving compaction, and vacuum that reclaims exactly the
+  * unreferenced generations. */
+class VersionedTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("bucket", IntegerType)))
+
+  private def rowsDf(rows: (Long, String, Int)*): DataFrame =
+    rows.toDF("k", "v", "bucket")
+
+  private def contents(df: DataFrame): Set[(Long, String, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  private def newRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_vt_$tag").toString
+
+  test("publishFull + read round-trips; empty wanted set reads empty") {
+    val root = newRoot("full")
+    val data = rowsDf((1L, "a", 0), (2L, "b", 1), (3L, "c", 1))
+    val v = VersionedTable.publishFull(spark, root, "bucket", data)
+    assert(v == 1L)
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      contents(data))
+    // wanted pruning is literal path selection
+    assert(contents(VersionedTable.readCurrent(spark, root, schema,
+      wanted = Some(Seq(1)))) == Set((2L, "b", 1), (3L, "c", 1)))
+    assert(VersionedTable.readCurrent(spark, root, schema,
+      wanted = Some(Seq(9))).count() == 0)
+  }
+
+  test("publishDelta: replaced partitions move, untouched ones share files; emptied partition disappears") {
+    val root = newRoot("delta")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1), (3L, "c", 2)))
+    val snap1 = VersionedTable.currentSnapshot(spark, root).get
+    // replace bucket 1 with new content, bucket 2 with NOTHING (empty)
+    val v2 = VersionedTable.publishDelta(spark, root, Seq(1, 2),
+      rowsDf((20L, "B", 1)))
+    assert(v2 == 2L)
+    val snap2 = VersionedTable.currentSnapshot(spark, root).get
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (20L, "B", 1)))
+    // bucket=0 is SHARED with v1 (copy-on-write, not copied)
+    assert(snap2.parts("bucket=0") == snap1.parts("bucket=0"))
+    assert(snap2.parts("bucket=1") != snap1.parts("bucket=1"))
+    assert(!snap2.parts.contains("bucket=2"),
+      "an emptied partition is a mapping entry that disappears")
+  }
+
+  test("snapshot isolation: a reader resolved at v1 still serves v1 after v2 publishes") {
+    val root = newRoot("iso")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    val snap1 = VersionedTable.currentSnapshot(spark, root).get
+    val v1Reader = VersionedTable.read(spark, snap1, root, schema)
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B2", 1)))
+    // the v1 handle keeps its consistent view (its gen dirs are immutable
+    // until vacuum); a fresh resolve sees v2
+    assert(contents(v1Reader) == Set((1L, "a", 0), (2L, "b", 1)))
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B2", 1)))
+  }
+
+  test("atomicity: a failed staging write publishes nothing — reads stay at the old version") {
+    val root = newRoot("atomic")
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    // a delta whose plan THROWS mid-write: the generation is staged
+    // garbage, no manifest references it, readers never see it
+    val poisoned = rowsDf((2L, "x", 0))
+      .withColumn("v", udf((s: String) =>
+        if (s == "x") throw new RuntimeException("boom") else s)
+        .apply(col("v")))
+    intercept[Exception] {
+      VersionedTable.publishDelta(spark, root, Seq(0), poisoned)
+    }
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.version == 1L, "failed publish must not advance the version")
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0)))
+  }
+
+  test("delta rows outside the replaced set are rejected (stale-base guard)") {
+    val root = newRoot("guard")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    intercept[IllegalArgumentException] {
+      // claims to replace bucket 0 but smuggles rows into bucket 1
+      VersionedTable.publishDelta(spark, root, Seq(0),
+        rowsDf((9L, "z", 0), (8L, "y", 1)))
+    }
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 1L)
+  }
+
+  test("concurrent commit: the version race loser throws instead of clobbering") {
+    val root = newRoot("race")
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    val base = VersionedTable.currentSnapshot(spark, root).get
+    // two committers resolved the SAME base and race for version 2:
+    // the winner's manifest lands, the loser must detect the taken
+    // version and throw — never overwrite
+    val winner = base.copy(version = base.version + 1,
+      parts = base.parts) // a no-op rewrite, content beside the point
+    VersionedTable.commitManifest(spark, root, winner)
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commitManifest(spark, root,
+        base.copy(version = base.version + 1))
+    }
+    // the winner's commit stands untouched
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 2L)
+    // and the delta-publish caller sees the loss the supported way too:
+    // its base is stale, so its recompute-and-retry contract applies
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0)))
+  }
+
+  test("compact: oversized partitions fold to one file, content identical, published as a snapshot") {
+    val root = newRoot("compact")
+    // repartition(3) inside one partition value → ≥2 data files
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L to 30L).map(i => (i, s"v$i", (i % 2).toInt)): _*)
+        .repartition(3))
+    val before = contents(VersionedTable.readCurrent(spark, root, schema))
+    val rewritten = VersionedTable.compact(spark, root, schema,
+      maxFilesPerPart = 1)
+    assert(rewritten.nonEmpty, "3-file partitions must exceed the threshold")
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.version == 2L, "compaction is a normal atomic commit")
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) == before,
+      "compaction must be content-identical")
+    // and now every partition is within threshold: a second pass no-ops
+    assert(VersionedTable.compact(spark, root, schema, 1).isEmpty)
+  }
+
+  test("vacuum: MANY live partitions sharing one generation all survive") {
+    // regression: the live-set flip must not re-key by generation —
+    // that collapsed every partition sharing a gen to one survivor and
+    // vacuum swept live data
+    val root = newRoot("vacmany")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3)))
+    VersionedTable.publishDelta(spark, root, Seq(3), rowsDf((4L, "D2", 3)))
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "b", 1), (3L, "c", 2), (4L, "D2", 3)),
+      "buckets 0..2 share the v1 generation and are all still live")
+  }
+
+  test("vacuum: unreferenced generations go, retained versions stay readable") {
+    val root = newRoot("vacuum")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B2", 1)))
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B3", 1)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def genCount = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data")).count(_.isDirectory)
+    assert(genCount == 3)
+    // keep 2: v2's bucket=1 gen is still referenced; v1's is not — but
+    // v1's gen ALSO holds bucket=0, still shared by v2 and v3, so the
+    // generation survives with only its dead subdir swept
+    VersionedTable.vacuum(spark, root, keepVersions = 2, graceMs = 0L)
+    val mdir = new org.apache.hadoop.fs.Path(root, "manifests")
+    assert(fs.listStatus(mdir).map(_.getPath.getName).sorted.toSeq ==
+      Seq("v00000002.json", "v00000003.json"))
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B3", 1)))
+    // the retained PREVIOUS version is still fully readable (that is
+    // what keepVersions buys)
+    val snap2 = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap2.version == 3L)
+    // now keep only current: v2's gen becomes fully dead, v1's gen
+    // keeps serving bucket=0
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(genCount == 2, "v2's generation is unreferenced and swept; " +
+      "v1's survives because v3 still shares its bucket=0")
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B3", 1)))
+  }
+}
