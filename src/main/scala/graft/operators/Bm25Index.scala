@@ -305,6 +305,99 @@ object Bm25Index {
     scorePostings(spark, postings, mult, nDocs, totalLen, k)
   }
 
+  /** Batched serving — [[probe]] for a query BATCH in ONE postings
+    * scan (the lexical rung of the batch matrix: q122 batched brute /
+    * q135 batched IVF / q137 batched PQ / this): the scan is pruned to
+    * the UNION of the batch's term buckets with the union term list
+    * pushed, each surviving posting row joins the broadcast
+    * (q_id, w, mult) block — so a posting matched by several queries
+    * scores once PER QUERY, with per-query multiplicity — and the
+    * per-query top-`k` runs as `row_number ≤ k` over q_id: Spark's
+    * map-side `WindowGroupLimit` frontier, the q_id exchange carrying
+    * ≤ k·|queries|·partitions rows no matter the corpus. Output
+    * (q_id, doc_id, bm25, n_query_terms), totally ordered for the
+    * declared form. */
+  def probeBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 20): DataFrame = {
+    val (mults, distinctTerms, buckets) = batchPrep(spark, queries)
+    val (nDocs, totalLen) = corpusStats(spark, path)
+    val postings = spark.read.schema(postingsSchema)
+      .parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("w").isin(distinctTerms: _*))
+    scoreBatch(spark, postings, mults, nDocs, totalLen, k)
+  }
+
+  /** [[probeBatch]] against the CURRENT snapshot of a versioned index —
+    * the online serving tier's inner loop: resolve ONE manifest for the
+    * whole batch (all queries in a batch see the same snapshot; the
+    * rollover boundary is the batch boundary), literal-path-prune to
+    * the batch's buckets, serve. [[graft.streaming.StreamingOps]] wraps
+    * exactly this per micro-batch. */
+  def probeBatchVersioned(spark: SparkSession, root: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 20): DataFrame = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no BM25 snapshot at $root"))
+    val (mults, distinctTerms, buckets) = batchPrep(spark, queries)
+    val (nDocs, totalLen) = statsMemo.computeIfAbsent(
+      s"$root#v${snap.version}", _ => {
+        val r = VersionedTable.readExtra(spark, snap, root, "stats",
+          statsSchema).collect().headOption
+        (r.map(_.getLong(0)).getOrElse(0L),
+          r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+      })
+    val postings = VersionedTable.read(spark, snap, root, postingsSchema,
+        wanted = Some(buckets))
+      .filter(col("w").isin(distinctTerms: _*))
+    scoreBatch(spark, postings, mults, nDocs, totalLen, k)
+  }
+
+  private def batchPrep(spark: SparkSession,
+      queries: Seq[(Long, Seq[String])])
+      : (Seq[(Long, String, Long)], Seq[String], Seq[Int]) = {
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.forall(_._2.nonEmpty), "a batch query has no terms")
+    val mults = queries.flatMap { case (qid, ts) =>
+      ts.groupBy(identity).toSeq.map { case (t, occ) =>
+        (qid, t, occ.size.toLong) }
+    }
+    val distinctTerms = queries.flatMap(_._2).distinct
+    val buckets = spark.range(1).select(
+        distinctTerms.map(t => bucketCol(lit(t))): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Int]).distinct
+    (mults, distinctTerms, buckets)
+  }
+
+  /** Batch scoring core: [[scorePostings]]' formula keyed by q_id, with
+    * the per-query frontier as `row_number ≤ k` (map-side
+    * `WindowGroupLimit`) instead of a global TakeOrdered. */
+  private def scoreBatch(spark: SparkSession, postings: DataFrame,
+      mults: Seq[(Long, String, Long)], nDocs: Long, totalLen: Long,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val score =
+      log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * (lit(1.2) + 1.0)) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    val avgdl = if (nDocs == 0) 0.0 else totalLen.toDouble / nDocs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    postings
+      .join(broadcast(mults.toDF("q_id", "w", "mult")), "w")
+      .withColumn("avgdl", lit(avgdl))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(graft.functions.Rounding.roundVal(sum(score * col("mult")), 4)
+        .as("bm25"),
+        sum(col("mult")).as("n_query_terms"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("bm25"),
+        col("n_query_terms"))
+      .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+  }
+
   /** Query-side prep shared by both probes: distinct terms for the scan
     * predicates, per-term multiplicity for q133 parity under duplicated
     * query terms (bm25SearchOf scores one term-column per OCCURRENCE,

@@ -138,18 +138,91 @@ object PipelineOps extends OpCatalog {
     * in-process). */
   def bm25IndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
+    Bm25Index.probe(spark, ensureBm25Artifact(spark, sfDir, "q134").toString,
+      Seq("window", "spark", "stream"))
+  }
+
+  /** The shared q134/q139 posting-list artifact (same family, same
+    * corpus identity): built on first touch, served from disk after —
+    * single- and batch-probe declared forms exercise ONE offline build. */
+  private def ensureBm25Artifact(spark: SparkSession, sfDir: String,
+      tag: String): java.nio.file.Path = {
     val dir = VectorOps.artifactDir(s"graft_bm25_index_${Bm25Index.formatTag}",
       sfDir, sourceFile = "documents.parquet")
     if (VectorOps.buildArtifactOnce(dir, Seq("postings", "stats"))(tmp =>
         Bm25Index.build(GraftSession.spread(
           Tables.documents(spark, sfDir), col("doc_id")), tmp))) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"q134: built BM25 posting-list artifact at $dir (first touch of " +
+        s"$tag: built BM25 posting-list artifact at $dir (first touch of " +
           "this corpus — the offline step; later runs serve from disk)")
       VectorOps.sweepStaleArtifacts(dir, "graft_bm25_index_",
         VectorOps.sfTag(sfDir) + "_")
     }
-    Bm25Index.probe(spark, dir.toString, Seq("window", "spark", "stream"))
+    dir
+  }
+
+  // --------------------------------------------------------------- q139
+  /** The q139 batch battery — 3 fixed keyword queries with overlapping
+    * vocabulary (q1 is q133's exact query; `spark` appears in two
+    * queries, so a shared posting must score once PER query), declared
+    * in ONE place so the Spark build and the generated oracle cannot
+    * drift. */
+  private[operators] val bm25Battery: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("window", "spark", "stream"),
+    2L -> Seq("query", "join", "merge"),
+    3L -> Seq("the", "spark"))
+
+  /** Batched BM25 artifact serving: the q139 battery against the q134
+    * posting-list artifact in ONE bucket-pruned term-pushed scan —
+    * [[Bm25Index.probeBatch]]'s broadcast (q_id, w, mult) block and
+    * map-side `WindowGroupLimit` per-query frontier. The artifact is
+    * q134's (same family, same corpus — built once, served by both). */
+  def batchBm25IndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Bm25Index.probeBatch(spark,
+      ensureBm25Artifact(spark, sfDir, "q139").toString, bm25Battery)
+  }
+
+  /** Per-query oracle blocks generated from [[bm25Battery]]: q133's
+    * exact DuckDB formula, one tf/df/score chain per battery query,
+    * UNION ALL'd with a total order. */
+  private def bm25BatchSql: String = {
+    val shared =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        |lens AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens)"""
+        .stripMargin
+    val blocks = bm25Battery.map { case (qid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""tf$qid AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM t
+         |  WHERE w IN ($inList) GROUP BY 1, 2),
+         |df$qid AS (SELECT w, count(*) AS df FROM tf$qid GROUP BY w),
+         |s$qid AS (
+         |  SELECT tf$qid.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * (1.2 + 1.0)) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+         |        (CAST(total_len AS DOUBLE) / n_docs))) AS sc
+         |  FROM tf$qid JOIN df$qid USING (w) JOIN lens USING (doc_id), stats),
+         |sel$qid AS (
+         |  SELECT CAST($qid AS BIGINT) AS q_id, doc_id, bm25, n_query_terms
+         |  FROM (
+         |    SELECT doc_id, floor((sum(sc)) * 1e4 + 0.5) / 1e4 AS bm25,
+         |      CAST(count(*) AS BIGINT) AS n_query_terms
+         |    FROM s$qid GROUP BY doc_id
+         |    ORDER BY bm25 DESC, doc_id LIMIT 20))""".stripMargin
+    }
+    val union = bm25Battery.map { case (qid, _) =>
+      s"SELECT * FROM sel$qid" }.mkString(" UNION ALL ")
+    s"""$shared,
+       |${blocks.mkString(",\n")}
+       |SELECT q_id, doc_id, bm25, n_query_terms FROM ($union)
+       |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------- q136
@@ -1338,6 +1411,9 @@ object PipelineOps extends OpCatalog {
     Op("q138_bm25_versioned_probe", bm25VersionedProbe,
       Some(bm25IncrementalSql),
       "BM25 through the VersionedTable manifest layer: atomic v1 publish, copy-on-write delta (postings+stats as ONE snapshot), compaction, vacuum -- then q133's query served off the committed manifest with literal-path bucket pruning; must equal BM25-over-v2"),
+    Op("q139_batch_bm25_index_probe", batchBm25IndexProbe,
+      Some(bm25BatchSql),
+      "batched BM25 artifact serving: 3-query battery (overlapping vocabulary) against the q134 posting-list artifact in ONE union-bucket-pruned scan -- broadcast (q_id, w, mult) block, shared postings scored once per query, map-side WindowGroupLimit per-query top-20"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

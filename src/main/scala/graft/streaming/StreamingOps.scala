@@ -719,6 +719,35 @@ object StreamingOps {
             batch.sparkSession, path, batch.toDF(), nProbe, k))
       }
 
+  /** Streaming LEXICAL retrieval with live index rollover: an arriving
+    * keyword-query stream `(q_id, terms)` served against a
+    * [[graft.operators.VersionedTable]] BM25 index, resolving the
+    * CURRENT manifest once per micro-batch
+    * ([[graft.operators.Bm25Index.probeBatchVersioned]]). That single
+    * resolve is the whole online-rollover story: a nightly delta
+    * publishing mid-stream is picked up at the next batch boundary with
+    * NO stream restart, every query within a batch sees ONE consistent
+    * snapshot (postings and corpus stats from the same commit — the
+    * atomic-manifest law doing its online job), and a query in flight
+    * when the publish lands keeps its already-resolved snapshot
+    * (snapshot isolation; vacuum policy must retain the previous
+    * version for at least a batch interval). Stateless between batches
+    * like [[ivfServeStream]]: flat ingest rate, exact stream==batch
+    * law per snapshot (`StreamingSpec` pins pre-publish batches to v1's
+    * answers and post-publish batches to v2's). */
+  def bm25ServeStream(queries: DataFrame, root: String, k: Int = 20)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val qs = batch.select("q_id", "terms").collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+        if (qs.nonEmpty)
+          sink(graft.operators.Bm25Index.probeBatchVersioned(
+            batch.sparkSession, root, qs, k))
+      }
+
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */
   def runToMemory(stream: DataFrame, name: String,

@@ -106,17 +106,47 @@ class Bm25IndexSpec extends SparkSpec {
       .map(b => s"bucket=$b")
     val scannedDirs = plan.linesIterator.filter(l =>
       l.contains("Location") || l.contains("file:")).mkString("\n")
-    queryBuckets.foreach(b => assert(scannedDirs.contains(b),
-      s"wanted dir $b must be a scan root:\n$scannedDirs"))
-    assert(!scannedDirs.split("[,\\s\\]]").exists(s =>
-      s.contains("bucket=") && !queryBuckets.exists(s.contains)),
-      s"scan roots must contain ONLY the wanted bucket dirs:\n$scannedDirs")
+    // greedy digit match: a path with bucket=18 extracts "bucket=18",
+    // never a false "bucket=1" prefix hit — then exact set equality
+    val scannedBuckets = "bucket=\\d+".r.findAllIn(scannedDirs).toSet
+    assert(scannedBuckets == queryBuckets.toSet,
+      s"scan roots must be EXACTLY the wanted bucket dirs: " +
+        s"scanned=$scannedBuckets wanted=$queryBuckets\n$scannedDirs")
     // and the answer equals the plain-layout probe's
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_vtq").toString
     Bm25Index.build(Tables.documents(spark, sfDir), dir)
     assert(probe.collect().map(_.toSeq).toSeq ==
       Bm25Index.probe(spark, dir, terms).collect().map(_.toSeq).toSeq,
       "versioned and plain layouts must serve identical answers")
+  }
+
+  test("probeBatch == per-query probe, shared postings scored once per query, dup terms weighted") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_bt").toString
+    Bm25Index.build(docs, dir)
+    // overlapping vocabulary + a duplicated term in one query
+    val battery = Seq(
+      1L -> Seq("window", "spark", "stream"),
+      2L -> Seq("query", "join", "merge"),
+      3L -> Seq("spark", "the", "spark"))
+    val batched = Bm25Index.probeBatch(spark, dir, battery, k = 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val perQuery = battery.flatMap { case (qid, terms) =>
+      Bm25Index.probe(spark, dir, terms, k = 20).collect().map(r =>
+        (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+    }.sortBy { case (qid, doc, sc, _) => (qid, -sc, doc) }
+    assert(batched == perQuery,
+      "one batched scan must equal each query probed alone (incl. the " +
+        "duplicated-term multiplicity and the shared 'spark' postings)")
+    // versioned route: same battery, same answers
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_btv").toString
+    Bm25Index.buildVersioned(spark, docs, root)
+    val versioned = Bm25Index.probeBatchVersioned(spark, root, battery)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(versioned == batched,
+      "manifest-served batch must equal the plain-layout batch")
   }
 
   test("empty and degenerate corpora: build + probe degrade to empty, never throw") {

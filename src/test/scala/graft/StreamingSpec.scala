@@ -783,4 +783,72 @@ class StreamingSpec extends SparkSpec {
         "batched probe exactly")
     assert(buf.size == batchAns.size, "no duplicate emissions across batches")
   }
+
+  test("streaming BM25 with live index rollover: a mid-stream publish serves v2 at the next batch, no restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Bm25Index, CurationOps}
+    val docsV1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val docsV2 = CurationOps.plantedV2(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_roll").toString
+    Bm25Index.buildVersioned(spark, docsV1, root)
+    val battery = Seq(1L -> Seq("window", "spark", "stream"),
+      2L -> Seq("query", "join"))
+    val mem = MemoryStream[(Long, Seq[String])]
+    val buf = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Long)]()
+    var perBatchSizes = List.empty[Int]
+    val q = StreamingOps.bm25ServeStream(
+        mem.toDS().toDF("q_id", "terms"), root) { ans =>
+      buf.synchronized {
+        val rows = ans.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        buf ++= rows
+        perBatchSizes ::= rows.length
+      }
+    }.start()
+    try {
+      mem.addData(battery)
+      q.processAllAvailable()
+      val v1Served = buf.toList
+      // the nightly delta publishes WHILE the stream is live — by the
+      // hash-diff, exactly what q136/q138 apply
+      val d = docsV1.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(docsV2.select(col("doc_id"), md5(col("text")).as("h2")),
+          Seq("doc_id"), "full_outer")
+      Bm25Index.updateFromVersioned(spark, root,
+        docsV2.join(d.filter(col("h1").isNull ||
+          (col("h2").isNotNull && col("h1") =!= col("h2")))
+          .select(col("doc_id")), "doc_id"),
+        d.filter(col("h2").isNull).select(col("doc_id")))
+      mem.addData(battery)
+      q.processAllAvailable()
+      // pre-publish batch served v1's answers, post-publish batch v2's —
+      // the rollover happened at the batch boundary with no restart
+      val v2Served = buf.toList.drop(v1Served.length)
+      // recompute each side's expectation from fresh plain builds (the
+      // versioned reader has already rolled to v2)
+      val refV1 = java.nio.file.Files
+        .createTempDirectory("graft_bm25_roll_r1").toString
+      Bm25Index.build(docsV1, refV1)
+      val wantV1 = battery.flatMap { case (qid, ts) =>
+        Bm25Index.probe(spark, refV1, ts).collect().map(r =>
+          (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+      }.sortBy { case (qid, doc, sc, _) => (qid, -sc, doc) }
+      val refV2 = java.nio.file.Files
+        .createTempDirectory("graft_bm25_roll_r2").toString
+      Bm25Index.build(docsV2, refV2)
+      val wantV2 = battery.flatMap { case (qid, ts) =>
+        Bm25Index.probe(spark, refV2, ts).collect().map(r =>
+          (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+      }.sortBy { case (qid, doc, sc, _) => (qid, -sc, doc) }
+      assert(v1Served == wantV1, "pre-publish batch must serve v1's index")
+      assert(v2Served == wantV2, "post-publish batch must serve v2's index")
+      assert(wantV1 != wantV2,
+        "fixture must actually change the answers or the law is vacuous")
+    } finally q.stop()
+  }
 }
