@@ -61,6 +61,90 @@ object IvfIndex {
   def loadCodebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
+  /** Assignments schema for explicit-schema versioned reads (the cell
+    * partition column parses from the generation dir names). */
+  val assignmentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", IntegerType)))
+  }
+
+  /** Codebook schema — (cell, centroid), the ≤nlist-row model extra. */
+  val codebookSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(FloatType))))
+  }
+
+  /** [[build]] into a [[VersionedTable]] at `root`: the codebook rides
+    * as an extra of the SAME snapshot as the assignments it produced —
+    * a delta can never be served against a codebook it wasn't assigned
+    * under (the model/derived-state pairing, committed atomically). */
+  def buildVersioned(spark: SparkSession, e: DataFrame, root: String,
+      iters: Int = 3, nlist: Option[Int] = None): Long = {
+    val cb = train(e, iters, nlist).localCheckpoint()
+    VersionedTable.publishFull(spark, root, "cell",
+      VectorOps.assignCells(e, cb), Map("codebook" -> cb))
+  }
+
+  /** [[updateFrom]] against a versioned index: same frozen-codebook
+    * delta math, published as ONE copy-on-write snapshot — readers keep
+    * a consistent (codebook, assignments) pair mid-maintenance, and the
+    * previous snapshot stays serveable until vacuumed. The codebook
+    * extra carries over untouched (frozen by construction). */
+  def updateFromVersioned(spark: SparkSession, root: String,
+      upserts: DataFrame, removedIds: DataFrame): Long = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no IVF snapshot at $root"))
+    val cb = VersionedTable.readExtra(spark, snap, root, "codebook",
+      codebookSchema).localCheckpoint()
+    val dropIds = removedIds.select(col("vec_id"))
+      .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
+    val old = VersionedTable.read(spark, snap, root, assignmentsSchema)
+    val newAssign = VectorOps.assignCells(
+      upserts.select(col("vec_id"), col("embedding")), cb).localCheckpoint()
+    val affectedCells = IndexMaintenance.distinctVals(
+      IndexMaintenance.filterByIds(old, "vec_id", dropIds)
+        .select(col("cell"))
+        .union(newAssign.select(col("cell"))), "cell")
+    val kept = old.filter(col("cell").isin(affectedCells: _*))
+      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+    VersionedTable.publishDelta(spark, root, affectedCells,
+      kept.unionByName(newAssign))
+  }
+
+  /** [[probe]] against the CURRENT snapshot: the probed cells resolve
+    * against the snapshot's own codebook extra, and the pruning is
+    * literal path selection off the manifest — only the probed cells'
+    * directories are handed to the scan. One resolve covers the whole
+    * probe: a publish landing mid-probe cannot mix a new codebook with
+    * old assignments. */
+  def probeVersioned(spark: SparkSession, root: String, q: DataFrame,
+      nProbeOpt: Option[Int] = None): DataFrame = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no IVF snapshot at $root"))
+    val cb = VersionedTable.readExtra(spark, snap, root, "codebook",
+      codebookSchema)
+    val nProbe = nProbeOpt.getOrElse(
+      AnnParams.ivfProbeCells(cb.count().toInt))
+    val cells = cb.crossJoin(broadcast(q))
+      .select(col("cell"),
+        graft.functions.VectorExpressions
+          .cosineSimilarity(col("centroid"), col("q_emb")).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    VersionedTable.read(spark, snap, root, assignmentsSchema,
+        wanted = Some(cells))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        roundVal(graft.functions.VectorExpressions
+          .cosineSimilarity(col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Incremental maintenance under the FROZEN codebook (the
     * FAISS/Lucene split — assignments are derived state and move with
     * the delta; retraining centroids is a model refresh, a different

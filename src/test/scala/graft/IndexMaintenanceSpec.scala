@@ -194,6 +194,46 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(served.collect().length == 10)
   }
 
+  test("IVF versioned: delta snapshot == in-place delta (same frozen codebook), probes equal, isolation holds") {
+    import graft.operators.VersionedTable
+    val (_, upserts, removed) = embDelta
+    val v1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    // plain in-place lifecycle (already law-pinned above) as the reference
+    val dir = java.nio.file.Files.createTempDirectory("graft_im_ivf_p").toString
+    IvfIndex.build(v1, dir)
+    IvfIndex.updateFrom(spark, dir, upserts, removed)
+    // versioned lifecycle — training is deterministic on v1, so the
+    // frozen codebooks agree and the end states must too
+    val root = java.nio.file.Files.createTempDirectory("graft_im_ivf_v").toString
+    IvfIndex.buildVersioned(spark, v1, root)
+    val snap1 = VersionedTable.currentSnapshot(spark, root).get
+    IvfIndex.updateFromVersioned(spark, root, upserts, removed)
+    val got = VersionedTable.readCurrent(spark, root,
+        IvfIndex.assignmentsSchema)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = spark.read.parquet(s"$dir/assignments")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want,
+      "versioned delta must land the same assignments as the in-place one")
+    // snapshot isolation: v1's assignment count is unchanged under v2
+    val v1Count = VersionedTable.read(spark, snap1, root,
+      IvfIndex.assignmentsSchema).count()
+    assert(v1Count == v1.count(),
+      "the pre-delta snapshot still reads all of v1's assignments")
+    // serving parity at an explicit nProbe (default derivation is
+    // count-sensitive; parity needs the same width on both routes)
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    assert(IvfIndex.probeVersioned(spark, root, q, Some(3))
+        .collect().map(_.toSeq).toSeq ==
+      IvfIndex.probe(spark, dir, q, Some(3)).collect().map(_.toSeq).toSeq,
+      "manifest-served probe must equal the plain-layout probe")
+  }
+
   test("PQ: updateFrom delta-encode == full re-encode under the frozen codebook; meta re-stamped") {
     val (v2, upserts, removed) = embDelta
     val v1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
