@@ -79,13 +79,52 @@ object Bm25Index {
   private val statsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def corpusStats(spark: SparkSession, path: String): (Long, Long) =
-    statsMemo.computeIfAbsent(path, _ => {
-      val r = spark.read.schema(statsSchema).parquet(s"$path/stats")
-        .collect().headOption
-      (r.map(_.getLong(0)).getOrElse(0L),
-        r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
-    })
+  private def corpusStats(spark: SparkSession, path: String): (Long, Long) = {
+    val cached = statsMemo.get(path)
+    if (cached != null) return cached
+    val r = spark.read.schema(statsSchema).parquet(s"$path/stats")
+      .collect().headOption
+    r match {
+      case Some(row) =>
+        val v = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        statsMemo.put(path, v)
+        v
+      case None =>
+        // a complete build always writes exactly one stats row (the
+        // aggregate of an empty corpus is (0, null)), so zero rows
+        // means a torn/in-progress artifact: serve zeros WITHOUT
+        // caching — the pre-memo per-probe read self-healed once stats
+        // landed, and memoizing the degenerate read would pin bogus
+        // IDF/avgdl constants forever
+        (0L, 0L)
+    }
+  }
+
+  /** Per-(root, version) corpus constants for the versioned probes —
+    * ONE definition for single and batched serving (the [[termFreq]]
+    * rule: a forked copy silently diverges). A snapshot's stats are
+    * immutable, so the cache needs no invalidation — but a serving
+    * JVM taking nightly deltas for months must not leak one entry per
+    * publish, so caching version N evicts this root's older keys
+    * (their snapshots are vacuum fodder anyway). */
+  private def versionedStats(spark: SparkSession, root: String,
+      snap: VersionedTable.Snapshot): (Long, Long) = {
+    val key = s"$root#v${snap.version}"
+    val cached = statsMemo.get(key)
+    if (cached != null) return cached
+    val r = VersionedTable.readExtra(spark, snap, root, "stats",
+      statsSchema).collect().headOption
+    val v = (r.map(_.getLong(0)).getOrElse(0L),
+      r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+    val prefix = s"$root#v"
+    val it = statsMemo.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k.startsWith(prefix) && k != key) statsMemo.remove(k)
+    }
+    statsMemo.put(key, v)
+    v
+  }
 
   /** q133's lower+space-split token contract — ONE definition shared
     * by [[build]] and [[updateFrom]], whose df/dl math silently
@@ -107,6 +146,9 @@ object Bm25Index {
     rows.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     stats.write.mode("overwrite").parquet(s"$path/stats")
+    // an in-place rebuild at a served path must not leave v(old)'s
+    // corpus constants memoized (same contract as updateFrom)
+    statsMemo.remove(path)
   }
 
   /** ONE tokenize pass → (posting rows incl. `bucket`, 1-row stats) —
@@ -292,13 +334,7 @@ object Bm25Index {
     val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no BM25 snapshot at $root"))
     val (distinctTerms, mult, buckets) = queryPrep(spark, terms)
-    val (nDocs, totalLen) = statsMemo.computeIfAbsent(
-      s"$root#v${snap.version}", _ => {
-        val r = VersionedTable.readExtra(spark, snap, root, "stats",
-          statsSchema).collect().headOption
-        (r.map(_.getLong(0)).getOrElse(0L),
-          r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
-      })
+    val (nDocs, totalLen) = versionedStats(spark, root, snap)
     val postings = VersionedTable.read(spark, snap, root, postingsSchema,
         wanted = Some(buckets))
       .filter(col("w").isin(distinctTerms: _*)) // pushed into each gen scan
@@ -339,13 +375,7 @@ object Bm25Index {
     val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no BM25 snapshot at $root"))
     val (mults, distinctTerms, buckets) = batchPrep(spark, queries)
-    val (nDocs, totalLen) = statsMemo.computeIfAbsent(
-      s"$root#v${snap.version}", _ => {
-        val r = VersionedTable.readExtra(spark, snap, root, "stats",
-          statsSchema).collect().headOption
-        (r.map(_.getLong(0)).getOrElse(0L),
-          r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
-      })
+    val (nDocs, totalLen) = versionedStats(spark, root, snap)
     val postings = VersionedTable.read(spark, snap, root, postingsSchema,
         wanted = Some(buckets))
       .filter(col("w").isin(distinctTerms: _*))

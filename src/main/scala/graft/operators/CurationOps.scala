@@ -525,6 +525,28 @@ object CurationOps extends OpCatalog {
       .unionByName(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
 
+  /** q100's diff CLASSES as consumable frames — the honest hash-diff
+    * every maintenance consumer (q136/q138 index deltas, the streaming
+    * rollover, the maintenance specs) feeds from, in ONE definition
+    * (the [[plantedV2]] rationale: hand-copied diff logic silently
+    * desyncs). Null-safe via PRESENCE flags, not hash comparison alone:
+    * `md5(null)` is null, so a live doc with null text would look
+    * "absent" under a bare h-is-null test — the in1/in2 flags classify
+    * it correctly (its unchanged re-delivery is a no-op upsert).
+    * Returns (upserts = added ∪ changed rows of v2, removed ids). */
+  private[graft] def hashDiff(v1: DataFrame, v2: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val d = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+        lit(true).as("in1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("h2"),
+        lit(true).as("in2")), Seq("doc_id"), "full_outer")
+    val removed = d.filter(col("in2").isNull).select(col("doc_id"))
+    val upsertIds = d.filter(col("in2").isNotNull &&
+      (col("in1").isNull || !(col("h1") <=> col("h2"))))
+      .select(col("doc_id"))
+    (v2.join(upsertIds, "doc_id"), removed)
+  }
+
   // --------------------------------------------------------------- q100
   /** Corpus snapshot diff — the incremental-processing primitive: given
     * crawl v1 and crawl v2, classify every doc_id as added / removed /

@@ -155,8 +155,7 @@ object PipelineOps extends OpCatalog {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"$tag: built BM25 posting-list artifact at $dir (first touch of " +
           "this corpus — the offline step; later runs serve from disk)")
-      VectorOps.sweepStaleArtifacts(dir, "graft_bm25_index_",
-        VectorOps.sfTag(sfDir) + "_")
+      VectorOps.sweepStaleArtifacts(dir, "graft_bm25_index_", sfDir)
     }
     dir
   }
@@ -253,26 +252,15 @@ object PipelineOps extends OpCatalog {
         Bm25Index.build(v1, tmp)
         val v2 = CurationOps.plantedV2(Tables.documents(spark, sfDir))
           .select(col("doc_id"), col("text"))
-        // q100's diff classes, by content hash (null-safe: an id only
-        // in v1 is removed; an id with a new-or-new-to-us hash is an
-        // upsert — including null-text rows, whose re-add is a no-op)
-        val d = v1.select(col("doc_id"), md5(col("text")).as("h1"),
-            lit(true).as("in1"))
-          .join(v2.select(col("doc_id"), md5(col("text")).as("h2"),
-            lit(true).as("in2")), Seq("doc_id"), "full_outer")
-        val removed = d.filter(col("in2").isNull).select(col("doc_id"))
-        val upsertIds = d.filter(col("in2").isNotNull &&
-          (col("in1").isNull || !(col("h1") <=> col("h2"))))
-          .select(col("doc_id"))
-        Bm25Index.updateFrom(spark, tmp, v2.join(upsertIds, "doc_id"),
-          removed)
+        // q100's diff classes by the shared null-safe hash-diff
+        val (upserts, removed) = CurationOps.hashDiff(v1, v2)
+        Bm25Index.updateFrom(spark, tmp, upserts, removed)
       })) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"q136: built v1 BM25 index + applied the v1→v2 delta at $dir " +
           "(first touch — the offline build + nightly delta; later runs " +
           "serve from disk)")
-      VectorOps.sweepStaleArtifacts(dir, "graft_bm25incr_index_",
-        VectorOps.sfTag(sfDir) + "_")
+      VectorOps.sweepStaleArtifacts(dir, "graft_bm25incr_index_", sfDir)
     }
     Bm25Index.probe(spark, dir.toString, Seq("window", "spark", "stream"))
   }
@@ -305,16 +293,8 @@ object PipelineOps extends OpCatalog {
         Bm25Index.buildVersioned(spark, v1, tmp)
         val v2 = CurationOps.plantedV2(Tables.documents(spark, sfDir))
           .select(col("doc_id"), col("text"))
-        val d = v1.select(col("doc_id"), md5(col("text")).as("h1"),
-            lit(true).as("in1"))
-          .join(v2.select(col("doc_id"), md5(col("text")).as("h2"),
-            lit(true).as("in2")), Seq("doc_id"), "full_outer")
-        val removed = d.filter(col("in2").isNull).select(col("doc_id"))
-        val upsertIds = d.filter(col("in2").isNotNull &&
-          (col("in1").isNull || !(col("h1") <=> col("h2"))))
-          .select(col("doc_id"))
-        Bm25Index.updateFromVersioned(spark, tmp,
-          v2.join(upsertIds, "doc_id"), removed)
+        val (upserts, removed) = CurationOps.hashDiff(v1, v2)
+        Bm25Index.updateFromVersioned(spark, tmp, upserts, removed)
         VersionedTable.compact(spark, tmp, Bm25Index.postingsSchema)
         VersionedTable.vacuum(spark, tmp, keepVersions = 1, graceMs = 0L)
         val ready = java.nio.file.Paths.get(tmp, "READY")
@@ -325,8 +305,7 @@ object PipelineOps extends OpCatalog {
         s"q138: published v1 + delta + compact + vacuum snapshots at $dir " +
           "(first touch — the versioned maintenance lifecycle; later runs " +
           "serve off the committed manifest)")
-      VectorOps.sweepStaleArtifacts(dir, "graft_bm25vt_index_",
-        VectorOps.sfTag(sfDir) + "_")
+      VectorOps.sweepStaleArtifacts(dir, "graft_bm25vt_index_", sfDir)
     }
     Bm25Index.probeVersioned(spark, dir.toString,
       Seq("window", "spark", "stream"))

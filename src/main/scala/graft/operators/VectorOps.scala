@@ -1425,9 +1425,10 @@ object VectorOps extends OpCatalog {
     Paths.get(sys.props("java.io.tmpdir"), family, s"${sfTag(sfDir)}_$fp")
   }
 
-  /** The corpus-directory component of an artifact entry name — shared
-    * with [[sweepStaleArtifacts]], whose same-corpus stale-fingerprint
-    * sweep keys on it. */
+  /** The corpus-directory component of an artifact entry name — purely
+    * cosmetic/namespacing: corpus IDENTITY for the GC sweep lives in
+    * each entry's [[CorpusMarker]] file (tag erasure makes names
+    * ambiguous). */
   private[graft] def sfTag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -1548,11 +1549,30 @@ object VectorOps extends OpCatalog {
     * under its lock. Failures are swallowed: GC is hygiene, not
     * correctness — the worst outcome of a skipped sweep is the disk
     * usage we had for nine rounds. */
+  /** Name of the per-entry corpus marker: a file inside each artifact
+    * entry recording the EXACT source-corpus path it was built from.
+    * The same-corpus sweep keys on marker equality — never on parsing
+    * the entry NAME, whose `${sfTag}_${fp}` form is ambiguous: sfTag
+    * erases path boundaries, so a sibling corpus `/x/sfA/123` with an
+    * all-decimal dir-hash renders as `sfA_123_<digits>`, which a
+    * shape-guess can misread as `sfA` + a `size_mtime` fingerprint and
+    * GC a LIVE artifact (round-10 review). Markerless entries (built
+    * by pre-marker code) are never same-corpus-swept — bounded one-time
+    * litter, reclaimed when their format token bumps. */
+  private val CorpusMarker = ".corpus"
+
   private[graft] def sweepStaleArtifacts(current: java.nio.file.Path,
-      familyPrefix: String, entryPrefix: String): Unit = {
+      familyPrefix: String, corpusId: String): Unit = {
     import java.nio.file.{Files, StandardOpenOption}
     val familyDir = current.getParent
     val entryName = current.getFileName.toString
+    // stamp the current entry's marker first (idempotent; a ready
+    // artifact is immutable but a dot-file is invisible to readers) so
+    // future sweeps can recognize it
+    try {
+      val m = current.resolve(CorpusMarker)
+      if (!Files.exists(m)) Files.writeString(m, corpusId)
+    } catch { case scala.util.control.NonFatal(_) => () }
     def tryDelete(target: java.nio.file.Path): Unit =
       try {
         val lockPath = target.resolveSibling(s"${target.getFileName}.lock")
@@ -1604,21 +1624,25 @@ object VectorOps extends OpCatalog {
           catch { case scala.util.control.NonFatal(_) => () }
         }
       } finally fams.close()
-      // (b) the SAME corpus (tag) at a stale fingerprint in the
-      // current family — superseded by the build that just installed.
-      // Other corpora's entries (other SFs, other tables) stay. The
-      // prefix alone is NOT enough: sfTag erases path boundaries, so a
-      // sibling corpus '/data/sf0.1_alt' prefix-matches '/data/sf0.1'
-      // — the remainder must additionally LOOK like a fingerprint
-      // (hex dir-hash, `size_mtime`, or the absent marker), which a
-      // tag extension ('alt_<fp>') never does.
-      val fpShape = "^([0-9a-f]+|[0-9]+_[0-9]+|absent)$".r
+      // (b) the SAME corpus at a stale fingerprint in the current
+      // family — superseded by the build that just installed. Identity
+      // comes from the [[CorpusMarker]] file, compared for EXACT
+      // equality with this build's corpus path: other corpora (other
+      // SFs, other tables, tag-extension siblings like '/x/sfA_alt' —
+      // and '/x/sfA/123', whose NAME can be indistinguishable from an
+      // 'sfA' fingerprint) carry a different marker and survive;
+      // markerless legacy entries are skipped outright.
       val entries = Files.list(familyDir)
       try entries.forEach { e =>
         val n = e.getFileName.toString
-        if (n.startsWith(entryPrefix) && n != entryName &&
-            fpShape.matches(n.substring(entryPrefix.length)) &&
-            eligible(n) && Files.isDirectory(e)) tryDelete(e)
+        if (n != entryName && eligible(n) && Files.isDirectory(e)) {
+          val marker = e.resolve(CorpusMarker)
+          val sameCorpus =
+            try Files.exists(marker) &&
+              Files.readString(marker) == corpusId
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (sameCorpus) tryDelete(e)
+        }
       } finally entries.close()
     } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -1681,7 +1705,7 @@ object VectorOps extends OpCatalog {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"$qname: built PQ index artifact at $dir (first touch of " +
           "this corpus — the offline step; later runs serve from disk)")
-      sweepStaleArtifacts(dir, "graft_pq_index_", sfTag(sfDir) + "_")
+      sweepStaleArtifacts(dir, "graft_pq_index_", sfDir)
     }
     dir
   }
@@ -1706,7 +1730,7 @@ object VectorOps extends OpCatalog {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"$qname: built IVF index artifact at $dir (first touch of " +
           "this corpus — the offline step; later runs serve from disk)")
-      sweepStaleArtifacts(dir, "graft_ivf_index_", sfTag(sfDir) + "_")
+      sweepStaleArtifacts(dir, "graft_ivf_index_", sfDir)
     }
     (dir, k)
   }

@@ -262,7 +262,13 @@ object VersionedTable {
     }.map(_._1)
     if (oversized.isEmpty) return Nil
     val vals = oversized.map(_.substring(snap.partCol.length + 1))
-    val rows = read(spark, snap, root, schema, Some(vals)).coalesce(1)
+    // one shuffle task per partition VALUE (hash-colliding values still
+    // write one file each under partitionBy), so compaction wall-clock
+    // scales with the largest partition, not the total compacted volume
+    // — coalesce(1) would funnel every oversized partition through a
+    // single core
+    val rows = read(spark, snap, root, schema, Some(vals))
+      .repartition(org.apache.spark.sql.functions.col(snap.partCol))
     publishDelta(spark, root, vals, rows)
     oversized
   }
@@ -298,7 +304,9 @@ object VersionedTable {
       val now = System.currentTimeMillis()
       fs.listStatus(ddir).filter(_.isDirectory).foreach { genSt =>
         val gen = genSt.getPath.getName
-        if (now - genSt.getModificationTime > graceMs) {
+        // >= so graceMs=0 means "sweep now" even when the publish and
+        // the vacuum land in the same millisecond (coarse-mtime FSs)
+        if (now - genSt.getModificationTime >= graceMs) {
           fs.listStatus(genSt.getPath).foreach { child =>
             val name = child.getPath.getName
             // _SUCCESS & co. ride with the generation; only swept when

@@ -23,17 +23,11 @@ class IndexMaintenanceSpec extends SparkSpec {
 
   /** The diff classes computed the honest way (q100's hash diff), not
     * read off the planting rule — updateFrom consumes what a real
-    * snapshot-diff job emits. */
-  private def docDiff: (DataFrame, DataFrame) = {
-    val v1 = docsV1.select(col("doc_id"), md5(col("text")).as("h1"))
-    val v2h = docsV2.select(col("doc_id"), md5(col("text")).as("h2"))
-    val d = v1.join(v2h, Seq("doc_id"), "full_outer")
-    val removed = d.filter(col("h2").isNull).select(col("doc_id"))
-    val upsertIds = d.filter(col("h1").isNull ||
-      (col("h1").isNotNull && col("h2").isNotNull && col("h1") =!= col("h2")))
-      .select(col("doc_id"))
-    (docsV2.join(upsertIds, "doc_id"), removed)
-  }
+    * snapshot-diff job emits, via the ONE shared null-safe definition
+    * (a hand-copied h-is-null variant here once misclassified null-text
+    * docs as absent — `md5(null)` is null). */
+  private def docDiff: (DataFrame, DataFrame) =
+    CurationOps.hashDiff(docsV1, docsV2)
 
   private def postingsRows(dir: String) =
     spark.read.schema(Bm25Index.postingsSchema).parquet(s"$dir/postings")

@@ -154,30 +154,43 @@ class PqIndexSpec extends SparkSpec {
     val famCur = tmpRoot.resolve("graft_tst_index_v2")
     val famOld = tmpRoot.resolve("graft_tst_index_v1")
     val unrelated = tmpRoot.resolve("graft_other_index_v1")
-    // entry names follow artifactDir's `${tag}_${fp}` scheme: hex
-    // dir-hashes and size_mtime file fingerprints
+    // entry names follow artifactDir's `${tag}_${fp}` scheme; corpus
+    // identity lives in each entry's .corpus marker (names are
+    // ambiguous — see CorpusMarker's scaladoc)
     val cur = famCur.resolve("sfA_deadbee2")
     val staleFp = famCur.resolve("sfA_deadbee1")
     val staleFileFp = famCur.resolve("sfA_500_1700")
     val otherCorpus = famCur.resolve("sfB_deadbee9")
-    // a SIBLING corpus whose tag extends this one's ('/x/sfA' vs
-    // '/x/sfA_alt' — sfTag erases the path boundary): prefix-matches
-    // but its remainder is no fingerprint, so it must SURVIVE
+    // a SIBLING corpus '/x/sfA/123' whose all-decimal dir-hash renders
+    // its NAME exactly like an 'sfA' size_mtime fingerprint — the
+    // collision class a name-shape guess GC'd; its marker differs, so
+    // it must SURVIVE
+    val numericCousin = famCur.resolve("sfA_123_4567")
+    // a tag-extension sibling ('/x/sfA_alt'): also survives by marker
     val prefixCousin = famCur.resolve("sfA_alt_deadbeef")
+    // a legacy entry with NO marker (pre-marker binary): never
+    // same-corpus-swept, whatever its name looks like
+    val markerless = famCur.resolve("sfA_deadbee0")
     val lockedStale = famOld.resolve("sfA_deadbeeX")
     val unrelatedEntry = unrelated.resolve("sfA_deadbee1")
-    Seq(cur, staleFp, staleFileFp, otherCorpus, prefixCousin, lockedStale,
-        unrelatedEntry).foreach { d =>
+    Seq(cur, staleFp, staleFileFp, otherCorpus, numericCousin,
+        prefixCousin, markerless, lockedStale, unrelatedEntry).foreach { d =>
       Files.createDirectories(d)
       Files.writeString(d.resolve("data"), "x")
     }
+    Seq(cur, staleFp, staleFileFp, lockedStale).foreach(d =>
+      Files.writeString(d.resolve(".corpus"), "/x/sfA"))
+    Files.writeString(otherCorpus.resolve(".corpus"), "/x/sfB")
+    Files.writeString(numericCousin.resolve(".corpus"), "/x/sfA/123")
+    Files.writeString(prefixCousin.resolve(".corpus"), "/x/sfA_alt")
+    Files.writeString(unrelatedEntry.resolve(".corpus"), "/x/sfA")
     // an in-flight competitor: its entry's build lock is HELD (same-JVM
     // overlap surfaces as OverlappingFileLockException — the same skip)
     val ch = java.nio.channels.FileChannel.open(
       famOld.resolve("sfA_deadbeeX.lock"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val held = ch.lock()
-    try VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "sfA_")
+    try VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "/x/sfA")
     finally { held.release(); ch.close() }
     assert(Files.exists(cur.resolve("data")), "current artifact untouched")
     assert(!Files.exists(staleFp),
@@ -187,15 +200,19 @@ class PqIndexSpec extends SparkSpec {
     assert(!Files.exists(famCur.resolve("sfA_deadbee1.lock")),
       "a GC'd entry's lock file must go with it")
     assert(Files.exists(otherCorpus), "other corpora's entries survive")
+    assert(Files.exists(numericCousin),
+      "a sibling corpus whose NAME mimics an 'sfA' size_mtime " +
+        "fingerprint must survive — identity is the marker, not the name")
     assert(Files.exists(prefixCousin),
-      "a tag-extension sibling corpus must survive (its remainder is " +
-        "no fingerprint)")
+      "a tag-extension sibling corpus must survive (different marker)")
+    assert(Files.exists(markerless),
+      "a legacy markerless entry is never same-corpus-swept")
     assert(Files.exists(lockedStale),
       "a lock-held stale entry must survive the sweep")
     assert(Files.exists(unrelatedEntry),
       "a different family prefix is out of scope")
     // lock released: the next build's sweep removes the old-token family
-    VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "sfA_")
+    VectorOps.sweepStaleArtifacts(cur, "graft_tst_index_", "/x/sfA")
     assert(!Files.exists(famOld),
       "stale-token family dir must be fully removed once unlocked")
     assert(Files.exists(cur.resolve("data")))

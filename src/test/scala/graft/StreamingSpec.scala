@@ -814,16 +814,10 @@ class StreamingSpec extends SparkSpec {
       mem.addData(battery)
       q.processAllAvailable()
       val v1Served = buf.toList
-      // the nightly delta publishes WHILE the stream is live — by the
-      // hash-diff, exactly what q136/q138 apply
-      val d = docsV1.select(col("doc_id"), md5(col("text")).as("h1"))
-        .join(docsV2.select(col("doc_id"), md5(col("text")).as("h2")),
-          Seq("doc_id"), "full_outer")
-      Bm25Index.updateFromVersioned(spark, root,
-        docsV2.join(d.filter(col("h1").isNull ||
-          (col("h2").isNotNull && col("h1") =!= col("h2")))
-          .select(col("doc_id")), "doc_id"),
-        d.filter(col("h2").isNull).select(col("doc_id")))
+      // the nightly delta publishes WHILE the stream is live — the
+      // shared hash-diff, exactly what q136/q138 apply
+      val (upserts, removed) = CurationOps.hashDiff(docsV1, docsV2)
+      Bm25Index.updateFromVersioned(spark, root, upserts, removed)
       mem.addData(battery)
       q.processAllAvailable()
       // pre-publish batch served v1's answers, post-publish batch v2's —
