@@ -201,6 +201,134 @@ object PqIndex {
     writeCodesCount(spark, path)
   }
 
+  /** Explicit schemas for versioned reads. */
+  val codesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("vbucket", IntegerType)))
+  }
+  private val codebookSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("sub", IntegerType),
+      StructField("code", IntegerType),
+      StructField("centroid", ArrayType(FloatType))))
+  }
+  private val vStatsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+
+  /** [[build]] into a [[VersionedTable]] at `root`: dense codebook and
+    * the stored-codes count ride as extras of the SAME snapshot as the
+    * codes they describe — the count can never be served against codes
+    * from a different commit (the shortlist budget stays honest under
+    * maintenance), and the codebook/codes pairing is atomic like the
+    * IVF family's. */
+  def buildVersioned(spark: SparkSession, e: DataFrame, root: String,
+      iters: Int = 3): Long = {
+    import spark.implicits._
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val dim = corpus.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % M == 0, s"dim $dim not divisible by m=$M")
+    val cents = VectorOps.pqCodebook(e, M, dim / M, K, iters)
+    val dense = cents.withColumn("code",
+      (row_number().over(Window.partitionBy(col("sub"))
+        .orderBy(col("cell"))) - 1).cast("int"))
+      .select(col("sub"), col("code"), col("centroid"))
+      .localCheckpoint()
+    val rows = encodeWith(corpus, dense).localCheckpoint()
+    VersionedTable.publishFull(spark, root, "vbucket", rows,
+      Map("codebook" -> dense, "stats" -> Seq(rows.count()).toDF("n")))
+  }
+
+  /** [[updateFrom]] against a versioned index: same frozen-codebook
+    * delta-encode, but the count MOVES BY THE DELTA instead of a full
+    * recount (old total from the snapshot's stats extra, minus the
+    * affected buckets' prior rows, plus their replacements — all
+    * delta-bounded reads), and codes+count publish as ONE snapshot. */
+  def updateFromVersioned(spark: SparkSession, root: String,
+      upserts: DataFrame, removedIds: DataFrame): Long = {
+    import spark.implicits._
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no PQ snapshot at $root"))
+    val denseCb = VersionedTable.readExtra(spark, snap, root, "codebook",
+      codebookSchema).localCheckpoint()
+    val nOld = VersionedTable.readExtra(spark, snap, root, "stats",
+      vStatsSchema).collect().head.getLong(0)
+    val dropIds = removedIds.select(col("vec_id"))
+      .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
+    val affectedBuckets = IndexMaintenance.distinctVals(
+      dropIds.select(vbucketCol(col("vec_id")).as("vbucket")), "vbucket")
+    val before = VersionedTable.read(spark, snap, root, codesSchema,
+      wanted = Some(affectedBuckets))
+    val kept = before.join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("codes"), col("vbucket"))
+    val added = encodeWith(
+      upserts.select(col("vec_id"), col("embedding")), denseCb)
+    val replacement = kept.unionByName(added).localCheckpoint()
+    val nNew = nOld - before.count() + replacement.count()
+    VersionedTable.publishDelta(spark, root, affectedBuckets, replacement,
+      Map("stats" -> Seq(nNew).toDF("n")))
+  }
+
+  /** [[probe]] against the CURRENT snapshot: codebook, codes, and the
+    * shortlist budget's count all come from ONE resolved manifest — a
+    * publish landing mid-probe cannot pair a new codebook with old
+    * codes or a stale budget. The count memo is keyed (root, version)
+    * with prior-version eviction, the [[Bm25Index]] pattern. */
+  def probeVersioned(spark: SparkSession, root: String, qv: Array[Float],
+      corpus: DataFrame, shortlistOpt: Option[Int] = None): DataFrame = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no PQ snapshot at $root"))
+    val shortlist = shortlistOpt.getOrElse(
+      AnnParams.adcShortlist(versionedCount(spark, root, snap)))
+    val cb = VectorOps.codebookMap(
+      VersionedTable.readExtra(spark, snap, root, "codebook",
+        codebookSchema), "code")
+    require(cb.size == M, s"codebook covers ${cb.size} of $M sub-spaces")
+    val dsub = qv.length / M
+    val dt = VectorOps.adcSqTable(cb, M,
+      s => qv.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
+    val dtLit = typedlit(dt.map(_.toSeq).toSeq)
+    val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(dtLit, s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    val ids = VersionedTable.read(spark, snap, root, codesSchema)
+      .select(col("vec_id"), roundVal(adc, 4).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(shortlist)
+    ids.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("adc"),
+        roundVal(VectorOps.sqDist(col("embedding"), typedlit(qv)), 4)
+          .as("l2"))
+      .filter(col("l2").isNotNull)
+      .orderBy(col("l2").asc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def versionedCount(spark: SparkSession, root: String,
+      snap: VersionedTable.Snapshot): Long = {
+    val key = s"$root#v${snap.version}"
+    val cached = countMemo.get(key)
+    if (cached != null) return cached
+    val n = VersionedTable.readExtra(spark, snap, root, "stats",
+      vStatsSchema).collect().head.getLong(0)
+    val prefix = s"$root#v"
+    val it = countMemo.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k.startsWith(prefix) && k != key) countMemo.remove(k)
+    }
+    countMemo.put(key, n)
+    n
+  }
+
   /** Default shortlist budget — [[AnnParams.adcShortlist]] over the
     * stored-codes count from the `codes_count` meta the build stamps
     * (no Spark job at serve time; a missing OR corrupt/empty meta —

@@ -228,6 +228,46 @@ class IndexMaintenanceSpec extends SparkSpec {
       "manifest-served probe must equal the plain-layout probe")
   }
 
+  test("PQ versioned: delta snapshot == in-place delta (same frozen codebook), probes equal, count moves by the delta") {
+    import graft.operators.VersionedTable
+    val (v2, upserts, removed) = embDelta
+    val v1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_im_pq_p").toString
+    PqIndex.build(v1, dir)
+    PqIndex.updateFrom(spark, dir, upserts, removed)
+    val root = java.nio.file.Files.createTempDirectory("graft_im_pq_v").toString
+    PqIndex.buildVersioned(spark, v1, root)
+    PqIndex.updateFromVersioned(spark, root, upserts, removed)
+    val got = VersionedTable.readCurrent(spark, root, PqIndex.codesSchema)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getInt(2))).toSet
+    val want = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getInt(2))).toSet
+    assert(got == want,
+      "versioned delta must land the same codes as the in-place one")
+    // the delta-moved count equals the truth (the in-place path
+    // recounts; the versioned one moves old-total by the delta)
+    val nStat = VersionedTable.readExtra(spark,
+        VersionedTable.currentSnapshot(spark, root).get, root, "stats",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      .collect().head.getLong(0)
+    assert(nStat == got.size.toLong,
+      "stats extra must carry the post-delta codes count")
+    // serving parity, shortlist default derived from each route's count
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    assert(PqIndex.probeVersioned(spark, root, qv, v2)
+        .collect().map(_.toSeq).toSeq ==
+      PqIndex.probe(spark, dir, qv, v2).collect().map(_.toSeq).toSeq,
+      "manifest-served PQ probe must equal the plain-layout probe")
+  }
+
   test("PQ: updateFrom delta-encode == full re-encode under the frozen codebook; meta re-stamped") {
     val (v2, upserts, removed) = embDelta
     val v1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
