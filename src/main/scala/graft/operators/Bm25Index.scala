@@ -100,31 +100,21 @@ object Bm25Index {
     }
   }
 
+  private val vStatsMemo = new VersionedTable.SnapshotMemo[(Long, Long)]
+
   /** Per-(root, version) corpus constants for the versioned probes —
     * ONE definition for single and batched serving (the [[termFreq]]
-    * rule: a forked copy silently diverges). A snapshot's stats are
-    * immutable, so the cache needs no invalidation — but a serving
-    * JVM taking nightly deltas for months must not leak one entry per
-    * publish, so caching version N evicts this root's older keys
-    * (their snapshots are vacuum fodder anyway). */
+    * rule), on the shared [[VersionedTable.SnapshotMemo]] (key format,
+    * rollover eviction, and the degenerate-read no-cache policy live
+    * there). A zero-row stats read (lost part file) serves zeros
+    * UNCACHED — [[corpusStats]]' same self-healing rule. */
   private def versionedStats(spark: SparkSession, root: String,
-      snap: VersionedTable.Snapshot): (Long, Long) = {
-    val key = s"$root#v${snap.version}"
-    val cached = statsMemo.get(key)
-    if (cached != null) return cached
-    val r = VersionedTable.readExtra(spark, snap, root, "stats",
-      statsSchema).collect().headOption
-    val v = (r.map(_.getLong(0)).getOrElse(0L),
-      r.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
-    val prefix = s"$root#v"
-    val it = statsMemo.keys()
-    while (it.hasMoreElements) {
-      val k = it.nextElement()
-      if (k.startsWith(prefix) && k != key) statsMemo.remove(k)
-    }
-    statsMemo.put(key, v)
-    v
-  }
+      snap: VersionedTable.Snapshot): (Long, Long) =
+    vStatsMemo.get(root, snap) {
+      VersionedTable.readExtra(spark, snap, root, "stats", statsSchema)
+        .collect().headOption.map(row =>
+          (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+    }.getOrElse((0L, 0L))
 
   /** q133's lower+space-split token contract — ONE definition shared
     * by [[build]] and [[updateFrom]], whose df/dl math silently

@@ -309,25 +309,20 @@ object PqIndex {
       .limit(10)
   }
 
-  private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val countMemo = new VersionedTable.SnapshotMemo[java.lang.Long]
 
+  /** Stored-codes count from the snapshot's stats extra, on the shared
+    * [[VersionedTable.SnapshotMemo]]. A zero-row read (torn extra)
+    * degrades to ONE uncached count job over the snapshot's codes —
+    * [[defaultShortlist]]'s exact missing-meta rule, self-healing once
+    * the extra reads again. */
   private def versionedCount(spark: SparkSession, root: String,
-      snap: VersionedTable.Snapshot): Long = {
-    val key = s"$root#v${snap.version}"
-    val cached = countMemo.get(key)
-    if (cached != null) return cached
-    val n = VersionedTable.readExtra(spark, snap, root, "stats",
-      vStatsSchema).collect().head.getLong(0)
-    val prefix = s"$root#v"
-    val it = countMemo.keys()
-    while (it.hasMoreElements) {
-      val k = it.nextElement()
-      if (k.startsWith(prefix) && k != key) countMemo.remove(k)
-    }
-    countMemo.put(key, n)
-    n
-  }
+      snap: VersionedTable.Snapshot): Long =
+    countMemo.get(root, snap) {
+      VersionedTable.readExtra(spark, snap, root, "stats", vStatsSchema)
+        .collect().headOption.map(r => java.lang.Long.valueOf(r.getLong(0)))
+    }.map(_.longValue).getOrElse(
+      VersionedTable.read(spark, snap, root, codesSchema).count())
 
   /** Default shortlist budget — [[AnnParams.adcShortlist]] over the
     * stored-codes count from the `codes_count` meta the build stamps

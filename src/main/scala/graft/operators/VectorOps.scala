@@ -1566,12 +1566,20 @@ object VectorOps extends OpCatalog {
     import java.nio.file.{Files, StandardOpenOption}
     val familyDir = current.getParent
     val entryName = current.getFileName.toString
+    // canonicalize BEFORE stamping or comparing: a raw relative sfDir
+    // ('data/sf1') spells the same from two working directories while
+    // naming DIFFERENT corpora — raw-string equality would GC a live
+    // sibling (round-10 review) — and '/abs/data/sf1' vs 'data/sf1'
+    // for the SAME corpus would never match, leaking stale entries
+    val canonicalId =
+      try java.nio.file.Paths.get(corpusId).toAbsolutePath.normalize.toString
+      catch { case scala.util.control.NonFatal(_) => corpusId }
     // stamp the current entry's marker first (idempotent; a ready
     // artifact is immutable but a dot-file is invisible to readers) so
     // future sweeps can recognize it
     try {
       val m = current.resolve(CorpusMarker)
-      if (!Files.exists(m)) Files.writeString(m, corpusId)
+      if (!Files.exists(m)) Files.writeString(m, canonicalId)
     } catch { case scala.util.control.NonFatal(_) => () }
     def tryDelete(target: java.nio.file.Path): Unit =
       try {
@@ -1639,7 +1647,7 @@ object VectorOps extends OpCatalog {
           val marker = e.resolve(CorpusMarker)
           val sameCorpus =
             try Files.exists(marker) &&
-              Files.readString(marker) == corpusId
+              Files.readString(marker) == canonicalId
             catch { case scala.util.control.NonFatal(_) => false }
           if (sameCorpus) tryDelete(e)
         }

@@ -53,6 +53,38 @@ object VersionedTable {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** Per-(root, version) memo for values derived from a snapshot's
+    * extras — ONE definition of the key format, prefix eviction, and
+    * degenerate-read policy for every versioned index family (the
+    * BM25/PQ copies had already diverged on empty-read handling;
+    * round-10 review). A snapshot is immutable so entries never need
+    * invalidation, but caching version N evicts this root's older
+    * keys — a serving JVM taking nightly deltas for months must not
+    * leak one entry per publish. `load` returning None means the read
+    * was DEGENERATE (torn extra, lost part file): the caller gets its
+    * fallback and NOTHING is pinned, so the memo self-heals once the
+    * underlying read does. */
+  final class SnapshotMemo[T <: AnyRef] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, T]()
+    def get(root: String, snap: Snapshot)(load: => Option[T]): Option[T] = {
+      val key = s"$root#v${snap.version}"
+      val cached = m.get(key)
+      if (cached != null) return Some(cached)
+      load match {
+        case Some(v) =>
+          val prefix = s"$root#v"
+          val it = m.keys()
+          while (it.hasMoreElements) {
+            val k = it.nextElement()
+            if (k.startsWith(prefix) && k != key) m.remove(k)
+          }
+          m.put(key, v)
+          Some(v)
+        case None => None
+      }
+    }
+  }
+
   /** One resolved manifest. `parts` maps partition DIRECTORY names
     * (`bucket=3` — exactly what Spark's partitioned write produced, so
     * no re-escaping logic can drift) to generation ids; `extras` maps
