@@ -336,10 +336,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out")
+    // cpus feeds BOTH the master string and a typed int conf: '*'
+    // (local[*]) is legal for the former but would throw at session
+    // construction in the latter — and render the JSON invalid — so
+    // non-numeric values fall back to the machine's core count for the
+    // shuffle-partition knob (what local[*] means anyway)
+    val shufflePartitions = scala.util.Try(cpus.trim.toInt).toOption
+      .getOrElse(Runtime.getRuntime.availableProcessors).toString
     val loadStart = loadAvg() // BEFORE any Spark work: external load only
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -423,7 +430,10 @@ object Bench {
       s""""queries":${encMap(sorted)},""" +
       s""""original_sec":${encMap(a.originalSec)},""" +
       s""""load_avg_per_query":${encMap(r.loads)},""" +
-      s""""sf":${VerifyCommon.jsonStr(sfDir)},"cpus":$cpus,${adjudication(Int.MaxValue)}}"""
+      s""""sf":${VerifyCommon.jsonStr(sfDir)},""" +
+      s""""cpus":${scala.util.Try(cpus.trim.toInt).toOption
+        .map(_.toString).getOrElse(VerifyCommon.jsonStr(cpus))},""" +
+      s"""${adjudication(Int.MaxValue)}}"""
 
     // persist the COMPLETE record — the driver's log tail drops it
     val outPath = java.nio.file.Paths.get(outDir, "bench.json")

@@ -51,6 +51,22 @@ object IndexMaintenance {
     * partition — the offline-maintenance contract, not a transactional
     * one (a serving tier swaps a manifest/pointer; spelled out here
     * rather than pretended away). */
+  /** The partition DIRECTORY name Spark's partitioned write produces
+    * for `partCol=v` — escaped exactly the way the writer escapes it
+    * (spaces, '%', '=', ':' in STRING values; `null` becomes the Hive
+    * default-partition marker). Raw interpolation diverges on those and
+    * a delete/prune would miss the real directory while the append
+    * lands replacements NEXT TO the stale rows (round-10 review; the
+    * current callers' Int buckets are escape-free, but the helpers are
+    * documented generic). */
+  private[graft] def partDirName(partCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"$partCol=$s"
+  }
+
   private[graft] def replacePartitions(spark: SparkSession,
       tablePath: String, partCol: String, partVals: Seq[Any],
       newRows: DataFrame): Unit = {
@@ -61,7 +77,8 @@ object IndexMaintenance {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     partVals.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(table, s"$partCol=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(table, partDirName(partCol, v)),
+        true)
     }
     rows.write.mode("append").partitionBy(partCol).parquet(tablePath)
   }
@@ -84,9 +101,16 @@ object IndexMaintenance {
   private[graft] def filterByIds(df: DataFrame, idCol: String,
       ids: DataFrame, pushLimit: Int = 10000): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val sample = ids.select(col(idCol)).limit(pushLimit + 1).collect()
+    // dedup INSIDE the helper, not by caller contract: the isin branch
+    // dedups implicitly but the join branch would emit one output row
+    // per duplicate id — doubling df decrements / dropped-dl sums in a
+    // delta-math caller that forgot its own .distinct() — and duplicate
+    // rows would also misroute a few-distinct-ids frame past pushLimit
+    // into the full-scan branch (round-10 review)
+    val distinctIds = ids.select(col(idCol)).distinct()
+    val sample = distinctIds.limit(pushLimit + 1).collect()
     if (sample.length <= pushLimit)
       df.filter(col(idCol).isin(sample.map(_.get(0)).toSeq: _*))
-    else df.join(broadcast(ids.select(col(idCol))), Seq(idCol))
+    else df.join(broadcast(distinctIds), Seq(idCol))
   }
 }

@@ -219,7 +219,11 @@ object VersionedTable {
       throw new IllegalStateException(
         s"publishDelta on unborn table $root — publishFull first"))
     val (gen, parts) = stageGeneration(spark, root, base.partCol, rows, extras)
-    val replacedKeys = replacedParts.map(v => s"${base.partCol}=$v").toSet
+    // IndexMaintenance.partDirName: writer-exact escaping, so string
+    // partition values with specials (and null) resolve to the real
+    // directory names the staged write produced
+    val replacedKeys = replacedParts
+      .map(v => IndexMaintenance.partDirName(base.partCol, v)).toSet
     val unexpected = parts.filterNot(replacedKeys.contains)
     require(unexpected.isEmpty,
       s"delta rows carry partitions outside the replaced set: $unexpected")
@@ -242,7 +246,8 @@ object VersionedTable {
     val chosen = wanted match {
       case None => snap.parts
       case Some(vs) =>
-        val keys = vs.map(v => s"${snap.partCol}=$v").toSet
+        val keys = vs.map(v =>
+          IndexMaintenance.partDirName(snap.partCol, v)).toSet
         snap.parts.view.filterKeys(keys.contains).toMap
     }
     if (chosen.isEmpty)
@@ -293,7 +298,11 @@ object VersionedTable {
       } > maxFilesPerPart
     }.map(_._1)
     if (oversized.isEmpty) return Nil
-    val vals = oversized.map(_.substring(snap.partCol.length + 1))
+    // unescape the dir-name component back to the VALUE the publish
+    // APIs take — partDirName re-escapes it to the same dir name
+    val vals = oversized.map(k =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(k.substring(snap.partCol.length + 1)))
     // one shuffle task per partition VALUE (hash-colliding values still
     // write one file each under partitionBy), so compaction wall-clock
     // scales with the largest partition, not the total compacted volume

@@ -172,8 +172,11 @@ object StreamingOps {
       // A-Res needs w > 0: n_chars NULL or 0 makes aResKey's division
       // yield a NULL rkey, which the non-nullable Double field below
       // turns into an encoder error that KILLS the query — one malformed
-      // doc must degrade (zero weight = never sampled), not abort ingest
-      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      // doc must degrade (zero weight = never sampled), not abort ingest.
+      // doc_id NULL dies the same way (null bucket + null md5 rkey into
+      // non-nullable fields), so it rides the same degrade filter
+      .filter(col("doc_id").isNotNull &&
+        col("n_chars").isNotNull && col("n_chars") > 0)
       .select(
         pmod(col("doc_id"), lit(nBuckets)).cast("int").as("bucket"),
         col("doc_id"),
@@ -590,12 +593,18 @@ object StreamingOps {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     require(sketch != null, "null seen-sketch (see seenSketch's contract)")
-    val maybeSeen = GraftBridge.column(BloomFilterMightContain(
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
       Literal(sketch, org.apache.spark.sql.types.BinaryType),
       GraftBridge.expression(xxhash64(col("text")))))
-    // null-text rows hash to null -> might_contain null; a filter would
-    // silently DROP them — an unscreenable doc must pass as novel, not
-    // vanish (downstream quality gates own the null-text decision)
+    // xxhash64 is null-INTOLERANT but not null-PROPAGATING: a null text
+    // hashes to the seed (42), so the raw might_contain is non-null and
+    // a bare filter would screen null-text docs against that constant —
+    // silently DROPPING them whenever any seen-corpus row was also null
+    // (round-10 review; the old coalesce guard was dead code for exactly
+    // this reason). Gate on text presence explicitly: an unscreenable
+    // doc must pass as novel — downstream quality gates own the
+    // null-text decision
+    val maybeSeen = when(col("text").isNotNull, mightContain)
     docs.filter(!coalesce(maybeSeen, lit(false)))
       .select(col("doc_id"), col("text"))
   }
@@ -655,8 +664,19 @@ object StreamingOps {
           case -1 => (None, table)
           case i => (Some(table.substring(0, i)), table.substring(i + 1))
         }
+        // unqualified names probe the CONNECTION'S schema, not every
+        // schema (null pattern): a same-named table in another schema
+        // (archive.events) would read as exists=true and the DELETE on
+        // the not-yet-created sink table would crash the first batch
+        // into a checkpoint replay loop (round-10 review). Drivers
+        // without getSchema support keep the old any-schema probe.
         val schemaPatterns: Seq[String] =
-          schemaPart.map(sp => foldings(sp).map(lit)).getOrElse(Seq(null))
+          schemaPart.map(sp => foldings(sp).map(lit)).getOrElse {
+            val cur =
+              try Option(conn.getSchema).filter(_.nonEmpty)
+              catch { case _: Throwable => None }
+            cur.map(s => Seq(lit(s))).getOrElse(Seq(null))
+          }
         foldings(namePart).map(lit).exists { t =>
           schemaPatterns.exists { sp =>
             val rs = md.getTables(null, sp, t, null)
@@ -741,8 +761,16 @@ object StreamingOps {
     queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // one malformed query must degrade (skipped), not abort serving:
+        // an exception here fails the StreamingQuery and the checkpoint
+        // replays the same poisoned batch forever (reservoirStream's
+        // contract). Null q_id/terms rows and null/empty tokens drop; a
+        // query with no usable tokens left has no answerable terms
         val qs = batch.select("q_id", "terms").collect()
-          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .map(r => (r.getLong(0),
+            r.getSeq[String](1).toSeq.filter(t => t != null && t.nonEmpty)))
+          .filter(_._2.nonEmpty).toSeq
         if (qs.nonEmpty)
           sink(graft.operators.Bm25Index.probeBatchVersioned(
             batch.sparkSession, root, qs, k))

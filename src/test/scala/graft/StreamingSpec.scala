@@ -305,6 +305,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= (novelIds.size * 0.95).toInt,
       s"screen dropped too many novel docs: ${streamed.size}/${novelIds.size}")
     assert(streamed.nonEmpty)
+    // null-text docs PASS as novel even when the seen corpus also held
+    // null text: xxhash64 hashes null to its seed (42), so without the
+    // explicit text-presence gate both sides land on the constant and
+    // the unscreenable doc silently vanishes (round-10 review)
+    val nullSketch = StreamingOps.seenSketch(
+      Seq((1L, null: String), (2L, "real seen text")).toDF("doc_id", "text"))
+    val survivors = StreamingOps.bloomScreenStream(
+        Seq((10L, null: String), (11L, "real seen text"), (12L, "novel"))
+          .toDF("doc_id", "text"), nullSketch)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(10L),
+      "an unscreenable null-text doc must pass as novel, not vanish")
+    assert(!survivors.contains(11L), "a true re-delivery still drops")
   }
 
   test("streaming PII scrub == batch scrub, zero residual on planted markers") {
@@ -843,6 +856,18 @@ class StreamingSpec extends SparkSpec {
       assert(v2Served == wantV2, "post-publish batch must serve v2's index")
       assert(wantV1 != wantV2,
         "fixture must actually change the answers or the law is vacuous")
+      // poisoned rows DEGRADE, never abort: null terms, empty terms, and
+      // null tokens are skipped while the well-formed query in the same
+      // micro-batch is still answered (an exception in foreachBatch
+      // would kill the query and checkpoint-replay the same poison)
+      val before = buf.length
+      mem.addData(Seq((90L, null: Seq[String]), (91L, Seq.empty[String]),
+        (92L, Seq(null: String, "")), (1L, Seq("window", "spark", "stream"))))
+      q.processAllAvailable()
+      assert(q.isActive, "a malformed query must not kill the stream")
+      val poisoned = buf.toList.drop(before)
+      assert(poisoned.nonEmpty && poisoned.forall(_._1 == 1L),
+        "the clean query in a poisoned batch is answered; poison skipped")
     } finally q.stop()
   }
 }
