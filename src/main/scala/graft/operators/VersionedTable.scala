@@ -32,15 +32,14 @@ import org.apache.spark.sql.types.StructType
   * lingers ([[IndexMaintenance.replacePartitions]]' same contract).
   *
   * Commit protocol: stage the generation dir, then publish the next
-  * `v%08d.json` via create-if-absent + rename. On HDFS rename never
-  * clobbers, so a losing concurrent committer fails cleanly; on the
-  * local FS (POSIX rename overwrites) the pre-rename exists-check
-  * narrows the race and the documented contract closes it: maintenance
-  * is ONE job per table (the index builders already serialize
-  * same-machine work under [[VectorOps.buildArtifactOnce]]'s file
-  * lock). A loser throws [[ConcurrentCommitException]] — its caller
-  * recomputes the delta against the new current version and retries;
-  * blind retry would re-apply a diff against a stale base.
+  * `v%08d.json` via exists-check + rename, serialized per table by
+  * [[withCommitLock]] (a JVM monitor plus, on the local FS where POSIX
+  * rename overwrites, a `FileChannel` lock on `.commit.lock`). On
+  * HDFS-like filesystems rename never clobbers, so a losing concurrent
+  * committer fails cleanly without the OS lock. A loser throws
+  * [[ConcurrentCommitException]] — [[retryingPublish]] recomputes the
+  * delta against the new current version and retries; blind retry
+  * would re-apply a diff against a stale base.
   *
   * What this is NOT: a general-purpose lakehouse format. No schema
   * evolution, no row-level deletes, no time-travel API beyond "read
@@ -54,31 +53,31 @@ object VersionedTable {
     extends RuntimeException(msg)
 
   /** Per-(root, version) memo for values derived from a snapshot's
-    * extras — ONE definition of the key format, prefix eviction, and
+    * extras — ONE definition of the key format, rollover eviction, and
     * degenerate-read policy for every versioned index family (the
     * BM25/PQ copies had already diverged on empty-read handling;
     * round-10 review). A snapshot is immutable so entries never need
-    * invalidation, but caching version N evicts this root's older
-    * keys — a serving JVM taking nightly deltas for months must not
-    * leak one entry per publish. `load` returning None means the read
-    * was DEGENERATE (torn extra, lost part file): the caller gets its
-    * fallback and NOTHING is pinned, so the memo self-heals once the
-    * underlying read does. */
+    * invalidation, but caching version N replaces this root's older
+    * entry — a serving JVM taking nightly deltas for months must not
+    * leak one entry per publish. One entry PER ROOT (version rides in
+    * the value), so rollover is an O(1) replace, never a scan of other
+    * roots' entries (round-10 verdict: a JVM serving thousands of roots
+    * must not walk them all on every publish). `load` returning None
+    * means the read was DEGENERATE (torn extra, lost part file): the
+    * caller gets its fallback and NOTHING is pinned, so the memo
+    * self-heals once the underlying read does. */
   final class SnapshotMemo[T <: AnyRef] {
-    private val m = new java.util.concurrent.ConcurrentHashMap[String, T]()
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, T)]()
     def get(root: String, snap: Snapshot)(load: => Option[T]): Option[T] = {
-      val key = s"$root#v${snap.version}"
-      val cached = m.get(key)
-      if (cached != null) return Some(cached)
+      val cached = m.get(root)
+      if (cached != null && cached._1 == snap.version) return Some(cached._2)
       load match {
         case Some(v) =>
-          val prefix = s"$root#v"
-          val it = m.keys()
-          while (it.hasMoreElements) {
-            val k = it.nextElement()
-            if (k.startsWith(prefix) && k != key) m.remove(k)
-          }
-          m.put(key, v)
+          // last-writer-wins is safe: every value is derived from an
+          // immutable snapshot, so a racing older-version writer can at
+          // worst pin one stale entry until the next current-version get
+          m.put(root, (snap.version, v))
           Some(v)
         case None => None
       }
@@ -101,17 +100,35 @@ object VersionedTable {
     new org.apache.hadoop.fs.Path(root, "data")
   private def manifestName(v: Long) = f"v$v%08d.json"
 
+  // %08d above is a MINIMUM width: versions past 10^8 - 1 widen the
+  // name, so matching exactly 8 digits (or taking a lexicographic max)
+  // would make v100000000 invisible and silently roll the table back
+  // to v99999999 (round-10 advisor). Match 8-or-more and order by the
+  // PARSED version everywhere manifests are listed.
+  private val ManifestRe = "v(\\d{8,})\\.json".r
+
+  /** All committed manifests under `root`, as (version, fileName)
+    * sorted ascending by NUMERIC version — the one listing used by
+    * [[currentSnapshot]] and [[vacuum]] so the two can never disagree
+    * on what "newest" means. */
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[(Long, String)] = {
+    val dir = manifestsDir(root)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName).toSeq.collect {
+      case n @ ManifestRe(digits) => (digits.toLong, n)
+    }.sortBy(_._1)
+  }
+
   /** Highest committed snapshot, or None for an empty/unborn table.
     * A torn concurrent publish is invisible here: manifests appear
     * only via the atomic rename in [[commitManifest]]. */
   def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val dir = manifestsDir(root)
     val fs = hadoopFs(spark, dir)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("v\\d{8}\\.json"))
-    if (versions.isEmpty) None
-    else Some(readManifest(spark, root, versions.max))
+    listManifests(fs, root).lastOption.map {
+      case (_, name) => readManifest(spark, root, name)
+    }
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -135,38 +152,86 @@ object VersionedTable {
       toMap("parts"), toMap("extras"))
   }
 
+  // Per-root JVM lock for [[withCommitLock]] — FileChannel locks are
+  // held per-JVM (a second lock() in the same JVM throws
+  // OverlappingFileLockException, it does not queue), so same-JVM
+  // committers must serialize on a monitor BEFORE touching the OS lock
+  // ([[VectorOps.buildArtifactOnce]]'s exact two-level protocol).
+  private val commitJvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize committers of one table. On the LOCAL filesystem POSIX
+    * rename CLOBBERS, so the exists-check + rename in [[commitManifest]]
+    * is TOCTOU without this: two committers racing for the same version
+    * could both appear to succeed, silently dropping one commit
+    * (round-10 advisor). A `FileChannel` lock on a per-table
+    * `.commit.lock` beside the manifests closes that window for every
+    * local-FS committer — including ones outside this JVM. On HDFS-like
+    * filesystems rename already refuses to clobber (the loser's rename
+    * returns false → [[ConcurrentCommitException]]), and POSIX file
+    * locks don't span those filesystems anyway, so only the JVM-level
+    * monitor applies there. */
+  private def withCommitLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      root: String)(body: => T): T = {
+    val jvmLock = commitJvmLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(root).toString, _ => new Object)
+    jvmLock.synchronized {
+      if ("file" == fs.getScheme) {
+        // beside manifests/, not inside it: the manifest dir's listing
+        // is part of the read contract (specs pin it exactly)
+        val lockFile = java.nio.file.Paths
+          .get(new org.apache.hadoop.fs.Path(root).toUri.getPath)
+          .resolve(".commit.lock")
+        val ch = java.nio.channels.FileChannel.open(lockFile,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val osLock = ch.lock()
+          try body finally osLock.release()
+        } finally ch.close()
+      } else body
+    }
+  }
+
   /** Atomic publish of snapshot `version`: write the full JSON to a
-    * tmp name, then rename to `v%08d.json`. See the commit-protocol
-    * scaladoc above for the FS-semantics contract. (`private[graft]`
-    * so the spec can drive the loser's path deterministically — two
-    * committers racing for the same version number.) */
+    * tmp name, then rename to `v%08d.json` — under [[withCommitLock]],
+    * so the exists-check and the rename are one atomic step on every
+    * filesystem, not just the non-clobbering ones. See the
+    * commit-protocol scaladoc above for the FS-semantics contract.
+    * (`private[graft]` so the spec can drive the loser's path
+    * deterministically — two committers racing for the same version
+    * number.) */
   private[graft] def commitManifest(spark: SparkSession, root: String,
       snap: Snapshot): Unit = {
+    require(snap.version >= 1, s"manifest versions start at 1: $snap")
     val dir = manifestsDir(root)
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(dir)
-    val target = new org.apache.hadoop.fs.Path(dir, manifestName(snap.version))
-    if (fs.exists(target))
-      throw new ConcurrentCommitException(
-        s"version ${snap.version} already committed at $root — recompute " +
-          "the delta against the current snapshot and retry")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val rootNode = mapper.createObjectNode()
-    rootNode.put("version", snap.version)
-    rootNode.put("partCol", snap.partCol)
-    val pn = rootNode.putObject("parts")
-    snap.parts.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
-    val en = rootNode.putObject("extras")
-    snap.extras.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".${manifestName(snap.version)}.tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new ConcurrentCommitException(
-        s"lost the commit race for version ${snap.version} at $root")
+    withCommitLock(fs, root) {
+      val target =
+        new org.apache.hadoop.fs.Path(dir, manifestName(snap.version))
+      if (fs.exists(target))
+        throw new ConcurrentCommitException(
+          s"version ${snap.version} already committed at $root — recompute " +
+            "the delta against the current snapshot and retry")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rootNode = mapper.createObjectNode()
+      rootNode.put("version", snap.version)
+      rootNode.put("partCol", snap.partCol)
+      val pn = rootNode.putObject("parts")
+      snap.parts.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+      val en = rootNode.putObject("extras")
+      snap.extras.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".${manifestName(snap.version)}.tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp, false)
+      try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new ConcurrentCommitException(
+          s"lost the commit race for version ${snap.version} at $root")
+      }
     }
   }
 
@@ -214,10 +279,25 @@ object VersionedTable {
     * snapshot stays serveable until vacuumed. */
   def publishDelta(spark: SparkSession, root: String,
       replacedParts: Seq[Any], rows: DataFrame,
+      extras: Map[String, DataFrame] = Map.empty): Long =
+    publishDeltaAt(spark, root,
+      currentSnapshot(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"publishDelta on unborn table $root — publishFull first")),
+      replacedParts, rows, extras)
+
+  /** [[publishDelta]] against an EXPLICIT base snapshot — the optimistic
+    * concurrency primitive: the commit targets `base.version + 1`, so if
+    * any other commit landed after the caller resolved `base`, this
+    * throws [[ConcurrentCommitException]] instead of silently applying a
+    * delta computed against a stale base onto the newer state (the bug
+    * the self-resolving [[publishDelta]] has if its caller derived the
+    * delta from an earlier resolve). [[retryingPublish]] is the loop
+    * that re-resolves and re-derives. A lost race leaves the staged
+    * generation unreferenced; [[vacuum]] reclaims it past `graceMs`. */
+  def publishDeltaAt(spark: SparkSession, root: String,
+      base: Snapshot, replacedParts: Seq[Any], rows: DataFrame,
       extras: Map[String, DataFrame] = Map.empty): Long = {
-    val base = currentSnapshot(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"publishDelta on unborn table $root — publishFull first"))
     val (gen, parts) = stageGeneration(spark, root, base.partCol, rows, extras)
     // IndexMaintenance.partDirName: writer-exact escaping, so string
     // partition values with specials (and null) resolve to the real
@@ -232,6 +312,47 @@ object VersionedTable {
       base.extras ++ extras.keys.map(_ -> gen))
     commitManifest(spark, root, snap)
     snap.version
+  }
+
+  /** One delta derivation, as [[retryingPublish]]'s unit of retry. */
+  final case class Delta(replacedParts: Seq[Any], rows: DataFrame,
+      extras: Map[String, DataFrame] = Map.empty)
+
+  /** Publish a delta with bounded optimistic-concurrency retry — what a
+    * real nightly job colliding with a backfill needs instead of dying
+    * on the first [[ConcurrentCommitException]] (round-10 verdict item
+    * 2). Each attempt re-resolves the CURRENT snapshot and re-derives
+    * the delta from it via `deltaOf`, so a retry is never a blind
+    * re-commit of a diff computed against a superseded base: two
+    * committers whose deltas touch disjoint partitions both land, and
+    * the final state equals sequential application in either order
+    * (each sees the other's partitions carried over untouched by the
+    * copy-on-write merge). Overlapping deltas also serialize correctly
+    * — the loser re-derives AGAINST the winner's state, so whether the
+    * outcome is order-dependent is a property of `deltaOf`'s math, not
+    * of the race. Throws the last [[ConcurrentCommitException]] after
+    * `maxAttempts` losses (a pathologically hot table should get a
+    * coordinator, not unbounded spin). */
+  def retryingPublish(spark: SparkSession, root: String,
+      maxAttempts: Int = 5)(deltaOf: Snapshot => Delta): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentSnapshot(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"retryingPublish on unborn table $root — publishFull first"))
+      val d = deltaOf(base)
+      try return publishDeltaAt(spark, root, base,
+        d.replacedParts, d.rows, d.extras)
+      catch {
+        case e: ConcurrentCommitException if attempt < maxAttempts =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"commit race at $root (attempt $attempt/$maxAttempts): " +
+              s"${e.getMessage} — re-deriving against the new current")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read a snapshot's partitions (all, or just `wanted` values — the
@@ -327,9 +448,9 @@ object VersionedTable {
     require(keepVersions >= 1, "must retain at least the current snapshot")
     val mdir = manifestsDir(root)
     val fs = hadoopFs(spark, mdir)
-    if (!fs.exists(mdir)) return
-    val all = fs.listStatus(mdir).map(_.getPath.getName)
-      .filter(_.matches("v\\d{8}\\.json")).sorted
+    // numeric order via the shared listing — a lexicographic sort would
+    // rank v100000000 below v99999999 and vacuum the CURRENT manifest
+    val all = listManifests(fs, root).map(_._2)
     if (all.isEmpty) return
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
     // toSeq BEFORE the pair flip: mapping a Map to (gen, name) pairs

@@ -189,4 +189,116 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
       Set((1L, "a", 0), (2L, "B3", 1)))
   }
+
+  test("manifest versions past 8 digits: numeric resolve, not lexicographic; vacuum keeps the true newest") {
+    val root = newRoot("wide")
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    val base = VersionedTable.currentSnapshot(spark, root).get
+    // simulate a long-lived table jumping the %08d minimum-width
+    // boundary (a manifest carries the FULL live mapping, so committing
+    // the same mapping at a higher version is a valid no-op publish)
+    VersionedTable.commitManifest(spark, root,
+      base.copy(version = 99999999L))
+    VersionedTable.commitManifest(spark, root,
+      base.copy(version = 100000000L))
+    // "v100000000.json" < "v99999999.json" LEXICOGRAPHICALLY — a string
+    // max would roll the table back to v99999999 and vacuum would keep
+    // the wrong manifest
+    assert(VersionedTable.currentSnapshot(spark, root).get.version ==
+      100000000L, "resolve must order by parsed numeric version")
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "manifests"))
+      .map(_.getPath.getName).toSeq == Seq("v100000000.json"),
+      "vacuum retains exactly the numerically-newest manifest")
+    assert(VersionedTable.currentSnapshot(spark, root).get.version ==
+      100000000L)
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0)), "the kept manifest still serves its data")
+  }
+
+  test("crash-staged generation (staged, never committed) is vacuumed past grace; committed state unharmed") {
+    val root = newRoot("crash")
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    // a builder that died between staging its generation and committing
+    // the manifest: a complete staged gen (partition dir + an extra)
+    // that NO manifest references
+    val dead = new org.apache.hadoop.fs.Path(root, "data/gen-crashsim0000")
+    rowsDf((9L, "z", 9)).write.partitionBy("bucket").parquet(dead.toString)
+    rowsDf((9L, "z", 9)).write
+      .parquet(new org.apache.hadoop.fs.Path(dead, "stats").toString)
+    val fs = dead.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(dead))
+    // inside grace: protected (it could be an IN-FLIGHT commit's staging)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 3600000L)
+    assert(fs.exists(dead), "a recent staging dir is protected by graceMs")
+    // past grace: the orphan is reclaimed wholesale — partitions, extra,
+    // and the emptied gen dir itself — while committed data is untouched
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(!fs.exists(dead), "an orphaned staging dir must be reclaimed")
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0)))
+  }
+
+  test("retryingPublish: a commit-race loser re-derives against the winner; both deltas land") {
+    val root = newRoot("retry")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 1), (2L, "b", 2), (3L, "c", 3)))
+    var attempts = 0
+    val basesSeen = scala.collection.mutable.ArrayBuffer[Long]()
+    val v = VersionedTable.retryingPublish(spark, root) { base =>
+      attempts += 1
+      basesSeen += base.version
+      if (attempts == 1)
+        // a competitor lands AFTER we resolved our base — the nightly
+        // job vs backfill collision the retry loop exists for
+        VersionedTable.publishDelta(spark, root, Seq(3),
+          rowsDf((3L, "C2", 3)))
+      // our delta is DERIVED from the base we were handed (upper-case
+      // bucket 1's current content) — a re-derivation against a fresh
+      // base is observable through basesSeen
+      val cur = contents(VersionedTable.read(spark, base, root, schema,
+        Some(Seq(1))))
+      VersionedTable.Delta(Seq(1),
+        rowsDf(cur.toSeq.map { case (k, s, b) => (k, s.toUpperCase, b) }: _*))
+    }
+    assert(attempts == 2 && basesSeen.toList == List(1L, 2L),
+      "first attempt loses v2 to the competitor, retry re-derives from v2")
+    assert(v == 3L)
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "A", 1), (2L, "b", 2), (3L, "C2", 3)),
+      "disjoint concurrent deltas BOTH land — final state equals " +
+        "sequential application in either order")
+    // exhaustion: with maxAttempts=1 the same collision propagates
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.retryingPublish(spark, root, maxAttempts = 1) { base =>
+        VersionedTable.publishDelta(spark, root, Seq(2), rowsDf((2L, "B2", 2)))
+        VersionedTable.Delta(Seq(1), rowsDf((1L, "a2", 1)))
+      }
+    }
+  }
+
+  test("SnapshotMemo: one entry per root — version hit, rollover replace, degenerate loads pin nothing") {
+    val memo = new VersionedTable.SnapshotMemo[java.lang.Long]
+    val s1 = VersionedTable.Snapshot(1L, "bucket", Map.empty, Map.empty)
+    val s2 = VersionedTable.Snapshot(2L, "bucket", Map.empty, Map.empty)
+    var loads = 0
+    def load(v: Long): Option[java.lang.Long] = { loads += 1; Some(v) }
+    assert(memo.get("r", s1)(load(10)).contains(10L) && loads == 1)
+    assert(memo.get("r", s1)(load(99)).contains(10L) && loads == 1,
+      "same (root, version) is a hit — the by-name load never runs")
+    assert(memo.get("r", s2)(load(20)).contains(20L) && loads == 2,
+      "a newer version replaces the root's entry (O(1), no map walk)")
+    assert(memo.get("r", s1)(load(10)).contains(10L) && loads == 3,
+      "the superseded version re-loads — one entry per root by design")
+    assert(memo.get("r2", s2)(load(30)).contains(30L) && loads == 4,
+      "roots are independent")
+    assert(memo.get("r2", s2)(load(99)).contains(30L) && loads == 4)
+    var dloads = 0
+    def dload: Option[java.lang.Long] = { dloads += 1; None }
+    assert(memo.get("r3", s1)(dload).isEmpty && dloads == 1)
+    assert(memo.get("r3", s1)(dload).isEmpty && dloads == 2,
+      "a degenerate (None) read is never cached — the memo self-heals")
+  }
 }
