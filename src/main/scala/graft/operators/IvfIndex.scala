@@ -232,9 +232,39 @@ object IvfIndex {
     * corpus size. Rounded sims + vec_id tiebreak keep the frontier
     * deterministic cross-engine. */
   def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, k: Int): DataFrame =
+    probeBatchCore(spark, loadCodebook(spark, path),
+      cells => spark.read.parquet(s"$path/assignments")
+        .filter(col("cell").isin(cells: _*)), // static partition pruning
+      queries, nProbe, k)
+
+  /** [[probeBatch]] against the CURRENT snapshot of a [[VersionedTable]]
+    * at `root` — the per-micro-batch resolve behind
+    * [[graft.streaming.StreamingOps.ivfServeStreamVersioned]]'s live
+    * rollover. ONE resolve covers codebook and assignments (a publish
+    * landing mid-probe cannot mix a new codebook with old cells), and
+    * the probed-cell pruning becomes literal path selection off the
+    * manifest. */
+  def probeBatchVersioned(spark: SparkSession, root: String,
+      queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no IVF snapshot at $root"))
+    probeBatchCore(spark,
+      VersionedTable.readExtra(spark, snap, root, "codebook", codebookSchema),
+      cells => VersionedTable.read(spark, snap, root, assignmentsSchema,
+        wanted = Some(cells)),
+      queries, nProbe, k)
+  }
+
+  /** The ONE definition of the batched-probe plan (path-backed and
+    * versioned callers differ only in where the codebook and the
+    * pruned assignments scan come from — a plan fix must have one
+    * site, not two). `scanOf` receives the union of probed cells and
+    * must return an assignments frame already pruned to them. */
+  private def probeBatchCore(spark: SparkSession, cb: DataFrame,
+      scanOf: Seq[Int] => DataFrame, queries: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val cb = loadCodebook(spark, path)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("cell"))
     // the probe map is |queries|·nProbe (cell, q_id) pairs — resolved
@@ -253,8 +283,7 @@ object IvfIndex {
     val routing = probed.toDF("cell", "q_id")
     val frontier = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    spark.read.parquet(s"$path/assignments")
-      .filter(col("cell").isin(unionCells: _*)) // static partition pruning
+    scanOf(unionCells)
       .join(broadcast(routing), "cell") // rows meet ONLY their probers
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"),

@@ -133,14 +133,48 @@ object PqIndex {
     * must not outrank real ones). Returns (q_id, rnk, vec_id, l2). */
   def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Int = 10,
+      shortlistOpt: Option[Int] = None): DataFrame =
+    probeBatchCore(spark,
+      VectorOps.codebookMap(spark.read.parquet(s"$path/codebook"), "code"),
+      spark.read.parquet(s"$path/codes"),
+      shortlistOpt.getOrElse(defaultShortlist(spark, path)),
+      queries, corpus, k)
+
+  /** [[probeBatch]] against the CURRENT snapshot of a [[VersionedTable]]
+    * at `root` — the per-micro-batch resolve behind
+    * [[graft.streaming.StreamingOps.pqServeStream]]'s live rollover.
+    * Codebook, codes, and the shortlist budget's count come from ONE
+    * resolved manifest. The exact re-rank needs the RAW embeddings,
+    * which the PQ artifact deliberately does not store — `corpusOf`
+    * maps the resolved snapshot VERSION to the rerank store so the
+    * caller can bind embeddings that are consistent with that commit
+    * (rerank against another version's embedding of an upserted vec_id
+    * would score the wrong vector). */
+  def probeBatchVersioned(spark: SparkSession, root: String,
+      queries: DataFrame, corpusOf: Long => DataFrame, k: Int = 10,
       shortlistOpt: Option[Int] = None): DataFrame = {
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no PQ snapshot at $root"))
+    probeBatchCore(spark,
+      VectorOps.codebookMap(
+        VersionedTable.readExtra(spark, snap, root, "codebook",
+          codebookSchema), "code"),
+      VersionedTable.read(spark, snap, root, codesSchema),
+      shortlistOpt.getOrElse(
+        AnnParams.adcShortlist(versionedCount(spark, root, snap))),
+      queries, corpusOf(snap.version), k)
+  }
+
+  /** The ONE definition of the batched ADC plan (path-backed and
+    * versioned callers differ only in where codebook/codes/shortlist
+    * come from). */
+  private def probeBatchCore(spark: SparkSession,
+      cb: Map[Int, Array[Array[Float]]], codes: DataFrame, shortlist: Int,
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     val qs = queries.select(col("q_id"), col("q_emb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qs.nonEmpty, "empty query batch")
-    val shortlist = shortlistOpt.getOrElse(defaultShortlist(spark, path))
-    val cb = VectorOps.codebookMap(
-      spark.read.parquet(s"$path/codebook"), "code")
     require(cb.size == M, s"codebook covers ${cb.size} of $M sub-spaces")
     val qdt = qs.map { case (qid, qv) =>
       val dsub = qv.length / M
@@ -154,7 +188,7 @@ object PqIndex {
           element_at(col("codes"), s + 1) + 1))
     val shortlistW = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("vec_id"))
-    val ids = spark.read.parquet(s"$path/codes")
+    val ids = codes
       .crossJoin(broadcast(qdt))
       .select(col("q_id"), col("vec_id"), roundVal(adc, 4).as("adc"))
       .withColumn("srn", row_number().over(shortlistW))

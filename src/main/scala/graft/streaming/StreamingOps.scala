@@ -638,52 +638,27 @@ object StreamingOps {
     val withId = batch.withColumn("graft_batch_id", lit(batchId))
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // JDBC getTables patterns match the STORED identifier case, and
-      // engines fold unquoted names differently (Derby upper-cases,
-      // PostgreSQL lower-cases): probing only one casing makes exists
-      // false on the other engine, the DELETE silently skips, and a
-      // replayed batch DUPLICATES its rows — the exact failure this
-      // function exists to prevent. Probe the name as-given plus both
-      // foldings.
-      // getTables matches the bare TABLE_NAME only — a schema-qualified
-      // "app.events" must send "app" as schemaPattern or it matches
-      // NOTHING, the DELETE silently skips, and a replayed batch
-      // duplicates its rows. Both patterns are LIKE patterns, so literal
-      // '_'/'%' in identifiers are escaped with the driver's escape
-      // string. (Convention: a dot splits schema.table; quoted
-      // identifiers containing dots are out of contract.)
-      val exists = {
-        val md = conn.getMetaData
-        val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-        def lit(p: String) = p.replace(esc, esc + esc)
-          .replace("_", esc + "_").replace("%", esc + "%")
-        def foldings(x: String) = Seq(x,
-          x.toUpperCase(java.util.Locale.ROOT),
-          x.toLowerCase(java.util.Locale.ROOT)).distinct
-        val (schemaPart, namePart) = table.lastIndexOf('.') match {
-          case -1 => (None, table)
-          case i => (Some(table.substring(0, i)), table.substring(i + 1))
-        }
-        // unqualified names probe the CONNECTION'S schema, not every
-        // schema (null pattern): a same-named table in another schema
-        // (archive.events) would read as exists=true and the DELETE on
-        // the not-yet-created sink table would crash the first batch
-        // into a checkpoint replay loop (round-10 review). Drivers
-        // without getSchema support keep the old any-schema probe.
-        val schemaPatterns: Seq[String] =
-          schemaPart.map(sp => foldings(sp).map(lit)).getOrElse {
-            val cur =
-              try Option(conn.getSchema).filter(_.nonEmpty)
-              catch { case _: Throwable => None }
-            cur.map(s => Seq(lit(s))).getOrElse(Seq(null))
-          }
-        foldings(namePart).map(lit).exists { t =>
-          schemaPatterns.exists { sp =>
-            val rs = md.getTables(null, sp, t, null)
-            try rs.next() finally rs.close()
-          }
-        }
-      }
+      // Probe existence the way the ENGINE resolves the DELETE's
+      // unqualified name — by asking it to: a zero-row SELECT against
+      // the same identifier. Every metadata formulation of this probe
+      // has mis-resolved some engine (getTables case-folding missed
+      // Derby vs Postgres; an any-schema pattern matched archive.events
+      // for a not-yet-created sink; a getSchema-only pattern missed
+      // multi-schema search_path resolution — rounds 9/10 each patched
+      // one), because metadata describes STORAGE while the DELETE runs
+      // through NAME RESOLUTION. The SELECT shares the DELETE's exact
+      // resolution by construction: if it succeeds the DELETE will find
+      // the same table; if it fails the engine cannot resolve the name
+      // for DML either, so there is nothing to dedupe and Spark's
+      // append will create the table. (A permissions failure reads as
+      // not-exists — but then the DELETE would have failed identically,
+      // and the append surfaces the real error.)
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false }
       if (exists) {
         val st = conn.createStatement()
         // Spark's JDBC writer CREATEs with quoted (case-sensitive) column
@@ -737,6 +712,55 @@ object StreamingOps {
         if (!batch.isEmpty)
           sink(graft.operators.IvfIndex.probeBatch(
             batch.sparkSession, path, batch.toDF(), nProbe, k))
+      }
+
+  /** [[ivfServeStream]] with live index rollover (round-10 verdict item
+    * 1, completing the versioned-serving matrix BM25 opened): the query
+    * stream is served against a [[graft.operators.VersionedTable]] IVF
+    * index, resolving the CURRENT manifest once per micro-batch
+    * ([[graft.operators.IvfIndex.probeBatchVersioned]]). A nightly
+    * delta publishing mid-stream is picked up at the next batch
+    * boundary with NO restart; every query within a batch sees ONE
+    * consistent (codebook, assignments) snapshot; vacuum policy must
+    * retain the previous version for at least a batch interval
+    * ([[bm25ServeStream]]'s exact contract). Malformed query rows (null
+    * q_id / q_emb) DEGRADE — dropped, never aborting the stream into a
+    * checkpoint replay loop. */
+  def ivfServeStreamVersioned(queries: DataFrame, root: String,
+      nProbe: Int, k: Int)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val clean = batch.toDF()
+          .filter(col("q_id").isNotNull && col("q_emb").isNotNull)
+        if (!clean.isEmpty)
+          sink(graft.operators.IvfIndex.probeBatchVersioned(
+            batch.sparkSession, root, clean, nProbe, k))
+      }
+
+  /** Streaming PQ/ADC retrieval with live index rollover — the third
+    * family of the versioned-serving matrix. Per micro-batch the
+    * CURRENT manifest resolves once
+    * ([[graft.operators.PqIndex.probeBatchVersioned]]): codebook, codes
+    * and the shortlist budget all ride that one snapshot. The exact
+    * re-rank needs RAW embeddings the PQ artifact deliberately does not
+    * store, so `corpusOf` maps the resolved snapshot VERSION to the
+    * rerank store — the caller binds embeddings consistent with that
+    * commit (the version-pairing contract
+    * [[graft.operators.PqIndex.probeBatchVersioned]] documents).
+    * Malformed query rows degrade as in [[ivfServeStreamVersioned]]. */
+  def pqServeStream(queries: DataFrame, root: String,
+      corpusOf: Long => DataFrame, k: Int = 10)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val clean = batch.toDF()
+          .filter(col("q_id").isNotNull && col("q_emb").isNotNull)
+        if (!clean.isEmpty)
+          sink(graft.operators.PqIndex.probeBatchVersioned(
+            batch.sparkSession, root, clean, corpusOf, k))
       }
 
   /** Streaming LEXICAL retrieval with live index rollover: an arriving

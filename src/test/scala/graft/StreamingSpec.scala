@@ -870,4 +870,151 @@ class StreamingSpec extends SparkSpec {
         "the clean query in a poisoned batch is answered; poison skipped")
     } finally q.stop()
   }
+
+  /** Shared vector-delta fixture for the versioned-serving rollover
+    * twins: negate some embeddings (changes cosine/L2 orderings for
+    * sure), remove others — the vector analog of the documents table's
+    * plantedV2. Returns (corpusV1, upserts, removedIds, corpusV2) with
+    * corpusV2 == the updateFrom semantics: (v1 \ (removed ∪ upsert
+    * ids)) ∪ upserts. */
+  private def vectorDeltaFixture(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val corpusV1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val upserts = corpusV1.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val removed = corpusV1.filter(col("vec_id") % 11 === 5)
+      .select(col("vec_id"))
+    val dropIds = removed.union(upserts.select(col("vec_id"))).distinct()
+    val corpusV2 = corpusV1
+      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+      .unionByName(upserts)
+    (corpusV1, upserts, removed, corpusV2)
+  }
+
+  test("streaming IVF with live index rollover: a mid-stream publish serves v2 at the next batch, no restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.IvfIndex
+    val (corpusV1, upserts, removed, _) = vectorDeltaFixture()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_roll").toString
+    IvfIndex.buildVersioned(spark, corpusV1, root)
+    val queryRows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queriesDf = queryRows.toSeq.toDF("q_id", "q_emb")
+    val (nProbe, k) = (3, 5)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val q = StreamingOps.ivfServeStreamVersioned(
+        mem.toDS().toDF("q_id", "q_emb"), root, nProbe, k) { ans =>
+      buf.synchronized {
+        buf ++= ans.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
+    }.start()
+    def ordered(xs: Seq[(Long, Int, Long, Double)]) =
+      xs.sortBy { case (qid, rnk, _, _) => (qid, rnk) }
+    try {
+      mem.addData(queryRows.toSeq)
+      q.processAllAvailable()
+      val v1Served = buf.toList
+      // the nightly delta publishes WHILE the stream is live — frozen
+      // codebook, affected-cell COW rewrite, ONE atomic snapshot
+      IvfIndex.updateFromVersioned(spark, root, upserts, removed)
+      mem.addData(queryRows.toSeq)
+      q.processAllAvailable()
+      val v2Served = buf.toList.drop(v1Served.length)
+      // expectations from fresh PLAIN (path-backed) builds — the same
+      // train + delta math without the manifest layer
+      val ref = java.nio.file.Files
+        .createTempDirectory("graft_ivf_roll_ref").toString
+      IvfIndex.build(corpusV1, ref)
+      val wantV1 = IvfIndex.probeBatch(spark, ref, queriesDf, nProbe, k)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      IvfIndex.updateFrom(spark, ref, upserts, removed)
+      val wantV2 = IvfIndex.probeBatch(spark, ref, queriesDf, nProbe, k)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(ordered(v1Served) == ordered(wantV1),
+        "pre-publish batch must serve v1's index")
+      assert(ordered(v2Served) == ordered(wantV2),
+        "post-publish batch must serve v2's index — rollover at the " +
+          "batch boundary with no restart")
+      assert(ordered(wantV1) != ordered(wantV2),
+        "fixture must actually change the answers or the law is vacuous")
+      // poison degrades: a null-embedding query is dropped, the clean
+      // queries in the same micro-batch are still answered
+      val before = buf.length
+      mem.addData(Seq((90L, null: Array[Float])) ++ queryRows.take(1))
+      q.processAllAvailable()
+      assert(q.isActive, "a malformed query must not kill the stream")
+      val poisoned = buf.toList.drop(before)
+      assert(poisoned.nonEmpty && poisoned.forall(_._1 == queryRows.head._1),
+        "the clean query in a poisoned batch is answered; poison skipped")
+    } finally q.stop()
+  }
+
+  test("streaming PQ with live index rollover: version-paired rerank corpus, v2 served post-publish") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.PqIndex
+    val (corpusV1, upserts, removed, corpusV2) = vectorDeltaFixture()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_roll").toString
+    PqIndex.buildVersioned(spark, corpusV1, root)
+    // the rerank store is bound PER RESOLVED VERSION — serving v2 codes
+    // against v1 embeddings would score the wrong vector for every
+    // upserted id (probeBatchVersioned's version-pairing contract)
+    val corpusOf: Long => org.apache.spark.sql.DataFrame =
+      v => if (v <= 1L) corpusV1 else corpusV2
+    val queryRows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queriesDf = queryRows.toSeq.toDF("q_id", "q_emb")
+    val k = 5
+    val mem = MemoryStream[(Long, Array[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val q = StreamingOps.pqServeStream(
+        mem.toDS().toDF("q_id", "q_emb"), root, corpusOf, k) { ans =>
+      buf.synchronized {
+        buf ++= ans.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
+    }.start()
+    def ordered(xs: Seq[(Long, Int, Long, Double)]) =
+      xs.sortBy { case (qid, rnk, _, _) => (qid, rnk) }
+    try {
+      mem.addData(queryRows.toSeq)
+      q.processAllAvailable()
+      val v1Served = buf.toList
+      PqIndex.updateFromVersioned(spark, root, upserts, removed)
+      mem.addData(queryRows.toSeq)
+      q.processAllAvailable()
+      val v2Served = buf.toList.drop(v1Served.length)
+      val ref = java.nio.file.Files
+        .createTempDirectory("graft_pq_roll_ref").toString
+      PqIndex.build(corpusV1, ref)
+      val wantV1 = PqIndex.probeBatch(spark, ref, queriesDf, corpusV1, k)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      PqIndex.updateFrom(spark, ref, upserts, removed)
+      val wantV2 = PqIndex.probeBatch(spark, ref, queriesDf, corpusV2, k)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(ordered(v1Served) == ordered(wantV1),
+        "pre-publish batch must serve v1's codes against v1's embeddings")
+      assert(ordered(v2Served) == ordered(wantV2),
+        "post-publish batch must serve v2's codes against v2's embeddings")
+      assert(ordered(wantV1) != ordered(wantV2),
+        "fixture must actually change the answers or the law is vacuous")
+    } finally q.stop()
+  }
 }
