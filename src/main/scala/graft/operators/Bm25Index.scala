@@ -208,21 +208,25 @@ object Bm25Index {
     * stats land as ONE copy-on-write snapshot — readers see the old
     * index or the new one, never postings from v2 scored against v1's
     * corpus constants, and the previous snapshot stays serveable until
-    * [[VersionedTable.vacuum]]. */
+    * [[VersionedTable.vacuum]]. Published through
+    * [[VersionedTable.retryingPublish]]: the delta is DERIVED from the
+    * attempt's own base snapshot, so a concurrent commit (a backfill
+    * colliding with the nightly job) makes this recompute against the
+    * winner's state and retry instead of dying — or worse, applying
+    * df/dl/stats movements computed against a superseded base. */
   def updateFromVersioned(spark: SparkSession, root: String,
-      upserts: DataFrame, removedIds: DataFrame): Long = {
-    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
-      throw new IllegalStateException(s"no BM25 snapshot at $root"))
-    val old = VersionedTable.read(spark, snap, root, postingsSchema)
-    val s = VersionedTable.readExtra(spark, snap, root, "stats", statsSchema)
-      .collect().headOption
-    val stats1 = (s.map(_.getLong(0)).getOrElse(0L),
-      s.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
-    val (affectedBuckets, replacement, newStats) =
-      deltaFrames(spark, old, stats1, upserts, removedIds)
-    VersionedTable.publishDelta(spark, root, affectedBuckets, replacement,
-      Map("stats" -> newStats))
-  }
+      upserts: DataFrame, removedIds: DataFrame): Long =
+    VersionedTable.retryingPublish(spark, root) { snap =>
+      val old = VersionedTable.read(spark, snap, root, postingsSchema)
+      val s = VersionedTable.readExtra(spark, snap, root, "stats",
+        statsSchema).collect().headOption
+      val stats1 = (s.map(_.getLong(0)).getOrElse(0L),
+        s.filter(!_.isNullAt(1)).map(_.getLong(1)).getOrElse(0L))
+      val (affectedBuckets, replacement, newStats) =
+        deltaFrames(spark, old, stats1, upserts, removedIds)
+      VersionedTable.Delta(affectedBuckets, replacement,
+        Map("stats" -> newStats))
+    }
 
   /** The delta math of [[updateFrom]] (doc-set diff → affected buckets,
     * full replacement rows for exactly those buckets, moved corpus

@@ -94,25 +94,26 @@ object IvfIndex {
     * previous snapshot stays serveable until vacuumed. The codebook
     * extra carries over untouched (frozen by construction). */
   def updateFromVersioned(spark: SparkSession, root: String,
-      upserts: DataFrame, removedIds: DataFrame): Long = {
-    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
-      throw new IllegalStateException(s"no IVF snapshot at $root"))
-    val cb = VersionedTable.readExtra(spark, snap, root, "codebook",
-      codebookSchema).localCheckpoint()
-    val dropIds = removedIds.select(col("vec_id"))
-      .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
-    val old = VersionedTable.read(spark, snap, root, assignmentsSchema)
-    val newAssign = VectorOps.assignCells(
-      upserts.select(col("vec_id"), col("embedding")), cb).localCheckpoint()
-    val affectedCells = IndexMaintenance.distinctVals(
-      IndexMaintenance.filterByIds(old, "vec_id", dropIds)
-        .select(col("cell"))
-        .union(newAssign.select(col("cell"))), "cell")
-    val kept = old.filter(col("cell").isin(affectedCells: _*))
-      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
-    VersionedTable.publishDelta(spark, root, affectedCells,
-      kept.unionByName(newAssign))
-  }
+      upserts: DataFrame, removedIds: DataFrame): Long =
+    VersionedTable.retryingPublish(spark, root) { snap =>
+      // derived from the ATTEMPT's base snapshot: a commit-race loser
+      // recomputes against the winner's state instead of dying (or
+      // re-applying a diff routed by a superseded base)
+      val cb = VersionedTable.readExtra(spark, snap, root, "codebook",
+        codebookSchema).localCheckpoint()
+      val dropIds = removedIds.select(col("vec_id"))
+        .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
+      val old = VersionedTable.read(spark, snap, root, assignmentsSchema)
+      val newAssign = VectorOps.assignCells(
+        upserts.select(col("vec_id"), col("embedding")), cb).localCheckpoint()
+      val affectedCells = IndexMaintenance.distinctVals(
+        IndexMaintenance.filterByIds(old, "vec_id", dropIds)
+          .select(col("cell"))
+          .union(newAssign.select(col("cell"))), "cell")
+      val kept = old.filter(col("cell").isin(affectedCells: _*))
+        .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+      VersionedTable.Delta(affectedCells, kept.unionByName(newAssign))
+    }
 
   /** [[probe]] against the CURRENT snapshot: the probed cells resolve
     * against the snapshot's own codebook extra, and the pruning is

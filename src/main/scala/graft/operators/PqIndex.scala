@@ -285,26 +285,30 @@ object PqIndex {
   def updateFromVersioned(spark: SparkSession, root: String,
       upserts: DataFrame, removedIds: DataFrame): Long = {
     import spark.implicits._
-    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
-      throw new IllegalStateException(s"no PQ snapshot at $root"))
-    val denseCb = VersionedTable.readExtra(spark, snap, root, "codebook",
-      codebookSchema).localCheckpoint()
-    val nOld = VersionedTable.readExtra(spark, snap, root, "stats",
-      vStatsSchema).collect().head.getLong(0)
-    val dropIds = removedIds.select(col("vec_id"))
-      .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
-    val affectedBuckets = IndexMaintenance.distinctVals(
-      dropIds.select(vbucketCol(col("vec_id")).as("vbucket")), "vbucket")
-    val before = VersionedTable.read(spark, snap, root, codesSchema,
-      wanted = Some(affectedBuckets))
-    val kept = before.join(broadcast(dropIds), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("codes"), col("vbucket"))
-    val added = encodeWith(
-      upserts.select(col("vec_id"), col("embedding")), denseCb)
-    val replacement = kept.unionByName(added).localCheckpoint()
-    val nNew = nOld - before.count() + replacement.count()
-    VersionedTable.publishDelta(spark, root, affectedBuckets, replacement,
-      Map("stats" -> Seq(nNew).toDF("n")))
+    VersionedTable.retryingPublish(spark, root) { snap =>
+      // derived from the ATTEMPT's base snapshot ([[Bm25Index
+      // .updateFromVersioned]]'s rationale): the count delta in
+      // particular MUST be computed against the base actually being
+      // committed over, or a lost race would double-move it
+      val denseCb = VersionedTable.readExtra(spark, snap, root, "codebook",
+        codebookSchema).localCheckpoint()
+      val nOld = VersionedTable.readExtra(spark, snap, root, "stats",
+        vStatsSchema).collect().head.getLong(0)
+      val dropIds = removedIds.select(col("vec_id"))
+        .union(upserts.select(col("vec_id"))).distinct().localCheckpoint()
+      val affectedBuckets = IndexMaintenance.distinctVals(
+        dropIds.select(vbucketCol(col("vec_id")).as("vbucket")), "vbucket")
+      val before = VersionedTable.read(spark, snap, root, codesSchema,
+        wanted = Some(affectedBuckets))
+      val kept = before.join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("codes"), col("vbucket"))
+      val added = encodeWith(
+        upserts.select(col("vec_id"), col("embedding")), denseCb)
+      val replacement = kept.unionByName(added).localCheckpoint()
+      val nNew = nOld - before.count() + replacement.count()
+      VersionedTable.Delta(affectedBuckets, replacement,
+        Map("stats" -> Seq(nNew).toDF("n")))
+    }
   }
 
   /** [[probe]] against the CURRENT snapshot: codebook, codes, and the

@@ -39,8 +39,15 @@ object VectorOps extends OpCatalog {
     * pass producing `(vec_id, sim)` for every corpus row. q40's scoring,
     * shared by the ANN family's law-flag wrappers ([[annLawFrame]]). */
   private def exactCosineScored(spark: SparkSession, sfDir: String): DataFrame =
-    emb(spark, sfDir).filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(queryVec(spark, sfDir)))
+    exactCosineScoredOf(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+      queryVec(spark, sfDir))
+
+  /** [[exactCosineScored]] over an explicit corpus (the versioned
+    * lifecycle q140 scores against the PLANTED-V2 corpus, not the raw
+    * table). */
+  private def exactCosineScoredOf(corpus: DataFrame, q: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
         roundVal(VectorExpressions.cosineSimilarity(col("embedding"), col("q_emb")), 4)
           .as("sim"))
@@ -1953,6 +1960,198 @@ object VectorOps extends OpCatalog {
       |FROM ranked WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
+  // -------------------------------------------------------- q140 / q141
+  /** Planted v1→v2 delta of the embeddings corpus — the vector analog of
+    * [[CurationOps.plantedV2]], declared in ONE place so the Spark
+    * lifecycle and the DuckDB oracles cannot drift (and shared with the
+    * streaming rollover specs). Returns (upserts, removedIds, corpusV2):
+    *   - UPSERTS: `vec_id % 7 == 3` → the embedding NEGATED. Negation is
+    *     EXACT in IEEE floats and distributes exactly over the dot
+    *     product, so v2 cosines of upserted rows are exactly the negated
+    *     v1 values in both engines — no new rounding surface;
+    *   - REMOVED: `vec_id % 11 == 5` (an id in both classes follows
+    *     updateFrom's semantics: dropped, then re-added as its upsert);
+    *   - `corpusV2` = (v1 \\ (removed ∪ upsert ids)) ∪ upserts — what an
+    *     incrementally-maintained index must serve.
+    * The query rows (vec_id 0; the batch block vec_id < 8) always come
+    * from the RAW table: queries are external vectors, not corpus rows,
+    * so the delta never rewrites the question being asked. */
+  private[graft] def plantedVecV2(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corpusV1 = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val upserts = corpusV1.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val removed = corpusV1.filter(col("vec_id") % 11 === 5)
+      .select(col("vec_id"))
+    val dropIds = removed.union(upserts.select(col("vec_id"))).distinct()
+    val corpusV2 = corpusV1
+      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+      .unionByName(upserts)
+    (upserts, removed, corpusV2)
+  }
+
+  /** The DuckDB spelling of [[plantedVecV2]]'s corpusV2, as a CTE body —
+    * generated next to the Spark definition so the two moduli and the
+    * negation can never drift apart. */
+  private val vecV2Cte =
+    """v2 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 7 = 3 THEN list_transform(embedding, x -> -x)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings
+      |  WHERE (vec_id % 11 <> 5 OR vec_id % 7 = 3) AND vec_id <> 0)"""
+      .stripMargin
+
+  // Recall floors for the versioned-lifecycle serving queries, measured
+  // on the deterministic fixtures (hits of the exact-v2 top at
+  // sf0.001/0.01/0.1: q140 5/6/6 of 10, q141 38/33/37 of 40 — see the
+  // round-11 measurement) and floored with margin (annLawFrame's
+  // tripwire rationale: deterministic fixtures, so a breach means the
+  // machinery changed, not noise): q140 one below the minimum, q141 at
+  // half the minimum (q137's rule).
+  private val ivfVtRecallFloorHits = 4
+  private val pqVtRecallFloorHits = 16
+
+  /** One definition of the versioned-lifecycle build shared by q140 and
+    * q141 (only the family differs): publish v1, apply the planted
+    * delta as a copy-on-write snapshot, COMPACT, VACUUM the superseded
+    * version, stamp READY only when the whole lifecycle survived (q138's
+    * torn-build contract). */
+  private def ensureVersionedVecArtifact(spark: SparkSession, sfDir: String,
+      e: DataFrame, familyTag: String, qname: String)(
+      buildV1: String => Unit, applyDelta: (String, DataFrame, DataFrame) => Unit,
+      schema: org.apache.spark.sql.types.StructType): java.nio.file.Path = {
+    val dir = artifactDir(familyTag, sfDir, sourceFile = "embeddings.parquet")
+    if (buildArtifactOnce(dir, Seq("READY"))(tmp => {
+        val (upserts, removed, _) = plantedVecV2(e)
+        buildV1(tmp)
+        applyDelta(tmp, upserts, removed)
+        VersionedTable.compact(spark, tmp, schema)
+        VersionedTable.vacuum(spark, tmp, keepVersions = 1, graceMs = 0L)
+        val ready = java.nio.file.Paths.get(tmp, "READY")
+        java.nio.file.Files.createDirectories(ready)
+        java.nio.file.Files.createFile(ready.resolve("_SUCCESS"))
+      })) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"$qname: published v1 + planted delta + compact + vacuum at $dir " +
+          "(first touch — the versioned vector-maintenance lifecycle; " +
+          "later runs serve off the committed manifest)")
+      sweepStaleArtifacts(dir, s"${familyTag.split("_index_").head}_index_",
+        sfDir)
+    }
+    dir
+  }
+
+  /** IVF served through the [[VersionedTable]] manifest layer — q138's
+    * lifecycle for the vector family (round-10 verdict item 1's batch
+    * half): atomic v1 publish (codebook rides the SAME snapshot as its
+    * assignments), planted v1→v2 delta under the frozen codebook as ONE
+    * copy-on-write commit, compaction, vacuum — then the fixed query
+    * served off the committed manifest with literal-path cell pruning.
+    * Declared as the law-flag frame against exact cosine over the
+    * PLANTED-V2 corpus, so the DuckDB oracle hash-checks the whole
+    * maintenance lifecycle (assignment movement, partition routing,
+    * manifest resolution), not just the final probe. */
+  def ivfVersionedProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val q = queryVec(spark, sfDir)
+    val (_, _, corpusV2) = plantedVecV2(e)
+    val served =
+      if (q.limit(1).collect().isEmpty ||
+          corpusV2.limit(1).collect().isEmpty) emptyCosTopK(spark)
+      else {
+        val dir = ensureVersionedVecArtifact(spark, sfDir, e,
+          s"graft_ivfvt_index_${IvfIndex.formatTag}", "q140")(
+          tmp => IvfIndex.buildVersioned(spark,
+            e.filter(col("vec_id") =!= 0)
+              .select(col("vec_id"), col("embedding")), tmp),
+          (tmp, up, rm) => IvfIndex.updateFromVersioned(spark, tmp, up, rm),
+          IvfIndex.assignmentsSchema)
+        IvfIndex.probeVersioned(spark, dir.toString, q)
+      }
+    annLawFrame(exactCosineScoredOf(corpusV2, q), "sim", asc = false,
+      served, ivfVtRecallFloorHits)
+  }
+
+  private val ivfVersionedProbeSql =
+    s"""WITH $vecV2Cte,
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |prods AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM v2 e, q),
+      |sims AS (
+      |  SELECT vec_id, sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY vec_id)
+      |SELECT vec_id,
+      |  CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |       ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim,
+      |  TRUE AS recall_ok, TRUE AS score_ok
+      |FROM sims
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Batched PQ/ADC through the [[VersionedTable]] layer — the q141 twin
+    * of [[ivfVersionedProbe]] for the code-compression family, serving
+    * the 8-query batch via [[PqIndex.probeBatchVersioned]] (codebook,
+    * codes, and the shortlist budget from ONE resolved manifest; the
+    * exact re-rank bound to the v2 corpus per the version-pairing
+    * contract). Declared as the batched law-flag frame vs exact L2 over
+    * the planted-v2 corpus. */
+  def pqVersionedBatchProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val e = emb(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val (_, _, corpusV2) = plantedVecV2(e)
+    val exactScored = batchL2ScoredOf(corpusV2, queries)
+    val served =
+      if (queries.limit(1).collect().isEmpty ||
+          corpusV2.limit(1).collect().isEmpty)
+        spark.range(0).selectExpr("id AS q_id", "id AS vec_id",
+          "CAST(0.0 AS DOUBLE) AS l2")
+      else {
+        val dir = ensureVersionedVecArtifact(spark, sfDir, e,
+          s"graft_pqvt_index_${PqIndex.formatTag}", "q141")(
+          tmp => PqIndex.buildVersioned(spark, e, tmp),
+          (tmp, up, rm) => PqIndex.updateFromVersioned(spark, tmp, up, rm),
+          PqIndex.codesSchema)
+        PqIndex.probeBatchVersioned(spark, dir.toString, queries,
+          _ => corpusV2, k = 5)
+      }
+    batchAnnLawFrame(exactScored, served, k = 5, pqVtRecallFloorHits,
+      score = "l2", asc = true)
+  }
+
+  private val pqVersionedBatchProbeSql =
+    s"""WITH $vecV2Cte,
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 8),
+      |prods AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS w
+      |  FROM v2 e, q),
+      |d AS (
+      |  SELECT q_id, vec_id,
+      |    floor((sum((v - w) * (v - w))) * 1e4 + 0.5) / 1e4 AS l2
+      |  FROM prods GROUP BY q_id, vec_id),
+      |ranked AS (
+      |  SELECT q_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY l2 ASC, vec_id) AS INT) AS rnk,
+      |    vec_id, l2
+      |  FROM d)
+      |SELECT q_id, rnk, vec_id, l2,
+      |  TRUE AS recall_ok, TRUE AS score_ok
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   // --------------------------------------------------------------- q122
   /** Batched similarity serving — the shape online retrieval actually
     * runs: a BATCH of query vectors (here vec_id < 8) against the corpus
@@ -2140,7 +2339,13 @@ object VectorOps extends OpCatalog {
       "batched artifact-served ANN: 8-query batch against the IvfIndex artifact in ONE partition-pruned scan (union of probed cells = the partition filter, per-query routing via the cell join); batched law-flag oracle vs exact cosine"),
     Op("q137_batch_pq_index_probe", batchPqIndexProbe,
       Some(batchPqIndexProbeSql),
-      "batched PQ/ADC artifact serving: 8-query batch against the PqIndex codes in ONE scan (broadcast per-query distance tables, WindowGroupLimit shortlist + exact re-rank frontiers); batched law-flag oracle vs exact L2"))
+      "batched PQ/ADC artifact serving: 8-query batch against the PqIndex codes in ONE scan (broadcast per-query distance tables, WindowGroupLimit shortlist + exact re-rank frontiers); batched law-flag oracle vs exact L2"),
+    Op("q140_ivf_versioned_probe", ivfVersionedProbe,
+      Some(ivfVersionedProbeSql),
+      "IVF through the VersionedTable manifest layer: atomic v1 publish (codebook + assignments as ONE snapshot), planted v1->v2 delta under the frozen codebook, compact, vacuum -- then the fixed query served off the committed manifest with literal-path cell pruning; law-flag oracle vs exact cosine over the planted-v2 corpus"),
+    Op("q141_pq_versioned_batch_probe", pqVersionedBatchProbe,
+      Some(pqVersionedBatchProbeSql),
+      "batched PQ/ADC through the VersionedTable layer: versioned lifecycle (v1 publish, delta, compact, vacuum), then the 8-query batch served off the committed manifest (codebook/codes/shortlist from ONE resolve, rerank bound to the v2 corpus); batched law-flag oracle vs exact L2 over planted-v2"))
 
 
 }

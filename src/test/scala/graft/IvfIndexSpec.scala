@@ -207,4 +207,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(marker).toMillis == mtime,
       "second probe must reuse the artifact, not rebuild it")
   }
+
+  test("q140 declared form: exact planted-v2 top-10 + green flags; versioned lifecycle artifact reused") {
+    val law = VectorOps.ivfVersionedProbe(spark, sfDir).collect()
+    assert(law.length == 10)
+    assert(law.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "recall_ok/score_ok must hold on the fixture")
+    // the lifecycle ran ONCE (READY-gated): a second invocation serves
+    // off the committed manifest and returns identical rows
+    val again = VectorOps.ivfVersionedProbe(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == law.map(_.toSeq).toSeq)
+    // the answer reflects the DELTA, not v1: it must differ from the
+    // raw-corpus exact top-10 (q132's exact rows) — removed ids gone
+    val v1Law = VectorOps.ivfIndexProbe(spark, sfDir).collect()
+    assert(law.map(_.getLong(0)).toSeq != v1Law.map(_.getLong(0)).toSeq ||
+      law.map(_.getDouble(1)).toSeq != v1Law.map(_.getDouble(1)).toSeq,
+      "planted delta must change the exact answer or the law is vacuous")
+  }
 }

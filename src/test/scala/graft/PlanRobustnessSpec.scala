@@ -60,7 +60,9 @@ class PlanRobustnessSpec extends SparkSpec {
       "q133_bm25_search",         // crossJoin(broadcast(1-row corpus-stats scalar))
       "q134_bm25_index_probe",    // legacy entry: stats are memoized literals since round 10 (no BNLJ left; harmless to keep listed)
       "q135_batch_ivf_index_probe", // law wrapper: 8-row query-batch + 1-row flag broadcasts
-      "q137_batch_pq_index_probe" // crossJoin(broadcast(8-row per-query ADC distance-table block)) + law wrapper's query-batch/flag broadcasts
+      "q137_batch_pq_index_probe", // crossJoin(broadcast(8-row per-query ADC distance-table block)) + law wrapper's query-batch/flag broadcasts
+      "q140_ivf_versioned_probe",  // law wrapper: query-vector + 1-row flag broadcasts (q132's exact shape over the versioned route)
+      "q141_pq_versioned_batch_probe" // q137's broadcasts over the versioned route (ADC dt block + query batch + flag frame)
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(

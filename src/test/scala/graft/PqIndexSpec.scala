@@ -261,4 +261,20 @@ class PqIndexSpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(marker).toMillis == mtime,
       "second probe must reuse the artifact, not rebuild it")
   }
+
+  test("q141 declared form: 8x top-5 planted-v2 batch + green flags; versioned lifecycle reused") {
+    val law = VectorOps.pqVersionedBatchProbe(spark, sfDir).collect()
+    assert(law.length == 40, s"8 queries x top-5 = 40 rows, got ${law.length}")
+    assert(law.forall(r => r.getBoolean(4) && r.getBoolean(5)),
+      "recall_ok/score_ok must hold on the fixture")
+    val again = VectorOps.pqVersionedBatchProbe(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == law.map(_.toSeq).toSeq,
+      "second invocation serves off the committed manifest, deterministic")
+    // the delta is visible: the batch answer differs from the raw-corpus
+    // exact batch (q137's exact rows)
+    val v1Law = VectorOps.batchPqIndexProbe(spark, sfDir).collect()
+    assert(law.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq !=
+      v1Law.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq,
+      "planted delta must change the exact batch answer or the law is vacuous")
+  }
 }

@@ -872,26 +872,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   /** Shared vector-delta fixture for the versioned-serving rollover
-    * twins: negate some embeddings (changes cosine/L2 orderings for
-    * sure), remove others — the vector analog of the documents table's
-    * plantedV2. Returns (corpusV1, upserts, removedIds, corpusV2) with
-    * corpusV2 == the updateFrom semantics: (v1 \ (removed ∪ upsert
-    * ids)) ∪ upserts. */
+    * twins — THE planted delta ([[graft.operators.VectorOps
+    * .plantedVecV2]], the same definition q140/q141's oracles check),
+    * plus the v1 corpus the reference builds start from. */
   private def vectorDeltaFixture(): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
-    val corpusV1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(col("vec_id") =!= 0)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpusV1 = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"))
-    val upserts = corpusV1.filter(col("vec_id") % 7 === 3)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => -x).as("embedding"))
-    val removed = corpusV1.filter(col("vec_id") % 11 === 5)
-      .select(col("vec_id"))
-    val dropIds = removed.union(upserts.select(col("vec_id"))).distinct()
-    val corpusV2 = corpusV1
-      .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
-      .unionByName(upserts)
+    val (upserts, removed, corpusV2) =
+      graft.operators.VectorOps.plantedVecV2(e)
     (corpusV1, upserts, removed, corpusV2)
   }
 
