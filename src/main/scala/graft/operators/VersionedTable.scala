@@ -152,14 +152,6 @@ object VersionedTable {
       toMap("parts"), toMap("extras"))
   }
 
-  // Per-root JVM lock for [[withCommitLock]] — FileChannel locks are
-  // held per-JVM (a second lock() in the same JVM throws
-  // OverlappingFileLockException, it does not queue), so same-JVM
-  // committers must serialize on a monitor BEFORE touching the OS lock
-  // ([[VectorOps.buildArtifactOnce]]'s exact two-level protocol).
-  private val commitJvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** Serialize committers of one table. On the LOCAL filesystem POSIX
     * rename CLOBBERS, so the exists-check + rename in [[commitManifest]]
     * is TOCTOU without this: two committers racing for the same version
@@ -170,11 +162,24 @@ object VersionedTable {
     * filesystems rename already refuses to clobber (the loser's rename
     * returns false → [[ConcurrentCommitException]]), and POSIX file
     * locks don't span those filesystems anyway, so only the JVM-level
-    * monitor applies there. */
+    * monitor applies there.
+    *
+    * Same-JVM committers MUST serialize on a monitor before touching
+    * the OS lock (a second `FileChannel.lock()` in one JVM throws
+    * OverlappingFileLockException — it does not queue). The monitor is
+    * the INTERNED fully-qualified table URI: qualification folds every
+    * spelling of one local table (`/data/t`, `file:/data/t`,
+    * `/data/t/`) onto one key — distinct raw spellings previously
+    * bypassed the monitor and crashed on the overlapping OS lock — and
+    * interning gives a canonical heap object per key with no lock
+    * registry to leak one entry per UUID-named build root (the
+    * round-10 SnapshotMemo leak class; interned strings are
+    * collectable on modern JVMs). The "graft.vt.commit:" prefix keeps
+    * the monitor namespace private to this protocol. */
   private def withCommitLock[T](fs: org.apache.hadoop.fs.FileSystem,
       root: String)(body: => T): T = {
-    val jvmLock = commitJvmLocks.computeIfAbsent(
-      new org.apache.hadoop.fs.Path(root).toString, _ => new Object)
+    val jvmLock = ("graft.vt.commit:" +
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString).intern()
     jvmLock.synchronized {
       if ("file" == fs.getScheme) {
         // beside manifests/, not inside it: the manifest dir's listing

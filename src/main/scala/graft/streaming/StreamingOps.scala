@@ -650,15 +650,28 @@ object StreamingOps {
       // resolution by construction: if it succeeds the DELETE will find
       // the same table; if it fails the engine cannot resolve the name
       // for DML either, so there is nothing to dedupe and Spark's
-      // append will create the table. (A permissions failure reads as
-      // not-exists — but then the DELETE would have failed identically,
-      // and the append surfaces the real error.)
+      // append will create the table. ONLY the undefined-table failure
+      // class reads as not-exists: a blanket catch would turn a
+      // TRANSIENT probe failure (connection reset, lock timeout) into
+      // exists=false, silently skip the replay DELETE, and duplicate
+      // the replayed batch — the exact failure this function exists to
+      // prevent. Anything else propagates, failing the batch so the
+      // checkpoint replays it (exactly-once preserved by retry).
+      // States: 42P01 (PostgreSQL undefined_table), 42S02 (SQL/CLI
+      // base table not found — MySQL/H2), 42X05 (Derby, which also
+      // surfaces as SQLSyntaxErrorException).
       val exists =
         try {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
-        } catch { case _: java.sql.SQLException => false }
+        } catch {
+          case e: java.sql.SQLException
+              if Set("42P01", "42S02", "42X05")
+                .contains(Option(e.getSQLState).getOrElse("")) ||
+                e.isInstanceOf[java.sql.SQLSyntaxErrorException] =>
+            false
+        }
       if (exists) {
         val st = conn.createStatement()
         // Spark's JDBC writer CREATEs with quoted (case-sensitive) column
@@ -706,13 +719,36 @@ object StreamingOps {
   def ivfServeStream(queries: DataFrame, path: String, nProbe: Int,
       k: Int)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    serveLoop(queries, vecQueryClean) { clean =>
+      Some(graft.operators.IvfIndex.probeBatch(
+        clean.sparkSession, path, clean, nProbe, k))
+    }(sink)
+
+  /** ONE definition of the retrieval serve loop shared by all four
+    * serve streams (BM25 / IVF / versioned IVF / versioned PQ): each
+    * micro-batch is sanitized by `clean` (malformed rows DEGRADE —
+    * dropped, never aborting the StreamingQuery into a checkpoint
+    * replay loop of the same poison), then a NON-EMPTY clean batch is
+    * answered by `answer` (None = nothing answerable survived) and the
+    * frame handed to `sink`. Stateless between batches by construction:
+    * no watermark, no state store — every answer depends only on the
+    * artifact resolved inside `answer`. Previously each wrapper
+    * re-spelled this loop and the degrade policies drifted (the static
+    * IVF twin filtered nothing); one site, one contract. */
+  private def serveLoop(queries: DataFrame, clean: DataFrame => DataFrame)(
+      answer: DataFrame => Option[DataFrame])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          sink(graft.operators.IvfIndex.probeBatch(
-            batch.sparkSession, path, batch.toDF(), nProbe, k))
+        val c = clean(batch.toDF())
+        if (!c.isEmpty) answer(c).foreach(sink)
       }
+
+  /** The vector families' shared degrade rule: a query row with a null
+    * id or null embedding is unanswerable — drop it. */
+  private val vecQueryClean: DataFrame => DataFrame =
+    _.filter(col("q_id").isNotNull && col("q_emb").isNotNull)
 
   /** [[ivfServeStream]] with live index rollover (round-10 verdict item
     * 1, completing the versioned-serving matrix BM25 opened): the query
@@ -729,15 +765,10 @@ object StreamingOps {
   def ivfServeStreamVersioned(queries: DataFrame, root: String,
       nProbe: Int, k: Int)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    queries.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val clean = batch.toDF()
-          .filter(col("q_id").isNotNull && col("q_emb").isNotNull)
-        if (!clean.isEmpty)
-          sink(graft.operators.IvfIndex.probeBatchVersioned(
-            batch.sparkSession, root, clean, nProbe, k))
-      }
+    serveLoop(queries, vecQueryClean) { clean =>
+      Some(graft.operators.IvfIndex.probeBatchVersioned(
+        clean.sparkSession, root, clean, nProbe, k))
+    }(sink)
 
   /** Streaming PQ/ADC retrieval with live index rollover — the third
     * family of the versioned-serving matrix. Per micro-batch the
@@ -753,15 +784,10 @@ object StreamingOps {
   def pqServeStream(queries: DataFrame, root: String,
       corpusOf: Long => DataFrame, k: Int = 10)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    queries.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val clean = batch.toDF()
-          .filter(col("q_id").isNotNull && col("q_emb").isNotNull)
-        if (!clean.isEmpty)
-          sink(graft.operators.PqIndex.probeBatchVersioned(
-            batch.sparkSession, root, clean, corpusOf, k))
-      }
+    serveLoop(queries, vecQueryClean) { clean =>
+      Some(graft.operators.PqIndex.probeBatchVersioned(
+        clean.sparkSession, root, clean, corpusOf, k))
+    }(sink)
 
   /** Streaming LEXICAL retrieval with live index rollover: an arriving
     * keyword-query stream `(q_id, terms)` served against a
@@ -782,23 +808,20 @@ object StreamingOps {
   def bm25ServeStream(queries: DataFrame, root: String, k: Int = 20)(
       sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    queries.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // one malformed query must degrade (skipped), not abort serving:
-        // an exception here fails the StreamingQuery and the checkpoint
-        // replays the same poisoned batch forever (reservoirStream's
-        // contract). Null q_id/terms rows and null/empty tokens drop; a
-        // query with no usable tokens left has no answerable terms
-        val qs = batch.select("q_id", "terms").collect()
-          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-          .map(r => (r.getLong(0),
-            r.getSeq[String](1).toSeq.filter(t => t != null && t.nonEmpty)))
-          .filter(_._2.nonEmpty).toSeq
-        if (qs.nonEmpty)
-          sink(graft.operators.Bm25Index.probeBatchVersioned(
-            batch.sparkSession, root, qs, k))
-      }
+    serveLoop(queries,
+      _.filter(col("q_id").isNotNull && col("terms").isNotNull)) { clean =>
+      // beyond the shared row-level degrade, null/empty TOKENS inside a
+      // surviving query's terms array drop; a query with no usable
+      // tokens left has no answerable terms (reservoirStream's
+      // degrade-not-abort contract)
+      val qs = clean.select("q_id", "terms").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[String](1).toSeq.filter(t => t != null && t.nonEmpty)))
+        .filter(_._2.nonEmpty).toSeq
+      if (qs.isEmpty) None
+      else Some(graft.operators.Bm25Index.probeBatchVersioned(
+        clean.sparkSession, root, qs, k))
+    }(sink)
 
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */

@@ -279,6 +279,39 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("concurrent committers through DIFFERENT spellings of one root serialize on one lock") {
+    // the commit monitor keys on the QUALIFIED table URI: raw-string
+    // keys let "/t" and "file:/t" bypass each other's monitor and the
+    // second same-JVM FileChannel.lock() on the shared .commit.lock
+    // throws OverlappingFileLockException (an uncaught crash, not a
+    // retryable ConcurrentCommitException) — round-11 review
+    val root = newRoot("spell")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    val spellings = Seq(root, "file:" + root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = spellings.zipWithIndex.map { case (r, i) =>
+      new Thread(() => {
+        try {
+          for (n <- 1 to 3)
+            VersionedTable.retryingPublish(spark, r, maxAttempts = 30) {
+              _ => VersionedTable.Delta(Seq(i),
+                rowsDf((10L * i + n, s"t$i-$n", i)))
+            }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"spellings of one root must serialize, got: ${errs.peek()}")
+    // 1 full + 6 deltas, every commit landed exactly once
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 7L)
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((3L, "t0-3", 0), (13L, "t1-3", 1)),
+      "each thread's LAST delta content serves its bucket")
+  }
+
   test("SnapshotMemo: one entry per root — version hit, rollover replace, degenerate loads pin nothing") {
     val memo = new VersionedTable.SnapshotMemo[java.lang.Long]
     val s1 = VersionedTable.Snapshot(1L, "bucket", Map.empty, Map.empty)
