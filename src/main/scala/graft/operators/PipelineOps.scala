@@ -224,6 +224,121 @@ object PipelineOps extends OpCatalog {
        |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q142
+  /** Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009: `score(d) = Σ_lists
+    * 1/(k0 + rank_list(d))`, k0=60 — the fusion every production RAG /
+    * retrieval stack runs over its BM25 and embedding channels,
+    * because rank-space fusion needs NO score calibration between
+    * channels with incomparable scales). The LEXICAL ranking is served
+    * from the q134 posting-list artifact (bucket-pruned, term-pushed,
+    * no re-tokenize — the production serving path, lossless so the
+    * oracle's formula ranking is exact); the VECTOR ranking is the
+    * exact cosine top-20 vs the fixed query vector (q40's scoring —
+    * exact, so the fused answer is fully DuckDB-checkable; an ANN
+    * channel would fuse identically, rank-space fusion doesn't care
+    * where ranks come from). Both channels are top-20 frames: the
+    * rank windows and the full-outer fuse run over ≤40 rows — at
+    * 100 TB the channels' own serving plans (pruned postings scan /
+    * batched ANN frontier) carry the scale, fusion stays frontier-
+    * sized. A doc missing from a channel contributes 0 from it
+    * (nullable rank columns in the declared output). RRF doubles are
+    * sums of ≤2 exact small-integer reciprocals — identical bits in
+    * both engines — rounded to 6dp with doc_id tiebreak. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val k0 = 60
+    val lex = Bm25Index.probe(spark,
+        ensureBm25Artifact(spark, sfDir, "q142").toString,
+        Seq("window", "spark", "stream"))
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val vec = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.Rounding.roundVal(
+          graft.functions.VectorExpressions.cosineSimilarity(
+            col("embedding"), col("q_emb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        graft.functions.Rounding.roundVal(
+          coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val hybridRrfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      |lens AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE w IN ('window', 'spark', 'stream') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+      |        (CAST(total_len AS DOUBLE) / n_docs))) AS sc
+      |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id), stats),
+      |lextop AS (
+      |  SELECT doc_id, floor((sum(sc)) * 1e4 + 0.5) / 1e4 AS bm25
+      |  FROM s GROUP BY doc_id
+      |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |lex AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+      |  FROM lextop),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |prods AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |    CAST(unnest(qv.qe) AS DOUBLE) AS w
+      |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+      |sims AS (
+      |  SELECT vec_id, sum(v * w) AS dot, sum(v * v) AS na, sum(w * w) AS nq
+      |  FROM prods GROUP BY vec_id),
+      |vectop AS (
+      |  SELECT vec_id AS doc_id,
+      |    CASE WHEN na = 0 OR nq = 0 THEN 0.0
+      |         ELSE floor((dot / sqrt(na * nq)) * 1e4 + 0.5) / 1e4 END AS sim
+      |  FROM sims
+      |  ORDER BY sim DESC, doc_id LIMIT 20),
+      |vec AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+      |  FROM vectop),
+      |fused AS (
+      |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+      |    lex_rank, vec_rank
+      |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+      |SELECT doc_id,
+      |  floor((coalesce(1.0 / (60 + lex_rank), 0.0) +
+      |         coalesce(1.0 / (60 + vec_rank), 0.0)) * 1e6 + 0.5) / 1e6
+      |    AS rrf,
+      |  lex_rank, vec_rank
+      |FROM fused
+      |ORDER BY rrf DESC, doc_id
+      |LIMIT 10""".stripMargin
+
   // --------------------------------------------------------------- q136
   /** Incrementally-MAINTAINED BM25 serving (round-9 verdict item 2 as a
     * declared query): build the [[Bm25Index]] artifact on snapshot v1,
@@ -1393,6 +1508,8 @@ object PipelineOps extends OpCatalog {
     Op("q139_batch_bm25_index_probe", batchBm25IndexProbe,
       Some(bm25BatchSql),
       "batched BM25 artifact serving: 3-query battery (overlapping vocabulary) against the q134 posting-list artifact in ONE union-bucket-pruned scan -- broadcast (q_id, w, mult) block, shared postings scored once per query, map-side WindowGroupLimit per-query top-20"),
+    Op("q142_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
+      "hybrid retrieval via Reciprocal Rank Fusion (k0=60, Cormack et al. 2009): artifact-served BM25 top-20 fused with exact-cosine top-20 in rank space (no score calibration across channels); full-outer fuse over frontier-sized channel answers, nullable per-channel ranks, 6dp RRF + doc_id tiebreak"),
     Op("q64_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic hash-mod stratified sampling per language"),
     Op("q65_quality_funnel", qualityFunnel, Some(qualityFunnelSql),

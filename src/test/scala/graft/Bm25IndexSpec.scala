@@ -86,6 +86,26 @@ class Bm25IndexSpec extends SparkSpec {
         scanLines.mkString("\n"))
   }
 
+  test("q142 hybrid RRF: score IS the reciprocal-rank sum of its own rank columns; both channels contribute; deterministic") {
+    val rows = PipelineOps.hybridRrf(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val vec = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(lex.nonEmpty || vec.nonEmpty,
+        "a fused row must come from at least one channel")
+      val want = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(1) == math.floor(want * 1e6 + 0.5) / 1e6,
+        s"RRF of ranks ($lex, $vec) must be the reciprocal sum")
+    }
+    assert(rows.exists(!_.isNullAt(2)) && rows.exists(!_.isNullAt(3)),
+      "fixture must exercise both channels or the fusion is vacuous")
+    val again = PipelineOps.hybridRrf(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+      "artifact reuse + stable tiebreaks make the fusion deterministic")
+  }
+
   test("versioned probe plan: literal-path pruning off the manifest, no stats read, no tokenize") {
     import graft.operators.VersionedTable
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_vtp").toString

@@ -62,7 +62,8 @@ class PlanRobustnessSpec extends SparkSpec {
       "q135_batch_ivf_index_probe", // law wrapper: 8-row query-batch + 1-row flag broadcasts
       "q137_batch_pq_index_probe", // crossJoin(broadcast(8-row per-query ADC distance-table block)) + law wrapper's query-batch/flag broadcasts
       "q140_ivf_versioned_probe",  // law wrapper: query-vector + 1-row flag broadcasts (q132's exact shape over the versioned route)
-      "q141_pq_versioned_batch_probe" // q137's broadcasts over the versioned route (ADC dt block + query batch + flag frame)
+      "q141_pq_versioned_batch_probe", // q137's broadcasts over the versioned route (ADC dt block + query batch + flag frame)
+      "q142_hybrid_rrf"            // vector channel: crossJoin(broadcast(the single query vector)) — q40's shape; the fuse itself is an equi-join
     )
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(
