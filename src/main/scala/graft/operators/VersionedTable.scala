@@ -393,6 +393,38 @@ object VersionedTable {
       throw new IllegalStateException(s"no committed snapshot at $root")),
       root, schema, wanted)
 
+  /** Resolve a SPECIFIC retained version — the time-travel read a
+    * training run needs to reproduce exactly the index state it was
+    * served from (version N stays resolvable until [[vacuum]] drops its
+    * manifest; after that this returns None rather than silently
+    * serving a different state). Pass the result to [[read]] /
+    * [[readExtra]] like any snapshot. */
+  def snapshotAt(spark: SparkSession, root: String,
+      version: Long): Option[Snapshot] = {
+    val fs = hadoopFs(spark, manifestsDir(root))
+    listManifests(fs, root).collectFirst {
+      case (v, name) if v == version => readManifest(spark, root, name)
+    }
+  }
+
+  /** Retained-version audit frame: one row per resolvable manifest —
+    * (version, n_parts, n_extras, n_generations) — the `DESCRIBE
+    * HISTORY` an operator pages through before choosing what
+    * [[vacuum]] may drop or which version to pin for a reproduction
+    * run. Driver-side listing over the manifest dir (O(retained
+    * versions) small JSONs — the same order of work as one
+    * [[currentSnapshot]] resolve), returned as a frame so it composes
+    * with the rest of the engine. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs(spark, manifestsDir(root))
+    listManifests(fs, root).map { case (v, name) =>
+      val s = readManifest(spark, root, name)
+      (v, s.partCol, s.parts.size.toLong, s.extras.size.toLong,
+        (s.parts.values.toSet ++ s.extras.values.toSet).size.toLong)
+    }.toDF("version", "part_col", "n_parts", "n_extras", "n_generations")
+  }
+
   /** Read one extra (side table) of a snapshot. */
   def readExtra(spark: SparkSession, snap: Snapshot, root: String,
       name: String, schema: StructType): DataFrame = {

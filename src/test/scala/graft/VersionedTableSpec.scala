@@ -279,6 +279,30 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("snapshotAt + history: retained versions resolve exactly; vacuumed ones return None, not another state") {
+    val root = newRoot("tt")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B2", 1)))
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B3", 1)))
+    // pin v2 and reproduce exactly its state (the time-travel read)
+    val s2 = VersionedTable.snapshotAt(spark, root, 2L).get
+    assert(contents(VersionedTable.read(spark, s2, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B2", 1)))
+    assert(VersionedTable.snapshotAt(spark, root, 9L).isEmpty,
+      "a never-committed version must not resolve")
+    val hist = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(hist.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 2L), (3L, 2L, 2L)),
+      "history: v1 = 2 parts/1 gen; v2 and v3 each span 2 generations " +
+        "(bucket=0 shared with v1, bucket=1 rewritten)")
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(VersionedTable.snapshotAt(spark, root, 2L).isEmpty,
+      "a vacuumed version returns None — never a silently different state")
+    assert(VersionedTable.history(spark, root).count() == 1L)
+  }
+
   test("concurrent committers through DIFFERENT spellings of one root serialize on one lock") {
     // the commit monitor keys on the QUALIFIED table URI: raw-string
     // keys let "/t" and "file:/t" bypass each other's monitor and the
