@@ -1417,7 +1417,95 @@ object CurationOps extends OpCatalog {
       |  TRUE AS est_ok
       |FROM u GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** CDC changes feed between two retained [[VersionedTable]] snapshots
+    * — q100's diff question ("what must downstream reprocess?") answered
+    * from the MANIFEST instead of two full corpus scans. The lifecycle:
+    * publish the corpus bucketed by `doc_id % 16` as snapshot v1, apply
+    * the [[plantedV2]] crawl delta as a copy-on-write publish (via
+    * [[VersionedTable.retryingPublish]] — the nightly-job commit path)
+    * replacing ONLY the buckets that contain a diff, then serve
+    * [[VersionedTable.changes]](v1, v2).
+    *
+    * Why this beats q100 at 100 TB: q100's full-outer hash-join reads
+    * BOTH snapshots end to end every night. The manifest diff reads only
+    * partitions whose generation id changed — delta-bounded I/O — and
+    * the row-level classify inside them suppresses the COW-carried
+    * unchanged rows, so the feed q100 computes from 2× corpus scans
+    * falls out of ~2× delta-sized reads. The DuckDB oracle recomputes
+    * the SAME insert/update/delete classification from first principles
+    * (full md5 diff of v1 vs v2), so a partition-routing bug that
+    * dropped or duplicated a changed bucket hash-mismatches. */
+  private val vtChangesSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("text", org.apache.spark.sql.types.StringType)
+    .add("bucket", org.apache.spark.sql.types.LongType)
+
+  private def vtBucketed(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"),
+      pmod(col("doc_id"), lit(16L)).as("bucket"))
+
+  def versionedChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val dir = VectorOps.artifactDir("graft_docvt_changes_fmt1", sfDir,
+      sourceFile = "documents.parquet")
+    if (VectorOps.buildArtifactOnce(dir, Seq("READY"))(tmp => {
+        val v1 = vtBucketed(Tables.documents(spark, sfDir))
+        VersionedTable.publishFull(spark, tmp, "bucket", v1)
+        val v2 = vtBucketed(plantedV2(Tables.documents(spark, sfDir)))
+        val (upserts, removed) = hashDiff(
+          v1.select(col("doc_id"), col("text")),
+          v2.select(col("doc_id"), col("text")))
+        // buckets containing any diff — ≤16 values, a bounded collect
+        val touched = upserts.select(pmod(col("doc_id"), lit(16L)).as("b"))
+          .union(removed.select(pmod(col("doc_id"), lit(16L)).as("b")))
+          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        VersionedTable.retryingPublish(spark, tmp)(_ =>
+          VersionedTable.Delta(touched,
+            v2.filter(col("bucket").isin(touched: _*))))
+        val ready = java.nio.file.Paths.get(tmp, "READY")
+        java.nio.file.Files.createDirectories(ready)
+        java.nio.file.Files.createFile(ready.resolve("_SUCCESS"))
+      })) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"q143: published v1 + planted crawl delta at $dir (first touch; " +
+          "later runs serve the changes feed off the retained manifests)")
+      VectorOps.sweepStaleArtifacts(dir, "graft_docvt_changes_", sfDir)
+    }
+    val root = dir.toString
+    def snap(v: Long) = VersionedTable.snapshotAt(spark, root, v).getOrElse(
+      throw new IllegalStateException(s"q143 artifact at $root lost v$v"))
+    VersionedTable.changes(spark, root, snap(1L), snap(2L),
+        vtChangesSchema, "doc_id")
+      .select(col("doc_id"), col("change_type"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-principles recomputation of the feed: full md5 diff of the
+    * deterministic planted v2 against v1, classified exactly as
+    * [[VersionedTable.changes]] classifies (absent→insert/delete,
+    * hash-differ→update, unchanged suppressed). */
+  private val versionedChangesSql =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 97 = 0 THEN text || ' rev2'
+      |             ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+      |  FROM documents WHERE doc_id % 101 = 0)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v1.h1 IS NULL THEN 'insert'
+      |       WHEN v2.h2 IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change_type
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |WHERE v1.h1 IS NULL OR v2.h2 IS NULL OR v1.h1 <> v2.h2
+      |ORDER BY doc_id""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("q143_versioned_changes", versionedChanges, Some(versionedChangesSql),
+      "manifest-level CDC between versioned snapshots: delta-bounded changed-partition read, row-level insert/update/delete classify, COW rewrites silent"),
     Op("q121_sketch_distinct", sketchDistinct, Some(sketchDistinctSql),
       "incremental per-source distinct contents across snapshots via mergeable HLL sketch union (exact ridealong + 5% tolerance flag)"),
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),

@@ -376,6 +376,15 @@ object VersionedTable {
           IndexMaintenance.partDirName(snap.partCol, v)).toSet
         snap.parts.view.filterKeys(keys.contains).toMap
     }
+    readParts(spark, root, schema, chosen)
+  }
+
+  /** Shared scan tail of [[read]] and [[changes]]: one literal-path read
+    * per referenced generation, unioned by name. `chosen` maps partition
+    * DIRECTORY names to their generations (a sub-map of some snapshot's
+    * `parts`). */
+  private def readParts(spark: SparkSession, root: String,
+      schema: StructType, chosen: Map[String, String]): DataFrame = {
     if (chosen.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), schema)
@@ -384,6 +393,73 @@ object VersionedTable {
       spark.read.option("basePath", base).schema(schema)
         .parquet(partsOfGen.keys.toSeq.sorted.map(k => s"$base/$k"): _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** Partition directories whose CONTENT can differ between two
+    * snapshots of one table: present in only one, or mapped to different
+    * generations. Generations are immutable once staged, so same
+    * generation id ⇒ byte-identical partition files — the manifest IS
+    * the diff index, and this is pure map arithmetic with no data read.
+    * Both orders of arguments return the same set. */
+  def changedPartitionDirs(a: Snapshot, b: Snapshot): Seq[String] = {
+    require(a.partCol == b.partCol,
+      s"snapshots partition on different columns: ${a.partCol} vs ${b.partCol}")
+    (a.parts.keySet ++ b.parts.keySet).toSeq.sorted
+      .filter(k => a.parts.get(k) != b.parts.get(k))
+  }
+
+  /** Row-level change feed between two retained snapshots — the CDC
+    * read an incremental consumer needs to reprocess ONLY what a
+    * publish touched (re-embed / re-index / re-tokenize the delta, not
+    * the corpus). Two-level diff:
+    *
+    *  1. MANIFEST level: [[changedPartitionDirs]] — only partitions
+    *     whose generation id changed are read, from BOTH snapshots, via
+    *     literal-path selection. A nightly delta touching 3 of 10k
+    *     partitions scans 2×3 partitions, not 2× the table; the scan is
+    *     delta-bounded by construction, verified by an `inputFiles` law
+    *     in `VersionedTableSpec`.
+    *  2. ROW level: within those partitions, a null-safe full-outer
+    *     join on `keyCol` classifies `insert` (key only in `to`),
+    *     `delete` (key only in `from`), `update` (in both, any value
+    *     column differs under null-safe struct equality). Rows a
+    *     copy-on-write rewrite carried over byte-identical are NOT
+    *     emitted — so a [[compact]] commit is CDC-silent (spec law),
+    *     and a consumer never re-processes work it already did.
+    *
+    * Output: `schema`'s columns (post-image for insert/update,
+    * pre-image for delete — the key and partition value a downstream
+    * retraction needs) plus a `change_type` string column. Requires
+    * `keyCol` values unique per snapshot (the same contract the
+    * index-maintenance delta path assumes). Works across any version
+    * gap — `changes(v1, v3)` is the NET diff (a row inserted in v2 and
+    * deleted in v3 never appears), and `changes(v, v)` is empty. */
+  def changes(spark: SparkSession, root: String, from: Snapshot,
+      to: Snapshot, schema: StructType, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in schema ${schema.fieldNames.mkString(",")}")
+    val valCols = schema.fieldNames.toSeq.filterNot(_ == keyCol)
+    require(valCols.nonEmpty,
+      "changes needs at least one non-key column (the partition column " +
+        "rides in the schema, so this only fails on a degenerate call)")
+    val dirs = changedPartitionDirs(from, to).toSet
+    def side(snap: Snapshot, img: String, flag: String) =
+      readParts(spark, root, schema,
+        snap.parts.view.filterKeys(dirs.contains).toMap)
+        .select(col(keyCol), struct(valCols.map(col): _*).as(img),
+          lit(true).as(flag))
+    val j = side(from, "_pre", "_in_from")
+      .join(side(to, "_post", "_in_to"), Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("_in_from").isNull, lit("insert"))
+          .when(col("_in_to").isNull, lit("delete"))
+          .when(!(col("_pre") <=> col("_post")), lit("update")))
+      .filter(col("change_type").isNotNull)
+    val image = when(col("change_type") === "delete", col("_pre"))
+      .otherwise(col("_post"))
+    j.select(col(keyCol) +:
+      valCols.map(c => image.getField(c).as(c)) :+ col("change_type"): _*)
   }
 
   /** Current-snapshot convenience read. */

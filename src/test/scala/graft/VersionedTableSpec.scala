@@ -336,6 +336,65 @@ class VersionedTableSpec extends SparkSpec {
       "each thread's LAST delta content serves its bucket")
   }
 
+  private def feedRows(df: DataFrame): Set[(Long, String, Int, String)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+
+  test("changes: manifest-diff CDC — insert/update/delete exact, COW-carried rows silent, reads only changed partitions") {
+    val root = newRoot("cdc")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1), (3L, "c", 1), (4L, "d", 2)))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    // delta: bucket 1 rewritten (2 updated, 3 carried byte-identical,
+    // 5 inserted); bucket 2 emptied (4 deleted); bucket 0 untouched
+    VersionedTable.publishDelta(spark, root, Seq(1, 2),
+      rowsDf((2L, "B2", 1), (3L, "c", 1), (5L, "e", 1)))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    assert(VersionedTable.changedPartitionDirs(s1, s2) ==
+      Seq("bucket=1", "bucket=2"),
+      "manifest diff: exactly the replaced partitions, pure map math")
+    val feed = VersionedTable.changes(spark, root, s1, s2, schema, "k")
+    assert(feedRows(feed) == Set(
+      (2L, "B2", 1, "update"), // post-image
+      (5L, "e", 1, "insert"),
+      (4L, "d", 2, "delete")), // pre-image carried for the retraction
+      "row 3's unchanged COW re-delivery must be suppressed")
+    // the delta-bounded-I/O law: no file of the untouched bucket=0 is
+    // scanned — the feed's cost is the delta, not the table
+    val files = feed.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("/bucket=1/") || f.contains("/bucket=2/")),
+      s"scan must touch only changed partitions, got: ${files.mkString(",")}")
+    assert(VersionedTable.changes(spark, root, s2, s2, schema, "k")
+      .isEmpty, "changes(v, v) is empty")
+    // net diff across a version gap: drop row 5 again in v3, so its
+    // v2 insert + v3 delete must cancel out of changes(v1, v3)
+    VersionedTable.publishDelta(spark, root, Seq(1),
+      rowsDf((2L, "B2", 1), (3L, "c", 1)))
+    val s3 = VersionedTable.currentSnapshot(spark, root).get
+    assert(feedRows(VersionedTable.changes(spark, root, s1, s3,
+      schema, "k")) ==
+      Set((2L, "B2", 1, "update"), (4L, "d", 2, "delete")),
+      "changes(v1, v3) is the NET diff — a row born and dropped between " +
+        "the endpoints never appears")
+  }
+
+  test("compact is CDC-silent: a content-identical commit emits zero changes") {
+    val root = newRoot("cdcsilent")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L to 30L).map(i => (i, s"v$i", (i % 2).toInt)): _*)
+        .repartition(3))
+    val pre = VersionedTable.currentSnapshot(spark, root).get
+    assert(VersionedTable.compact(spark, root, schema,
+      maxFilesPerPart = 1).nonEmpty)
+    val post = VersionedTable.currentSnapshot(spark, root).get
+    assert(VersionedTable.changedPartitionDirs(pre, post).nonEmpty,
+      "compaction rewrote partitions at the manifest level...")
+    assert(VersionedTable.changes(spark, root, pre, post, schema, "k")
+      .isEmpty,
+      "...but no row changed — a consumer must not re-process anything")
+  }
+
   test("SnapshotMemo: one entry per root — version hit, rollover replace, degenerate loads pin nothing") {
     val memo = new VersionedTable.SnapshotMemo[java.lang.Long]
     val s1 = VersionedTable.Snapshot(1L, "bucket", Map.empty, Map.empty)

@@ -29,13 +29,24 @@ def main(paths):
             # bands from a slower config silently raise every replay
             # threshold at the driver's 32-CPU runs
             sys.exit(f"{p}: cpus is {d.get('cpus')}, bands are local[32]-only")
-        runs.append(d["queries"])
+        # a query whose final time was REPLACED by an end-of-suite rerun
+        # (its in-suite original rides in original_sec) ran the rerun in
+        # the SAME session: memo-backed queries (q101's bpe_rules, the
+        # shingle base, ...) record a warm cache read there, not a clean
+        # execution — a 0.04 s "band" for a 3.5 s query would then flag
+        # every honest run and lock the official number to the warm
+        # path. Those samples are not band material in either direction
+        # (the original was contaminated, the rerun is warm): drop them.
+        replaced = set(d.get("original_sec", {}))
+        runs.append({k: v for k, v in d["queries"].items()
+                     if k not in replaced})
     names = sorted(set().union(*[set(r) for r in runs]))
     bands = {}
     for n in names:
         vals = [r[n] for r in runs if n in r and r[n] >= 0]
         if not vals:
-            sys.exit(f"{n}: no clean sample in any input")
+            sys.exit(f"{n}: no clean unreplaced sample in any input — "
+                     "take another quiet run")
         bands[n] = round(statistics.median(vals), 3)
     out = pathlib.Path(__file__).resolve().parent.parent / \
         "src/main/resources/graft/bench_bands.json"
