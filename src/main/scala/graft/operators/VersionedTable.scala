@@ -87,9 +87,24 @@ object VersionedTable {
   /** One resolved manifest. `parts` maps partition DIRECTORY names
     * (`bucket=3` — exactly what Spark's partitioned write produced, so
     * no re-escaping logic can drift) to generation ids; `extras` maps
-    * side-table names to theirs. */
+    * side-table names to theirs. `schemaFp` is the row schema's
+    * fingerprint recorded at publish time (None only on manifests
+    * committed before the field existed — the next delta adopts). */
   final case class Snapshot(version: Long, partCol: String,
-      parts: Map[String, String], extras: Map[String, String])
+      parts: Map[String, String], extras: Map[String, String],
+      schemaFp: Option[String] = None)
+
+  /** Order-insensitive, nullability-insensitive schema fingerprint.
+    * "No schema evolution" is this format's declared contract — this
+    * makes it ENFORCED: a nightly delta staged from a job whose select
+    * list drifted (renamed column, silent type widening) must fail the
+    * commit loudly, not land rows the published `schema` reads back as
+    * nulls. Order-insensitive because [[read]] takes the caller's
+    * column order; nullability-insensitive because parquet round-trips
+    * relax it. */
+  private[graft] def schemaFingerprint(st: StructType): String =
+    st.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .sorted.mkString(",")
 
   private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -149,7 +164,8 @@ object VersionedTable {
       buf.toMap
     }
     Snapshot(node.get("version").asLong(), node.get("partCol").asText(),
-      toMap("parts"), toMap("extras"))
+      toMap("parts"), toMap("extras"),
+      Option(node.get("schemaFp")).map(_.asText()))
   }
 
   /** Serialize committers of one table. On the LOCAL filesystem POSIX
@@ -227,6 +243,7 @@ object VersionedTable {
       snap.parts.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
       val en = rootNode.putObject("extras")
       snap.extras.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
+      snap.schemaFp.foreach(fp => rootNode.put("schemaFp", fp))
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".${manifestName(snap.version)}.tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
@@ -269,7 +286,8 @@ object VersionedTable {
     val base = currentSnapshot(spark, root)
     val (gen, parts) = stageGeneration(spark, root, partCol, rows, extras)
     val snap = Snapshot(base.map(_.version + 1).getOrElse(1L), partCol,
-      parts.map(_ -> gen).toMap, extras.keys.map(_ -> gen).toMap)
+      parts.map(_ -> gen).toMap, extras.keys.map(_ -> gen).toMap,
+      Some(schemaFingerprint(rows.schema)))
     commitManifest(spark, root, snap)
     snap.version
   }
@@ -303,6 +321,13 @@ object VersionedTable {
   def publishDeltaAt(spark: SparkSession, root: String,
       base: Snapshot, replacedParts: Seq[Any], rows: DataFrame,
       extras: Map[String, DataFrame] = Map.empty): Long = {
+    // reject schema drift BEFORE staging (nothing to vacuum on failure);
+    // a pre-schemaFp base adopts this publish's fingerprint
+    val fp = schemaFingerprint(rows.schema)
+    base.schemaFp.foreach(b => require(b == fp,
+      s"delta schema drifted from the published table's: table has [$b], " +
+        s"delta rows have [$fp] — this format does not do schema " +
+        "evolution; republish full under the new schema instead"))
     val (gen, parts) = stageGeneration(spark, root, base.partCol, rows, extras)
     // IndexMaintenance.partDirName: writer-exact escaping, so string
     // partition values with specials (and null) resolve to the real
@@ -314,7 +339,7 @@ object VersionedTable {
       s"delta rows carry partitions outside the replaced set: $unexpected")
     val snap = Snapshot(base.version + 1, base.partCol,
       (base.parts -- replacedKeys) ++ parts.map(_ -> gen),
-      base.extras ++ extras.keys.map(_ -> gen))
+      base.extras ++ extras.keys.map(_ -> gen), Some(fp))
     commitManifest(spark, root, snap)
     snap.version
   }

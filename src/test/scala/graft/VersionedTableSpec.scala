@@ -379,6 +379,41 @@ class VersionedTableSpec extends SparkSpec {
         "the endpoints never appears")
   }
 
+  test("schema drift guard: renamed/retyped delta rows are rejected before staging; column order is not drift; legacy manifests adopt") {
+    val root = newRoot("schemafp")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    val renamed = rowsDf((2L, "B2", 1)).withColumnRenamed("v", "val")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(1), renamed)
+    }
+    assert(e.getMessage.contains("schema drifted"))
+    intercept[IllegalArgumentException] { // silent type drift
+      VersionedTable.publishDelta(spark, root, Seq(1),
+        rowsDf((2L, "B2", 1)).withColumn("v", lit(5)))
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .count(_.isDirectory) == 1,
+      "a rejected delta must not leave a staged generation to vacuum")
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 1L)
+    // column ORDER is not drift (read takes the caller's order anyway)
+    VersionedTable.publishDelta(spark, root, Seq(1),
+      rowsDf((2L, "B2", 1)).select("bucket", "v", "k"))
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B2", 1)))
+    // a pre-schemaFp manifest (legacy) accepts one delta — adopting its
+    // fingerprint — after which drift is caught again
+    val cur = VersionedTable.currentSnapshot(spark, root).get
+    VersionedTable.commitManifest(spark, root,
+      cur.copy(version = cur.version + 1, schemaFp = None))
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A", 0)))
+    intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(0), renamed)
+    }
+  }
+
   test("compact is CDC-silent: a content-identical commit emits zero changes") {
     val root = newRoot("cdcsilent")
     VersionedTable.publishFull(spark, root, "bucket",
