@@ -1445,8 +1445,13 @@ object CurationOps extends OpCatalog {
     df.select(col("doc_id"), col("text"),
       pmod(col("doc_id"), lit(16L)).as("bucket"))
 
-  def versionedChanges(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tune(spark)
+  /** Build-once versioned documents fixture shared by q143/q144: v1 =
+    * the corpus bucketed by `doc_id % 16`, v2 = the [[plantedV2]] crawl
+    * delta published copy-on-write over only the buckets containing a
+    * diff ([[VersionedTable.retryingPublish]] — the nightly commit
+    * path). Both manifests stay retained (no vacuum): the whole point
+    * is diffing them. Returns the table root. */
+  private def docVtArtifact(spark: SparkSession, sfDir: String): String = {
     val dir = VectorOps.artifactDir("graft_docvt_changes_fmt1", sfDir,
       sourceFile = "documents.parquet")
     if (VectorOps.buildArtifactOnce(dir, Seq("READY"))(tmp => {
@@ -1468,23 +1473,32 @@ object CurationOps extends OpCatalog {
         java.nio.file.Files.createFile(ready.resolve("_SUCCESS"))
       })) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"q143: published v1 + planted crawl delta at $dir (first touch; " +
-          "later runs serve the changes feed off the retained manifests)")
+        s"q143/q144: published v1 + planted crawl delta at $dir (first " +
+          "touch; later runs serve off the retained manifests)")
       VectorOps.sweepStaleArtifacts(dir, "graft_docvt_changes_", sfDir)
     }
-    val root = dir.toString
-    def snap(v: Long) = VersionedTable.snapshotAt(spark, root, v).getOrElse(
-      throw new IllegalStateException(s"q143 artifact at $root lost v$v"))
-    VersionedTable.changes(spark, root, snap(1L), snap(2L),
-        vtChangesSchema, "doc_id")
+    dir.toString
+  }
+
+  private def docVtSnap(spark: SparkSession, root: String,
+      v: Long): VersionedTable.Snapshot =
+    VersionedTable.snapshotAt(spark, root, v).getOrElse(
+      throw new IllegalStateException(s"doc-vt artifact at $root lost v$v"))
+
+  def versionedChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val root = docVtArtifact(spark, sfDir)
+    VersionedTable.changes(spark, root, docVtSnap(spark, root, 1L),
+        docVtSnap(spark, root, 2L), vtChangesSchema, "doc_id")
       .select(col("doc_id"), col("change_type"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id"), col("change_type"))
   }
 
   /** First-principles recomputation of the feed: full md5 diff of the
     * deterministic planted v2 against v1, classified exactly as
     * [[VersionedTable.changes]] classifies (absent→insert/delete,
-    * hash-differ→update, unchanged suppressed). */
+    * hash-differ→an update_pre/update_post image pair, unchanged
+    * suppressed). */
   private val versionedChangesSql =
     """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
       |v2 AS (
@@ -1494,18 +1508,84 @@ object CurationOps extends OpCatalog {
       |  FROM documents WHERE doc_id % 89 <> 0
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+      |  FROM documents WHERE doc_id % 101 = 0),
+      |diff AS (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.h1 IS NULL THEN 'insert'
+      |         WHEN v2.h2 IS NULL THEN 'delete'
+      |         ELSE 'update' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |  WHERE v1.h1 IS NULL OR v2.h2 IS NULL OR v1.h1 <> v2.h2)
+      |SELECT doc_id,
+      |  CASE WHEN status = 'update' THEN img ELSE status END AS change_type
+      |FROM diff
+      |CROSS JOIN (SELECT unnest(['update_pre', 'update_post']) AS img)
+      |WHERE status = 'update' OR img = 'update_pre'
+      |ORDER BY doc_id, change_type""".stripMargin
+
+  // --------------------------------------------------------------- q144
+  /** The CDC feed DRIVING a downstream incremental aggregate — proof
+    * that [[VersionedTable.changes]]' image pairs are SUFFICIENT to
+    * maintain derived state with no second corpus read: per-bucket
+    * (n_docs, n_chars) stats are computed once over snapshot v1, then
+    * maintained to v2 purely from the feed — `insert`/`update_post`
+    * images ADD their contribution, `delete`/`update_pre` images
+    * RETRACT theirs (the reason updates carry both images; a post-only
+    * feed cannot retract a sum). The DuckDB oracle computes the same
+    * stats DIRECTLY on planted v2, so a missed retraction, a
+    * double-applied image, or a leaked COW-carried row all
+    * hash-mismatch. At 100 TB this is the nightly shape of every
+    * derived table downstream of the corpus: one delta-bounded feed
+    * read plus a grid-sized merge, never a recompute-the-world scan. */
+  def cdcIncrementalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val root = docVtArtifact(spark, sfDir)
+    val s1 = docVtSnap(spark, root, 1L)
+    val s2 = docVtSnap(spark, root, 2L)
+    val base = VersionedTable.read(spark, s1, root, vtChangesSchema)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+    val feed = VersionedTable.changes(spark, root, s1, s2,
+      vtChangesSchema, "doc_id")
+    val add = col("change_type").isin("insert", "update_post")
+    val delta = feed.groupBy(col("bucket")).agg(
+      sum(when(col("change_type") === "insert", 1L)
+        .when(col("change_type") === "delete", -1L)
+        .otherwise(0L)).as("d_docs"),
+      sum(when(add, lit(1L)).otherwise(lit(-1L)) *
+        coalesce(length(col("text")).cast("long"), lit(0L))).as("d_chars"))
+    base.join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_chars"), lit(0L)) +
+          coalesce(col("d_chars"), lit(0L))).as("n_chars"))
+      .filter(col("n_docs") > 0) // a fully-emptied bucket leaves the grid
+      .orderBy(col("bucket"))
+  }
+
+  /** Direct recomputation on planted v2 — what the incrementally
+    * maintained grid must equal. */
+  private val cdcIncrementalStatsSql =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
       |  FROM documents WHERE doc_id % 101 = 0)
-      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-      |  CASE WHEN v1.h1 IS NULL THEN 'insert'
-      |       WHEN v2.h2 IS NULL THEN 'delete'
-      |       ELSE 'update' END AS change_type
-      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-      |WHERE v1.h1 IS NULL OR v2.h2 IS NULL OR v1.h1 <> v2.h2
-      |ORDER BY doc_id""".stripMargin
+      |SELECT doc_id % 16 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
+      |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def ops: Seq[Op] = Seq(
     Op("q143_versioned_changes", versionedChanges, Some(versionedChangesSql),
-      "manifest-level CDC between versioned snapshots: delta-bounded changed-partition read, row-level insert/update/delete classify, COW rewrites silent"),
+      "manifest-level CDC between versioned snapshots: delta-bounded changed-partition read, insert/delete + update image-pair classify, COW rewrites silent"),
+    Op("q144_cdc_incremental_stats", cdcIncrementalStats,
+      Some(cdcIncrementalStatsSql),
+      "CDC-maintained downstream aggregate: per-bucket doc/char grid computed on v1, maintained to v2 purely from the feed's add/retract images, oracle = direct v2 recompute"),
     Op("q121_sketch_distinct", sketchDistinct, Some(sketchDistinctSql),
       "incremental per-source distinct contents across snapshots via mergeable HLL sketch union (exact ridealong + 5% tolerance flag)"),
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),

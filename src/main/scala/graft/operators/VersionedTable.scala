@@ -446,19 +446,24 @@ object VersionedTable {
     *     in `VersionedTableSpec`.
     *  2. ROW level: within those partitions, a null-safe full-outer
     *     join on `keyCol` classifies `insert` (key only in `to`),
-    *     `delete` (key only in `from`), `update` (in both, any value
+    *     `delete` (key only in `from`), update (in both, any value
     *     column differs under null-safe struct equality). Rows a
     *     copy-on-write rewrite carried over byte-identical are NOT
     *     emitted — so a [[compact]] commit is CDC-silent (spec law),
     *     and a consumer never re-processes work it already did.
     *
-    * Output: `schema`'s columns (post-image for insert/update,
-    * pre-image for delete — the key and partition value a downstream
-    * retraction needs) plus a `change_type` string column. Requires
-    * `keyCol` values unique per snapshot (the same contract the
-    * index-maintenance delta path assumes). Works across any version
-    * gap — `changes(v1, v3)` is the NET diff (a row inserted in v2 and
-    * deleted in v3 never appears), and `changes(v, v)` is empty. */
+    * Output: `schema`'s columns plus a `change_type` string column.
+    * An update emits TWO rows — `update_pre` (the old image) and
+    * `update_post` (the new one), the Delta-CDF shape — because a
+    * post-only feed cannot RETRACT: maintaining any downstream
+    * aggregate (a sum, a count, an index posting) needs the old
+    * contribution to subtract before the new one adds (q144 is exactly
+    * that consumer). `insert` carries the post-image, `delete` the
+    * pre-image. Requires `keyCol` values unique per snapshot (the same
+    * contract the index-maintenance delta path assumes). Works across
+    * any version gap — `changes(v1, v3)` is the NET diff (a row
+    * inserted in v2 and deleted in v3 never appears), and
+    * `changes(v, v)` is empty. */
   def changes(spark: SparkSession, root: String, from: Snapshot,
       to: Snapshot, schema: StructType, keyCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -481,10 +486,20 @@ object VersionedTable {
           .when(col("_in_to").isNull, lit("delete"))
           .when(!(col("_pre") <=> col("_post")), lit("update")))
       .filter(col("change_type").isNotNull)
-    val image = when(col("change_type") === "delete", col("_pre"))
-      .otherwise(col("_post"))
-    j.select(col(keyCol) +:
-      valCols.map(c => image.getField(c).as(c)) :+ col("change_type"): _*)
+    // one pass, not a 4-way self-union: each classified row explodes to
+    // its image rows (updates to two, insert/delete to one)
+    def tagged(img: org.apache.spark.sql.Column, ct: String) =
+      struct(img.as("img"), lit(ct).as("ct"))
+    val e = j.select(col(keyCol), explode(
+      when(col("change_type") === "update",
+        array(tagged(col("_pre"), "update_pre"),
+          tagged(col("_post"), "update_post")))
+        .when(col("change_type") === "insert",
+          array(tagged(col("_post"), "insert")))
+        .otherwise(array(tagged(col("_pre"), "delete")))).as("e"))
+    e.select(col(keyCol) +:
+      valCols.map(c => col("e.img").getField(c).as(c)) :+
+      col("e.ct").as("change_type"): _*)
   }
 
   /** Current-snapshot convenience read. */

@@ -830,8 +830,9 @@ object StreamingOps {
     * timer) resolves the CURRENT manifest once. If the version advanced
     * past the consumer's cursor, `sink` receives the NET change feed
     * cursor→current ([[graft.operators.VersionedTable.changes]]
-    * semantics: per-key insert/update/delete, COW-carried unchanged
-    * rows suppressed, multi-commit gaps collapsed to the net diff) plus
+    * semantics: per-key insert/delete plus update_pre/update_post image
+    * pairs, COW-carried unchanged rows suppressed, multi-commit gaps
+    * collapsed to the net diff) plus
     * a `commit_version` column naming the new cursor position; then the
     * cursor advances. A quiet tick (no publish since the cursor) is
     * silent. Within a live stream delivery is in-order with no

@@ -1042,7 +1042,8 @@ class StreamingSpec extends SparkSpec {
       mem.addData(2L)
       q.processAllAvailable()
       assert(batches.toList == List(Set(
-        (2L, "B2", 1, "update", 2L), (3L, "c", 1, "insert", 2L))),
+        (2L, "b", 1, "update_pre", 2L), (2L, "B2", 1, "update_post", 2L),
+        (3L, "c", 1, "insert", 2L))),
         "the tick after a publish emits exactly the delta's feed")
       // two commits land between ticks: the next tick emits the NET
       // v2→v4 diff in one frame (row 3 inserted-at-v2 then deleted-at-v4
@@ -1052,7 +1053,8 @@ class StreamingSpec extends SparkSpec {
       mem.addData(3L)
       q.processAllAvailable()
       assert(batches.toList.drop(1) == List(Set(
-        (1L, "A", 0, "update", 4L), (3L, "c", 1, "delete", 4L))),
+        (1L, "a", 0, "update_pre", 4L), (1L, "A", 0, "update_post", 4L),
+        (3L, "c", 1, "delete", 4L))),
         "a multi-commit gap collapses to the net diff at the new cursor")
       mem.addData(4L)
       q.processAllAvailable()

@@ -355,7 +355,8 @@ class VersionedTableSpec extends SparkSpec {
       "manifest diff: exactly the replaced partitions, pure map math")
     val feed = VersionedTable.changes(spark, root, s1, s2, schema, "k")
     assert(feedRows(feed) == Set(
-      (2L, "B2", 1, "update"), // post-image
+      (2L, "b", 1, "update_pre"), // old image — the retraction
+      (2L, "B2", 1, "update_post"), // new image — the application
       (5L, "e", 1, "insert"),
       (4L, "d", 2, "delete")), // pre-image carried for the retraction
       "row 3's unchanged COW re-delivery must be suppressed")
@@ -374,7 +375,8 @@ class VersionedTableSpec extends SparkSpec {
     val s3 = VersionedTable.currentSnapshot(spark, root).get
     assert(feedRows(VersionedTable.changes(spark, root, s1, s3,
       schema, "k")) ==
-      Set((2L, "B2", 1, "update"), (4L, "d", 2, "delete")),
+      Set((2L, "b", 1, "update_pre"), (2L, "B2", 1, "update_post"),
+        (4L, "d", 2, "delete")),
       "changes(v1, v3) is the NET diff — a row born and dropped between " +
         "the endpoints never appears")
   }
