@@ -1498,7 +1498,11 @@ object CurationOps extends OpCatalog {
     * deterministic planted v2 against v1, classified exactly as
     * [[VersionedTable.changes]] classifies (absent→insert/delete,
     * hash-differ→an update_pre/update_post image pair, unchanged
-    * suppressed). */
+    * suppressed). PRESENCE is the doc_id, never the hash — md5(null) is
+    * null, so a null-text doc classified by `h IS NULL` would read as
+    * absent ([[hashDiff]]'s documented trap) and a bare `h1 <> h2`
+    * would suppress a null↔non-null flip; `IS DISTINCT FROM` mirrors
+    * the engine's null-safe struct equality. */
   private val versionedChangesSql =
     """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
       |v2 AS (
@@ -1511,11 +1515,12 @@ object CurationOps extends OpCatalog {
       |  FROM documents WHERE doc_id % 101 = 0),
       |diff AS (
       |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-      |    CASE WHEN v1.h1 IS NULL THEN 'insert'
-      |         WHEN v2.h2 IS NULL THEN 'delete'
+      |    CASE WHEN v1.doc_id IS NULL THEN 'insert'
+      |         WHEN v2.doc_id IS NULL THEN 'delete'
       |         ELSE 'update' END AS status
       |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-      |  WHERE v1.h1 IS NULL OR v2.h2 IS NULL OR v1.h1 <> v2.h2)
+      |  WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+      |     OR v1.h1 IS DISTINCT FROM v2.h2)
       |SELECT doc_id,
       |  CASE WHEN status = 'update' THEN img ELSE status END AS change_type
       |FROM diff

@@ -88,11 +88,13 @@ object VersionedTable {
     * (`bucket=3` — exactly what Spark's partitioned write produced, so
     * no re-escaping logic can drift) to generation ids; `extras` maps
     * side-table names to theirs. `schemaFp` is the row schema's
-    * fingerprint recorded at publish time (None only on manifests
-    * committed before the field existed — the next delta adopts). */
+    * fingerprint recorded at publish time; `extrasFp` the same per
+    * extra (None/absent only on manifests committed before the fields
+    * existed — the next delta adopts). */
   final case class Snapshot(version: Long, partCol: String,
       parts: Map[String, String], extras: Map[String, String],
-      schemaFp: Option[String] = None)
+      schemaFp: Option[String] = None,
+      extrasFp: Map[String, String] = Map.empty)
 
   /** Order-insensitive, nullability-insensitive schema fingerprint.
     * "No schema evolution" is this format's declared contract — this
@@ -165,7 +167,7 @@ object VersionedTable {
     }
     Snapshot(node.get("version").asLong(), node.get("partCol").asText(),
       toMap("parts"), toMap("extras"),
-      Option(node.get("schemaFp")).map(_.asText()))
+      Option(node.get("schemaFp")).map(_.asText()), toMap("extrasFp"))
   }
 
   /** Serialize committers of one table. On the LOCAL filesystem POSIX
@@ -244,6 +246,12 @@ object VersionedTable {
       val en = rootNode.putObject("extras")
       snap.extras.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
       snap.schemaFp.foreach(fp => rootNode.put("schemaFp", fp))
+      if (snap.extrasFp.nonEmpty) {
+        val efn = rootNode.putObject("extrasFp")
+        snap.extrasFp.toSeq.sortBy(_._1).foreach {
+          case (k, v) => efn.put(k, v)
+        }
+      }
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".${manifestName(snap.version)}.tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
@@ -287,7 +295,8 @@ object VersionedTable {
     val (gen, parts) = stageGeneration(spark, root, partCol, rows, extras)
     val snap = Snapshot(base.map(_.version + 1).getOrElse(1L), partCol,
       parts.map(_ -> gen).toMap, extras.keys.map(_ -> gen).toMap,
-      Some(schemaFingerprint(rows.schema)))
+      Some(schemaFingerprint(rows.schema)),
+      extras.map { case (n, df) => n -> schemaFingerprint(df.schema) })
     commitManifest(spark, root, snap)
     snap.version
   }
@@ -322,12 +331,22 @@ object VersionedTable {
       base: Snapshot, replacedParts: Seq[Any], rows: DataFrame,
       extras: Map[String, DataFrame] = Map.empty): Long = {
     // reject schema drift BEFORE staging (nothing to vacuum on failure);
-    // a pre-schemaFp base adopts this publish's fingerprint
+    // a pre-schemaFp base adopts this publish's fingerprints. Extras are
+    // guarded the same way — a drifted side table (renamed stats column)
+    // reads back as nulls in every downstream score, the exact silent
+    // corruption the rows guard exists for
     val fp = schemaFingerprint(rows.schema)
     base.schemaFp.foreach(b => require(b == fp,
       s"delta schema drifted from the published table's: table has [$b], " +
         s"delta rows have [$fp] — this format does not do schema " +
         "evolution; republish full under the new schema instead"))
+    val newExtrasFp =
+      extras.map { case (n, df) => n -> schemaFingerprint(df.schema) }
+    newExtrasFp.foreach { case (n, efp) =>
+      base.extrasFp.get(n).foreach(b => require(b == efp,
+        s"extra '$n' schema drifted from the published table's: table " +
+          s"has [$b], delta has [$efp] — republish full instead"))
+    }
     val (gen, parts) = stageGeneration(spark, root, base.partCol, rows, extras)
     // IndexMaintenance.partDirName: writer-exact escaping, so string
     // partition values with specials (and null) resolve to the real
@@ -339,7 +358,8 @@ object VersionedTable {
       s"delta rows carry partitions outside the replaced set: $unexpected")
     val snap = Snapshot(base.version + 1, base.partCol,
       (base.parts -- replacedKeys) ++ parts.map(_ -> gen),
-      base.extras ++ extras.keys.map(_ -> gen), Some(fp))
+      base.extras ++ extras.keys.map(_ -> gen), Some(fp),
+      base.extrasFp ++ newExtrasFp)
     commitManifest(spark, root, snap)
     snap.version
   }
@@ -474,13 +494,19 @@ object VersionedTable {
       "changes needs at least one non-key column (the partition column " +
         "rides in the schema, so this only fails on a degenerate call)")
     val dirs = changedPartitionDirs(from, to).toSet
-    def side(snap: Snapshot, img: String, flag: String) =
+    def side(snap: Snapshot, kAlias: String, img: String, flag: String) =
       readParts(spark, root, schema,
         snap.parts.view.filterKeys(dirs.contains).toMap)
-        .select(col(keyCol), struct(valCols.map(col): _*).as(img),
-          lit(true).as(flag))
-    val j = side(from, "_pre", "_in_from")
-      .join(side(to, "_post", "_in_to"), Seq(keyCol), "full_outer")
+        .select(col(keyCol).as(kAlias),
+          struct(valCols.map(col): _*).as(img), lit(true).as(flag))
+    val f = side(from, "_k_from", "_pre", "_in_from")
+    val t = side(to, "_k_to", "_post", "_in_to")
+    // NULL-SAFE key equality, not a using-columns join: a null key must
+    // match itself across snapshots or an unchanged null-key row would
+    // surface as a spurious delete+insert pair on every COW rewrite
+    // (breaking the compact-is-CDC-silent law)
+    val j = f.join(t, f("_k_from") <=> t("_k_to"), "full_outer")
+      .withColumn(keyCol, coalesce(col("_k_from"), col("_k_to")))
       .withColumn("change_type",
         when(col("_in_from").isNull, lit("insert"))
           .when(col("_in_to").isNull, lit("delete"))

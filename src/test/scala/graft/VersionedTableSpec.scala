@@ -414,13 +414,29 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.publishDelta(spark, root, Seq(0), renamed)
     }
+    // EXTRAS are guarded too: a side table republished under a drifted
+    // schema (renamed stats column) must fail, not read back as nulls
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A", 0)),
+      extras = Map("stats" -> Seq((1L, 2L)).toDF("n", "total")))
+    val de = intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A", 0)),
+        extras = Map("stats" -> Seq((1L, 2L)).toDF("n", "total_len")))
+    }
+    assert(de.getMessage.contains("extra 'stats' schema drifted"))
+    // same-schema extra replacement still lands
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A", 0)),
+      extras = Map("stats" -> Seq((9L, 9L)).toDF("n", "total")))
   }
 
-  test("compact is CDC-silent: a content-identical commit emits zero changes") {
+  test("compact is CDC-silent: a content-identical commit emits zero changes — null keys included") {
     val root = newRoot("cdcsilent")
+    // a NULL-key row rides along: the row diff must match it to itself
+    // across the rewrite (null-safe key equality) or compaction would
+    // emit a spurious delete+insert pair for it
+    val nullKeyRow = Seq((Option.empty[Long], "z", 0)).toDF("k", "v", "bucket")
     VersionedTable.publishFull(spark, root, "bucket",
       rowsDf((1L to 30L).map(i => (i, s"v$i", (i % 2).toInt)): _*)
-        .repartition(3))
+        .unionByName(nullKeyRow).repartition(3))
     val pre = VersionedTable.currentSnapshot(spark, root).get
     assert(VersionedTable.compact(spark, root, schema,
       maxFilesPerPart = 1).nonEmpty)

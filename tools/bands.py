@@ -17,6 +17,7 @@ import pathlib
 
 def main(paths):
     runs = []
+    all_names = set()
     for p in paths:
         d = json.loads(pathlib.Path(p).read_text())
         if d.get("contaminated"):
@@ -40,7 +41,12 @@ def main(paths):
         replaced = set(d.get("original_sec", {}))
         runs.append({k: v for k, v in d["queries"].items()
                      if k not in replaced})
-    names = sorted(set().union(*[set(r) for r in runs]))
+        # the name universe comes from the UNFILTERED catalog: a query
+        # replaced in EVERY input must hit the no-sample exit below, not
+        # silently vanish from the written bands (surfacing later as a
+        # confusing BenchSpec keyset failure)
+        all_names.update(d["queries"])
+    names = sorted(all_names)
     bands = {}
     for n in names:
         vals = [r[n] for r in runs if n in r and r[n] >= 0]
