@@ -549,22 +549,48 @@ object VersionedTable {
     }
   }
 
+  /** Resolve the newest snapshot COMMITTED at or before `tsMillis` —
+    * time-travel by wall clock ("reproduce the index as served last
+    * Tuesday 03:00" when nobody wrote the version number down). The
+    * commit instant is the manifest file's modification time (set by
+    * the atomic publish rename), so resolution is exactly as
+    * trustworthy as the filesystem clock: right for daily/nightly
+    * cadence, not sub-second forensics — versions are the precise
+    * handle, this is the convenience rung ([[history]] shows both).
+    * None when every retained manifest is newer than `tsMillis` (the
+    * asked-for state is vacuumed or never existed) — never a silently
+    * different state. */
+  def snapshotAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Option[Snapshot] = {
+    val dir = manifestsDir(root)
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(dir)) return None
+    listManifests(fs, root).filter { case (_, name) =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, name))
+        .getModificationTime <= tsMillis
+    }.lastOption.map { case (_, name) => readManifest(spark, root, name) }
+  }
+
   /** Retained-version audit frame: one row per resolvable manifest —
-    * (version, n_parts, n_extras, n_generations) — the `DESCRIBE
-    * HISTORY` an operator pages through before choosing what
-    * [[vacuum]] may drop or which version to pin for a reproduction
-    * run. Driver-side listing over the manifest dir (O(retained
-    * versions) small JSONs — the same order of work as one
-    * [[currentSnapshot]] resolve), returned as a frame so it composes
-    * with the rest of the engine. */
+    * (version, part_col, n_parts, n_extras, n_generations,
+    * committed_at_ms) — the `DESCRIBE HISTORY` an operator pages
+    * through before choosing what [[vacuum]] may drop or which
+    * version/timestamp to pin for a reproduction run. Driver-side
+    * listing over the manifest dir (O(retained versions) small JSONs —
+    * the same order of work as one [[currentSnapshot]] resolve),
+    * returned as a frame so it composes with the rest of the engine. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val fs = hadoopFs(spark, manifestsDir(root))
     listManifests(fs, root).map { case (v, name) =>
       val s = readManifest(spark, root, name)
+      val committedAt = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        manifestsDir(root), name)).getModificationTime
       (v, s.partCol, s.parts.size.toLong, s.extras.size.toLong,
-        (s.parts.values.toSet ++ s.extras.values.toSet).size.toLong)
-    }.toDF("version", "part_col", "n_parts", "n_extras", "n_generations")
+        (s.parts.values.toSet ++ s.extras.values.toSet).size.toLong,
+        committedAt)
+    }.toDF("version", "part_col", "n_parts", "n_extras", "n_generations",
+      "committed_at_ms")
   }
 
   /** Read one extra (side table) of a snapshot. */

@@ -336,6 +336,32 @@ class VersionedTableSpec extends SparkSpec {
       "each thread's LAST delta content serves its bucket")
   }
 
+  test("snapshotAsOf: wall-clock time travel resolves the newest commit at-or-before the instant") {
+    val root = newRoot("asof")
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A2", 0)))
+    // pin the commit instants (coarse-mtime filesystems; no sleeps)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def pin(name: String, ts: Long) = fs.setTimes(
+      new org.apache.hadoop.fs.Path(root, s"manifests/$name"), ts, -1)
+    pin("v00000001.json", 1000L)
+    pin("v00000002.json", 2000L)
+    assert(VersionedTable.snapshotAsOf(spark, root, 500L).isEmpty,
+      "before the first commit there is no state to resolve")
+    assert(VersionedTable.snapshotAsOf(spark, root, 1500L)
+      .map(_.version).contains(1L))
+    assert(VersionedTable.snapshotAsOf(spark, root, 2000L)
+      .map(_.version).contains(2L), "at-or-before is inclusive")
+    assert(VersionedTable.snapshotAsOf(spark, root, 99999L)
+      .map(_.version).contains(2L))
+    // history exposes the same instants for choosing the pin
+    val hist = VersionedTable.history(spark, root).orderBy("version")
+      .select("version", "committed_at_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.toSeq == Seq((1L, 1000L), (2L, 2000L)))
+  }
+
   private def feedRows(df: DataFrame): Set[(Long, String, Int, String)] =
     df.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
