@@ -474,6 +474,50 @@ class VersionedTableSpec extends SparkSpec {
       "...but no row changed — a consumer must not re-process anything")
   }
 
+  test("reconstruction law (seeded-random): v1 ⊕ changes(v1,v2) == v2 — the feed is a complete transport of the state delta") {
+    // applying the feed to v1 (drop delete/update_pre images, add
+    // insert/update_post images) must reconstruct v2 exactly — for
+    // random mutations including null values, value-only updates, and
+    // rows that MOVE partitions (both buckets rewritten; the key join
+    // spans them)
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val root = newRoot(s"recon$seed")
+      def row(k: Long) = (k, if (rnd.nextInt(10) == 0) null
+        else s"v${rnd.nextInt(5)}", rnd.nextInt(6))
+      val v1Rows = (1L to 40L).map(row)
+      val v2Rows = v1Rows.flatMap { case (k, v, b) =>
+        rnd.nextInt(10) match {
+          case 0 => None // dropped
+          case 1 => Some((k, s"upd$k", b)) // value update
+          case 2 => Some((k, v, (b + 1) % 6)) // partition move
+          case _ => Some((k, v, b)) // carried
+        }
+      } ++ (41L to 45L).map(row) // fresh inserts
+      val df1 = v1Rows.toDF("k", "v", "bucket")
+      val df2 = v2Rows.toDF("k", "v", "bucket")
+      VersionedTable.publishFull(spark, root, "bucket", df1)
+      val touched = (v1Rows.toSet -- v2Rows.toSet)
+        .union(v2Rows.toSet -- v1Rows.toSet).map(_._3)
+        .toSeq.sorted
+      VersionedTable.publishDelta(spark, root, touched,
+        df2.filter(col("bucket").isin(touched: _*)))
+      val s1 = VersionedTable.snapshotAt(spark, root, 1L).get
+      val s2 = VersionedTable.snapshotAt(spark, root, 2L).get
+      val feed = VersionedTable.changes(spark, root, s1, s2, schema, "k")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getInt(2), r.getString(3)))
+      val drop = feed.filter(f =>
+        f._4 == "delete" || f._4 == "update_pre").map(f => (f._1, f._2, f._3))
+      val add = feed.filter(f =>
+        f._4 == "insert" || f._4 == "update_post").map(f => (f._1, f._2, f._3))
+      val reconstructed = (v1Rows.toSet -- drop) ++ add
+      assert(reconstructed == v2Rows.toSet,
+        s"seed $seed: feed must transport exactly the v1→v2 delta")
+    }
+  }
+
   test("SnapshotMemo: one entry per root — version hit, rollover replace, degenerate loads pin nothing") {
     val memo = new VersionedTable.SnapshotMemo[java.lang.Long]
     val s1 = VersionedTable.Snapshot(1L, "bucket", Map.empty, Map.empty)
