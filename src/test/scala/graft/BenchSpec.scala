@@ -202,9 +202,21 @@ class BenchSpec extends SparkSpec {
     // q10's never does
     val bands = Map("q02_filter_project" -> -2.0,
       "q10_topk" -> 10000.0)
+    // a session-memoized shared intermediate built during the first run
+    // must NOT survive into the replay window: a replayed query would
+    // re-measure as a warm cache read (the 0.04 s "band" class)
+    var memoBuilds = 0
+    def marker() = graft.Memo.cached(spark, "benchspec:replay_marker") {
+      memoBuilds += 1; spark.range(1).toDF()
+    }
+    marker(); marker()
+    assert(memoBuilds == 1, "memo must serve the second call warm")
     val r = Bench.runSuite(spark, sfDir,
       Seq("q02_filter_project", "q10_topk"), bands,
       sentinelEvery = 100, sentinelBand = 10000.0)
+    marker()
+    assert(memoBuilds == 2,
+      "the replay path must evict the session memo before re-timing")
     assert(r.replayed == Seq("q02_filter_project"))
     assert(r.originalSec.keySet == Set("q02_filter_project"))
     assert(r.originalSec("q02_filter_project") > 0)
