@@ -593,6 +593,31 @@ object VersionedTable {
       "committed_at_ms")
   }
 
+  /** Undo a bad publish: commit a RETAINED older snapshot's content
+    * mapping as the new current version — the operational "restore last
+    * night's index" move. No data is copied or deleted: the new
+    * manifest simply references the old snapshot's generations (which
+    * are still live exactly because that snapshot is retained), so the
+    * restore is as atomic and as cheap as any other commit, history
+    * keeps the bad version for the post-mortem, and CDC consumers see
+    * the restore AS DATA — `changes(bad, restored)` is the inverse of
+    * the bad delta (spec law), so downstream state heals through the
+    * normal feed instead of needing its own undo path. Fails loudly if
+    * `toVersion` is vacuumed (its generations may be gone — restoring a
+    * mapping to swept files would serve EOFs, not yesterday's index).
+    * Returns the new current version. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val target = snapshotAt(spark, root, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"cannot restore $root to v$toVersion: not retained (vacuumed " +
+          "or never committed) — its generations may already be swept"))
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val snap = target.copy(version = cur.version + 1)
+    commitManifest(spark, root, snap)
+    snap.version
+  }
+
   /** Read one extra (side table) of a snapshot. */
   def readExtra(spark: SparkSession, snap: Snapshot, root: String,
       name: String, schema: StructType): DataFrame = {

@@ -474,6 +474,39 @@ class VersionedTableSpec extends SparkSpec {
       "...but no row changed — a consumer must not re-process anything")
   }
 
+  test("restore: re-commits a retained snapshot's mapping; CDC sees the inverse delta; vacuumed targets fail loudly") {
+    val root = newRoot("restore")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    // the "bad" publish: 2 updated, 3 inserted
+    VersionedTable.publishDelta(spark, root, Seq(1),
+      rowsDf((2L, "OOPS", 1), (3L, "x", 1)))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    val v3 = VersionedTable.restore(spark, root, 1L)
+    assert(v3 == 3L, "a restore is a normal forward commit")
+    val s3 = VersionedTable.currentSnapshot(spark, root).get
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "b", 1)), "v3 serves v1's exact content")
+    assert(s3.parts == s1.parts && s3.extras == s1.extras,
+      "no data copied — the restored manifest references v1's generations")
+    // CDC inverse law: the feed from bad→restored is the bad delta
+    // undone, so downstream state heals through the normal feed
+    assert(feedRows(VersionedTable.changes(spark, root, s2, s3,
+      schema, "k")) == Set(
+      (2L, "OOPS", 1, "update_pre"), (2L, "b", 1, "update_post"),
+      (3L, "x", 1, "delete")))
+    // vacuum away v1/v2, keep only the restored current: restoring to a
+    // swept version must fail loudly, never serve a mapping to dead files
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    intercept[IllegalStateException] {
+      VersionedTable.restore(spark, root, 2L)
+    }
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "b", 1)),
+      "the restored current survives the vacuum (its gens are live)")
+  }
+
   test("reconstruction law (seeded-random): v1 ⊕ changes(v1,v2) == v2 — the feed is a complete transport of the state delta") {
     // applying the feed to v1 (drop delete/update_pre images, add
     // insert/update_post images) must reconstruct v2 exactly — for
