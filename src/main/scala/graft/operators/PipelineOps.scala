@@ -258,12 +258,9 @@ object PipelineOps extends OpCatalog {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
-    val vec = e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id").as("doc_id"),
-        graft.functions.Rounding.roundVal(
-          graft.functions.VectorExpressions.cosineSimilarity(
-            col("embedding"), col("q_emb")), 4).as("sim"))
+    val vec = VectorOps
+      .exactCosineScoredOf(e.filter(col("vec_id") =!= 0), q)
+      .select(col("vec_id").as("doc_id"), col("sim"))
       .orderBy(col("sim").desc, col("doc_id"))
       .limit(20)
       .withColumn("vec_rank", row_number().over(

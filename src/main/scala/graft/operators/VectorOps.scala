@@ -44,8 +44,10 @@ object VectorOps extends OpCatalog {
 
   /** [[exactCosineScored]] over an explicit corpus (the versioned
     * lifecycle q140 scores against the PLANTED-V2 corpus, not the raw
-    * table). */
-  private def exactCosineScoredOf(corpus: DataFrame, q: DataFrame): DataFrame =
+    * table; q142's hybrid-RRF vector channel reuses it so the fusion
+    * can never desync from the ANN family's scoring). */
+  private[graft] def exactCosineScoredOf(corpus: DataFrame,
+      q: DataFrame): DataFrame =
     corpus
       .crossJoin(broadcast(q))
       .select(col("vec_id"),

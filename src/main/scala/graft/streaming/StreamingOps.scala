@@ -659,25 +659,51 @@ object StreamingOps {
       // checkpoint replays it (exactly-once preserved by retry).
       // States: 42P01 (PostgreSQL undefined_table), 42S02 (SQL/CLI
       // base table not found — MySQL/H2), 42X05 (Derby, which also
-      // surfaces as SQLSyntaxErrorException).
+      // surfaces as SQLSyntaxErrorException), S0002 (SQL Server/Sybase
+      // undefined object). An engine speaking NONE of these falls back
+      // to driver metadata, but only to prove ABSENCE — a fresh sink on
+      // an unknown engine must not wedge its first batch in a permanent
+      // replay loop. Any metadata hit (or a metadata probe that itself
+      // fails) rethrows the ORIGINAL error: a transient failure (reset,
+      // lock timeout) must fail the batch so the checkpoint replays it,
+      // never read as not-exists and skip the dedupe DELETE.
       val exists =
         try {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
         } catch {
-          case e: java.sql.SQLException
-              if Set("42P01", "42S02", "42X05")
+          case e: java.sql.SQLException =>
+            val undefinedTable =
+              Set("42P01", "42S02", "42X05", "S0002")
                 .contains(Option(e.getSQLState).getOrElse("")) ||
-                e.isInstanceOf[java.sql.SQLSyntaxErrorException] =>
-            false
+                e.isInstanceOf[java.sql.SQLSyntaxErrorException]
+            if (undefinedTable) false
+            else {
+              val last = table.split('.').last
+              val anyHit =
+                try {
+                  val md = conn.getMetaData
+                  Seq(last, last.toUpperCase, last.toLowerCase).distinct
+                    .exists { n =>
+                      val rs = md.getTables(null, null, n, null)
+                      try rs.next() finally rs.close()
+                    }
+                } catch { case _: Throwable => true } // cannot prove absence
+              if (anyHit) throw e else false
+            }
         }
       if (exists) {
         val st = conn.createStatement()
-        // Spark's JDBC writer CREATEs with quoted (case-sensitive) column
-        // identifiers — quote here too (ANSI double quotes: Derby+Postgres)
+        // quote the way SPARK'S WRITER created the column — per-dialect
+        // (ANSI double quotes on Derby/Postgres, backticks on MySQL): a
+        // hardcoded "graft_batch_id" parses as a string LITERAL under
+        // MySQL's default sql_mode, matching zero rows and silently
+        // re-duplicating every replayed batch
+        val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          .quoteIdentifier("graft_batch_id")
         try st.executeUpdate(
-          s"""DELETE FROM $table WHERE "graft_batch_id" = $batchId""")
+          s"DELETE FROM $table WHERE $qcol = $batchId")
         finally st.close()
       }
     } finally conn.close()
@@ -720,8 +746,8 @@ object StreamingOps {
       k: Int)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     serveLoop(queries, vecQueryClean) { clean =>
-      Some(graft.operators.IvfIndex.probeBatch(
-        clean.sparkSession, path, clean, nProbe, k))
+      localized(clean).map(qs => graft.operators.IvfIndex.probeBatch(
+        qs.sparkSession, path, qs, nProbe, k))
     }(sink)
 
   /** ONE definition of the retrieval serve loop shared by all four
@@ -741,9 +767,24 @@ object StreamingOps {
     queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val c = clean(batch.toDF())
-        if (!c.isEmpty) answer(c).foreach(sink)
+        // emptiness is the ANSWER's call (None), decided from the same
+        // driver-side materialization it needs anyway — an isEmpty gate
+        // here cost an extra take(1) job per micro-batch on the serving
+        // hot path (round-11 review)
+        answer(clean(batch.toDF())).foreach(sink)
       }
+
+  /** Collect a micro-batch-sized query frame ONCE and rebuild it as a
+    * local relation: the emptiness decision and the probe's query
+    * broadcast then share one driver job instead of an isEmpty take(1)
+    * plus the broadcast's own collect. Micro-batch-sized by the serve
+    * contract — never call this on a data-sized frame. */
+  private def localized(df: DataFrame): Option[DataFrame] = {
+    val rows = df.collect()
+    if (rows.isEmpty) None
+    else Some(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema))
+  }
 
   /** The vector families' shared degrade rule: a query row with a null
     * id or null embedding is unanswerable — drop it. */
@@ -766,8 +807,8 @@ object StreamingOps {
       nProbe: Int, k: Int)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     serveLoop(queries, vecQueryClean) { clean =>
-      Some(graft.operators.IvfIndex.probeBatchVersioned(
-        clean.sparkSession, root, clean, nProbe, k))
+      localized(clean).map(qs => graft.operators.IvfIndex
+        .probeBatchVersioned(qs.sparkSession, root, qs, nProbe, k))
     }(sink)
 
   /** Streaming PQ/ADC retrieval with live index rollover — the third
@@ -785,8 +826,8 @@ object StreamingOps {
       corpusOf: Long => DataFrame, k: Int = 10)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     serveLoop(queries, vecQueryClean) { clean =>
-      Some(graft.operators.PqIndex.probeBatchVersioned(
-        clean.sparkSession, root, clean, corpusOf, k))
+      localized(clean).map(qs => graft.operators.PqIndex
+        .probeBatchVersioned(qs.sparkSession, root, qs, corpusOf, k))
     }(sink)
 
   /** Streaming LEXICAL retrieval with live index rollover: an arriving
