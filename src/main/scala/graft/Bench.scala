@@ -419,6 +419,12 @@ object Bench {
       s""""replayed":[${r.replayed.take(maxReplayNames)
           .map("\"" + _ + "\"").mkString(",")}],""" +
       s""""waited_quiet_sec":${fmt(waitedQuietSec)},""" +
+      // run-metadata flag for tools/bands.py: replay/re-run times in
+      // THIS record were measured after a session-memo evict, so a
+      // rerun-replaced sample is a clean cold measurement — band
+      // material. Records without the flag predate the evict protocol
+      // (their replaced samples are warm reads) and stay filtered.
+      s""""memo_evicted_replays":true,""" +
       s""""contaminated_first_run":${
           if (calibrated) r.contaminated.toString else "null"},""" +
       (a.rerun match {

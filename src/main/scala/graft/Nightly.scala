@@ -1,0 +1,345 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The nightly maintenance driver — every incremental piece the engine
+  * ships as a separate declared query, composed into the ONE job a
+  * 100 TB deployment actually schedules (round-11 verdict item 1; the
+  * reference's own import pipeline, `app.py:96-183`, grown to its
+  * steady-state operational form). Given tonight's arriving corpus:
+  *
+  *  1. **Corpus publish** — content-hash diff against the current
+  *     snapshot ([[CurationOps.hashDiff]]'s presence-flag discipline,
+  *     over text AND embedding), published copy-on-write over only the
+  *     touched buckets via [[VersionedTable.retryingPublish]]. An
+  *     arriving corpus identical to the current snapshot publishes
+  *     NOTHING (the idempotence anchor).
+  *  2. **CDC-driven index maintenance** — all three index families
+  *     (BM25 / IVF / PQ) and the downstream stats grid are brought to
+  *     the new corpus version off the [[VersionedTable.changes]] feed
+  *     (the q143 manifest diff — delta-bounded reads), adapted by
+  *     [[IndexMaintenance.deltaFromChanges]]; NEVER a re-diff of the
+  *     corpus per consumer. Each consumer's publish carries
+  *     `corpus_version` in its manifest [[VersionedTable.Snapshot
+  *     .properties]] — the cursor commits ATOMICALLY with the state it
+  *     describes (the offsets-in-the-transaction pattern), which is the
+  *     whole crash-resume story: a consumer killed mid-night either
+  *     never committed (cursor unmoved — the re-run redoes its step
+  *     from the feed) or committed cursor+state together (the re-run
+  *     skips it). No sidecar state file, nothing to fsync-order.
+  *  3. **Housekeeping** — [[VersionedTable.compact]] folds delta
+  *     fragmentation per root (properties carry over, so compaction
+  *     never loses a cursor), then [[VersionedTable.vacuum]] retains
+  *     `keepVersions` manifests. Retention contract: vacuum runs LAST,
+  *     after every consumer has synced, so the corpus versions the
+  *     feed needs are still retained at read time; a consumer whose
+  *     cursor predates retention anyway (an index offline for a week)
+  *     is rebuilt FULL with a loud log, never silently fed a re-based
+  *     diff.
+  *
+  * Laws, pinned end-to-end by `NightlySpec` on the planted-v2 world:
+  * **idempotence** (re-running the same night is a no-op: zero new
+  * versions anywhere) and **crash-resume** (kill after any step, re-run,
+  * converge to exactly the uninterrupted night's state).
+  *
+  * CLI: `runMain graft.Nightly <corpusRoot> <arrivingParquet>
+  * <bm25Root> <ivfRoot> <pqRoot> <statsRoot>` — prints one JSON report
+  * line. The arriving parquet must carry (doc_id, text, embedding).
+  */
+object Nightly {
+
+  /** The consumer-cursor property key: which corpus version this
+    * snapshot's content was derived from. */
+  val CorpusVersionProp = "corpus_version"
+
+  /** Corpus partition-bucket count (q143/q144's `doc_id % 16` fixture
+    * rule). At 100 TB this is the table's real partition count —
+    * thousands; the composition logic is count-agnostic. */
+  val Buckets = 16
+
+  /** The nightly corpus row: ONE table carrying both the lexical and
+    * the vector modality, so one CDC feed drives every index family. */
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("bucket", LongType)))
+
+  /** Downstream per-bucket stats grid (q144's shape), maintained as a
+    * versioned table so ITS cursor also commits with its content. */
+  val statsSchema: StructType = StructType(Seq(
+    StructField("bucket", LongType),
+    StructField("n_docs", LongType),
+    StructField("n_chars", LongType)))
+
+  final case class Roots(corpus: String, bm25: String, ivf: String,
+      pq: String, stats: String) {
+    def all: Seq[(String, String)] = Seq("corpus" -> corpus,
+      "bm25" -> bm25, "ivf" -> ivf, "pq" -> pq, "stats" -> stats)
+  }
+
+  final case class Step(component: String, action: String, version: Long)
+
+  final case class Report(corpusVersion: Long, steps: Seq[Step],
+      compacted: Map[String, Int])
+
+  /** Test seam for the crash-resume law: `NightlySpec` injects a crash
+    * after a named step and proves the re-run converges. */
+  final class InjectedCrash(step: String)
+    extends RuntimeException(s"injected crash after step '$step'")
+
+  private def log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Run one night. `arriving` is tonight's full corpus content as
+    * `(doc_id, text, embedding)` (bucket is derived — arrival systems
+    * don't own the layout); `failAfter` is the spec's crash-injection
+    * seam. Returns the per-component report. */
+  def run(spark: SparkSession, roots: Roots, arriving: DataFrame,
+      keepVersions: Int = 2, compactFilesPerPart: Int = 4,
+      vacuumGraceMs: Long = 3600000L,
+      failAfter: Set[String] = Set.empty): Report = {
+    val steps = scala.collection.mutable.ArrayBuffer[Step]()
+    def chk(step: String): Unit =
+      if (failAfter(step)) throw new InjectedCrash(step)
+
+    val bucketed = arriving.select(col("doc_id"), col("text"),
+      col("embedding"),
+      pmod(col("doc_id"), lit(Buckets.toLong)).as("bucket"))
+
+    // ---- 1. corpus publish -------------------------------------------
+    steps += (VersionedTable.currentSnapshot(spark, roots.corpus) match {
+      case None =>
+        Step("corpus", "bootstrapped", VersionedTable.publishFull(
+          spark, roots.corpus, "bucket", bucketed))
+      case Some(cur) =>
+        // diff against the CURRENT content; empty diff → no commit at
+        // all (re-running the same night must not bump versions)
+        val (ups0, rem0) = contentDiff(
+          VersionedTable.read(spark, cur, roots.corpus, corpusSchema),
+          bucketed)
+        if (ups0.isEmpty && rem0.isEmpty)
+          Step("corpus", "unchanged", cur.version)
+        else {
+          val v = VersionedTable.retryingPublish(spark, roots.corpus) {
+            base =>
+              // re-derive against the attempt's base (a backfill may
+              // have landed): touched buckets are computable from the
+              // diff IDS alone — bucket is a pure function of doc_id
+              val (ups, rem) = contentDiff(
+                VersionedTable.read(spark, base, roots.corpus,
+                  corpusSchema), bucketed)
+              val touched = ups.select(col("bucket"))
+                .union(rem.select(pmod(col("doc_id"), lit(Buckets.toLong))))
+                .distinct().collect().map(_.getLong(0)).sorted.toSeq
+              VersionedTable.Delta(touched,
+                bucketed.filter(col("bucket").isin(touched: _*)))
+          }
+          Step("corpus", "published", v)
+        }
+    })
+    chk("corpus")
+
+    // every consumer syncs to ONE resolved corpus state
+    val corpusCur = VersionedTable.currentSnapshot(spark, roots.corpus).get
+    val cursorProp = Map(CorpusVersionProp -> corpusCur.version.toString)
+
+    /** Bring one consumer to `corpusCur`: skip when its committed
+      * cursor already covers it, feed it the manifest-diff CDC span
+      * otherwise, rebuild FULL (loudly) when its cursor is unreadable
+      * or vacuumed past. */
+    def sync(name: String, root: String)(bootstrap: () => Long)(
+        applyFeed: DataFrame => Long): Step = {
+      def rebuild(why: String): Step = {
+        log.warn(s"nightly: $name at $root $why — rebuilding full " +
+          s"from corpus v${corpusCur.version}")
+        Step(name, "rebuilt", bootstrap())
+      }
+      VersionedTable.currentSnapshot(spark, root) match {
+        case None => Step(name, "bootstrapped", bootstrap())
+        case Some(s) =>
+          s.properties.get(CorpusVersionProp).map(_.toLong) match {
+            case Some(v) if v >= corpusCur.version =>
+              Step(name, "skipped", s.version)
+            case Some(v) =>
+              VersionedTable.snapshotAt(spark, roots.corpus, v) match {
+                case Some(from) =>
+                  Step(name, "updated", applyFeed(VersionedTable.changes(
+                    spark, roots.corpus, from, corpusCur, corpusSchema,
+                    "doc_id")))
+                case None =>
+                  rebuild(s"has cursor v$v but that corpus manifest is " +
+                    "vacuumed (consumer slower than retention)")
+              }
+            case None =>
+              rebuild("carries no corpus_version cursor (built outside " +
+                "the nightly)")
+          }
+      }
+    }
+
+    def corpusRows: DataFrame =
+      VersionedTable.read(spark, corpusCur, roots.corpus, corpusSchema)
+
+    // ---- 2a. BM25 (lexical) ------------------------------------------
+    steps += sync("bm25", roots.bm25)(() =>
+      Bm25Index.buildVersioned(spark,
+        corpusRows.select(col("doc_id"), col("text")), roots.bm25,
+        cursorProp)) { feed =>
+      val (ups, rem) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+        Seq("text"))
+      Bm25Index.updateFromVersioned(spark, roots.bm25, ups, rem, cursorProp)
+    }
+    chk("bm25")
+
+    // ---- 2b. IVF (vector) --------------------------------------------
+    def vecRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("vec_id"), col("embedding"))
+    steps += sync("ivf", roots.ivf)(() =>
+      IvfIndex.buildVersioned(spark, vecRows(corpusRows), roots.ivf,
+        properties = cursorProp)) { feed =>
+      val (ups, rem) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+        Seq("embedding"))
+      IvfIndex.updateFromVersioned(spark, roots.ivf, vecRows(ups),
+        rem.select(col("doc_id").as("vec_id")), cursorProp)
+    }
+    chk("ivf")
+
+    // ---- 2c. PQ (vector, quantized) ----------------------------------
+    steps += sync("pq", roots.pq)(() =>
+      PqIndex.buildVersioned(spark, vecRows(corpusRows), roots.pq,
+        properties = cursorProp)) { feed =>
+      val (ups, rem) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+        Seq("embedding"))
+      // mirror the build's vec_id≠0 convention (PqIndex reserves id 0
+      // for the query vector) so updateFrom(feed) == build(v2) holds
+      PqIndex.updateFromVersioned(spark, roots.pq,
+        vecRows(ups).filter(col("vec_id") =!= 0),
+        rem.select(col("doc_id").as("vec_id")), cursorProp)
+    }
+    chk("pq")
+
+    // ---- 2d. downstream stats grid (q144's consumer) ------------------
+    steps += sync("stats", roots.stats)(() =>
+      VersionedTable.publishFull(spark, roots.stats, "bucket",
+        fullStats(corpusRows), Map.empty, cursorProp))(feed =>
+      applyStatsFeed(spark, roots.stats, feed, cursorProp))
+    chk("stats")
+
+    // ---- 3. housekeeping ---------------------------------------------
+    val compacted = Map(
+      "corpus" -> VersionedTable.compact(spark, roots.corpus, corpusSchema,
+        compactFilesPerPart).size,
+      "bm25" -> VersionedTable.compact(spark, roots.bm25,
+        Bm25Index.postingsSchema, compactFilesPerPart).size,
+      "ivf" -> VersionedTable.compact(spark, roots.ivf,
+        IvfIndex.assignmentsSchema, compactFilesPerPart).size,
+      "pq" -> VersionedTable.compact(spark, roots.pq, PqIndex.codesSchema,
+        compactFilesPerPart).size,
+      "stats" -> VersionedTable.compact(spark, roots.stats, statsSchema,
+        compactFilesPerPart).size)
+    chk("compact")
+    roots.all.foreach { case (_, r) =>
+      VersionedTable.vacuum(spark, r, keepVersions, vacuumGraceMs)
+    }
+
+    Report(corpusCur.version, steps.toSeq, compacted)
+  }
+
+  /** Presence-flag content diff over (text, embedding) — [[CurationOps
+    * .hashDiff]]'s null-safe discipline generalized to the multimodal
+    * row: a doc with null text must classify by PRESENCE, never by a
+    * null hash reading as "absent". Returns (upserts = added ∪ changed
+    * rows of `v2` incl. bucket, removed = ids only in `v1`). */
+  private[graft] def contentDiff(v1: DataFrame,
+      v2: DataFrame): (DataFrame, DataFrame) = {
+    def h(df: DataFrame, hc: String, fc: String) =
+      df.select(col("doc_id"),
+        xxhash64(col("text"), col("embedding")).as(hc), lit(true).as(fc))
+    val d = h(v1, "h1", "in1")
+      .join(h(v2, "h2", "in2"), Seq("doc_id"), "full_outer")
+      .localCheckpoint() // consumed twice; at nightly cadence this is an
+                         // id+hash frame, far smaller than the corpus
+    val removed = d.filter(col("in2").isNull).select(col("doc_id"))
+    val upsertIds = d.filter(col("in2").isNotNull &&
+        (col("in1").isNull || !(col("h1") <=> col("h2"))))
+      .select(col("doc_id"))
+    (v2.join(upsertIds, "doc_id"), removed)
+  }
+
+  /** The full per-bucket grid (bootstrap path / the oracle's shape). */
+  private def fullStats(corpus: DataFrame): DataFrame = corpus
+    .groupBy(col("bucket"))
+    .agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L))
+        .as("n_chars"))
+
+  /** q144's add/retract maintenance as a VERSIONED delta commit: only
+    * the feed's touched buckets are read from the current grid and
+    * republished, with the cursor property riding the same atomic
+    * manifest. An empty feed span (a property-only catch-up, e.g.
+    * after a no-op corpus commit) publishes an empty delta — the
+    * cursor still moves. */
+  private[graft] def applyStatsFeed(spark: SparkSession, statsRoot: String,
+      feed: DataFrame, cursorProp: Map[String, String]): Long = {
+    val f = feed.localCheckpoint() // touched-bucket collect + the merge
+    val touched = f.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq // ≤ grid size by contract
+    VersionedTable.retryingPublish(spark, statsRoot) { snap =>
+      if (touched.isEmpty)
+        VersionedTable.Delta(Nil,
+          spark.createDataFrame(new java.util.ArrayList[
+            org.apache.spark.sql.Row](), statsSchema),
+          properties = cursorProp)
+      else {
+        val base = VersionedTable.read(spark, snap, statsRoot, statsSchema,
+          Some(touched))
+        val add = col("change_type").isin("insert", "update_post")
+        val delta = f.groupBy(col("bucket")).agg(
+          sum(when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L)
+            .otherwise(0L)).as("d_docs"),
+          sum(when(add, lit(1L)).otherwise(lit(-1L)) *
+            coalesce(length(col("text")).cast("long"), lit(0L)))
+            .as("d_chars"))
+        val merged = base.join(delta, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("n_docs"), lit(0L)) +
+              coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+            (coalesce(col("n_chars"), lit(0L)) +
+              coalesce(col("d_chars"), lit(0L))).as("n_chars"))
+          .filter(col("n_docs") > 0) // an emptied bucket leaves the grid
+        VersionedTable.Delta(touched, merged, properties = cursorProp)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length != 6) {
+      System.err.println("usage: graft.Nightly <corpusRoot> " +
+        "<arrivingParquet> <bm25Root> <ivfRoot> <pqRoot> <statsRoot>")
+      sys.exit(2)
+    }
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val roots = Roots(args(0), args(2), args(3), args(4), args(5))
+    val arriving = spark.read.parquet(args(1))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val r = run(spark, roots, arriving)
+    def j(s: String) = VerifyCommon.jsonStr(s)
+    println(s"""{"nightly":{"corpus_version":${r.corpusVersion},""" +
+      s""""steps":[${r.steps.map(s =>
+        s"""{"component":${j(s.component)},"action":${j(s.action)},""" +
+          s""""version":${s.version}}""").mkString(",")}],""" +
+      s""""compacted":{${r.compacted.toSeq.sortBy(_._1).map {
+        case (k, v) => s"${j(k)}:$v" }.mkString(",")}}}}""")
+    spark.stop()
+  }
+}

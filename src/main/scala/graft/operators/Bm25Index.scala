@@ -164,10 +164,10 @@ object Bm25Index {
     * formula), the contract [[IndexMaintenance.replacePartitions]]'
     * in-place layout cannot give. */
   def buildVersioned(spark: SparkSession, docs: DataFrame,
-      root: String): Long = {
+      root: String, properties: Map[String, String] = Map.empty): Long = {
     val (rows, stats) = buildFrames(docs)
     VersionedTable.publishFull(spark, root, "bucket", rows,
-      Map("stats" -> stats))
+      Map("stats" -> stats), properties)
   }
 
   /** Incremental maintenance — apply a corpus delta (q100's diff
@@ -215,7 +215,8 @@ object Bm25Index {
     * winner's state and retry instead of dying — or worse, applying
     * df/dl/stats movements computed against a superseded base. */
   def updateFromVersioned(spark: SparkSession, root: String,
-      upserts: DataFrame, removedIds: DataFrame): Long =
+      upserts: DataFrame, removedIds: DataFrame,
+      properties: Map[String, String] = Map.empty): Long =
     VersionedTable.retryingPublish(spark, root) { snap =>
       val old = VersionedTable.read(spark, snap, root, postingsSchema)
       val s = VersionedTable.readExtra(spark, snap, root, "stats",
@@ -225,7 +226,7 @@ object Bm25Index {
       val (affectedBuckets, replacement, newStats) =
         deltaFrames(spark, old, stats1, upserts, removedIds)
       VersionedTable.Delta(affectedBuckets, replacement,
-        Map("stats" -> newStats))
+        Map("stats" -> newStats), properties)
     }
 
   /** The delta math of [[updateFrom]] (doc-set diff → affected buckets,

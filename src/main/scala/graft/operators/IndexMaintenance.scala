@@ -83,6 +83,33 @@ object IndexMaintenance {
     rows.write.mode("append").partitionBy(partCol).parquet(tablePath)
   }
 
+  /** Adapt a [[VersionedTable.changes]] CDC feed into the
+    * `(upserts, removedIds)` pair every index family's `updateFrom` /
+    * `updateFromVersioned` takes (round-11 verdict item 4) — so index
+    * maintenance can be DRIVEN BY THE FEED instead of re-diffing the
+    * corpus: `insert` and `update_post` images are the rows to (re)index
+    * (`updateFrom` drops an upserted key's old rows by id, so the
+    * `update_pre` image is not needed — the index itself holds the old
+    * state); `delete` rows are the removals. `update_pre` images carry
+    * the retraction information AGGREGATE consumers need (q144) and are
+    * simply not selected here. The law, spec-pinned per family in
+    * `IndexMaintenanceSpec`:
+    * `updateFromVersioned(deltaFromChanges(changes(v1, v2))) == build(v2)`.
+    * `keep` projects the upsert rows to what the family consumes (e.g.
+    * BM25 takes (doc_id, text), the vector families (vec_id,
+    * embedding)) — the feed carries the corpus row, each index reads
+    * its slice. */
+  def deltaFromChanges(feed: DataFrame, keyCol: String,
+      keep: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val upserts = feed
+      .filter(col("change_type").isin("insert", "update_post"))
+      .select((keyCol +: keep).distinct.map(col): _*)
+    val removed = feed.filter(col("change_type") === "delete")
+      .select(col(keyCol))
+    (upserts, removed)
+  }
+
   /** Distinct values of `col` in `df`, collected driver-side — the
     * partition routing sets are delta-sized (buckets of the delta's
     * terms/ids, cells of the delta's vectors), never corpus-sized. */

@@ -82,10 +82,11 @@ object IvfIndex {
     * a delta can never be served against a codebook it wasn't assigned
     * under (the model/derived-state pairing, committed atomically). */
   def buildVersioned(spark: SparkSession, e: DataFrame, root: String,
-      iters: Int = 3, nlist: Option[Int] = None): Long = {
+      iters: Int = 3, nlist: Option[Int] = None,
+      properties: Map[String, String] = Map.empty): Long = {
     val cb = train(e, iters, nlist).localCheckpoint()
     VersionedTable.publishFull(spark, root, "cell",
-      VectorOps.assignCells(e, cb), Map("codebook" -> cb))
+      VectorOps.assignCells(e, cb), Map("codebook" -> cb), properties)
   }
 
   /** [[updateFrom]] against a versioned index: same frozen-codebook
@@ -94,7 +95,8 @@ object IvfIndex {
     * previous snapshot stays serveable until vacuumed. The codebook
     * extra carries over untouched (frozen by construction). */
   def updateFromVersioned(spark: SparkSession, root: String,
-      upserts: DataFrame, removedIds: DataFrame): Long =
+      upserts: DataFrame, removedIds: DataFrame,
+      properties: Map[String, String] = Map.empty): Long =
     VersionedTable.retryingPublish(spark, root) { snap =>
       // derived from the ATTEMPT's base snapshot: a commit-race loser
       // recomputes against the winner's state instead of dying (or
@@ -112,7 +114,8 @@ object IvfIndex {
           .union(newAssign.select(col("cell"))), "cell")
       val kept = old.filter(col("cell").isin(affectedCells: _*))
         .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
-      VersionedTable.Delta(affectedCells, kept.unionByName(newAssign))
+      VersionedTable.Delta(affectedCells, kept.unionByName(newAssign),
+        properties = properties)
     }
 
   /** [[probe]] against the CURRENT snapshot: the probed cells resolve

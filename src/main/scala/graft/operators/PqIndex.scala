@@ -260,7 +260,7 @@ object PqIndex {
     * maintenance), and the codebook/codes pairing is atomic like the
     * IVF family's. */
   def buildVersioned(spark: SparkSession, e: DataFrame, root: String,
-      iters: Int = 3): Long = {
+      iters: Int = 3, properties: Map[String, String] = Map.empty): Long = {
     import spark.implicits._
     val corpus = e.filter(col("vec_id") =!= 0)
     val dim = corpus.select(size(col("embedding"))).limit(1)
@@ -274,7 +274,8 @@ object PqIndex {
       .localCheckpoint()
     val rows = encodeWith(corpus, dense).localCheckpoint()
     VersionedTable.publishFull(spark, root, "vbucket", rows,
-      Map("codebook" -> dense, "stats" -> Seq(rows.count()).toDF("n")))
+      Map("codebook" -> dense, "stats" -> Seq(rows.count()).toDF("n")),
+      properties)
   }
 
   /** [[updateFrom]] against a versioned index: same frozen-codebook
@@ -283,7 +284,8 @@ object PqIndex {
     * affected buckets' prior rows, plus their replacements — all
     * delta-bounded reads), and codes+count publish as ONE snapshot. */
   def updateFromVersioned(spark: SparkSession, root: String,
-      upserts: DataFrame, removedIds: DataFrame): Long = {
+      upserts: DataFrame, removedIds: DataFrame,
+      properties: Map[String, String] = Map.empty): Long = {
     import spark.implicits._
     VersionedTable.retryingPublish(spark, root) { snap =>
       // derived from the ATTEMPT's base snapshot ([[Bm25Index
@@ -307,7 +309,7 @@ object PqIndex {
       val replacement = kept.unionByName(added).localCheckpoint()
       val nNew = nOld - before.count() + replacement.count()
       VersionedTable.Delta(affectedBuckets, replacement,
-        Map("stats" -> Seq(nNew).toDF("n")))
+        Map("stats" -> Seq(nNew).toDF("n")), properties)
     }
   }
 

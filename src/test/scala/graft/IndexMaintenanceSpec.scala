@@ -298,4 +298,84 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(PqIndex.probe(spark, dirA, qv, v2).collect().map(_.toSeq).toSeq ==
       PqIndex.probe(spark, dirB, qv, v2).collect().map(_.toSeq).toSeq)
   }
+
+  test("CDC adapter law, all three families: updateFromVersioned(deltaFromChanges(changes(v1,v2))) == build(v2)") {
+    import graft.operators.{IndexMaintenance, VersionedTable}
+    // ONE versioned corpus carrying both modalities (the nightly's
+    // shape): text rides the doc, embedding the vector — so ONE q143
+    // feed drives every family, never a per-consumer re-diff
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val v1 = docsV1.join(emb, "doc_id")
+    val v2 = CurationOps.plantedV2(v1)
+    def bucketed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      col("embedding"), pmod(col("doc_id"), lit(16L)).as("bucket"))
+    val corpusRoot = java.nio.file.Files
+      .createTempDirectory("graft_im_cdc_corpus").toString
+    VersionedTable.publishFull(spark, corpusRoot, "bucket", bucketed(v1))
+    val s1 = VersionedTable.currentSnapshot(spark, corpusRoot).get
+    val (ups, rem) = Nightly.contentDiff(bucketed(v1), bucketed(v2))
+    val touched = ups.select(col("bucket"))
+      .union(rem.select(pmod(col("doc_id"), lit(16L))))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    VersionedTable.publishDelta(spark, corpusRoot, touched,
+      bucketed(v2).filter(col("bucket").isin(touched: _*)))
+    val s2 = VersionedTable.currentSnapshot(spark, corpusRoot).get
+    val feed = VersionedTable.changes(spark, corpusRoot, s1, s2,
+      Nightly.corpusSchema, "doc_id").localCheckpoint()
+    // the adapter: insert/update_post → upserts, delete → removals
+    val (dU, dR) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+      Seq("text"))
+    assert(dU.count() > 0 && dR.count() > 0,
+      "fixture must exercise both adapter classes")
+    def rowsOf(root: String,
+        schema: org.apache.spark.sql.types.StructType) =
+      VersionedTable.readCurrent(spark, root, schema)
+        .collect().map(_.toString).toSet
+    def newRoot(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_im_cdc_$tag").toString
+    // BM25: feed-driven maintenance == one-shot build on v2
+    val bmA = newRoot("bm_a"); val bmB = newRoot("bm_b")
+    Bm25Index.buildVersioned(spark, docsV1, bmA)
+    Bm25Index.updateFromVersioned(spark, bmA, dU, dR)
+    Bm25Index.buildVersioned(spark,
+      v2.select(col("doc_id"), col("text")), bmB)
+    assert(rowsOf(bmA, Bm25Index.postingsSchema) ==
+      rowsOf(bmB, Bm25Index.postingsSchema),
+      "BM25: the feed must carry exactly the maintenance information")
+    // vector families: feed-driven == re-derived under the SAME frozen
+    // codebook (trained on v1 — deterministic, so A and the comparison
+    // derivation share it bit-for-bit)
+    val (vU0, vR) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+      Seq("embedding"))
+    val vU = vU0.select(col("doc_id").as("vec_id"), col("embedding"))
+    val vRem = vR.select(col("doc_id").as("vec_id"))
+    val vecs1 = v1.select(col("doc_id").as("vec_id"), col("embedding"))
+    val vecs2 = v2.select(col("doc_id").as("vec_id"), col("embedding"))
+    val ivfA = newRoot("ivf_a")
+    IvfIndex.buildVersioned(spark, vecs1, ivfA)
+    val frozen = VersionedTable.readExtra(spark,
+      VersionedTable.currentSnapshot(spark, ivfA).get, ivfA, "codebook",
+      IvfIndex.codebookSchema).localCheckpoint()
+    IvfIndex.updateFromVersioned(spark, ivfA, vU, vRem)
+    assert(VersionedTable.readCurrent(spark, ivfA,
+        IvfIndex.assignmentsSchema).select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      VectorOps.assignCells(vecs2, frozen)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+      "IVF: feed-driven assignments must equal assignCells(v2, frozen)")
+    // PQ: feed-driven == degenerate full-corpus delta (a complete v2
+    // re-encode under the frozen codebook — the existing law's anchor)
+    val pqA = newRoot("pq_a"); val pqB = newRoot("pq_b")
+    PqIndex.buildVersioned(spark, vecs1, pqA)
+    PqIndex.buildVersioned(spark, vecs1, pqB)
+    PqIndex.updateFromVersioned(spark, pqA,
+      vU.filter(col("vec_id") =!= 0), vRem)
+    PqIndex.updateFromVersioned(spark, pqB,
+      vecs2.filter(col("vec_id") =!= 0), vecs1.select(col("vec_id")))
+    assert(rowsOf(pqA, PqIndex.codesSchema) ==
+      rowsOf(pqB, PqIndex.codesSchema),
+      "PQ: feed-driven codes must equal the full v2 re-encode")
+  }
 }

@@ -587,4 +587,55 @@ class ScaleStressSpec extends SparkSpec {
     assert(EventOps.recursiveReachOf(walk(2), maxHops = 9).collect().toSeq ==
       EventOps.recursiveReachOf(walk(200), maxHops = 9).collect().toSeq)
   }
+
+  test("CDC read stays delta-bounded at 1k partitions: a 3-partition delta scans ≤ 2x3 partitions' files, classify exact") {
+    // the q143 inputFiles law measured at REALISTIC partition
+    // cardinality, not the fixture's 16 buckets (round-11 verdict item
+    // 5): at 10k+ nightly partitions the manifest diff must hand the
+    // scan only the changed directories — anything table-proportional
+    // here is the recompute-the-world anti-pattern the manifest exists
+    // to kill
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    import org.apache.spark.sql.types._
+    val parts = 1024
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("bucket", IntegerType)))
+    // 4 rows per partition — content is beside the point, cardinality is
+    def rows(ks: Seq[Long], tag: String) = ks
+      .map(k => (k, s"$tag$k", (k % parts).toInt)).toDF("k", "v", "bucket")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vt_cdc_1k").toString
+    // repartition by the partition column: one file per partition dir
+    // (the compacted steady state a nightly table sits in)
+    VersionedTable.publishFull(spark, root,
+      "bucket", rows(1L to (4L * parts), "a").repartition(col("bucket")))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    assert(s1.parts.size == parts)
+    // the nightly delta: 3 partitions touched — one row updated in
+    // bucket 7, one deleted from bucket 300, one inserted into 999
+    val touched = Seq(7, 300, 999)
+    val deltaRows = rows(1L to (4L * parts), "a")
+      .filter(col("bucket").isin(touched: _*))
+      .filter(col("k") =!= lit(300L + parts)) // delete one of bucket 300
+      .withColumn("v", when(col("k") === 7L, lit("UPD"))
+        .otherwise(col("v")))
+      .unionByName(rows(Seq(999L + 100L * parts), "new"))
+    VersionedTable.publishDelta(spark, root, touched,
+      deltaRows.repartition(col("bucket")))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    val feed = VersionedTable.changes(spark, root, s1, s2, schema, "k")
+    val filesPerPart = 1 // one writer task per partition value here
+    val files = feed.inputFiles
+    assert(files.nonEmpty &&
+      files.length <= 2 * touched.size * filesPerPart,
+      s"CDC scan must be delta-bounded: ${files.length} files for a " +
+        s"${touched.size}-partition delta on a $parts-partition table")
+    assert(files.forall(f => touched.exists(b => f.contains(s"/bucket=$b/"))),
+      "every scanned file belongs to a changed partition")
+    // and the classification is exact at this cardinality
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((7L, "update_pre"), (7L, "update_post"),
+        (300L + parts, "delete"), (999L + 100L * parts, "insert")))
+  }
 }

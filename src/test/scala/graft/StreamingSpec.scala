@@ -1062,4 +1062,119 @@ class StreamingSpec extends SparkSpec {
       assert(q.isActive)
     } finally q.stop()
   }
+
+  test("online CDC maintenance: the stats grid tracks every mid-stream publish, cursor-in-the-manifest makes replayed ticks no-ops") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.VersionedTable
+    def corpusDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        typedLit(Seq(0.5f, -0.5f)).as("embedding"),
+        pmod(col("doc_id"), lit(16L)).as("bucket"))
+    val corpusRoot = java.nio.file.Files
+      .createTempDirectory("graft_cdc_maint_c").toString
+    val statsRoot = java.nio.file.Files
+      .createTempDirectory("graft_cdc_maint_s").toString
+    val v1 = corpusDf((1L, "aa"), (2L, "bbb"), (17L, "cccc"), (33L, "d"))
+    VersionedTable.publishFull(spark, corpusRoot, "bucket", v1)
+    // bootstrap the grid WITH its cursor (the nightly's bootstrap shape)
+    def gridOf(corpus: org.apache.spark.sql.DataFrame) = corpus
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L))
+          .as("n_chars"))
+    VersionedTable.publishFull(spark, statsRoot, "bucket", gridOf(v1),
+      properties = Map(Nightly.CorpusVersionProp -> "1"))
+    def grid(): Set[(Long, Long, Long)] =
+      VersionedTable.readCurrent(spark, statsRoot, Nightly.statsSchema)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def manifestCount(): Int = {
+      val s = java.nio.file.Files
+        .list(java.nio.file.Paths.get(statsRoot, "manifests"))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path]
+        .getFileName.toString).count(_.startsWith("v")) // not .crc sidecars
+      finally s.close()
+    }
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.cdcMaintainStream(mem.toDS().toDF("tick"),
+      corpusRoot, statsRoot).start()
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      assert(manifestCount() == 1, "no publish since the cursor → no-op")
+      // publish v2: doc 2 rewritten, 17 deleted (bucket 1 emptied of it),
+      // 40 inserted (bucket 8 is new to the grid)
+      val v2 = corpusDf((1L, "aa"), (2L, "bb2"), (33L, "d"), (40L, "eeeee"))
+      VersionedTable.publishDelta(spark, corpusRoot, Seq(1L, 2L, 8L),
+        v2.filter(col("bucket").isin(1L, 2L, 8L)))
+      mem.addData(2L)
+      q.processAllAvailable()
+      // stream==batch law: the online grid equals a direct v2 recompute
+      assert(grid() == gridOf(v2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+        "the online-maintained grid must equal a direct recompute on v2")
+      assert(VersionedTable.currentSnapshot(spark, statsRoot).get
+        .properties(Nightly.CorpusVersionProp) == "2",
+        "the cursor commits WITH the grid")
+      val afterV2 = manifestCount()
+      // replayed/duplicate ticks: cursor ≥ current → zero new commits
+      mem.addData(3L, 4L)
+      q.processAllAvailable()
+      assert(manifestCount() == afterV2,
+        "a replayed tick must not re-apply the span (exactly-once by " +
+          "cursor-in-the-manifest)")
+      // a multi-commit gap collapses to one net application
+      VersionedTable.publishDelta(spark, corpusRoot, Seq(8L),
+        corpusDf((40L, "eee2")))
+      val v4 = corpusDf((1L, "aa"), (2L, "bb2"), (33L, "d"))
+      VersionedTable.publishDelta(spark, corpusRoot, Seq(8L),
+        v4.filter(col("bucket") === 8L)) // doc 40 deleted again
+      mem.addData(5L)
+      q.processAllAvailable()
+      assert(grid() == gridOf(v4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+        "a v2→v4 gap lands as the net diff: bucket 8 leaves the grid")
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
+  test("versioned serve streams resolve ONE manifest per micro-batch — measured, not asserted by scaladoc") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{IvfIndex, VersionedTable}
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_resolve_law").toString
+    IvfIndex.buildVersioned(spark, corpus, root)
+    val queryRows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().map(r => (0L, r.getSeq[Float](0)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamingOps.ivfServeStreamVersioned(
+      mem.toDS().toDF("q_id", "q_emb"), root, nProbe = 2, k = 5) { out =>
+      out.collect(); served.incrementAndGet()
+    }.start()
+    try {
+      // settle the stream's own startup batches before measuring
+      q.processAllAvailable()
+      val before = VersionedTable.resolveCount.get()
+      val batches = 3
+      for (_ <- 1 to batches) {
+        mem.addData(queryRows.toSeq)
+        q.processAllAvailable()
+      }
+      val resolves = VersionedTable.resolveCount.get() - before
+      assert(served.get() >= batches)
+      // one currentSnapshot per answered micro-batch — the serve-path
+      // contract behind flat ingest rate (codebook, assignments and
+      // pruning all ride that single resolve)
+      assert(resolves == served.get(),
+        s"expected one manifest resolve per served batch, got $resolves " +
+          s"resolves for ${served.get()} batches")
+    } finally q.stop()
+  }
 }

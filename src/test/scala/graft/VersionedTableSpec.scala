@@ -336,11 +336,30 @@ class VersionedTableSpec extends SparkSpec {
       "each thread's LAST delta content serves its bucket")
   }
 
-  test("snapshotAsOf: wall-clock time travel resolves the newest commit at-or-before the instant") {
+  /** Rewrite a committed manifest's JSON in place to simulate a LEGACY
+    * manifest (committed before `committedAtMs` existed) — the
+    * adoption-path twin of the schemaFp legacy test. */
+  private def stripCommittedAt(root: String, name: String): Unit = {
+    val p = java.nio.file.Paths.get(root, "manifests", name)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("committedAtMs")
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
+    // the rewrite bypassed Hadoop's ChecksumFileSystem — drop the stale
+    // .crc sidecar or the next manifest read fails checksum verification
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve(s".${p.getFileName}.crc"))
+  }
+
+  test("snapshotAsOf: LEGACY manifests (no stamped instant) fall back to file mtime") {
     val root = newRoot("asof")
     VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
     VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A2", 0)))
-    // pin the commit instants (coarse-mtime filesystems; no sleeps)
+    // simulate manifests committed before the field existed, then pin
+    // the commit instants via mtime (coarse-mtime filesystems; no sleeps)
+    stripCommittedAt(root, "v00000001.json")
+    stripCommittedAt(root, "v00000002.json")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def pin(name: String, ts: Long) = fs.setTimes(
@@ -360,6 +379,134 @@ class VersionedTableSpec extends SparkSpec {
       .select("version", "committed_at_ms").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(hist.toSeq == Seq((1L, 1000L), (2L, 2000L)))
+  }
+
+  test("snapshotAsOf: the stamped commit instant survives a byte-for-byte table copy — mtime does not decide") {
+    val root = newRoot("asofcopy")
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A2", 0)))
+    // the instants the manifests actually carry (history shows the same
+    // rule asOf resolves by)
+    val instants = VersionedTable.history(spark, root).orderBy("version")
+      .select("committed_at_ms").collect().map(_.getLong(0))
+    val Array(t1, t2) = instants
+    assert(t1 <= t2)
+    // migrate the table: copy every file to a new root with FRESH
+    // mtimes (and then deliberately scramble them) — the round-11
+    // verdict scenario where mtime-based resolution silently shifts
+    // history after a file copy
+    val dst = newRoot("asofdst")
+    val srcP = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(srcP).forEach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(srcP.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(new org.apache.hadoop.fs.Path(dst,
+      "manifests/v00000001.json"), 9999999999999L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dst,
+      "manifests/v00000002.json"), 1L, -1)
+    // the copy resolves the SAME answers at the SAME instants
+    assert(VersionedTable.snapshotAsOf(spark, dst, t1 - 1).isEmpty)
+    if (t2 > t1)
+      assert(VersionedTable.snapshotAsOf(spark, dst, t1)
+        .map(_.version).contains(1L))
+    assert(VersionedTable.snapshotAsOf(spark, dst, t2)
+      .map(_.version).contains(2L))
+    assert(contents(VersionedTable.read(spark,
+      VersionedTable.snapshotAsOf(spark, dst, t2).get, dst, schema)) ==
+      Set((1L, "A2", 0)), "the copied table serves its data")
+  }
+
+  test("properties: commit with the snapshot, carry over across deltas and compaction, overwrite on set, replace on full publish") {
+    val root = newRoot("props")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L to 30L).map(i => (i, s"v$i", (i % 2).toInt)): _*)
+        .repartition(3),
+      properties = Map("corpus_version" -> "7", "owner" -> "nightly"))
+    assert(VersionedTable.currentSnapshot(spark, root).get.properties ==
+      Map("corpus_version" -> "7", "owner" -> "nightly"))
+    // a delta that sets one key overwrites it; untouched keys carry
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((2L, "B", 0)),
+      properties = Map("corpus_version" -> "8"))
+    assert(VersionedTable.currentSnapshot(spark, root).get.properties ==
+      Map("corpus_version" -> "8", "owner" -> "nightly"))
+    // compaction is a plain delta commit — the cursor must survive it
+    // (an index losing its corpus_version to housekeeping would force a
+    // full rebuild on the next nightly)
+    assert(VersionedTable.compact(spark, root, schema,
+      maxFilesPerPart = 1).nonEmpty)
+    assert(VersionedTable.currentSnapshot(spark, root).get.properties ==
+      Map("corpus_version" -> "8", "owner" -> "nightly"))
+    // a full rewrite REPLACES the map (nothing of the old state carries)
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((9L, "z", 0)),
+      properties = Map("corpus_version" -> "9"))
+    assert(VersionedTable.currentSnapshot(spark, root).get.properties ==
+      Map("corpus_version" -> "9"))
+  }
+
+  test("restore: a concurrent publisher racing the undo retries instead of dying") {
+    val root = newRoot("restorerace")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "OOPS", 1)))
+    // a publisher hammers bucket 0 while the restore-to-v1 runs: both
+    // must land (the restore's ConcurrentCommitException is retried
+    // internally, like any publish — round-11 advisor)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    var restoredV = 0L
+    val publisher = new Thread(() => {
+      try {
+        for (n <- 1 to 5)
+          VersionedTable.retryingPublish(spark, root, maxAttempts = 30) {
+            _ => VersionedTable.Delta(Seq(0), rowsDf((1L, s"p$n", 0)))
+          }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val restorer = new Thread(() => {
+      try restoredV = VersionedTable.restore(spark, root, 1L,
+        maxAttempts = 30)
+      catch { case t: Throwable => errs.add(t) }
+    })
+    publisher.start(); restorer.start()
+    publisher.join(); restorer.join()
+    assert(errs.isEmpty, s"both must land, got: ${errs.peek()}")
+    // 1 full + 1 bad delta + 5 publishes + 1 restore = 8 commits
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 8L)
+    assert(restoredV >= 3L)
+    // the restore's own commit serves v1's exact content
+    assert(contents(VersionedTable.read(spark,
+      VersionedTable.snapshotAt(spark, root, restoredV).get, root, schema)) ==
+      Set((1L, "a", 0), (2L, "b", 1)))
+  }
+
+  test("changes: a duplicated key in a changed partition fails loudly instead of feeding bogus image pairs") {
+    val root = newRoot("cdcdup")
+    // v1 carries doc 2 TWICE in bucket 1 — the key contract violation
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1), (2L, "b2", 1)))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B", 1)))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    val e = intercept[IllegalStateException] {
+      VersionedTable.changes(spark, root, s1, s2, schema, "k")
+    }
+    assert(e.getMessage.contains("not unique"))
+    // the guard is scoped to CHANGED partitions: the same duplicate in
+    // an untouched bucket is not read, so a delta elsewhere still flows
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A2", 0)))
+    val s3 = VersionedTable.currentSnapshot(spark, root).get
+    assert(feedRows(VersionedTable.changes(spark, root, s2, s3,
+      schema, "k")) ==
+      Set((1L, "a", 0, "update_pre"), (1L, "A2", 0, "update_post")))
+    // explicit opt-out restores the old garbage-tolerant behavior for
+    // producers with a transactional uniqueness guarantee
+    VersionedTable.changes(spark, root, s1, s2, schema, "k",
+      validateKeys = false).collect()
   }
 
   private def feedRows(df: DataFrame): Set[(Long, String, Int, String)] =

@@ -32,15 +32,20 @@ def main(paths):
             sys.exit(f"{p}: cpus is {d.get('cpus')}, bands are local[32]-only")
         # a query whose final time was REPLACED by an end-of-suite rerun
         # (its in-suite original rides in original_sec) ran the rerun in
-        # the SAME session: memo-backed queries (q101's bpe_rules, the
-        # shingle base, ...) record a warm cache read there, not a clean
-        # execution — a 0.04 s "band" for a 3.5 s query would then flag
-        # every honest run and lock the official number to the warm
-        # path. Those samples are not band material in either direction
-        # (the original was contaminated, the rerun is warm): drop them.
-        replaced = set(d.get("original_sec", {}))
-        runs.append({k: v for k, v in d["queries"].items()
-                     if k not in replaced})
+        # the SAME session. Under the OLD protocol that rerun read the
+        # warm session memo (a 0.04 s "band" for a 3.5 s query would flag
+        # every honest run), so those samples were dropped. Since commit
+        # 5e07c24 Bench evicts the memo before replays/re-runs and stamps
+        # the record with memo_evicted_replays — replaced samples in a
+        # flagged record are clean cold measurements and KEEP (dropping
+        # them can starve a query of band material entirely); unflagged
+        # legacy records stay filtered.
+        if d.get("memo_evicted_replays"):
+            runs.append(dict(d["queries"]))
+        else:
+            replaced = set(d.get("original_sec", {}))
+            runs.append({k: v for k, v in d["queries"].items()
+                         if k not in replaced})
         # the name universe comes from the UNFILTERED catalog: a query
         # replaced in EVERY input must hit the no-sample exit below, not
         # silently vanish from the written bands (surfacing later as a
