@@ -19,7 +19,8 @@ object SparkEntry {
     operators.CurationOps,
     operators.VectorOps,
     operators.IngestOps,
-    operators.MultimodalOps)
+    operators.MultimodalOps,
+    operators.NightlyOps)
 
   lazy val ops: Seq[Op] = {
     val all = catalogs.flatMap(_.ops)

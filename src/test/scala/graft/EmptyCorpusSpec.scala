@@ -29,7 +29,12 @@ class EmptyCorpusSpec extends SparkSpec {
     // that simply come back empty); only the greedy coreset driver-side
     // seeds from `head()` of the corpus.
     val needsData: Set[String] = Set(
-      "q98_diversity_coreset")    // greedy k-center seed = a corpus row
+      "q98_diversity_coreset",    // greedy k-center seed = a corpus row
+      // the nightly BOOTSTRAP trains IVF/PQ codebooks — zero vectors
+      // cannot define a codebook (PqIndex requires a positive dim), the
+      // same class of exception FAISS raises on an empty train set
+      "q145_nightly_stats",
+      "q146_nightly_bm25")
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = try { fn(spark, dir).collect(); None }
       catch { case e: Throwable => Some(e.getClass.getSimpleName) }
