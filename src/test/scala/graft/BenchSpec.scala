@@ -60,6 +60,12 @@ class BenchSpec extends SparkSpec {
     // the band at 2x it (the production band is likewise ~2x the clean
     // record) so the assertion tracks relative slowdown, not absolute
     // machine speed
+    // calibration direction matters per test: THIS test must DETECT a
+    // manufactured contention window, so the band anchors on the MIN
+    // clean sample (tight band = reliable breach under 3x
+    // oversubscription); the verdict-flip test below anchors on the
+    // median instead (loose band = a clean re-run is not flaked by one
+    // ambient burst)
     val clean = (1 to 3).map(_ =>
       Bench.timeNoop(spark, "q01_pricing_summary", sfDir)).min
     val band = clean * 2.0
@@ -139,8 +145,12 @@ class BenchSpec extends SparkSpec {
     val cores = Runtime.getRuntime.availableProcessors()
     assume(ambient < cores.toDouble / 2,
       s"ambient load $ambient too high to calibrate a clean baseline")
+    // MEDIAN of three, not min: one lucky warm sample as the anchor
+    // shrinks the band below honest scheduler variance, and a later
+    // sentinel riding an ambient co-tenant burst then flakes the test
+    // (observed: min 0.31 s -> band 0.62 vs a 0.656 s rerun sample)
     val clean = (1 to 3).map(_ =>
-      Bench.timeNoop(spark, "q01_pricing_summary", sfDir)).min
+      Bench.timeNoop(spark, "q01_pricing_summary", sfDir)).sorted.apply(1)
     val band = clean * 2.0
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val spinners = (1 to cores * 3).map { _ =>
