@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   *     (BM25 / IVF / PQ) and the downstream stats grid are brought to
   *     the new corpus version off the [[VersionedTable.changes]] feed
   *     (the q143 manifest diff — delta-bounded reads), adapted by
-  *     [[IndexMaintenance.deltaFromChanges]]; NEVER a re-diff of the
+  *     [[IndexMaintenance.deltaFromChangesIn]] with MODALITY ROUTING
+  *     (an embedding-only update never rewrites BM25 buckets, a
+  *     text-only edit never re-encodes vectors); NEVER a re-diff of the
   *     corpus per consumer. Each consumer's publish carries
   *     `corpus_version` in its manifest [[VersionedTable.Snapshot
   *     .properties]] — the cursor commits ATOMICALLY with the state it
@@ -188,7 +190,7 @@ object Nightly {
       Bm25Index.buildVersioned(spark,
         corpusRows.select(col("doc_id"), col("text")), roots.bm25,
         cursorProp)) { feed =>
-      val (ups, rem) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+      val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed, "doc_id",
         Seq("text"))
       Bm25Index.updateFromVersioned(spark, roots.bm25, ups, rem, cursorProp)
     }
@@ -200,7 +202,7 @@ object Nightly {
     steps += sync("ivf", roots.ivf)(() =>
       IvfIndex.buildVersioned(spark, vecRows(corpusRows), roots.ivf,
         properties = cursorProp)) { feed =>
-      val (ups, rem) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+      val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed, "doc_id",
         Seq("embedding"))
       IvfIndex.updateFromVersioned(spark, roots.ivf, vecRows(ups),
         rem.select(col("doc_id").as("vec_id")), cursorProp)
@@ -211,7 +213,7 @@ object Nightly {
     steps += sync("pq", roots.pq)(() =>
       PqIndex.buildVersioned(spark, vecRows(corpusRows), roots.pq,
         properties = cursorProp)) { feed =>
-      val (ups, rem) = IndexMaintenance.deltaFromChanges(feed, "doc_id",
+      val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed, "doc_id",
         Seq("embedding"))
       // mirror the build's vec_id≠0 convention (PqIndex reserves id 0
       // for the query vector) so updateFrom(feed) == build(v2) holds

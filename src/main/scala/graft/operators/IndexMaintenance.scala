@@ -110,6 +110,38 @@ object IndexMaintenance {
     (upserts, removed)
   }
 
+  /** [[deltaFromChanges]] with MODALITY ROUTING: drop update pairs whose
+    * `keep` columns are unchanged between the pre and post images. A
+    * multimodal corpus row changes per modality — a re-embedding night
+    * updates only the embedding column of most docs — and while a no-op
+    * upsert is CORRECT for every index family (the updateFrom math
+    * re-derives the same rows), it is not FREE: the lexical index would
+    * rewrite every bucket of every re-embedded doc's terms, breaking
+    * copy-on-write sharing and delta-boundedness for an identical end
+    * state. Comparison is null-safe struct equality over the `keep`
+    * columns, exactly the classifier's own rule — so a pair this drops
+    * is one `changes` would not have emitted had the OTHER columns not
+    * moved. Inserts and deletes always pass (presence changed). The
+    * end-state law is unchanged and spec-pinned: filtered maintenance
+    * == build(v2); the new law is that an other-modality-only night
+    * leaves this index's generations untouched (`IndexMaintenanceSpec`,
+    * generation-id equality). */
+  def deltaFromChangesIn(feed: DataFrame, keyCol: String,
+      keep: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, struct}
+    val (upserts, removed) = deltaFromChanges(feed, keyCol, keep)
+    val img = struct(keep.map(col): _*)
+    def side(ct: String, alias: String) =
+      feed.filter(col("change_type") === ct)
+        .select(col(keyCol), img.as(alias))
+    // keys whose update pair is IDENTICAL in this modality — delta-sized
+    val unchangedKeys = side("update_pre", "_a")
+      .join(side("update_post", "_b"), keyCol)
+      .filter(col("_a") <=> col("_b"))
+      .select(col(keyCol))
+    (upserts.join(unchangedKeys, Seq(keyCol), "left_anti"), removed)
+  }
+
   /** Distinct values of `col` in `df`, collected driver-side — the
     * partition routing sets are delta-sized (buckets of the delta's
     * terms/ids, cells of the delta's vectors), never corpus-sized. */

@@ -574,21 +574,26 @@ object VersionedTable {
     val dirs = changedPartitionDirs(from, to).toSet
     def sideRows(snap: Snapshot) = readParts(spark, root, schema,
       snap.parts.view.filterKeys(dirs.contains).toMap)
-    if (validateKeys) Seq(("from", from), ("to", to)).foreach {
-      case (label, snap) =>
-        // groupBy groups nulls together too, so duplicate NULL keys —
-        // which the <=> join also fans out — are caught; the scan is
-        // delta-bounded (changed partitions, key column only)
-        sideRows(snap).groupBy(col(keyCol))
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-          .limit(1).collect().headOption.foreach { r =>
-            throw new IllegalStateException(
-              s"changes($root): key '$keyCol' is not unique in the " +
-                s"$label snapshot v${snap.version}'s changed partitions " +
-                s"(e.g. value ${r.get(0)} appears ${r.getLong(1)} times) " +
-                "— the feed would fan out into bogus image pairs; " +
-                "dedupe the table or use a genuinely unique key")
-          }
+    if (validateKeys) {
+      // ONE delta-bounded job for both sides: key columns only
+      // (column-pruned scans), tagged by side, grouped — groupBy groups
+      // nulls together too, so duplicate NULL keys (which the <=> join
+      // also fans out) are caught
+      val dup = sideRows(from)
+        .select(col(keyCol), lit(s"from v${from.version}").as("_side"))
+        .unionByName(sideRows(to)
+          .select(col(keyCol), lit(s"to v${to.version}").as("_side")))
+        .groupBy(col("_side"), col(keyCol))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .limit(1).collect().headOption
+      dup.foreach { r =>
+        throw new IllegalStateException(
+          s"changes($root): key '$keyCol' is not unique in the " +
+            s"${r.getString(0)} snapshot's changed partitions " +
+            s"(e.g. value ${r.get(1)} appears ${r.getLong(2)} times) " +
+            "— the feed would fan out into bogus image pairs; " +
+            "dedupe the table or use a genuinely unique key")
+      }
     }
     def side(snap: Snapshot, kAlias: String, img: String, flag: String) =
       sideRows(snap)

@@ -378,4 +378,76 @@ class IndexMaintenanceSpec extends SparkSpec {
       rowsOf(pqB, PqIndex.codesSchema),
       "PQ: feed-driven codes must equal the full v2 re-encode")
   }
+
+  test("modality routing: an embedding-only re-embed night leaves the lexical index's generations UNTOUCHED, same end state") {
+    import graft.operators.{IndexMaintenance, VersionedTable}
+    // v2 = same text everywhere, every 10th doc re-embedded (negated
+    // vector — exact in IEEE) — the nightly shape of a re-embedding run
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val v1 = docsV1.join(emb, "doc_id")
+    val v2 = v1.withColumn("embedding",
+      when(pmod(col("doc_id"), lit(10L)) === 0,
+        expr("transform(embedding, x -> -x)")).otherwise(col("embedding")))
+    def bucketed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      col("embedding"), pmod(col("doc_id"), lit(16L)).as("bucket"))
+    val corpusRoot = java.nio.file.Files
+      .createTempDirectory("graft_im_modal_corpus").toString
+    VersionedTable.publishFull(spark, corpusRoot, "bucket", bucketed(v1))
+    val s1 = VersionedTable.currentSnapshot(spark, corpusRoot).get
+    val (ups, rem) = Nightly.contentDiff(bucketed(v1), bucketed(v2))
+    assert(rem.isEmpty && ups.count() > 0)
+    val touched = ups.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    VersionedTable.publishDelta(spark, corpusRoot, touched,
+      bucketed(v2).filter(col("bucket").isin(touched: _*)))
+    val s2 = VersionedTable.currentSnapshot(spark, corpusRoot).get
+    val feed = VersionedTable.changes(spark, corpusRoot, s1, s2,
+      Nightly.corpusSchema, "doc_id").localCheckpoint()
+    // the text modality sees an EMPTY delta through the routed adapter...
+    val (bmUps, bmRem) = IndexMaintenance.deltaFromChangesIn(feed,
+      "doc_id", Seq("text"))
+    assert(bmUps.isEmpty && bmRem.isEmpty,
+      "no text changed — the lexical modality's delta must be empty")
+    // ...so a BM25 maintenance pass rewrites NOTHING: every partition
+    // keeps its generation id (copy-on-write sharing preserved — the
+    // point of routing; an unrouted no-op upsert rewrites every bucket
+    // of the re-embedded docs' terms for an identical end state)
+    val bmRoot = java.nio.file.Files
+      .createTempDirectory("graft_im_modal_bm").toString
+    Bm25Index.buildVersioned(spark, docsV1, bmRoot)
+    val bmBefore = VersionedTable.currentSnapshot(spark, bmRoot).get
+    Bm25Index.updateFromVersioned(spark, bmRoot, bmUps, bmRem)
+    val bmAfter = VersionedTable.currentSnapshot(spark, bmRoot).get
+    assert(VersionedTable.changedPartitionDirs(bmBefore, bmAfter).isEmpty,
+      "an embedding-only night must leave every postings generation shared")
+    // while the VECTOR modality sees exactly the re-embedded docs
+    val (vUps, vRem) = IndexMaintenance.deltaFromChangesIn(feed,
+      "doc_id", Seq("embedding"))
+    assert(vRem.isEmpty)
+    assert(vUps.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      v1.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet,
+      "the vector modality's delta is exactly the re-embedded id set")
+    // and inserts/deletes always pass the router (presence changed):
+    // drop one doc, add one — both modalities must see them
+    val v3 = v2.filter(col("doc_id") =!= 1L)
+      .unionByName(v2.filter(col("doc_id") === 2L)
+        .withColumn("doc_id", lit(990001L)))
+    val (u3, r3) = Nightly.contentDiff(bucketed(v2), bucketed(v3))
+    val t3 = u3.select(col("bucket"))
+      .union(r3.select(pmod(col("doc_id"), lit(16L))))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    VersionedTable.publishDelta(spark, corpusRoot, t3,
+      bucketed(v3).filter(col("bucket").isin(t3: _*)))
+    val s3 = VersionedTable.currentSnapshot(spark, corpusRoot).get
+    val feed23 = VersionedTable.changes(spark, corpusRoot, s2, s3,
+      Nightly.corpusSchema, "doc_id")
+    val (tU, tR) = IndexMaintenance.deltaFromChangesIn(feed23,
+      "doc_id", Seq("text"))
+    assert(tU.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      Set(990001L) &&
+      tR.collect().map(_.getLong(0)).toSet == Set(1L),
+      "inserts and deletes pass the modality router unconditionally")
+  }
 }
