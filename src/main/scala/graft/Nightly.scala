@@ -93,6 +93,20 @@ object Nightly {
   final class InjectedCrash(step: String)
     extends RuntimeException(s"injected crash after step '$step'")
 
+  /** Control-flow signal OUT of a `retryingPublish` closure: the
+    * attempt's base snapshot shows the work is already done (a racing
+    * duplicate run committed it), so publish nothing and report the
+    * base's version. Never escapes this object. */
+  private final case class AlreadyCovered(version: Long)
+    extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** Parse a cursor property defensively: a non-numeric value reads as
+    * unreadable (None), never a crash — the documented response is a
+    * loud rebuild, not a night that dies every night. */
+  private def parseCursor(s: VersionedTable.Snapshot): Option[Long] =
+    s.properties.get(CorpusVersionProp)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+
   private def log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Run one night. `arriving` is tonight's full corpus content as
@@ -125,21 +139,32 @@ object Nightly {
         if (ups0.isEmpty && rem0.isEmpty)
           Step("corpus", "unchanged", cur.version)
         else {
-          val v = VersionedTable.retryingPublish(spark, roots.corpus) {
-            base =>
-              // re-derive against the attempt's base (a backfill may
-              // have landed): touched buckets are computable from the
-              // diff IDS alone — bucket is a pure function of doc_id
-              val (ups, rem) = contentDiff(
-                VersionedTable.read(spark, base, roots.corpus,
-                  corpusSchema), bucketed)
-              val touched = ups.select(col("bucket"))
-                .union(rem.select(pmod(col("doc_id"), lit(Buckets.toLong))))
-                .distinct().collect().map(_.getLong(0)).sorted.toSeq
-              VersionedTable.Delta(touched,
-                bucketed.filter(col("bucket").isin(touched: _*)))
+          try {
+            val v = VersionedTable.retryingPublish(spark, roots.corpus) {
+              base =>
+                // re-derive against the attempt's base (a backfill may
+                // have landed): touched buckets are computable from the
+                // diff IDS alone — bucket is a pure function of doc_id
+                val (ups, rem) = contentDiff(
+                  VersionedTable.read(spark, base, roots.corpus,
+                    corpusSchema), bucketed)
+                val touched = ups.select(col("bucket"))
+                  .union(rem.select(pmod(col("doc_id"),
+                    lit(Buckets.toLong))))
+                  .distinct().collect().map(_.getLong(0)).sorted.toSeq
+                // a racing duplicate run may have landed THIS content
+                // between the outer emptiness check and this attempt:
+                // an empty re-derived diff must publish NOTHING, not a
+                // content-free version bump (the idempotence anchor
+                // holds under races too)
+                if (touched.isEmpty) throw AlreadyCovered(base.version)
+                VersionedTable.Delta(touched,
+                  bucketed.filter(col("bucket").isin(touched: _*)))
+            }
+            Step("corpus", "published", v)
+          } catch {
+            case AlreadyCovered(v) => Step("corpus", "unchanged", v)
           }
-          Step("corpus", "published", v)
         }
     })
     chk("corpus")
@@ -147,6 +172,17 @@ object Nightly {
     // every consumer syncs to ONE resolved corpus state
     val corpusCur = VersionedTable.currentSnapshot(spark, roots.corpus).get
     val cursorProp = Map(CorpusVersionProp -> corpusCur.version.toString)
+
+    // ONE materialized feed per distinct from-version, shared by every
+    // consumer at that cursor (the common case: all four sit on last
+    // night's version, so the span is diffed + key-validated ONCE, and
+    // the localCheckpoint keeps each consumer's several actions from
+    // re-running the full-outer CDC join — round-12 review)
+    val feedCache = scala.collection.mutable.Map[Long, DataFrame]()
+    def feedFrom(from: VersionedTable.Snapshot): DataFrame =
+      feedCache.getOrElseUpdate(from.version,
+        VersionedTable.changes(spark, roots.corpus, from, corpusCur,
+          corpusSchema, "doc_id").localCheckpoint())
 
     /** Bring one consumer to `corpusCur`: skip when its committed
       * cursor already covers it, feed it the manifest-diff CDC span
@@ -162,22 +198,20 @@ object Nightly {
       VersionedTable.currentSnapshot(spark, root) match {
         case None => Step(name, "bootstrapped", bootstrap())
         case Some(s) =>
-          s.properties.get(CorpusVersionProp).map(_.toLong) match {
+          parseCursor(s) match {
             case Some(v) if v >= corpusCur.version =>
               Step(name, "skipped", s.version)
             case Some(v) =>
               VersionedTable.snapshotAt(spark, roots.corpus, v) match {
                 case Some(from) =>
-                  Step(name, "updated", applyFeed(VersionedTable.changes(
-                    spark, roots.corpus, from, corpusCur, corpusSchema,
-                    "doc_id")))
+                  Step(name, "updated", applyFeed(feedFrom(from)))
                 case None =>
                   rebuild(s"has cursor v$v but that corpus manifest is " +
                     "vacuumed (consumer slower than retention)")
               }
             case None =>
-              rebuild("carries no corpus_version cursor (built outside " +
-                "the nightly)")
+              rebuild("carries no readable corpus_version cursor " +
+                s"(raw: ${s.properties.get(CorpusVersionProp)})")
           }
       }
     }
@@ -227,7 +261,7 @@ object Nightly {
     steps += sync("stats", roots.stats)(() =>
       VersionedTable.publishFull(spark, roots.stats, "bucket",
         fullStats(corpusRows), Map.empty, cursorProp))(feed =>
-      applyStatsFeed(spark, roots.stats, feed, cursorProp))
+      applyStatsFeed(spark, roots.stats, feed, corpusCur.version))
     chk("stats")
 
     // ---- 3. housekeeping ---------------------------------------------
@@ -257,9 +291,18 @@ object Nightly {
     * rows of `v2` incl. bucket, removed = ids only in `v1`). */
   private[graft] def contentDiff(v1: DataFrame,
       v2: DataFrame): (DataFrame, DataFrame) = {
+    // xxhash64 SKIPS null inputs and hashes zero elements for an empty
+    // array — both leave the running hash untouched, so (null text) vs
+    // (absent) and (embedding null) vs (embedding []) would collide and
+    // the update silently never publish (round-12 review). Explicit
+    // presence/size markers ride in the hash so those states differ,
+    // matching the classifier's null-safe struct <=> semantics.
     def h(df: DataFrame, hc: String, fc: String) =
       df.select(col("doc_id"),
-        xxhash64(col("text"), col("embedding")).as(hc), lit(true).as(fc))
+        xxhash64(col("text"), col("embedding"),
+          when(col("text").isNull, 1L).otherwise(0L),
+          coalesce(size(col("embedding")).cast("long"), lit(-2L))).as(hc),
+        lit(true).as(fc))
     val d = h(v1, "h1", "in1")
       .join(h(v2, "h2", "in2"), Seq("doc_id"), "full_outer")
       .localCheckpoint() // consumed twice; at nightly cadence this is an
@@ -283,13 +326,24 @@ object Nightly {
     * republished, with the cursor property riding the same atomic
     * manifest. An empty feed span (a property-only catch-up, e.g.
     * after a no-op corpus commit) publishes an empty delta — the
-    * cursor still moves. */
+    * cursor still moves. `targetVersion` is the corpus version the feed
+    * runs TO, and it gates the commit INSIDE the retry loop: add/
+    * retract math is not idempotent (unlike the index families'
+    * set-based updates), so a commit-race loser whose winner already
+    * applied this span — the nightly's stats step racing a live
+    * [[graft.streaming.StreamingOps.cdcMaintainStream]] tick, or two
+    * overlapping nightly runs — must NO-OP, never re-add the delta onto
+    * the winner's already-updated grid (round-12 review: the pre-entry
+    * cursor check alone leaves exactly that window). */
   private[graft] def applyStatsFeed(spark: SparkSession, statsRoot: String,
-      feed: DataFrame, cursorProp: Map[String, String]): Long = {
+      feed: DataFrame, targetVersion: Long): Long = {
+    val cursorProp = Map(CorpusVersionProp -> targetVersion.toString)
     val f = feed.localCheckpoint() // touched-bucket collect + the merge
     val touched = f.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq // ≤ grid size by contract
-    VersionedTable.retryingPublish(spark, statsRoot) { snap =>
+    try VersionedTable.retryingPublish(spark, statsRoot) { snap =>
+      if (parseCursor(snap).exists(_ >= targetVersion))
+        throw AlreadyCovered(snap.version)
       if (touched.isEmpty)
         VersionedTable.Delta(Nil,
           spark.createDataFrame(new java.util.ArrayList[
@@ -315,6 +369,11 @@ object Nightly {
           .filter(col("n_docs") > 0) // an emptied bucket leaves the grid
         VersionedTable.Delta(touched, merged, properties = cursorProp)
       }
+    } catch {
+      case AlreadyCovered(v) =>
+        log.info(s"stats at $statsRoot already cover corpus " +
+          s"v$targetVersion (a racing maintainer won) — no-op")
+        v
     }
   }
 

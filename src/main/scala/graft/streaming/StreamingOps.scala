@@ -966,20 +966,28 @@ object StreamingOps {
             .getOrElse(throw new IllegalStateException(
               s"stats table at $statsRoot is unborn — bootstrap the grid " +
                 "(publishFull with the corpus_version property) first"))
-          val cursor = statsCur.properties
-            .get(graft.Nightly.CorpusVersionProp).map(_.toLong)
+          // Try-parsed like the nightly's reader, but a stream cannot
+          // rebuild a grid it doesn't own the bootstrap of — an
+          // unreadable cursor fails the batch LOUDLY with the cause,
+          // never a NumberFormatException three frames deep
+          val raw = statsCur.properties
+            .get(graft.Nightly.CorpusVersionProp)
+          val cursor = raw.flatMap(v => scala.util.Try(v.toLong).toOption)
             .getOrElse(throw new IllegalStateException(
-              s"stats table at $statsRoot carries no corpus_version " +
-                "cursor — it was not built by the nightly/bootstrap path"))
+              s"stats table at $statsRoot carries no readable " +
+                s"corpus_version cursor (raw: $raw) — bootstrap it via " +
+                "the nightly/publishFull path before tailing"))
           if (cur.version > cursor) {
             val from = VersionedTable.snapshotAt(spark, corpusRoot, cursor)
               .getOrElse(throw new IllegalStateException(
                 s"stats cursor v$cursor at $corpusRoot was vacuumed — " +
                   "retention must cover the slowest consumer"))
+            // applyStatsFeed re-checks the cursor INSIDE its commit
+            // retry: a racing nightly applying the same span makes this
+            // tick a no-op, never a double-applied add/retract
             graft.Nightly.applyStatsFeed(spark, statsRoot,
               VersionedTable.changes(spark, corpusRoot, from, cur,
-                graft.Nightly.corpusSchema, "doc_id"),
-              Map(graft.Nightly.CorpusVersionProp -> cur.version.toString))
+                graft.Nightly.corpusSchema, "doc_id"), cur.version)
           }
         }
       }

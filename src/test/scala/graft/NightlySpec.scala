@@ -212,6 +212,62 @@ class NightlySpec extends SparkSpec {
     }
   }
 
+  test("stats double-apply guard: re-applying an already-covered span is a no-op — add/retract math never lands twice") {
+    import org.apache.spark.sql.types._
+    val roots = newRoots("dblapply")
+    Nightly.run(spark, roots, corpusV1, vacuumGraceMs = 0L)
+    // plant a v2 corpus delta and its feed, as the nightly does
+    val v2b = corpusV2.select(col("doc_id"), col("text"), col("embedding"),
+      pmod(col("doc_id"), lit(16L)).as("bucket"))
+    val (ups, rem) = Nightly.contentDiff(
+      VersionedTable.readCurrent(spark, roots.corpus, Nightly.corpusSchema),
+      v2b)
+    val touched = ups.select(col("bucket"))
+      .union(rem.select(pmod(col("doc_id"), lit(16L))))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    VersionedTable.publishDelta(spark, roots.corpus, touched,
+      v2b.filter(col("bucket").isin(touched: _*)))
+    val s1 = VersionedTable.snapshotAt(spark, roots.corpus, 1L).get
+    val s2 = VersionedTable.currentSnapshot(spark, roots.corpus).get
+    val feed = VersionedTable.changes(spark, roots.corpus, s1, s2,
+      Nightly.corpusSchema, "doc_id").localCheckpoint()
+    // first application lands the span and the cursor
+    val v = Nightly.applyStatsFeed(spark, roots.stats, feed, s2.version)
+    val after = stateOf(roots)("stats")
+    // the race-loser path: SAME span re-applied (a duplicate nightly, a
+    // cdcMaintainStream tick that passed its pre-check before the
+    // winner committed) — the in-loop cursor gate must no-op, because a
+    // second add/retract pass would double-count every delta
+    val v2nd = Nightly.applyStatsFeed(spark, roots.stats, feed, s2.version)
+    assert(v2nd == v, "the covered span reports the winner's version")
+    assert(stateOf(roots)("stats") == after,
+      "no new commit, no re-added deltas — grid byte-identical")
+    // and the grid equals the direct recompute (single application)
+    val direct = corpusV2
+      .groupBy(pmod(col("doc_id"), lit(16L)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L))
+          .as("n_chars"))
+      .collect().map(_.toString).toSet
+    assert(after._5 == direct)
+  }
+
+  test("unreadable cursor: a non-numeric corpus_version rebuilds full with a warning — never a NumberFormatException every night") {
+    val roots = newRoots("badcursor")
+    Nightly.run(spark, roots, corpusV1, vacuumGraceMs = 0L)
+    // corrupt the stats table's cursor (an external tool's publishFull)
+    val grid = VersionedTable.readCurrent(spark, roots.stats,
+      Nightly.statsSchema)
+    VersionedTable.publishFull(spark, roots.stats, "bucket", grid,
+      properties = Map(Nightly.CorpusVersionProp -> "v-twelve"))
+    val night = Nightly.run(spark, roots, corpusV1, vacuumGraceMs = 0L)
+    assert(night.steps.find(_.component == "stats").get.action == "rebuilt",
+      s"unreadable cursor must rebuild, got: ${night.steps}")
+    // the rebuild re-stamps a readable cursor; the next night skips
+    val again = Nightly.run(spark, roots, corpusV1, vacuumGraceMs = 0L)
+    assert(again.steps.find(_.component == "stats").get.action == "skipped")
+  }
+
   test("cursor behind retention: a consumer slower than vacuum is rebuilt full, loudly — never fed a re-based diff") {
     val roots = newRoots("slow")
     Nightly.run(spark, roots, corpusV1, vacuumGraceMs = 0L)
