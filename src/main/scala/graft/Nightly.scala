@@ -100,6 +100,20 @@ object Nightly {
   private final case class AlreadyCovered(version: Long)
     extends RuntimeException with scala.util.control.NoStackTrace
 
+  /** Signal OUT of [[applyStatsFeed]]: the grid's committed cursor is
+    * neither the feed's from-version nor at/past its target — a racing
+    * maintainer (a live [[graft.streaming.StreamingOps.cdcMaintainStream]]
+    * tick, an overlapping nightly) applied a PARTIAL overlap of this
+    * feed's span, so applying the precomputed deltas on top would
+    * double-count the overlap. The caller must recompute the feed from
+    * the new cursor (the nightly's stats step does) or no-op and let
+    * the next tick catch up (the stream does) — round-12 advisor:
+    * the >=-target gate alone left exactly this window. */
+  private[graft] final case class FeedSuperseded(cursor: Option[Long])
+    extends RuntimeException(
+      s"stats cursor moved to $cursor since the feed was derived")
+    with scala.util.control.NoStackTrace
+
   /** Parse a cursor property defensively: a non-numeric value reads as
     * unreadable (None), never a crash — the documented response is a
     * loud rebuild, not a night that dies every night. */
@@ -189,7 +203,7 @@ object Nightly {
       * otherwise, rebuild FULL (loudly) when its cursor is unreadable
       * or vacuumed past. */
     def sync(name: String, root: String)(bootstrap: () => Long)(
-        applyFeed: DataFrame => Long): Step = {
+        applyFeed: (DataFrame, Long) => Long): Step = {
       def rebuild(why: String): Step = {
         log.warn(s"nightly: $name at $root $why — rebuilding full " +
           s"from corpus v${corpusCur.version}")
@@ -204,7 +218,7 @@ object Nightly {
             case Some(v) =>
               VersionedTable.snapshotAt(spark, roots.corpus, v) match {
                 case Some(from) =>
-                  Step(name, "updated", applyFeed(feedFrom(from)))
+                  Step(name, "updated", applyFeed(feedFrom(from), v))
                 case None =>
                   rebuild(s"has cursor v$v but that corpus manifest is " +
                     "vacuumed (consumer slower than retention)")
@@ -223,7 +237,7 @@ object Nightly {
     steps += sync("bm25", roots.bm25)(() =>
       Bm25Index.buildVersioned(spark,
         corpusRows.select(col("doc_id"), col("text")), roots.bm25,
-        cursorProp)) { feed =>
+        cursorProp)) { (feed, _) =>
       val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed, "doc_id",
         Seq("text"))
       Bm25Index.updateFromVersioned(spark, roots.bm25, ups, rem, cursorProp)
@@ -235,7 +249,7 @@ object Nightly {
       df.select(col("doc_id").as("vec_id"), col("embedding"))
     steps += sync("ivf", roots.ivf)(() =>
       IvfIndex.buildVersioned(spark, vecRows(corpusRows), roots.ivf,
-        properties = cursorProp)) { feed =>
+        properties = cursorProp)) { (feed, _) =>
       val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed, "doc_id",
         Seq("embedding"))
       IvfIndex.updateFromVersioned(spark, roots.ivf, vecRows(ups),
@@ -246,7 +260,7 @@ object Nightly {
     // ---- 2c. PQ (vector, quantized) ----------------------------------
     steps += sync("pq", roots.pq)(() =>
       PqIndex.buildVersioned(spark, vecRows(corpusRows), roots.pq,
-        properties = cursorProp)) { feed =>
+        properties = cursorProp)) { (feed, _) =>
       val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed, "doc_id",
         Seq("embedding"))
       // mirror the build's vec_id≠0 convention (PqIndex reserves id 0
@@ -258,10 +272,33 @@ object Nightly {
     chk("pq")
 
     // ---- 2d. downstream stats grid (q144's consumer) ------------------
-    steps += sync("stats", roots.stats)(() =>
-      VersionedTable.publishFull(spark, roots.stats, "bucket",
-        fullStats(corpusRows), Map.empty, cursorProp))(feed =>
-      applyStatsFeed(spark, roots.stats, feed, corpusCur.version))
+    steps += {
+      def statsSync(): Step = sync("stats", roots.stats)(() =>
+        VersionedTable.publishFull(spark, roots.stats, "bucket",
+          fullStats(corpusRows), Map.empty, cursorProp)) { (feed, fromV) =>
+        applyStatsFeed(spark, roots.stats, feed, fromV, corpusCur.version)
+      }
+      // a racing maintainer (live cdcMaintainStream tick, overlapping
+      // nightly) can move the grid's cursor to an INTERMEDIATE version
+      // between sync's cursor read and the commit — applyStatsFeed then
+      // refuses (FeedSuperseded) instead of double-applying the overlap,
+      // and this loop re-enters sync, which re-resolves the new cursor
+      // and recomputes the feed from it. Bounded like retryingPublish:
+      // a grid this hot should get a single maintainer, not unbounded
+      // spin.
+      var attempt = 0
+      var res: Option[Step] = None
+      while (res.isEmpty) {
+        attempt += 1
+        try res = Some(statsSync())
+        catch {
+          case FeedSuperseded(cur) if attempt < 5 =>
+            log.info(s"nightly: stats cursor moved to $cur mid-sync " +
+              s"(attempt $attempt/5) — recomputing the feed from it")
+        }
+      }
+      res.get
+    }
     chk("stats")
 
     // ---- 3. housekeeping ---------------------------------------------
@@ -329,21 +366,29 @@ object Nightly {
     * cursor still moves. `targetVersion` is the corpus version the feed
     * runs TO, and it gates the commit INSIDE the retry loop: add/
     * retract math is not idempotent (unlike the index families'
-    * set-based updates), so a commit-race loser whose winner already
-    * applied this span — the nightly's stats step racing a live
-    * [[graft.streaming.StreamingOps.cdcMaintainStream]] tick, or two
-    * overlapping nightly runs — must NO-OP, never re-add the delta onto
-    * the winner's already-updated grid (round-12 review: the pre-entry
-    * cursor check alone leaves exactly that window). */
+    * set-based updates), so the commit only lands when the grid's
+    * cursor is EXACTLY `fromVersion` — the version this feed's deltas
+    * were derived against. A cursor at/past `targetVersion` means a
+    * racing winner already applied the whole span (no-op, return its
+    * version); ANY other cursor — including an intermediate one a live
+    * [[graft.streaming.StreamingOps.cdcMaintainStream]] tick advanced
+    * to mid-span — throws [[FeedSuperseded]]: re-applying the
+    * precomputed deltas on top of a partial overlap would silently
+    * double-count n_docs/n_chars (round-12 advisor: the >=-target gate
+    * alone left exactly that window). Callers recompute the feed from
+    * the new cursor or no-op until the next tick. */
   private[graft] def applyStatsFeed(spark: SparkSession, statsRoot: String,
-      feed: DataFrame, targetVersion: Long): Long = {
+      feed: DataFrame, fromVersion: Long, targetVersion: Long): Long = {
     val cursorProp = Map(CorpusVersionProp -> targetVersion.toString)
     val f = feed.localCheckpoint() // touched-bucket collect + the merge
     val touched = f.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq // ≤ grid size by contract
     try VersionedTable.retryingPublish(spark, statsRoot) { snap =>
-      if (parseCursor(snap).exists(_ >= targetVersion))
+      val cur = parseCursor(snap)
+      if (cur.exists(_ >= targetVersion))
         throw AlreadyCovered(snap.version)
+      if (!cur.contains(fromVersion))
+        throw FeedSuperseded(cur)
       if (touched.isEmpty)
         VersionedTable.Delta(Nil,
           spark.createDataFrame(new java.util.ArrayList[

@@ -165,19 +165,32 @@ object VersionedTable {
     }.sortBy(_._1)
   }
 
-  /** Manifest-resolve counter (test observability): bumped once per
-    * [[currentSnapshot]] call, so a spec can pin the serve-path law
-    * "one manifest resolve per micro-batch" as a measured count rather
-    * than trusting the scaladoc. Monotonic, never reset — specs diff
-    * it around the section they adjudicate. */
-  private[graft] val resolveCount =
-    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Per-root manifest-resolve counters (test observability): bumped
+    * once per [[currentSnapshot]] call ON THAT ROOT, so a spec can pin
+    * the serve-path law "one manifest resolve per micro-batch" as a
+    * measured count rather than trusting the scaladoc. Scoped per root
+    * (round-12 advisor): a single global counter made the exact-equality
+    * law flake under any concurrent resolve of an UNRELATED table —
+    * parallel suites, a background stream — instead of failing the law
+    * it pins. Counters are monotonic, never reset — specs diff their
+    * own root's counter around the section they adjudicate. Keyed by
+    * the raw root string (one small AtomicLong per distinct root ever
+    * resolved in this JVM — observability-sized, not data-sized). */
+  private val resolveCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Resolve count for `root` so far in this JVM (0 if never resolved). */
+  private[graft] def resolveCount(root: String): Long = {
+    val c = resolveCounts.get(root)
+    if (c == null) 0L else c.get()
+  }
 
   /** Highest committed snapshot, or None for an empty/unborn table.
     * A torn concurrent publish is invisible here: manifests appear
     * only via the atomic rename in [[commitManifest]]. */
   def currentSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
-    resolveCount.incrementAndGet()
+    resolveCounts.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
     val dir = manifestsDir(root)
     val fs = hadoopFs(spark, dir)
     listManifests(fs, root).lastOption.map {
@@ -663,22 +676,39 @@ object VersionedTable {
     * retained manifest is newer than `tsMillis` (the asked-for state
     * is vacuumed or never existed) — never a silently different
     * state. A manifest a concurrent vacuum deletes between the listing
-    * and its read is skipped, not a crash. */
+    * and its read is skipped, not a crash.
+    *
+    * O(log retained) manifest reads: `committedAtMs` is monotone in
+    * version (stamped under the commit lock, versions commit in order)
+    * and the legacy mtime fallback is monotone on any FS that never
+    * rewrites old manifests, so "committed at or before tsMillis" is a
+    * prefix property of the version-ordered listing and the rightmost
+    * match binary-searches — the round-12 newest-first walk read every
+    * retained manifest for a far-past timestamp (round-12 advisor). */
   def snapshotAsOf(spark: SparkSession, root: String,
       tsMillis: Long): Option[Snapshot] = {
     val fs = hadoopFs(spark, manifestsDir(root))
-    listManifestsWithMtime(fs, root).reverseIterator.flatMap {
-      case (_, name, mtime) =>
-        try {
-          val s = readManifest(spark, root, name)
-          if (s.committedAtMs.getOrElse(mtime) <= tsMillis) Some(s) else None
-        } catch {
-          // vacuumed between the listing and the read: the version was
-          // being dropped anyway — skip it, exactly as a pre-vacuum
-          // listing would have
-          case _: java.io.FileNotFoundException => None
-        }
-    }.nextOption()
+    val listed = listManifestsWithMtime(fs, root).toIndexedSeq // ascending
+    var lo = 0
+    var hi = listed.length - 1
+    var ans: Option[Snapshot] = None
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (_, name, mtime) = listed(mid)
+      (try Some(readManifest(spark, root, name))
+       catch {
+         // vacuumed between the listing and the read: vacuum drops the
+         // OLDEST versions, so the hole sits in the "committed earlier"
+         // prefix — search right, exactly as skipping it would have
+         case _: java.io.FileNotFoundException => None
+       }) match {
+        case Some(s) if s.committedAtMs.getOrElse(mtime) <= tsMillis =>
+          ans = Some(s); lo = mid + 1
+        case Some(_) => hi = mid - 1
+        case None => lo = mid + 1
+      }
+    }
+    ans
   }
 
   /** Retained-version audit frame: one row per resolvable manifest —

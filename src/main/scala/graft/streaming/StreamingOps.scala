@@ -984,10 +984,20 @@ object StreamingOps {
                   "retention must cover the slowest consumer"))
             // applyStatsFeed re-checks the cursor INSIDE its commit
             // retry: a racing nightly applying the same span makes this
-            // tick a no-op, never a double-applied add/retract
-            graft.Nightly.applyStatsFeed(spark, statsRoot,
+            // tick a no-op, never a double-applied add/retract; a racer
+            // that moved the cursor to an INTERMEDIATE version instead
+            // (partial overlap — FeedSuperseded) also no-ops here, and
+            // the NEXT tick recomputes the feed from the new cursor
+            try graft.Nightly.applyStatsFeed(spark, statsRoot,
               VersionedTable.changes(spark, corpusRoot, from, cur,
-                graft.Nightly.corpusSchema, "doc_id"), cur.version)
+                graft.Nightly.corpusSchema, "doc_id"), cursor, cur.version)
+            catch {
+              case graft.Nightly.FeedSuperseded(moved) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).info(
+                  s"cdcMaintainStream: stats cursor moved to $moved " +
+                    s"mid-tick (feed was v$cursor->v${cur.version}) — " +
+                    "no-op; the next tick recomputes from the new cursor")
+            }
           }
         }
       }

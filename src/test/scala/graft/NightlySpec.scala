@@ -232,13 +232,15 @@ class NightlySpec extends SparkSpec {
     val feed = VersionedTable.changes(spark, roots.corpus, s1, s2,
       Nightly.corpusSchema, "doc_id").localCheckpoint()
     // first application lands the span and the cursor
-    val v = Nightly.applyStatsFeed(spark, roots.stats, feed, s2.version)
+    val v = Nightly.applyStatsFeed(spark, roots.stats, feed,
+      s1.version, s2.version)
     val after = stateOf(roots)("stats")
     // the race-loser path: SAME span re-applied (a duplicate nightly, a
     // cdcMaintainStream tick that passed its pre-check before the
     // winner committed) — the in-loop cursor gate must no-op, because a
     // second add/retract pass would double-count every delta
-    val v2nd = Nightly.applyStatsFeed(spark, roots.stats, feed, s2.version)
+    val v2nd = Nightly.applyStatsFeed(spark, roots.stats, feed,
+      s1.version, s2.version)
     assert(v2nd == v, "the covered span reports the winner's version")
     assert(stateOf(roots)("stats") == after,
       "no new commit, no re-added deltas — grid byte-identical")
@@ -250,6 +252,67 @@ class NightlySpec extends SparkSpec {
           .as("n_chars"))
       .collect().map(_.toString).toSet
     assert(after._5 == direct)
+  }
+
+  test("stats partial-overlap guard: a cursor moved to an INTERMEDIATE version supersedes the feed — recompute, never double-count the overlap") {
+    val roots = newRoots("overlap")
+    Nightly.run(spark, roots, corpusV1, vacuumGraceMs = 0L)
+    def bucketed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      col("embedding"), pmod(col("doc_id"), lit(16L)).as("bucket"))
+    def publish(v: DataFrame): Unit = {
+      val vb = bucketed(v)
+      val (ups, rem) = Nightly.contentDiff(
+        VersionedTable.readCurrent(spark, roots.corpus, Nightly.corpusSchema),
+        vb)
+      val touched = ups.select(col("bucket"))
+        .union(rem.select(pmod(col("doc_id"), lit(16L))))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      VersionedTable.publishDelta(spark, roots.corpus, touched,
+        vb.filter(col("bucket").isin(touched: _*)))
+    }
+    // corpus v2 (planted delta) then v3 (one more edit on top of v2)
+    publish(corpusV2)
+    val corpusV3 = corpusV2.withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev3")))
+        .otherwise(col("text")))
+    publish(corpusV3)
+    val s1 = VersionedTable.snapshotAt(spark, roots.corpus, 1L).get
+    val s2 = VersionedTable.snapshotAt(spark, roots.corpus, 2L).get
+    val s3 = VersionedTable.currentSnapshot(spark, roots.corpus).get
+    assert(s3.version == 3L)
+    // the nightly precomputes the v1→v3 feed…
+    val feed13 = VersionedTable.changes(spark, roots.corpus, s1, s3,
+      Nightly.corpusSchema, "doc_id").localCheckpoint()
+    // …but a racing live tick lands the v1→v2 half first
+    Nightly.applyStatsFeed(spark, roots.stats,
+      VersionedTable.changes(spark, roots.corpus, s1, s2,
+        Nightly.corpusSchema, "doc_id"), 1L, 2L)
+    val afterTick = stateOf(roots)("stats")
+    // the stale v1→v3 feed must be REFUSED (its v1→v2 deltas overlap
+    // what the tick already applied — landing them again double-counts)
+    val e = intercept[Nightly.FeedSuperseded] {
+      Nightly.applyStatsFeed(spark, roots.stats, feed13, 1L, s3.version)
+    }
+    assert(e.cursor.contains(2L))
+    assert(stateOf(roots)("stats") == afterTick,
+      "the refused feed must not commit anything")
+    // recomputing from the NEW cursor converges on the direct answer —
+    // the same recovery Nightly.run's stats retry loop performs
+    Nightly.applyStatsFeed(spark, roots.stats,
+      VersionedTable.changes(spark, roots.corpus, s2, s3,
+        Nightly.corpusSchema, "doc_id"), 2L, s3.version)
+    val direct = corpusV3
+      .groupBy(pmod(col("doc_id"), lit(16L)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L))
+          .as("n_chars"))
+      .collect().map(_.toString).toSet
+    assert(stateOf(roots)("stats")._5 == direct,
+      "recomputed-from-cursor feed lands exactly the direct v3 grid")
+    // and a full nightly over the same v3 corpus now converges via the
+    // normal skip path (cursor == corpus current)
+    val night = Nightly.run(spark, roots, corpusV3, vacuumGraceMs = 0L)
+    assert(night.steps.find(_.component == "stats").get.action == "skipped")
   }
 
   test("unreadable cursor: a non-numeric corpus_version rebuilds full with a warning — never a NumberFormatException every night") {

@@ -1161,13 +1161,16 @@ class StreamingSpec extends SparkSpec {
     try {
       // settle the stream's own startup batches before measuring
       q.processAllAvailable()
-      val before = VersionedTable.resolveCount.get()
+      // per-root counter (round-12 advisor): diffing only THIS root's
+      // resolves keeps the exact-equality law honest under concurrent
+      // resolves of unrelated tables (parallel suites, other streams)
+      val before = VersionedTable.resolveCount(root)
       val batches = 3
       for (_ <- 1 to batches) {
         mem.addData(queryRows.toSeq)
         q.processAllAvailable()
       }
-      val resolves = VersionedTable.resolveCount.get() - before
+      val resolves = VersionedTable.resolveCount(root) - before
       assert(served.get() >= batches)
       // one currentSnapshot per answered micro-batch — the serve-path
       // contract behind flat ingest rate (codebook, assignments and
