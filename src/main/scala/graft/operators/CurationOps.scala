@@ -1570,6 +1570,64 @@ object CurationOps extends OpCatalog {
       .orderBy(col("bucket"))
   }
 
+  // --------------------------------------------------------------- q147
+  private val zoneSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("n_chars", org.apache.spark.sql.types.LongType)
+    .add("rbucket", org.apache.spark.sql.types.LongType)
+
+  /** Build-once RANGE-bucketed versioned documents fixture for the
+    * zone-map read path: partitions keyed by `doc_id div 100` so each
+    * bucket's doc_id bounds are disjoint — the layout of a real corpus
+    * whose ids are assigned in ingestion order. v2 COW-rewrites one
+    * in-range bucket with identical content, so the served read crosses
+    * BOTH a staged-stats generation and carried-over ones. */
+  private def zoneVtArtifact(spark: SparkSession, sfDir: String): String = {
+    val dir = VectorOps.artifactDir("graft_zonevt_fmt1", sfDir,
+      sourceFile = "documents.parquet")
+    if (VectorOps.buildArtifactOnce(dir, Seq("READY"))(tmp => {
+        val v1 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("n_chars"),
+            (col("doc_id") / 100).cast("long").as("rbucket"))
+        VersionedTable.publishFull(spark, tmp, "rbucket", v1)
+        VersionedTable.publishDelta(spark, tmp, Seq(2L),
+          v1.filter(col("rbucket") === 2L))
+        val ready = java.nio.file.Paths.get(tmp, "READY")
+        java.nio.file.Files.createDirectories(ready)
+        java.nio.file.Files.createFile(ready.resolve("_SUCCESS"))
+      })) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"q147: published range-bucketed v1 + COW rewrite at $dir (first " +
+          "touch; later runs serve off the retained manifests)")
+      VectorOps.sweepStaleArtifacts(dir, "graft_zonevt_", sfDir)
+    }
+    dir.toString
+  }
+
+  /** A doc_id-range read served THROUGH the manifest zone map
+    * ([[VersionedTable.readRange]]): only partitions whose recorded
+    * min/max overlap [150, 349] are handed to the scan — at 100 TB the
+    * difference between touching the 2–3 buckets a key range lives in
+    * and listing every file of the table (the manifest-level form of
+    * the reference's parquet footer-stats probe, `app.py:91-100`; the
+    * file-count law is pinned in `VersionedTableSpec`). The oracle is
+    * the same range select straight off the raw table — the zone-map
+    * layer must be answer-invariant. */
+  def zonemapRangeRead(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val root = zoneVtArtifact(spark, sfDir)
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"zone-map artifact at $root unborn"))
+    VersionedTable.readRange(spark, snap, root, zoneSchema,
+        "doc_id", 150L, 349L)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val zonemapRangeReadSql =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id BETWEEN 150 AND 349 ORDER BY doc_id""".stripMargin
+
   /** Direct recomputation on planted v2 — what the incrementally
     * maintained grid must equal. */
   private val cdcIncrementalStatsSql =
@@ -1591,6 +1649,9 @@ object CurationOps extends OpCatalog {
     Op("q144_cdc_incremental_stats", cdcIncrementalStats,
       Some(cdcIncrementalStatsSql),
       "CDC-maintained downstream aggregate: per-bucket doc/char grid computed on v1, maintained to v2 purely from the feed's add/retract images, oracle = direct v2 recompute"),
+    Op("q147_zonemap_range_read", zonemapRangeRead,
+      Some(zonemapRangeReadSql),
+      "doc_id-range read served through the manifest zone map (per-partition min/max pruning recorded at publish), oracle = same range select on the raw table"),
     Op("q121_sketch_distinct", sketchDistinct, Some(sketchDistinctSql),
       "incremental per-source distinct contents across snapshots via mergeable HLL sketch union (exact ridealong + 5% tolerance flag)"),
     Op("q94_source_cap", sourceCap, Some(sourceCapSql),

@@ -339,18 +339,23 @@ class VersionedTableSpec extends SparkSpec {
   /** Rewrite a committed manifest's JSON in place to simulate a LEGACY
     * manifest (committed before `committedAtMs` existed) — the
     * adoption-path twin of the schemaFp legacy test. */
-  private def stripCommittedAt(root: String, name: String): Unit = {
+  /** Rewrite a committed manifest without one field — simulates a
+    * manifest from before that field existed (legacy compatibility). */
+  private def stripField(root: String, name: String, field: String): Unit = {
     val p = java.nio.file.Paths.get(root, "manifests", name)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    node.remove("committedAtMs")
+    node.remove(field)
     java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
     // the rewrite bypassed Hadoop's ChecksumFileSystem — drop the stale
     // .crc sidecar or the next manifest read fails checksum verification
     java.nio.file.Files.deleteIfExists(
       p.getParent.resolve(s".${p.getFileName}.crc"))
   }
+
+  private def stripCommittedAt(root: String, name: String): Unit =
+    stripField(root, name, "committedAtMs")
 
   test("snapshotAsOf: LEGACY manifests (no stamped instant) fall back to file mtime") {
     val root = newRoot("asof")
@@ -696,6 +701,100 @@ class VersionedTableSpec extends SparkSpec {
       assert(reconstructed == v2Rows.toSet,
         s"seed $seed: feed must transport exactly the v1→v2 delta")
     }
+  }
+
+  /** Distinct partition DIRECTORIES a frame's scan touches. */
+  private def scannedDirs(df: DataFrame): Set[String] =
+    df.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+
+  test("zone maps: a range read touches ONLY the partitions whose recorded min/max overlap — the file-count law") {
+    val root = newRoot("zones")
+    // 16 buckets, k ranges DISJOINT per bucket: bucket b holds
+    // k ∈ [100b, 100b+99] — the doc_id-range layout of a real corpus
+    val data = spark.range(0, 1600).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"),
+      (col("id") / 100).cast("int").as("bucket"))
+    VersionedTable.publishFull(spark, root, "bucket", data)
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    // stats recorded exactly: bucket=2 holds k ∈ [200, 299]
+    assert(snap.stats("bucket=2")("k") ==
+      VersionedTable.ColStat("long", "200", "299"))
+    assert(snap.stats.keySet == snap.parts.keySet)
+    // the law: k ∈ [250, 410] overlaps buckets 2,3,4 ONLY
+    val ranged = VersionedTable.readRange(spark, snap, root, schema,
+      "k", 250L, 410L)
+    assert(scannedDirs(ranged) == Set("bucket=2", "bucket=3", "bucket=4"),
+      s"zone map must prune to exactly the overlapping dirs, " +
+        s"scanned: ${scannedDirs(ranged)}")
+    // answer-equal to the unpruned read + filter
+    assert(contents(ranged) ==
+      contents(VersionedTable.read(spark, snap, root, schema)
+        .filter(col("k") >= 250 && col("k") <= 410)))
+    assert(ranged.count() == 161)
+  }
+
+  test("zone maps: delta stats move with the partitions — replaced dirs re-stat, carried dirs keep theirs, emptied dirs drop") {
+    val root = newRoot("zonedelta")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((10L, "a", 0), (20L, "b", 1), (30L, "c", 2)))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    // replace bucket 1 with k=2000 (new bounds), empty bucket 2
+    VersionedTable.publishDelta(spark, root, Seq(1, 2),
+      rowsDf((2000L, "B", 1)))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    assert(s2.stats("bucket=0") == s1.stats("bucket=0"),
+      "carried-over partition keeps its recorded stats")
+    assert(s2.stats("bucket=1")("k") ==
+      VersionedTable.ColStat("long", "2000", "2000"))
+    assert(!s2.stats.contains("bucket=2"),
+      "an emptied partition's stats disappear with its mapping")
+    // pruning reflects the NEW bounds: k ≤ 100 now touches only bucket 0
+    assert(scannedDirs(VersionedTable.readRange(spark, s2, root, schema,
+      "k", 0L, 100L)) == Set("bucket=0"))
+    // and the OLD snapshot still prunes by ITS stats (k=20 lived in b1)
+    assert(scannedDirs(VersionedTable.readRange(spark, s1, root, schema,
+      "k", 15L, 25L)) == Set("bucket=1"))
+  }
+
+  test("zone maps: double columns prune; all-null and NaN bounds record nothing and stay conservative; legacy manifests never prune") {
+    val dschema = StructType(Seq(StructField("k", LongType),
+      StructField("score", DoubleType), StructField("bucket", IntegerType)))
+    val root = newRoot("zonedbl")
+    val data = Seq(
+      (1L, java.lang.Double.valueOf(0.1), 0),
+      (2L, java.lang.Double.valueOf(0.9), 0),
+      (3L, java.lang.Double.valueOf(5.5), 1),
+      (4L, null.asInstanceOf[java.lang.Double], 2), // all-null partition
+      (5L, java.lang.Double.valueOf(Double.NaN), 3)) // NaN poisons max
+      .toDF("k", "score", "bucket")
+    VersionedTable.publishFull(spark, root, "bucket", data)
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.stats("bucket=1")("score") ==
+      VersionedTable.ColStat("double", "5.5", "5.5"))
+    assert(!snap.stats("bucket=2").contains("score"),
+      "an all-null column records no bound for that dir")
+    assert(!snap.stats("bucket=3").contains("score"),
+      "a NaN bound records nothing — never a bogus range")
+    // score ∈ [5.0, 6.0]: bucket 0 provably outside (pruned); buckets
+    // 2 and 3 have no stat (kept, conservative); rows filter correctly
+    val r = VersionedTable.readRange(spark, snap, root, dschema,
+      "score", 5.0, 6.0)
+    val dirs = scannedDirs(r)
+    assert(!dirs.contains("bucket=0") && dirs.contains("bucket=1"))
+    assert(dirs.contains("bucket=2") && dirs.contains("bucket=3"),
+      "statless dirs are scanned, not skipped")
+    assert(r.collect().map(_.getLong(0)).toSet == Set(3L),
+      "NaN and null rows never satisfy the range predicate")
+    // legacy manifest: strip the stats field — everything is scanned,
+    // the answer is unchanged
+    stripField(root, f"v${snap.version}%08d.json", "stats")
+    val legacy = VersionedTable.currentSnapshot(spark, root).get
+    assert(legacy.stats.isEmpty)
+    val lr = VersionedTable.readRange(spark, legacy, root, dschema,
+      "score", 5.0, 6.0)
+    assert(scannedDirs(lr) == legacy.parts.keySet)
+    assert(lr.collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
   test("SnapshotMemo: one entry per root — version hit, rollover replace, degenerate loads pin nothing") {
