@@ -41,11 +41,14 @@ import org.apache.spark.sql.types.StructType
   * delta against the new current version and retries; blind retry
   * would re-apply a diff against a stale base.
   *
-  * What this is NOT: a general-purpose lakehouse format. No schema
-  * evolution, no row-level deletes, no time-travel API beyond "read
-  * the version you resolved" — exactly the slice an index-serving tier
-  * needs, kept small enough to verify (`VersionedTableSpec` pins the
-  * atomicity, isolation, compaction and vacuum laws).
+  * What this is NOT: a general-purpose lakehouse format. Schema
+  * evolution is ADDITIVE ONLY (nullable column adds; rename/retype/drop
+  * rejected — [[checkSchemaEvolution]]), no row-level deletes, no
+  * time-travel API beyond resolving retained snapshots
+  * ([[snapshotAt]]/[[snapshotAsOf]]) — exactly the slice an
+  * index-serving tier needs, kept small enough to verify
+  * (`VersionedTableSpec` pins the atomicity, isolation, compaction and
+  * vacuum laws).
   */
 object VersionedTable {
 
@@ -109,7 +112,8 @@ object VersionedTable {
       extrasFp: Map[String, String] = Map.empty,
       properties: Map[String, String] = Map.empty,
       committedAtMs: Option[Long] = None,
-      stats: Map[String, Map[String, ColStat]] = Map.empty)
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      schemaFields: Map[String, String] = Map.empty)
 
   /** Zone-map entry: min/max of one column's NON-NULL values inside one
     * partition directory, recorded in the manifest at publish time (the
@@ -272,7 +276,7 @@ object VersionedTable {
       Option(node.get("schemaFp")).map(_.asText()), toMap("extrasFp"),
       toMap("properties"),
       Option(node.get("committedAtMs")).map(_.asLong()),
-      stats)
+      stats, toMap("schemaFields"))
   }
 
   /** Serialize committers of one table. On the LOCAL filesystem POSIX
@@ -361,6 +365,12 @@ object VersionedTable {
         val prn = rootNode.putObject("properties")
         snap.properties.toSeq.sortBy(_._1).foreach {
           case (k, v) => prn.put(k, v)
+        }
+      }
+      if (snap.schemaFields.nonEmpty) {
+        val sfn = rootNode.putObject("schemaFields")
+        snap.schemaFields.toSeq.sortBy(_._1).foreach {
+          case (k, v) => sfn.put(k, v)
         }
       }
       if (snap.stats.nonEmpty) {
@@ -488,9 +498,77 @@ object VersionedTable {
       parts.map(_ -> gen).toMap, extras.keys.map(_ -> gen).toMap,
       Some(schemaFingerprint(rows.schema)),
       extras.map { case (n, df) => n -> schemaFingerprint(df.schema) },
-      properties, stats = stats)
+      properties, stats = stats, schemaFields = fieldMap(rows.schema))
     commitManifest(spark, root, snap)
     snap.version
+  }
+
+  /** Column name → catalog type string, the manifest's parseable record
+    * of the published row schema ([[schemaFingerprint]] collapses it to
+    * one string for the exact-match guard; the field MAP is what
+    * [[checkSchemaEvolution]] reasons over — a type like
+    * `struct<a:int,b:int>` embeds commas, so the fingerprint cannot be
+    * split back apart safely). */
+  private def fieldMap(st: StructType): Map[String, String] =
+    st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+
+  /** The delta-schema admission rule (round-12 verdict item 3 — real
+    * nightly corpora ADD columns; rejecting all drift forced a full
+    * republish for every added feature column):
+    *
+    *  - exact match (order/nullability-insensitive) → admitted, the
+    *    no-evolution fast path;
+    *  - ADDITIVE evolution → admitted with a log line: every published
+    *    field present in the delta with its exact type, plus new fields
+    *    that are all NULLABLE (old generations read back null for them
+    *    — a non-nullable add would promise values history cannot
+    *    deliver);
+    *  - anything else — dropped/renamed fields, retyped fields —
+    *    rejected loudly BEFORE staging, exactly as before (silent
+    *    rename/retype reads back as nulls in every downstream score);
+    *  - legacy manifests (schemaFp but no schemaFields record) keep the
+    *    strict fingerprint-equality rule — there is nothing parseable
+    *    to admit an addition against; pre-schemaFp manifests adopt.
+    *
+    * Readers reconcile by construction: [[read]] applies the CALLER's
+    * schema per generation, and a parquet scan null-fills columns a
+    * file predates — so v1 files read through the v2 schema yield
+    * null for the added column, and [[changes]] across the add
+    * classifies with the same null-safe semantics as any other value
+    * change. */
+  private def checkSchemaEvolution(root: String, base: Snapshot,
+      delta: StructType): Unit = {
+    val fp = schemaFingerprint(delta)
+    if (base.schemaFp.isEmpty || base.schemaFp.contains(fp)) return
+    if (base.schemaFields.isEmpty)
+      throw new IllegalArgumentException(
+        s"delta schema drifted from the published table's: table has " +
+          s"[${base.schemaFp.get}], delta rows have [$fp] — this manifest " +
+          "predates the schema-evolution record, so only exact matches " +
+          "are admitted; republish full to adopt the new schema")
+    val have = fieldMap(delta)
+    val missing = base.schemaFields.keySet -- have.keySet
+    require(missing.isEmpty,
+      s"delta drops or renames published columns ${missing.toSeq.sorted
+        .mkString(", ")} at $root — only ADDITIVE schema evolution is " +
+        "supported; republish full under the new schema instead")
+    val retyped = base.schemaFields.filter {
+      case (n, t) => have(n) != t
+    }
+    require(retyped.isEmpty,
+      s"delta retypes published columns ${retyped.toSeq.sorted.map {
+        case (n, t) => s"$n: $t -> ${have(n)}" }.mkString(", ")} at $root " +
+        "— republish full under the new schema instead")
+    val added = have.keySet -- base.schemaFields.keySet
+    val nonNullable = delta.fields
+      .filter(f => added(f.name) && !f.nullable).map(_.name)
+    require(nonNullable.isEmpty,
+      s"added columns ${nonNullable.sorted.mkString(", ")} are " +
+        "non-nullable — generations published before the add read back " +
+        "null for them, so additions must be nullable")
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"additive schema evolution at $root: adding nullable columns " +
+        s"${added.toSeq.sorted.mkString(", ")} (old generations null-fill)")
   }
 
   /** Copy-on-write delta: `rows` holds the full replacement content of
@@ -524,16 +602,15 @@ object VersionedTable {
       base: Snapshot, replacedParts: Seq[Any], rows: DataFrame,
       extras: Map[String, DataFrame] = Map.empty,
       properties: Map[String, String] = Map.empty): Long = {
-    // reject schema drift BEFORE staging (nothing to vacuum on failure);
-    // a pre-schemaFp base adopts this publish's fingerprints. Extras are
-    // guarded the same way — a drifted side table (renamed stats column)
-    // reads back as nulls in every downstream score, the exact silent
-    // corruption the rows guard exists for
+    // admit or reject the delta schema BEFORE staging (nothing to
+    // vacuum on failure): exact match or additive evolution pass,
+    // rename/retype/drop fail loudly — see checkSchemaEvolution. Extras
+    // stay strict — a drifted side table (renamed stats column) reads
+    // back as nulls in every downstream score, the exact silent
+    // corruption the guard exists for, and extras are replaced whole so
+    // evolution there is just a new write.
     val fp = schemaFingerprint(rows.schema)
-    base.schemaFp.foreach(b => require(b == fp,
-      s"delta schema drifted from the published table's: table has [$b], " +
-        s"delta rows have [$fp] — this format does not do schema " +
-        "evolution; republish full under the new schema instead"))
+    checkSchemaEvolution(root, base, rows.schema)
     val newExtrasFp =
       extras.map { case (n, df) => n -> schemaFingerprint(df.schema) }
     newExtrasFp.foreach { case (n, efp) =>
@@ -561,7 +638,8 @@ object VersionedTable {
       base.extras ++ extras.keys.map(_ -> gen), Some(fp),
       base.extrasFp ++ newExtrasFp,
       base.properties ++ properties,
-      stats = (base.stats -- replacedKeys) ++ stats)
+      stats = (base.stats -- replacedKeys) ++ stats,
+      schemaFields = fieldMap(rows.schema))
     commitManifest(spark, root, snap)
     snap.version
   }

@@ -567,7 +567,7 @@ class VersionedTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       VersionedTable.publishDelta(spark, root, Seq(1), renamed)
     }
-    assert(e.getMessage.contains("schema drifted"))
+    assert(e.getMessage.contains("drops or renames"))
     intercept[IllegalArgumentException] { // silent type drift
       VersionedTable.publishDelta(spark, root, Seq(1),
         rowsDf((2L, "B2", 1)).withColumn("v", lit(5)))
@@ -604,6 +604,104 @@ class VersionedTableSpec extends SparkSpec {
     // same-schema extra replacement still lands
     VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A", 0)),
       extras = Map("stats" -> Seq((9L, 9L)).toDF("n", "total")))
+  }
+
+  test("additive schema evolution: nullable column adds commit, old generations null-fill, CDC classifies across the add; rename/retype/non-nullable still rejected") {
+    val root = newRoot("evolve")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1), (3L, "c", 2)))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    val evolved = StructType(schema.fields :+
+      StructField("lang", StringType))
+    // nullable add commits (bucket 1 rewritten with the new column;
+    // `when` keeps the column nullable — a lit() add is non-nullable
+    // and correctly rejected below)
+    val v2rows = rowsDf((20L, "B", 1))
+      .withColumn("lang", when(col("k") > 0, lit("en")))
+    VersionedTable.publishDelta(spark, root, Seq(1), v2rows)
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    assert(s2.schemaFields("lang") == "string")
+    // read CURRENT through the evolved schema: old generations (buckets
+    // 0 and 2, still v1 files) null-fill the added column
+    val cur = VersionedTable.read(spark, s2, root, evolved).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.getString(3)))).toSet
+    assert(cur == Set((1L, "a", 0, None), (20L, "B", 1, Some("en")),
+      (3L, "c", 2, None)))
+    // the RETAINED v1 snapshot reads through BOTH schemas (time travel
+    // across an add must not break old readers or new ones)
+    assert(contents(VersionedTable.read(spark, s1, root, schema)) ==
+      Set((1L, "a", 0), (2L, "b", 1), (3L, "c", 2)))
+    assert(VersionedTable.read(spark, s1, root, evolved)
+      .filter(col("lang").isNotNull).count() == 0)
+    // CDC across the add: bucket 1's rewrite classifies normally with
+    // the evolved schema (old image lang=null)
+    val feed = VersionedTable.changes(spark, root, s1, s2, evolved, "k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)),
+        r.getString(4))).toSet
+    assert(feed == Set((2L, None, "delete"), (20L, Some("en"), "insert")))
+    // a delta carrying the PRE-evolution schema is now a drop — rejected
+    val eOld = intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((1L, "A", 0)))
+    }
+    assert(eOld.getMessage.contains("drops or renames"))
+    // retype of the added column — rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(0),
+        rowsDf((1L, "A", 0)).withColumn("lang", when(col("k") > 0, lit(7))))
+    }
+    // non-nullable add — rejected (old generations cannot deliver it)
+    val eNN = intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(0),
+        v2rows.withColumn("score", lit(1.0)))
+    }
+    assert(eNN.getMessage.contains("non-nullable"))
+    // legacy manifest (no schemaFields record): strict equality again —
+    // an add against it is refused with the republish-full hint
+    stripField(root, f"v${s2.version}%08d.json", "schemaFields")
+    val eLegacy = intercept[IllegalArgumentException] {
+      VersionedTable.publishDelta(spark, root, Seq(0),
+        v2rows.withColumn("extra", when(col("k") > 0, lit(1L))))
+    }
+    assert(eLegacy.getMessage.contains("predates the schema-evolution"))
+  }
+
+  test("additive evolution feeds downstream grids: the q144-shape add/retract consumer survives a column add") {
+    val root = newRoot("evolvegrid")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "aaaa", 0), (2L, "bb", 1), (3L, "cccccc", 1)))
+    val s1 = VersionedTable.currentSnapshot(spark, root).get
+    val evolved = StructType(schema.fields :+
+      StructField("lang", StringType))
+    // the grid is maintained from the feed alone, as q144 does
+    def gridOf(df: DataFrame) = df.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("v"))), lit(0L)).as("n_chars"))
+    val base = gridOf(VersionedTable.read(spark, s1, root, schema))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // v2: bucket 1 rewritten — one text edit, one delete, the new column
+    VersionedTable.publishDelta(spark, root, Seq(1),
+      rowsDf((2L, "bb-longer", 1))
+        .withColumn("lang", when(col("k") > 0, lit("en"))))
+    val s2 = VersionedTable.currentSnapshot(spark, root).get
+    val feed = VersionedTable.changes(spark, root, s1, s2, evolved, "k")
+    val add = col("change_type").isin("insert", "update_post")
+    val delta = feed.groupBy(col("bucket")).agg(
+      sum(when(col("change_type") === "insert", 1L)
+        .when(col("change_type") === "delete", -1L)
+        .otherwise(0L)).as("d_docs"),
+      sum(when(add, lit(1L)).otherwise(lit(-1L)) *
+        coalesce(length(col("v")).cast("long"), lit(0L))).as("d_chars"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maintained = base.map { case (b, n, c) =>
+      val (dn, dc) = delta.getOrElse(b, (0L, 0L))
+      (b, n + dn, c + dc)
+    }.filter(_._2 > 0)
+    val direct = gridOf(VersionedTable.read(spark, s2, root, evolved))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == direct,
+      s"feed-maintained grid must equal the direct v2 recompute across " +
+        s"the column add: $maintained vs $direct")
   }
 
   test("compact is CDC-silent: a content-identical commit emits zero changes — null keys included") {
