@@ -336,6 +336,38 @@ object Bm25Index {
     scorePostings(spark, postings, mult, nDocs, totalLen, k)
   }
 
+  /** [[probeVersioned]] with postings AND corpus stats resolved through
+    * the NAMED-FORMAT read surface (`spark.read.format("graftvt")` —
+    * [[graft.sources.GraftVt]]) instead of library reads: q138's exact
+    * query re-served through the DSv1 layer, which must be
+    * answer-invariant (q148's driver check shares q138's oracle). The
+    * `bucket IN` filter lands in the relation as partition-value
+    * pruning — the same literal-dir selection [[probeVersioned]] gets
+    * from `wanted` — and the version is PINNED across the two format
+    * reads so a mid-probe publish cannot mix postings with another
+    * snapshot's stats. Hot serving keeps [[probeVersioned]]'s direct
+    * reads (the Row hand-off at a V1 relation boundary exits codegen);
+    * this entry exists to prove the interop surface serves the same
+    * answers. */
+  def probeVersionedViaFormat(spark: SparkSession, root: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val snap = VersionedTable.currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no BM25 snapshot at $root"))
+    val (distinctTerms, mult, buckets) = queryPrep(spark, terms)
+    def fmt = spark.read.format("graftvt").option("path", root)
+      .option("versionAsOf", snap.version.toString)
+    val statsRow = fmt.option("extra", "stats").schema(statsSchema)
+      .load().collect().headOption
+    val (nDocs, totalLen) = statsRow.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .getOrElse((0L, 0L))
+    val postings = fmt.schema(postingsSchema).load()
+      .filter(col("bucket").isin(buckets: _*)) // partition-value pruning
+      .filter(col("w").isin(distinctTerms: _*)) // row-level re-apply
+    scorePostings(spark, postings, mult, nDocs, totalLen, k)
+  }
+
   /** Batched serving — [[probe]] for a query BATCH in ONE postings
     * scan (the lexical rung of the batch matrix: q122 batched brute /
     * q135 batched IVF / q137 batched PQ / this): the scan is pruned to

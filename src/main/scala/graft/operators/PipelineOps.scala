@@ -395,6 +395,13 @@ object PipelineOps extends OpCatalog {
     * index family). */
   def bm25VersionedProbe(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
+    Bm25Index.probeVersioned(spark, bm25VtArtifact(spark, sfDir),
+      Seq("window", "spark", "stream"))
+  }
+
+  /** q138's build-once lifecycle artifact, shared with q148 (same
+    * snapshots — the two queries differ ONLY in the read surface). */
+  private def bm25VtArtifact(spark: SparkSession, sfDir: String): String = {
     val dir = VectorOps.artifactDir(
       s"graft_bm25vt_index_${Bm25Index.formatTag}",
       sfDir, sourceFile = "documents.parquet")
@@ -419,7 +426,21 @@ object PipelineOps extends OpCatalog {
           "serve off the committed manifest)")
       VectorOps.sweepStaleArtifacts(dir, "graft_bm25vt_index_", sfDir)
     }
-    Bm25Index.probeVersioned(spark, dir.toString,
+    dir.toString
+  }
+
+  // --------------------------------------------------------------- q148
+  /** q138 RE-SERVED through the named-format read surface:
+    * `spark.read.format("graftvt")` resolves the same snapshot, prunes
+    * the same partitions (the `bucket IN` filter becomes literal dir
+    * selection inside the relation), reads the same stats extra — and
+    * must land the same top-20 as the library-call probe, hash-checked
+    * by the SAME oracle as q138. The interop layer (SQL views, BI
+    * tools, ad-hoc time travel) is thereby answer-invariant over the
+    * exact serving artifact, not just over toy fixtures. */
+  def bm25GraftVtProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    Bm25Index.probeVersionedViaFormat(spark, bm25VtArtifact(spark, sfDir),
       Seq("window", "spark", "stream"))
   }
 
@@ -1502,6 +1523,9 @@ object PipelineOps extends OpCatalog {
     Op("q138_bm25_versioned_probe", bm25VersionedProbe,
       Some(bm25IncrementalSql),
       "BM25 through the VersionedTable manifest layer: atomic v1 publish, copy-on-write delta (postings+stats as ONE snapshot), compaction, vacuum -- then q133's query served off the committed manifest with literal-path bucket pruning; must equal BM25-over-v2"),
+    Op("q148_bm25_graftvt_probe", bm25GraftVtProbe,
+      Some(bm25IncrementalSql),
+      "q138 re-served through spark.read.format(\"graftvt\") (DSv1 relation over the manifest resolve: versionAsOf pinning, bucket-IN -> literal dir selection, stats extra via the format) -- the interop surface must be answer-invariant, same oracle as q138"),
     Op("q139_batch_bm25_index_probe", batchBm25IndexProbe,
       Some(bm25BatchSql),
       "batched BM25 artifact serving: 3-query battery (overlapping vocabulary) against the q134 posting-list artifact in ONE union-bucket-pruned scan -- broadcast (q_id, w, mult) block, shared postings scored once per query, map-side WindowGroupLimit per-query top-20"),

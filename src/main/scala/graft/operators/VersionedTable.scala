@@ -705,7 +705,30 @@ object VersionedTable {
     readParts(spark, root, schema, chosen)
   }
 
-  private def toBound(v: Any): BigDecimal = v match {
+  /** The named-format scan entry ([[graft.sources.GraftVt]]): one read
+    * combining partition-VALUE pruning (`wantedParts` — filters on the
+    * partition column become literal dir selection, [[read]]'s same
+    * mechanism) with zone-map pruning (`bounds` — numeric range
+    * predicates on data columns skip dirs whose recorded min/max
+    * excludes them). Bounds on columns with no recorded stats prune
+    * nothing (conservative); the caller re-applies every predicate at
+    * row level. */
+  private[graft] def readFor(spark: SparkSession, snap: Snapshot,
+      root: String, schema: StructType, wantedParts: Option[Seq[Any]],
+      bounds: Map[String, (Option[Any], Option[Any])]): DataFrame = {
+    val byValue: Set[String] = wantedParts match {
+      case None => snap.parts.keySet
+      case Some(vs) =>
+        vs.map(v => IndexMaintenance.partDirName(snap.partCol, v)).toSet
+    }
+    val keep = bounds.foldLeft(byValue) { case (acc, (c, (lo, hi))) =>
+      acc.intersect(pruneParts(snap, c, lo, hi).keySet)
+    }
+    readParts(spark, root, schema,
+      snap.parts.view.filterKeys(keep.contains).toMap)
+  }
+
+  private[graft] def toBound(v: Any): BigDecimal = v match {
     case null => throw new IllegalArgumentException("range bound is null")
     case b: BigDecimal => b
     case n: java.lang.Number => n match {

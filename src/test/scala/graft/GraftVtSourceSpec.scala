@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `graftvt` named-format read surface: current/versionAsOf/
+  * timestampAsOf resolution must match the library calls exactly
+  * (answer-invariance of the interop layer), SQL views over it work,
+  * vacuumed targets fail loudly, and filter pushdown prunes the same
+  * dirs the library paths prune. */
+class GraftVtSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("bucket", IntegerType)))
+
+  private def rowsDf(rows: (Long, String, Int)*): DataFrame =
+    rows.toDF("k", "v", "bucket")
+
+  private def contents(df: DataFrame): Set[(Long, String, Int)] =
+    df.select(col("k"), col("v"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  private def newRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_vtsrc_$tag").toString
+
+  private def fmt(root: String) =
+    spark.read.format("graftvt").option("path", root)
+
+  test("format reads match the library calls: current, versionAsOf, timestampAsOf; vacuumed versions fail loudly") {
+    val root = newRoot("resolve")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    val t1 = VersionedTable.currentSnapshot(spark, root).get
+      .committedAtMs.get
+    Thread.sleep(5) // distinct commit instants for the asOf law
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((20L, "B", 1)))
+    // current == readCurrent
+    assert(contents(fmt(root).load()) ==
+      contents(VersionedTable.readCurrent(spark, root, schema)))
+    // versionAsOf == snapshotAt read — the retained v1, exactly
+    assert(contents(fmt(root).option("versionAsOf", "1").load()) ==
+      Set((1L, "a", 0), (2L, "b", 1)))
+    // timestampAsOf == snapshotAsOf read (v1's commit instant)
+    assert(contents(fmt(root).option("timestampAsOf", t1.toString).load()) ==
+      Set((1L, "a", 0), (2L, "b", 1)))
+    // schema derived from the manifest record (no .schema() needed), and
+    // an explicit schema also works (the legacy-manifest escape hatch)
+    assert(fmt(root).load().schema.fieldNames.sorted.toSeq ==
+      Seq("bucket", "k", "v"))
+    assert(contents(fmt(root).schema(schema).load()) ==
+      contents(VersionedTable.readCurrent(spark, root, schema)))
+    // vacuumed version: loud error, never another state
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    val e = intercept[IllegalStateException] {
+      fmt(root).option("versionAsOf", "1").load()
+    }
+    assert(e.getMessage.contains("not retained"))
+    // mutually exclusive time-travel options
+    intercept[IllegalArgumentException] {
+      fmt(root).option("versionAsOf", "1")
+        .option("timestampAsOf", "123").load()
+    }
+  }
+
+  test("SQL-level reads: a temporary view USING graftvt serves the pinned snapshot") {
+    val root = newRoot("sql")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((20L, "B", 1)))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vt_v1
+      USING graftvt OPTIONS (path '$root', versionAsOf '1')""")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vt_cur
+      USING graftvt OPTIONS (path '$root')""")
+    assert(spark.sql("SELECT k FROM vt_v1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT k FROM vt_cur ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 20L))
+    // aggregation + projection through the relation
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_cur WHERE bucket = 1").collect()
+      .head.getLong(0) == 1L)
+  }
+
+  test("pushdown prunes like the library paths: partition filters select dirs, range filters ride the zone map — answers unchanged") {
+    val root = newRoot("prune")
+    // k ranges disjoint per bucket (zone-map layout)
+    val data = spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"),
+      (col("id") / 100).cast("int").as("bucket"))
+    VersionedTable.publishFull(spark, root, "bucket", data)
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    val rel = new graft.sources.GraftVt()
+      .createRelation(spark.sqlContext,
+        Map("path" -> root)).asInstanceOf[graft.sources.GraftVtRelation]
+    import org.apache.spark.sql.sources._
+    // partition-value pushdown: bucket IN (1,2) reads those dirs' rows
+    val byPart = rel.buildScan(Array("k"),
+      Array(In("bucket", Array(1, 2)))).map(_.getLong(0)).collect()
+    assert(byPart.length == 200 && byPart.forall(k => k >= 100 && k < 300))
+    // zone-map pushdown: k BETWEEN 150 AND 249 through SQL — answer
+    // parity with the library read+filter
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vt_zone
+      USING graftvt OPTIONS (path '$root')""")
+    val viaSql = spark.sql(
+      "SELECT k FROM vt_zone WHERE k BETWEEN 150 AND 249 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == (150L to 249L))
+    // and the pruning itself (dir-level) matches readRange's law
+    val pruned = VersionedTable.readRange(spark, snap, root, schema,
+      "k", 150L, 249L)
+    assert(pruned.inputFiles.map(f => new org.apache.hadoop.fs.Path(f)
+      .getParent.getName).toSet == Set("bucket=1", "bucket=2"))
+  }
+
+  test("extras read through the format; legacy manifests demand an explicit schema") {
+    val root = newRoot("extra")
+    val statsDf = Seq((5L, 42L)).toDF("n_docs", "total_len")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0)), extras = Map("stats" -> statsDf))
+    val st = fmt(root).option("extra", "stats")
+      .schema(StructType(Seq(StructField("n_docs", LongType),
+        StructField("total_len", LongType)))).load().collect()
+    assert(st.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 42L)))
+    // extras need an explicit schema (no manifest field record for them)
+    intercept[IllegalArgumentException] {
+      fmt(root).option("extra", "stats").load()
+    }
+  }
+}
