@@ -1003,6 +1003,69 @@ object StreamingOps {
       }
   }
 
+  /** Online CDC-maintained BM25 index — the STREAMING twin of the
+    * nightly's lexical step (round-12 verdict item 5: the stats grid
+    * synced online, the index families only nightly). Each micro-batch
+    * resolves the corpus's CURRENT manifest once; if it advanced past
+    * the index's committed `corpus_version` cursor, the span's CDC feed
+    * is routed through [[graft.operators.IndexMaintenance
+    * .deltaFromChangesIn]] with the LEXICAL modality filter (an
+    * embedding-only publish rewrites no postings bucket — the feed's
+    * text-unchanged update pairs drop out) and applied via
+    * [[graft.operators.Bm25Index.updateFromVersioned]], whose commit
+    * carries the new cursor atomically with the postings and stats it
+    * describes.
+    *
+    * Exactly-once WITHOUT a checkpoint, by a DIFFERENT mechanism than
+    * [[cdcMaintainStream]]'s: the index update is SET math (upserted
+    * keys replace their own old rows, df re-derived against the
+    * index's current state), so a crash-retry that re-applies a span
+    * converges to the identical content — the cursor pre-check is what
+    * makes a replayed tick cheap (zero commits), not what makes it
+    * safe. An other-modality-only corpus version still commits (the
+    * cursor must advance to mark coverage) but carries over every
+    * postings generation untouched — copy-on-write sharing preserved,
+    * spec-pinned by generation-id equality. Retention contract:
+    * [[changesStream]]'s same rule. `StreamingSpec` pins stream==batch
+    * (the online index serves exactly what a fresh build of the
+    * current corpus serves) and the replayed-tick no-op. */
+  def cdcMaintainBm25Stream(ticks: DataFrame, corpusRoot: String,
+      bm25Root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Bm25Index, IndexMaintenance, VersionedTable}
+    ticks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        VersionedTable.currentSnapshot(spark, corpusRoot).foreach { cur =>
+          val idxCur = VersionedTable.currentSnapshot(spark, bm25Root)
+            .getOrElse(throw new IllegalStateException(
+              s"BM25 index at $bm25Root is unborn — bootstrap it " +
+                "(Bm25Index.buildVersioned with the corpus_version " +
+                "property) first"))
+          val raw = idxCur.properties.get(graft.Nightly.CorpusVersionProp)
+          val cursor = raw.flatMap(v => scala.util.Try(v.toLong).toOption)
+            .getOrElse(throw new IllegalStateException(
+              s"BM25 index at $bm25Root carries no readable " +
+                s"corpus_version cursor (raw: $raw) — bootstrap it via " +
+                "the nightly/buildVersioned path before tailing"))
+          if (cur.version > cursor) {
+            val from = VersionedTable.snapshotAt(spark, corpusRoot, cursor)
+              .getOrElse(throw new IllegalStateException(
+                s"BM25 cursor v$cursor at $corpusRoot was vacuumed — " +
+                  "retention must cover the slowest consumer"))
+            val feed = VersionedTable.changes(spark, corpusRoot, from, cur,
+              graft.Nightly.corpusSchema, "doc_id")
+            val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed,
+              "doc_id", Seq("text"))
+            Bm25Index.updateFromVersioned(spark, bm25Root,
+              ups.select(col("doc_id"), col("text")), rem,
+              Map(graft.Nightly.CorpusVersionProp -> cur.version.toString))
+          }
+        }
+      }
+  }
+
   /** Drive a streaming query over a micro-batched in-memory feed and return
     * the final result table — used by the spec and by `StreamingDemo`. */
   def runToMemory(stream: DataFrame, name: String,

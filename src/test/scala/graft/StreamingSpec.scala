@@ -1139,6 +1139,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online BM25 maintenance: the index tracks every mid-stream publish (stream==batch vs a fresh build), replayed ticks no-op, other-modality publishes leave postings generations untouched") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Bm25Index, VersionedTable}
+    def corpusDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        typedLit(Seq(0.5f, -0.5f)).as("embedding"),
+        pmod(col("doc_id"), lit(16L)).as("bucket"))
+    val corpusRoot = java.nio.file.Files
+      .createTempDirectory("graft_cdc_bm25_c").toString
+    val bm25Root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_bm25_i").toString
+    val v1 = corpusDf((1L, "spark streams windows"),
+      (2L, "window functions rank"), (17L, "stream state stores"),
+      (33L, "broadcast joins"))
+    VersionedTable.publishFull(spark, corpusRoot, "bucket", v1)
+    Bm25Index.buildVersioned(spark,
+      v1.select(col("doc_id"), col("text")), bm25Root,
+      Map(Nightly.CorpusVersionProp -> "1"))
+    val terms = Seq("window", "spark", "stream")
+    def served(): Seq[(Long, Double, Long)] =
+      Bm25Index.probeVersioned(spark, bm25Root, terms).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def freshBuild(corpus: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Double, Long)] = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdc_bm25_fresh").toString
+      Bm25Index.buildVersioned(spark,
+        corpus.select(col("doc_id"), col("text")), tmp)
+      Bm25Index.probeVersioned(spark, tmp, terms).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    def idxSnap() = VersionedTable.currentSnapshot(spark, bm25Root).get
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.cdcMaintainBm25Stream(mem.toDS().toDF("tick"),
+      corpusRoot, bm25Root).start()
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      assert(idxSnap().version == 1L, "no publish since the cursor → no-op")
+      // v2: doc 2's text rewritten, 17 deleted, 40 inserted
+      val v2 = corpusDf((1L, "spark streams windows"),
+        (2L, "window window rank"), (33L, "broadcast joins"),
+        (40L, "stream of windows"))
+      VersionedTable.publishDelta(spark, corpusRoot, Seq(1L, 2L, 8L),
+        v2.filter(col("bucket").isin(1L, 2L, 8L)))
+      mem.addData(2L)
+      q.processAllAvailable()
+      // stream==batch: the online-maintained index serves exactly what a
+      // fresh build of the current corpus serves (q146's law shape)
+      assert(served() == freshBuild(v2),
+        "online BM25 must equal a fresh v2 build")
+      assert(idxSnap().properties(Nightly.CorpusVersionProp) == "2",
+        "the cursor commits WITH the postings and stats")
+      val afterV2 = idxSnap().version
+      // replayed/duplicate ticks: zero new commits
+      mem.addData(3L, 4L)
+      q.processAllAvailable()
+      assert(idxSnap().version == afterV2,
+        "a replayed tick must not commit anything")
+      // an EMBEDDING-only publish: the cursor must advance (coverage)
+      // but every postings partition generation carries over untouched
+      // (modality routing — no lexical bucket is rewritten)
+      val beforeParts = idxSnap().parts
+      val v3 = v2.withColumn("embedding",
+        when(col("doc_id") === 1L, typedLit(Seq(0.9f, 0.1f)))
+          .otherwise(col("embedding")))
+      VersionedTable.publishDelta(spark, corpusRoot, Seq(1L),
+        v3.filter(col("bucket") === 1L))
+      mem.addData(5L)
+      q.processAllAvailable()
+      val after = idxSnap()
+      assert(after.properties(Nightly.CorpusVersionProp) == "3",
+        "the cursor advances over an other-modality version")
+      assert(after.parts == beforeParts,
+        "an embedding-only publish rewrites NO postings bucket — " +
+          "copy-on-write sharing preserved (generation-id equality)")
+      assert(served() == freshBuild(v2), "content unchanged")
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("versioned serve streams resolve ONE manifest per micro-batch — measured, not asserted by scaladoc") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
