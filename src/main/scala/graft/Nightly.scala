@@ -57,9 +57,13 @@ object Nightly {
     * snapshot's content was derived from. */
   val CorpusVersionProp = "corpus_version"
 
-  /** Corpus partition-bucket count (q143/q144's `doc_id % 16` fixture
-    * rule). At 100 TB this is the table's real partition count —
-    * thousands; the composition logic is count-agnostic. */
+  /** Default corpus partition-bucket count (q143/q144's `doc_id % 16`
+    * fixture rule). At 100 TB this is the table's real partition count
+    * — thousands; [[run]] takes it as a parameter and the composition
+    * is count-agnostic BY MEASUREMENT, not scaladoc: `ScaleStressSpec`
+    * runs the full night at 1024 buckets with a 3-bucket delta and pins
+    * delta-bounded work per consumer plus the idempotence law
+    * (round-12 verdict item 4). */
   val Buckets = 16
 
   /** The nightly corpus row: ONE table carrying both the lexical and
@@ -130,14 +134,16 @@ object Nightly {
   def run(spark: SparkSession, roots: Roots, arriving: DataFrame,
       keepVersions: Int = 2, compactFilesPerPart: Int = 4,
       vacuumGraceMs: Long = 3600000L,
-      failAfter: Set[String] = Set.empty): Report = {
+      failAfter: Set[String] = Set.empty,
+      buckets: Int = Buckets): Report = {
+    require(buckets >= 1, "need at least one corpus bucket")
     val steps = scala.collection.mutable.ArrayBuffer[Step]()
     def chk(step: String): Unit =
       if (failAfter(step)) throw new InjectedCrash(step)
 
     val bucketed = arriving.select(col("doc_id"), col("text"),
       col("embedding"),
-      pmod(col("doc_id"), lit(Buckets.toLong)).as("bucket"))
+      pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"))
 
     // ---- 1. corpus publish -------------------------------------------
     steps += (VersionedTable.currentSnapshot(spark, roots.corpus) match {
@@ -164,7 +170,7 @@ object Nightly {
                     corpusSchema), bucketed)
                 val touched = ups.select(col("bucket"))
                   .union(rem.select(pmod(col("doc_id"),
-                    lit(Buckets.toLong))))
+                    lit(buckets.toLong))))
                   .distinct().collect().map(_.getLong(0)).sorted.toSeq
                 // a racing duplicate run may have landed THIS content
                 // between the outer emptiness check and this attempt:
