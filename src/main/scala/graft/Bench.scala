@@ -53,6 +53,13 @@ import org.apache.spark.sql.SparkSession
   *    `original_sec` and the first verdict in `contaminated_first_run`
   *    — the final `contaminated` flips to clean only when the re-run
   *    MEASURED clean, never by assertion.
+  *  - **Shared-build attribution** (round-12 verdict): session-memo
+  *    materialization time paid inside a query's window is reported
+  *    RIDEALONG (`memo_build_sec` per query, `build_total_sec` on the
+  *    compact line) via [[Memo.buildNanos]] deltas — so a cross-round
+  *    reader separates "this plan regressed" from "suite order moved
+  *    the shared shingle-pair/Lloyd build onto a different carrier"
+  *    (q60's phantom +3 s in round 12 was exactly the latter).
   *  - **The full line reaches disk**: eight straight rounds of
   *    `parsed:null` prove the driver's ~2000-char log tail never
   *    carries the 128-query map. The complete JSON (per-query times,
@@ -171,7 +178,15 @@ object Bench {
       loads: scala.collection.immutable.ListMap[String, Double],
       sentinels: Seq[Double], // pre, mid…, post, [post-replay]
       contaminated: Boolean,
-      bandsApplied: Boolean) {
+      bandsApplied: Boolean,
+      // session-memo build seconds PAID inside each query's measured
+      // window ([[Memo.buildNanos]] deltas) — the shared-intermediate
+      // ledger: a query carrying the shingle-pair/CC or Lloyd build for
+      // its whole family reports the build cost RIDEALONG, so a
+      // cross-round per-query comparison separates "this plan
+      // regressed" from "suite order moved the shared build here"
+      // (round-12 verdict: q60's phantom +3 s was exactly this)
+      buildSec: Map[String, Double] = Map.empty) {
     def total: Double = times.values.filter(_ >= 0).sum
   }
 
@@ -213,6 +228,14 @@ object Bench {
               "band-breaching sample")
           sentinelBand + 999.0
       }
+    val buildSec = scala.collection.mutable.Map[String, Double]()
+    def timedWithBuild(name: String): Double = {
+      val b0 = graft.Memo.buildNanos
+      val t = timeNoop(spark, name, sfDir)
+      val b = (graft.Memo.buildNanos - b0) / 1e9
+      if (b > 0.005) buildSec(name) = b
+      t
+    }
     sentinels += sentinelSample()
     names.zipWithIndex.foreach { case (name, i) =>
       onQueryStart(i)
@@ -220,7 +243,7 @@ object Bench {
         sentinels += sentinelSample()
       loads(name) = loadAvg()
       times(name) =
-        try timeNoop(spark, name, sfDir)
+        try timedWithBuild(name)
         catch {
           case e: Throwable =>
             // a failed query must not masquerade as a fast one
@@ -248,7 +271,7 @@ object Bench {
         // first-run time as the query's number (conservative: the slow
         // sample stands) and move on, same contract as the first-run loop
         times(n) =
-          try timeNoop(spark, n, sfDir)
+          try timedWithBuild(n) // replay build cost replaces the ledger's
           catch {
             case e: Throwable =>
               System.err.println(
@@ -266,7 +289,8 @@ object Bench {
       scala.collection.immutable.ListMap(loads.toSeq: _*),
       sentinels.toSeq,
       isContaminated(sentinels.toSeq, sentinelBand),
-      bandsApplied = bands.nonEmpty)
+      bandsApplied = bands.nonEmpty,
+      buildSec = buildSec.toMap)
   }
 
   // ------------------------------------- clean-by-construction verdict
@@ -286,8 +310,10 @@ object Bench {
       rerunWaitedSec: Double,
       times: scala.collection.immutable.ListMap[String, Double],
       originalSec: Map[String, Double],
-      contaminated: Boolean) {
+      contaminated: Boolean,
+      buildSec: Map[String, Double] = Map.empty) {
     def total: Double = times.values.filter(_ >= 0).sum
+    def buildTotal: Double = buildSec.values.sum
   }
 
   /** Run the suite; if the verdict is contaminated (and `calibrated`
@@ -308,7 +334,8 @@ object Bench {
       onQueryStart = onQueryStart)
     if (!calibrated || !first.contaminated)
       return AdjudicatedRun(first, Nil, None, 0.0, first.times,
-        first.originalSec, calibrated && first.contaminated)
+        first.originalSec, calibrated && first.contaminated,
+        first.buildSec)
     val (taintedIdx, postReplayBreached) = breachedQueryIdx(names.size,
       first.sentinels, sentinelEvery, sentinelBand,
       first.replayed.nonEmpty)
@@ -335,7 +362,10 @@ object Bench {
     val originals = first.originalSec ++
       span.map(n => n -> first.originalSec.getOrElse(n, first.times(n)))
     AdjudicatedRun(first, span, Some(rr), waited, merged, originals,
-      rr.contaminated)
+      rr.contaminated,
+      // re-measured queries report the RE-RUN's build ledger (they
+      // re-paid their builds after the evict)
+      first.buildSec ++ rr.buildSec)
   }
 
   // ------------------------------------------------------------ output
@@ -419,6 +449,8 @@ object Bench {
       s""""replayed":[${r.replayed.take(maxReplayNames)
           .map("\"" + _ + "\"").mkString(",")}],""" +
       s""""waited_quiet_sec":${fmt(waitedQuietSec)},""" +
+      // shared-build ledger total — per-query map rides the full line
+      s""""build_total_sec":${fmt(a.buildTotal)},""" +
       // run-metadata flag for tools/bands.py: replay/re-run times in
       // THIS record were measured after a session-memo evict, so a
       // rerun-replaced sample is a clean cold measurement — band
@@ -446,6 +478,8 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(a.total)},"unit":"sec",""" +
       s""""queries":${encMap(sorted)},""" +
+      s""""memo_build_sec":${encMap(
+        a.buildSec.toSeq.sortBy { case (_, v) => -v })},""" +
       s""""original_sec":${encMap(a.originalSec)},""" +
       s""""load_avg_per_query":${encMap(r.loads)},""" +
       s""""sf":${VerifyCommon.jsonStr(sfDir)},""" +

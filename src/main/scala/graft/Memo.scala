@@ -53,6 +53,24 @@ object Memo {
     m
   }
 
+  /** Wall-clock nanos spent MATERIALIZING memo entries in this JVM —
+    * the shared-build ledger the bench reports per query as
+    * `memo_build_sec` (round-12 verdict: q60's 11 s was ~6 s of shared
+    * shingle-pair/CC build that q78/q86 then read back warm; without
+    * the ridealong, per-query numbers look like regressions whenever
+    * suite order moves the build to a different carrier). Monotonic,
+    * never reset; readers take DELTAS around a measured section. Nested
+    * builds (a memoized frame whose build reads another memo) count
+    * only at the OUTERMOST level, so a delta is the section's true
+    * wall-clock build cost, not a double-counted sum. */
+  private val buildNanosTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Cumulative memo-build nanos so far (see [[buildNanosTotal]]). */
+  def buildNanos: Long = buildNanosTotal.get()
+
   /** Memoize `build` under (session, key), cached and materialized. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val m = mapFor(spark)
@@ -60,8 +78,15 @@ object Memo {
     val live = if (hit != null) hit.get() else null
     if (live != null) live
     else {
-      val df = build.cache()
-      df.count() // materialize once, outside the map lock
+      val t0 = System.nanoTime()
+      val d = buildDepth.get()
+      buildDepth.set(d + 1)
+      val df =
+        try { val b = build.cache(); b.count(); b } // materialize once,
+        finally {                                   // outside the map lock
+          buildDepth.set(d)
+          if (d == 0) buildNanosTotal.addAndGet(System.nanoTime() - t0)
+        }
       val ref = new java.lang.ref.SoftReference(df)
       val raced =
         if (hit != null) !m.replace(key, hit, ref) // stale cleared ref

@@ -41,4 +41,25 @@ class MemoSpec extends SparkSpec {
     assert(again.count() == 5)
     Memo.evict(spark)
   }
+
+  test("buildNanos ledger: builds count once at the outermost level, hits count nothing") {
+    val k1 = s"memo-ledger-a-${System.nanoTime()}"
+    val k2 = s"memo-ledger-b-${System.nanoTime()}"
+    val before = Memo.buildNanos
+    // nested build: k1's build reads k2 (the shingle-base-under-pairs
+    // shape) — the ledger must charge the OUTER wall-clock once, not
+    // outer + inner
+    Memo.cached(spark, k1) {
+      Memo.cached(spark, k2)(spark.range(1000).withColumn("y", lit(1)))
+        .selectExpr("id", "y + 1 as z")
+    }
+    val afterBuild = Memo.buildNanos
+    assert(afterBuild > before, "a build must move the ledger")
+    // hits are free: reading both memoized frames charges nothing
+    Memo.cached(spark, k1)(fail("must not rebuild"))
+    Memo.cached(spark, k2)(fail("must not rebuild"))
+    assert(Memo.buildNanos == afterBuild,
+      "memo hits must not move the build ledger")
+    Memo.evict(spark)
+  }
 }
