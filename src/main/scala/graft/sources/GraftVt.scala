@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.VersionedTable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -46,9 +46,50 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * whole dirs the manifest PROVES empty for the predicate).
   */
 final class GraftVt extends RelationProvider with SchemaRelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graftvt"
+
+  /** `df.write.format("graftvt").option("partCol", …)` — an atomic
+    * versioned PUBLISH, never a file write: `Overwrite` commits a full
+    * rewrite as the next version (history retained — this is a commit,
+    * not a truncate), `ErrorIfExists` only bootstraps an unborn table.
+    * `Append` and `Ignore` are REJECTED by design: this format's
+    * incremental write is a copy-on-write DELTA with an explicit
+    * replaced-partition contract ([[VersionedTable.publishDelta]] /
+    * `retryingPublish`) — a blind row append would silently duplicate
+    * keys, and hiding the replaced-set contract behind `Append` would
+    * invite exactly that. Zone maps and the schema record are stamped
+    * by the publish path like any library commit. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graftvt requires a path (the versioned table root)"))
+    val partCol = opts.getOrElse("partcol",
+      throw new IllegalArgumentException("graftvt writes require a " +
+        "partCol option naming the partition column"))
+    require(data.schema.fieldNames.contains(partCol),
+      s"partCol '$partCol' is not a column of the frame: " +
+        data.schema.fieldNames.mkString(", "))
+    val spark = ctx.sparkSession
+    mode match {
+      case SaveMode.Overwrite =>
+        VersionedTable.publishFull(spark, root, partCol, data)
+      case SaveMode.ErrorIfExists =>
+        VersionedTable.currentSnapshot(spark, root).foreach(s =>
+          throw new IllegalStateException(s"table at $root already " +
+            s"exists (v${s.version}) — mode Overwrite commits the next " +
+            "version"))
+        VersionedTable.publishFull(spark, root, partCol, data)
+      case other =>
+        throw new IllegalArgumentException(s"graftvt does not support " +
+          s"SaveMode.$other: incremental writes are copy-on-write deltas " +
+          "with an explicit replaced-partition contract — use " +
+          "VersionedTable.publishDelta/retryingPublish")
+    }
+    createRelation(ctx, Map("path" -> root))
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation =

@@ -117,6 +117,39 @@ class GraftVtSourceSpec extends SparkSpec {
       .getParent.getName).toSet == Set("bucket=1", "bucket=2"))
   }
 
+  test("format writes are atomic versioned publishes: Overwrite commits the next version, ErrorIfExists bootstraps only, Append is rejected by design") {
+    val root = newRoot("write")
+    val v1 = rowsDf((1L, "a", 0), (2L, "b", 1))
+    v1.write.format("graftvt").option("partCol", "bucket")
+      .mode("error").save(root)
+    assert(contents(fmt(root).load()) == contents(v1))
+    assert(VersionedTable.currentSnapshot(spark, root).get.version == 1L)
+    // a second bootstrap refuses; an Overwrite COMMITS v2 (history kept)
+    intercept[IllegalStateException] {
+      v1.write.format("graftvt").option("partCol", "bucket")
+        .mode("error").save(root)
+    }
+    val v2 = rowsDf((1L, "a", 0), (20L, "B", 1))
+    v2.write.format("graftvt").option("partCol", "bucket")
+      .mode("overwrite").save(root)
+    assert(contents(fmt(root).load()) == contents(v2))
+    assert(contents(fmt(root).option("versionAsOf", "1").load()) ==
+      contents(v1), "Overwrite is a commit, not a truncate — v1 retained")
+    // zone maps stamped by the format write like any library publish
+    assert(VersionedTable.currentSnapshot(spark, root).get
+      .stats.nonEmpty)
+    // Append would silently duplicate keys — rejected with the delta hint
+    val e = intercept[IllegalArgumentException] {
+      v2.write.format("graftvt").option("partCol", "bucket")
+        .mode("append").save(root)
+    }
+    assert(e.getMessage.contains("publishDelta"))
+    // a write without partCol fails before touching the table
+    intercept[IllegalArgumentException] {
+      v2.write.format("graftvt").mode("overwrite").save(newRoot("nopc"))
+    }
+  }
+
   test("extras read through the format; legacy manifests demand an explicit schema") {
     val root = newRoot("extra")
     val statsDf = Seq((5L, 42L)).toDF("n_docs", "total_len")
