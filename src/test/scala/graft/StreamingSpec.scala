@@ -1221,6 +1221,111 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ONLINE == NIGHTLY: one tick of the all-family maintenance stream lands exactly the batch night's state on every consumer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Bm25Index, IvfIndex, PqIndex, VersionedTable}
+    import org.apache.spark.sql.types._
+    // 32 docs, 8-dim embeddings (PQ: dim % m == 0), tiny vocab
+    def corpusOf(ids: Seq[Long], editId: Long = -1L) =
+      ids.toDF("doc_id").select(col("doc_id"),
+        concat(lit("w"), pmod(col("doc_id"), lit(5L)),
+          when(col("doc_id") === editId, lit(" edited")).otherwise(lit("")),
+          lit(" t"), pmod(col("doc_id"), lit(3L))).as("text"),
+        array((0 until 8).map(i =>
+          (pmod(col("doc_id") * (i + 3), lit(97L)) / 97.0)
+            .cast("float")): _*).as("embedding"))
+    def newWorld(tag: String): Nightly.Roots = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_onl_$tag")
+      Nightly.Roots(s"$d/corpus", s"$d/bm25", s"$d/ivf", s"$d/pq",
+        s"$d/stats")
+    }
+    def copyWorld(src: Nightly.Roots, tag: String): Nightly.Roots = {
+      val dst = java.nio.file.Files.createTempDirectory(s"graft_onl_$tag")
+      val srcBase = java.nio.file.Paths.get(src.corpus).getParent
+      java.nio.file.Files.walk(srcBase).forEach { p =>
+        val t = dst.resolve(srcBase.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      Nightly.Roots(s"$dst/corpus", s"$dst/bm25", s"$dst/ivf", s"$dst/pq",
+        s"$dst/stats")
+    }
+    /** Content state per root: version, cursor property, row sets of
+      * body + extras — generation ids differ across worlds by
+      * construction, content must not. */
+    def stateOf(roots: Nightly.Roots): Map[String, (Long, Option[String],
+        Set[String])] = {
+      val cbPq = StructType(Seq(StructField("sub", IntegerType),
+        StructField("code", IntegerType),
+        StructField("centroid", ArrayType(FloatType))))
+      val bm25Stats = StructType(Seq(StructField("n_docs", LongType),
+        StructField("total_len", LongType)))
+      val pqStats = StructType(Seq(StructField("n", LongType)))
+      def rows(root: String, schema: StructType,
+          extras: Seq[(String, StructType)]) = {
+        val snap = VersionedTable.currentSnapshot(spark, root).get
+        val body = VersionedTable.read(spark, snap, root, schema)
+          .collect().map(_.toString).toSet
+        val ex = extras.flatMap { case (n, sch) =>
+          VersionedTable.readExtra(spark, snap, root, n, sch)
+            .collect().map(r => s"$n:$r")
+        }.toSet
+        (snap.version,
+          snap.properties.get(Nightly.CorpusVersionProp), body ++ ex)
+      }
+      Map(
+        "corpus" -> rows(roots.corpus, Nightly.corpusSchema, Nil),
+        "bm25" -> rows(roots.bm25, Bm25Index.postingsSchema,
+          Seq("stats" -> bm25Stats)),
+        "ivf" -> rows(roots.ivf, IvfIndex.assignmentsSchema,
+          Seq("codebook" -> IvfIndex.codebookSchema)),
+        "pq" -> rows(roots.pq, PqIndex.codesSchema,
+          Seq("codebook" -> cbPq, "stats" -> pqStats)),
+        "stats" -> rows(roots.stats, Nightly.statsSchema, Nil))
+    }
+    // ONE bootstrap, byte-copied into the two worlds — identical bits
+    val v1 = corpusOf(0L until 32L)
+    val boot = newWorld("boot")
+    Nightly.run(spark, boot, v1, vacuumGraceMs = 0L)
+    val streamW = copyWorld(boot, "stream")
+    val batchW = copyWorld(boot, "batch")
+    // v2: edit doc 3, delete doc 17, insert doc 40
+    val v2 = corpusOf((0L until 32L).filterNot(_ == 17L) :+ 40L, editId = 3L)
+    // batch world: the full night
+    Nightly.run(spark, batchW, v2, vacuumGraceMs = 0L)
+    // stream world: land the SAME corpus v2 commit (crash right after
+    // the corpus step — the consumers stay at their v1 cursors), then
+    // let ONE tick of the all-family stream bring every consumer up
+    intercept[Nightly.InjectedCrash] {
+      Nightly.run(spark, streamW, v2, vacuumGraceMs = 0L,
+        failAfter = Set("corpus"))
+    }
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.cdcMaintainIndexesStream(mem.toDS().toDF("tick"),
+      streamW.corpus, bm25Root = Some(streamW.bm25),
+      ivfRoot = Some(streamW.ivf), pqRoot = Some(streamW.pq),
+      statsRoot = Some(streamW.stats)).start()
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      val online = stateOf(streamW)
+      val nightly = stateOf(batchW)
+      Seq("corpus", "bm25", "ivf", "pq", "stats").foreach { c =>
+        assert(online(c) == nightly(c),
+          s"online-maintained '$c' must equal the batch night's state")
+      }
+      // replayed tick: every consumer's cursor covers — zero commits
+      val versions = online.map { case (k, v) => k -> v._1 }
+      mem.addData(2L)
+      q.processAllAvailable()
+      assert(stateOf(streamW).map { case (k, v) => k -> v._1 } == versions,
+        "a replayed tick must commit nothing anywhere")
+    } finally q.stop()
+  }
+
   test("versioned serve streams resolve ONE manifest per micro-batch — measured, not asserted by scaladoc") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
