@@ -170,6 +170,29 @@ object Bench {
     } finally in.close()
   }
 
+  /** The round-3 matched-subset anchor (committed resource): the 60
+    * query names shared with the round-3 record plus their round-3
+    * subtotal (64.127 s at sf0.1/local[32]). The naive all-catalog s/q
+    * average grows every round purely from catalog mix (each round adds
+    * structurally heavier rungs), so the cross-round drift tripwire is
+    * this FIXED subset's subtotal — the round-3-comparable slice of the
+    * engine at the round-3 price. Emitted on the driver-visible compact
+    * line every calibrated run (round-13 verdict item 2). */
+  private[graft] lazy val matchedR03: (Double, Seq[String]) = {
+    val in = getClass.getResourceAsStream("/graft/bench_r03_matched.json")
+    if (in == null) (0.0, Nil)
+    else try {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      val base = """"baseline_sec"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(0.0)
+      // query names are q<digit>… — the pattern must not match the
+      // literal "queries" key
+      val names = """"(q[0-9][^"]*)"""".r
+        .findAllMatchIn(txt).map(_.group(1)).toSeq
+      (base, names)
+    } finally in.close()
+  }
+
   // ------------------------------------------------------ suite runner
   final case class SuiteResult(
       times: scala.collection.immutable.ListMap[String, Double],
@@ -233,7 +256,12 @@ object Bench {
       val b0 = graft.Memo.buildNanos
       val t = timeNoop(spark, name, sfDir)
       val b = (graft.Memo.buildNanos - b0) / 1e9
-      if (b > 0.005) buildSec(name) = b
+      // REPLACE the prior entry, don't just add: in the replay path a
+      // re-measured query whose new run paid ~no build must not keep
+      // the FIRST run's build attribution against its new build-free
+      // time (round-13 advisor) — cross-round build attribution would
+      // then be wrong for exactly the re-measured queries
+      if (b > 0.005) buildSec(name) = b else buildSec -= name
       t
     }
     sentinels += sentinelSample()
@@ -361,11 +389,17 @@ object Bench {
     }: _*)
     val originals = first.originalSec ++
       span.map(n => n -> first.originalSec.getOrElse(n, first.times(n)))
+    // re-measured queries report the RE-RUN's build ledger (they
+    // re-paid their builds after the evict); a re-run query whose new
+    // window carried NO build must not keep the first run's entry
+    // (round-13 advisor — same rule as timedWithBuild's replace), so
+    // drop the first-run attribution for every query the re-run
+    // actually measured; a FAILED re-run (-1) keeps the first-run
+    // time and therefore the first-run build entry too
+    val rerunMeasured = span.filter(n => rr.times.get(n).exists(_ >= 0))
     AdjudicatedRun(first, span, Some(rr), waited, merged, originals,
       rr.contaminated,
-      // re-measured queries report the RE-RUN's build ledger (they
-      // re-paid their builds after the evict)
-      first.buildSec ++ rr.buildSec)
+      (first.buildSec -- rerunMeasured) ++ rr.buildSec)
   }
 
   // ------------------------------------------------------------ output
@@ -423,6 +457,14 @@ object Bench {
     val loadEnd = loadAvg()
 
     val sorted = a.times.toSeq.sortBy { case (_, v) => -v }
+    // matched-r03 subtotal over whichever anchor queries exist in the
+    // current catalog (a renamed/retired query drops out — the count
+    // rides the line so a shrunk subset is visible, never silent)
+    val matchedPresent = matchedR03._2.filter(n =>
+      a.times.get(n).exists(_ >= 0))
+    val matchedRaw = matchedPresent.map(a.times(_)).sum
+    val matchedPlan = matchedPresent.map(n =>
+      a.times(n) - a.buildSec.getOrElse(n, 0.0)).sum
     val midSamples = r.sentinels.drop(1)
       .dropRight(if (r.replayed.nonEmpty) 2 else 1)
     // `maxReplayNames` bounds the replayed-name array: under round-8-
@@ -451,6 +493,16 @@ object Bench {
       s""""waited_quiet_sec":${fmt(waitedQuietSec)},""" +
       // shared-build ledger total — per-query map rides the full line
       s""""build_total_sec":${fmt(a.buildTotal)},""" +
+      // the honest instruments, ON the driver-visible line (round-13
+      // verdict item 2): the naive total conflates catalog growth with
+      // speed — plan_total subtracts the shared-build ledger, and the
+      // matched-r03 subtotal prices the round-3-comparable slice
+      // against its committed 64.127 s anchor (raw + build-net forms)
+      s""""plan_total_sec":${fmt(a.total - a.buildTotal)},""" +
+      s""""matched_r03_n":${matchedPresent.size},""" +
+      s""""matched_r03_baseline_sec":${fmt(matchedR03._1)},""" +
+      s""""matched_r03_sec":${fmt(matchedRaw)},""" +
+      s""""matched_r03_plan_sec":${fmt(matchedPlan)},""" +
       // run-metadata flag for tools/bands.py: replay/re-run times in
       // THIS record were measured after a session-memo evict, so a
       // rerun-replaced sample is a clean cold measurement — band
@@ -498,7 +550,10 @@ object Bench {
     // slowest queries first into a fixed budget, drop count declared,
     // adjudication fields riding along so a truncated capture still
     // self-labels
-    val budget = 900
+    // shrunk from 900 when the matched-r03/plan_total instruments
+    // (+~170 chars) joined the adjudication block — the compact line
+    // must stay inside the driver's ~2000-char tail capture
+    val budget = 730
     val buf = new StringBuilder
     var omitted = 0
     sorted.foreach { kv =>

@@ -457,21 +457,26 @@ object VersionedTable {
     // queries) would answer this min/max straight from footers — but it
     // HARD-FAILS on any file whose footer carries no min/max for a
     // column (all-null chunks, NaN-containing doubles), exactly the
-    // rows this job must classify as "no bound". Scope it off for the
-    // stats job; the scan is still column-pruned and delta-bounded.
-    val pushKey = "spark.sql.parquet.aggregatePushdown"
-    val prev = spark.conf.getOption(pushKey)
-    val grouped = try {
-      spark.conf.set(pushKey, "false")
-      spark.read.option("basePath", genPath.toString).schema(schema)
+    // rows this job must classify as "no bound". Scope it off in a
+    // CLONED session (shared catalog/state, private SQLConf) rather
+    // than toggling the shared session conf: concurrent maintainers
+    // (a streaming tick racing the nightly) both publish, and two
+    // interleaved set/restore pairs on the shared conf can leave
+    // pushdown disabled session-wide or re-enable it mid-scan. The
+    // clone's scan is still column-pruned and delta-bounded.
+    // newSession: shared SparkContext + catalog, PRIVATE SQLConf seeded
+    // from the builder-time SparkConf (shuffle partitions, timezone) —
+    // the toggle never touches the caller's session. The stats job is
+    // conf-insensitive beyond this key: explicit schema, numeric-only
+    // min/max, AQE sizes the tiny shuffle either way.
+    val statsSession = spark.newSession()
+    statsSession.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    val grouped =
+      statsSession.read.option("basePath", genPath.toString).schema(schema)
         .parquet(parts.map(p =>
           new org.apache.hadoop.fs.Path(genPath, p).toString): _*)
         .groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
         .collect()
-    } finally prev match {
-      case Some(v) => spark.conf.set(pushKey, v)
-      case None => spark.conf.unset(pushKey)
-    }
     grouped.map { r =>
         val dir = IndexMaintenance.partDirName(partCol, r.get(0))
         val cols = statFields.zipWithIndex.flatMap { case ((c, t), i) =>
@@ -734,7 +739,15 @@ object VersionedTable {
     case n: java.lang.Number => n match {
       case d: java.lang.Double => BigDecimal(d.doubleValue)
       case f: java.lang.Float => BigDecimal(f.doubleValue)
-      case _ => BigDecimal(n.longValue)
+      case i: java.lang.Integer => BigDecimal(i.longValue)
+      case l: java.lang.Long => BigDecimal(l.longValue)
+      case s: java.lang.Short => BigDecimal(s.longValue)
+      case b: java.lang.Byte => BigDecimal(b.longValue)
+      // java.math.BigDecimal / BigInteger / anything exotic: convert
+      // EXACTLY via the decimal string — n.longValue would truncate
+      // new java.math.BigDecimal("10.5") to 10 and wrongly PRUNE a
+      // dir whose min is 10.3 (wrong answers, not just missed pruning).
+      case _ => BigDecimal(n.toString)
     }
     case other => throw new IllegalArgumentException(
       s"zone-map range bound must be numeric, got: ${other.getClass}")

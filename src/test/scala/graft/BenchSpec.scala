@@ -44,6 +44,20 @@ class BenchSpec extends SparkSpec {
     assert(bands("q01_pricing_summary") < Bench.SentinelBandSec)
   }
 
+  test("matched-r03 anchor resource: 60 names, all in the live catalog, baseline pinned") {
+    val (baseline, names) = Bench.matchedR03
+    // the anchor is FROZEN at the round-3 record: 60 shared queries,
+    // 64.127 s subtotal — the cross-round drift tripwire the compact
+    // line prices every calibrated run against
+    assert(names.size == 60, s"expected 60 anchor names, got ${names.size}")
+    assert(names.distinct.size == names.size)
+    assert(math.abs(baseline - 64.127) < 0.001)
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"matched-r03 anchor names absent from the catalog: $missing — " +
+        "renaming an anchored query silently shrinks the drift tripwire")
+  }
+
   test("mid-suite contention window (invisible to pre/post sentinels) self-labels contaminated") {
     // this test MANUFACTURES its contention window; on a box already
     // saturated by an unrelated job (ambient 1-min load beyond the core

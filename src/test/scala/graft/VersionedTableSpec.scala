@@ -895,6 +895,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(lr.collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("zone-map bounds: java.math.BigDecimal/BigInteger convert exactly — no long truncation mis-prune") {
+    // round-13 advisor: toBound routed java.math.BigDecimal through
+    // n.longValue, so hi = 10.5 became 10 and PRUNED a dir whose min is
+    // 10.3 — wrong answers, not just missed pruning
+    assert(VersionedTable.toBound(new java.math.BigDecimal("10.5")) ==
+      BigDecimal("10.5"))
+    assert(VersionedTable.toBound(
+      new java.math.BigInteger("9223372036854775808")) ==
+      BigDecimal("9223372036854775808"), "beyond Long.MaxValue, exact")
+    assert(VersionedTable.toBound(java.lang.Double.valueOf(2.5)) ==
+      BigDecimal(2.5))
+    val dschema = StructType(Seq(StructField("k", LongType),
+      StructField("score", DoubleType), StructField("bucket", IntegerType)))
+    val root = newRoot("zonebd")
+    VersionedTable.publishFull(spark, root, "bucket", Seq(
+      (1L, java.lang.Double.valueOf(0.4), 0),
+      (2L, java.lang.Double.valueOf(10.3), 1), // min 10.3 > truncated 10
+      (3L, java.lang.Double.valueOf(25.0), 2)).toDF("k", "score", "bucket"))
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    // score ∈ [10.5, 10.5] with java.math bounds: bucket=1 ([10.3,10.3])
+    // must be PRUNED on exact decimals — under the truncation bug hi=10
+    // dropped it while lo=10 kept bucket=0's [0.4,0.4] pruned, so the
+    // visible symptom was the mirror case: lo = 10.5 truncated to 10
+    // KEPT nothing wrong but hi = 10.5 truncated to 10 pruned bucket=1
+    // even though 10.3 ≤ 10.5
+    val kept = VersionedTable.pruneParts(snap, "score",
+      Some(new java.math.BigDecimal("10.2")),
+      Some(new java.math.BigDecimal("10.5")))
+    assert(kept.keySet == Set("bucket=1"),
+      s"exact decimal bounds must keep the [10.3,10.3] dir, got $kept")
+  }
+
   test("SnapshotMemo: one entry per root — version hit, rollover replace, degenerate loads pin nothing") {
     val memo = new VersionedTable.SnapshotMemo[java.lang.Long]
     val s1 = VersionedTable.Snapshot(1L, "bucket", Map.empty, Map.empty)
