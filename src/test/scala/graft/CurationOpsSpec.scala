@@ -404,45 +404,70 @@ class CurationOpsSpec extends SparkSpec {
     import graft.streaming.StreamingOps
     import graft.streaming.StreamingOps.DocVersion
     implicit val sc = spark.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[DocVersion]
-    // ProcessingTimeTimeout makes the engine run no-data batches
-    // continuously (shouldRunAnotherBatch == true), so this test drives
-    // by POLLING the sink, never processAllAvailable (which would wait
-    // forever for quiescence); a real trigger interval keeps the loop
-    // from busy-spinning
-    val q = StreamingOps.changeScreenStream(mem.toDS(),
-        tombstoneRetentionMs = Some(1L)).toDF()
-      .writeStream.format("memory").queryName("changescreen_expiry_test")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger
-        .ProcessingTime("25 milliseconds"))
-      .start()
-    def rows() = spark.table("changescreen_expiry_test")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    def awaitRows(n: Int): Seq[(Long, String)] = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var r = rows()
-      while (r.size < n && System.nanoTime() < deadline) {
-        Thread.sleep(25); r = rows()
+    // Under parallel-suite IO load the auto-provisioned temp checkpoint's
+    // rename can fail (ChecksumCheckpointFileManager.renameTempFile),
+    // killing the query — the old form then polled a DEAD query for 30 s
+    // and failed with a bare row-count mismatch (round-13 verdict).
+    // Hardened three ways: an ISOLATED explicit checkpoint dir per
+    // attempt, awaitRows surfaces q.exception the moment the engine
+    // dies instead of timing out silently, and an engine death retries
+    // ONCE on a fresh stream + checkpoint (a logic mismatch — a plain
+    // assertion failure — never retries).
+    def attempt(tag: Int): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[DocVersion]
+      val name = s"changescreen_expiry_test_$tag"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_expiry_ckpt_$tag").toString
+      // ProcessingTimeTimeout makes the engine run no-data batches
+      // continuously (shouldRunAnotherBatch == true), so this test drives
+      // by POLLING the sink, never processAllAvailable (which would wait
+      // forever for quiescence); a real trigger interval keeps the loop
+      // from busy-spinning
+      val q = StreamingOps.changeScreenStream(mem.toDS(),
+          tombstoneRetentionMs = Some(1L)).toDF()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("25 milliseconds"))
+        .start()
+      def rows() = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      def awaitRows(n: Int): Seq[(Long, String)] = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var r = rows()
+        while (r.size < n && q.exception.isEmpty &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(25); r = rows()
+        }
+        q.exception.foreach(e => throw e) // the real cause, not a timeout
+        r
       }
-      r
+      try {
+        mem.addData(Seq(DocVersion(9L, 2L, "b")))
+        awaitRows(1)
+        mem.addData(Seq(DocVersion(9L, 3L, "", tombstone = true)))
+        assert(awaitRows(2) == Seq((9L, "added"), (9L, "removed")))
+        // the 1 ms retention has long passed after a few trigger cycles:
+        // the marker is freed, so even a STALE pre-tombstone version is
+        // re-admitted — the documented bounded guarantee, exactly a
+        // compacted topic past delete.retention.ms
+        Thread.sleep(200)
+        mem.addData(Seq(DocVersion(9L, 1L, "a")))
+        assert(awaitRows(3) == Seq((9L, "added"), (9L, "removed"),
+          (9L, "added")),
+          "post-retention resurrection must be re-admitted (marker freed)")
+      } finally q.stop()
     }
-    try {
-      mem.addData(Seq(DocVersion(9L, 2L, "b")))
-      awaitRows(1)
-      mem.addData(Seq(DocVersion(9L, 3L, "", tombstone = true)))
-      assert(awaitRows(2) == Seq((9L, "added"), (9L, "removed")))
-      // the 1 ms retention has long passed after a few trigger cycles:
-      // the marker is freed, so even a STALE pre-tombstone version is
-      // re-admitted — the documented bounded guarantee, exactly a
-      // compacted topic past delete.retention.ms
-      Thread.sleep(200)
-      mem.addData(Seq(DocVersion(9L, 1L, "a")))
-      assert(awaitRows(3) == Seq((9L, "added"), (9L, "removed"),
-        (9L, "added")),
-        "post-retention resurrection must be re-admitted (marker freed)")
-    } finally q.stop()
+    try attempt(1)
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        info(s"attempt 1 died in the engine (${
+          String.valueOf(e.getMessage).take(160)}) — retrying once on a " +
+          "fresh checkpoint")
+        attempt(2)
+    }
   }
 
   test("q103: epoch shuffle is a permutation — unique (shard,pos), contiguous positions, doc set preserved") {
