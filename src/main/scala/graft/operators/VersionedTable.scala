@@ -131,10 +131,15 @@ object VersionedTable {
   final case class ColStat(typ: String, min: String, max: String)
 
   /** Column types zone maps cover: integral → "long", floating →
-    * "double". Strings/decimals/timestamps are deliberately out — the
-    * tables this layer serves key on long ids and numeric measures, and
-    * a truncated-string bound is a correctness trap (Iceberg needed
-    * explicit truncate semantics for it). */
+    * "double", and — since round 14 — "string", recorded only when the
+    * extremes are short pure-ASCII FULL values (stageStats), which
+    * sidesteps the truncated-string correctness trap (Iceberg needed
+    * explicit truncate semantics for it) and keeps JVM-order pruning
+    * comparisons faithful to Spark's UTF8 binary ordering. The win is
+    * dictionary-coded text columns: `lang = 'de'` on a lang-clustered
+    * corpus skips whole dirs from the manifest alone. Decimals/
+    * timestamps stay out — long ids and doubles cover this layer's
+    * tables. */
   private def statType(
       dt: org.apache.spark.sql.types.DataType): Option[String] = dt match {
     case org.apache.spark.sql.types.ByteType |
@@ -143,6 +148,7 @@ object VersionedTable {
          org.apache.spark.sql.types.LongType => Some("long")
     case org.apache.spark.sql.types.FloatType |
          org.apache.spark.sql.types.DoubleType => Some("double")
+    case org.apache.spark.sql.types.StringType => Some("string")
     case _ => None
   }
 
@@ -411,7 +417,13 @@ object VersionedTable {
     * combinable, one output row per staged partition — manifest-sized,
     * not data-sized). Reading the staged BYTES rather than re-running
     * the caller's plan guarantees the recorded bounds hold for exactly
-    * the files the manifest will reference. */
+    * the files the manifest will reference. String columns join the
+    * scan since round 14 (their extremes record only when short
+    * pure-ASCII): on a text-heavy table this re-reads the just-staged
+    * document bytes once — a conscious trade: the pass is delta-
+    * bounded (only the staged generation, never the table), and the
+    * manifest-level `lang`/`source` dir-skips it buys are the pruning
+    * wins that repay it every read thereafter. */
   private def stageGeneration(spark: SparkSession, root: String,
       partCol: String, rows: DataFrame, extras: Map[String, DataFrame])
       : (String, Seq[String], Map[String, Map[String, ColStat]]) = {
@@ -447,6 +459,18 @@ object VersionedTable {
     def fmtVal(v: Any, typ: String): Option[String] = v match {
       case null => None
       case n: Number if typ == "long" => Some(n.longValue.toString)
+      case s: String if typ == "string" =>
+        // FULL-value bounds only, and only when short pure-ASCII (the
+        // dictionary-code shape: lang tags, sources, date strings):
+        // no Iceberg-style truncation semantics to get wrong, no
+        // manifest bloat from document-text min/max, and — because
+        // Spark compares strings by UTF8 binary order while the JVM
+        // compares UTF-16 units (they diverge past the BMP) — an
+        // all-ASCII stat is the condition under which [[pruneParts]]'s
+        // JVM-order comparison provably agrees with Spark's ordering
+        // against ANY bound value. A long/non-ASCII extreme records
+        // nothing for the dir: conservative, never wrong.
+        if (s.length <= 64 && s.forall(_ < 0x80)) Some(s) else None
       case n: Number =>
         val d = n.doubleValue
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) None
@@ -768,11 +792,29 @@ object VersionedTable {
     * double bound. */
   def pruneParts(snap: Snapshot, colName: String, lo: Option[Any],
       hi: Option[Any]): Map[String, String] = {
-    val lb = lo.map(toBound)
-    val hb = hi.map(toBound)
+    // lazy: string-typed stats never force a numeric conversion of the
+    // bounds (a string bound through toBound would throw — correctly —
+    // but only NUMERIC stats should demand numeric bounds)
+    lazy val lb = lo.map(toBound)
+    lazy val hb = hi.map(toBound)
+    // JVM String order is provably Spark-UTF8-order-faithful here
+    // because recorded string stats are all-ASCII (stageStats): at the
+    // first differing position the stat side is an ASCII char, and both
+    // orderings agree on ASCII-vs-anything; a non-String bound against
+    // a string stat prunes nothing (type confusion stays conservative)
+    def strKeepLo(b: Any, mx: String): Boolean = b match {
+      case s: String => s <= mx
+      case _ => true
+    }
+    def strKeepHi(b: Any, mn: String): Boolean = b match {
+      case s: String => s >= mn
+      case _ => true
+    }
     snap.parts.filter { case (dir, _) =>
       snap.stats.get(dir).flatMap(_.get(colName)) match {
         case None => true
+        case Some(st) if st.typ == "string" =>
+          lo.forall(strKeepLo(_, st.max)) && hi.forall(strKeepHi(_, st.min))
         case Some(st) =>
           val mn = BigDecimal(st.min)
           val mx = BigDecimal(st.max)
@@ -1178,5 +1220,39 @@ object VersionedTable {
     }
     drop.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(mdir, n), false))
+  }
+
+  /** Time-based retention — the production contract form (`RETAIN n
+    * HOURS`): drop every version committed at or before
+    * `nowMs − retainMs`, then sweep unreferenced generations through
+    * the same path as the count-based [[vacuum]]. The NEWEST manifest
+    * is always retained regardless of age — a table never loses its
+    * current snapshot by sitting idle past the window. Commit instants
+    * come from the stamped `committedAtMs` (file mtime only for legacy
+    * manifests — the same rule [[snapshotAsOf]] and [[history]] resolve
+    * by, so what history SHOWS as in-window is what retention KEEPS).
+    * `committedAtMs` is monotone in version (stamped under the commit
+    * lock), so the expired set is a PREFIX of the version-ordered
+    * listing; a manifest a concurrent vacuum already deleted counts as
+    * expired (the hole sits in that same prefix). Same single-
+    * maintainer contract as every commit; consumers whose CDC cursor
+    * falls behind the retained window hit the vacuumed-version loud
+    * error on their next `changes` resolve, exactly as under
+    * count-based removal. `nowMs` is a test seam. */
+  def vacuumRetain(spark: SparkSession, root: String, retainMs: Long,
+      graceMs: Long = 3600000L,
+      nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
+    require(retainMs >= 0, "retainMs must be non-negative")
+    val fs = hadoopFs(spark, manifestsDir(root))
+    val listed = listManifestsWithMtime(fs, root).toIndexedSeq // ascending
+    if (listed.isEmpty) return
+    val cutoff = nowMs() - retainMs
+    val expiredPrefix = listed.segmentLength { case (_, name, mtime) =>
+      (try Some(readManifest(spark, root, name))
+       catch { case _: java.io.FileNotFoundException => None })
+        .forall(_.committedAtMs.getOrElse(mtime) <= cutoff)
+    }
+    vacuum(spark, root,
+      keepVersions = math.max(1, listed.length - expiredPrefix), graceMs)
   }
 }

@@ -39,8 +39,9 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * (`GraftVtSourceSpec`).
   *
   * Pushdown: filters on the PARTITION column become literal dir
-  * selection (EqualTo/In/EqualNullSafe), numeric range filters become
-  * zone-map dir pruning ([[VersionedTable.readFor]]) — and every filter
+  * selection (EqualTo/In/EqualNullSafe), numeric and string range
+  * filters become zone-map dir pruning ([[VersionedTable.readFor]],
+  * string stats recorded when short pure-ASCII) — and every filter
   * is also re-applied by Spark at row level (`unhandledFilters` keeps
   * the default all-unhandled contract, so pruning can only ever skip
   * whole dirs the manifest PROVES empty for the predicate).
@@ -179,44 +180,58 @@ final class GraftVtRelation(ctx: SQLContext, root: String,
     val wanted: Option[Seq[Any]] =
       if (partSets.isEmpty) None
       else Some(partSets.map(_.toSet).reduce(_ intersect _).toSeq)
-    // numeric range predicates → zone-map bounds (strict inequalities
-    // relax to inclusive bounds — sound for dir skipping, the row-level
-    // re-apply keeps them strict)
-    def num(v: Any): Option[Any] = v match {
+    // numeric AND string range predicates → zone-map bounds (strict
+    // inequalities relax to inclusive bounds — sound for dir skipping,
+    // the row-level re-apply keeps them strict). String bounds ride to
+    // pruneParts, whose comparisons against the all-ASCII recorded
+    // stats are Spark-order-faithful; `lang = 'de'` on a lang-
+    // clustered corpus skips whole dirs from the manifest alone.
+    def boundable(v: Any): Option[Any] = v match {
       case n: java.lang.Number => Some(n)
+      case s: String => Some(s)
       case _ => None
+    }
+    // Which of two same-column bounds is tighter. Mixed-type pairs
+    // (filter values of one column always share a type in practice)
+    // return 0 — EITHER choice is sound: pruneParts keeps every dir
+    // that can hold a row satisfying ALL pushed predicates, and any
+    // one predicate's bound is an upper bound on that requirement.
+    def cmp(x: Any, y: Any): Int = (x, y) match {
+      case (a: String, b: String) => a.compareTo(b)
+      case (a: java.lang.Number, b: java.lang.Number) =>
+        VersionedTable.toBound(a).compare(VersionedTable.toBound(b))
+      case _ => 0
     }
     val bounds = scala.collection.mutable.Map[String,
       (Option[Any], Option[Any])]()
     def tighten(c: String, lo: Option[Any], hi: Option[Any]): Unit = {
       val (clo, chi) = bounds.getOrElse(c, (None, None))
       def max2(a: Option[Any], b: Option[Any]) = (a, b) match {
-        case (Some(x), Some(y)) =>
-          if (VersionedTable.toBound(x) >= VersionedTable.toBound(y)) a else b
+        case (Some(x), Some(y)) => if (cmp(x, y) >= 0) a else b
         case _ => a.orElse(b)
       }
       def min2(a: Option[Any], b: Option[Any]) = (a, b) match {
-        case (Some(x), Some(y)) =>
-          if (VersionedTable.toBound(x) <= VersionedTable.toBound(y)) a else b
+        case (Some(x), Some(y)) => if (cmp(x, y) <= 0) a else b
         case _ => a.orElse(b)
       }
       bounds(c) = (max2(clo, lo), min2(chi, hi))
     }
     filters.foreach {
       case EqualTo(c, v) if c != snap.partCol =>
-        num(v).foreach(n => tighten(c, Some(n), Some(n)))
-      case GreaterThan(c, v) => num(v).foreach(n => tighten(c, Some(n), None))
+        boundable(v).foreach(n => tighten(c, Some(n), Some(n)))
+      case GreaterThan(c, v) =>
+        boundable(v).foreach(n => tighten(c, Some(n), None))
       case GreaterThanOrEqual(c, v) =>
-        num(v).foreach(n => tighten(c, Some(n), None))
-      case LessThan(c, v) => num(v).foreach(n => tighten(c, None, Some(n)))
+        boundable(v).foreach(n => tighten(c, Some(n), None))
+      case LessThan(c, v) =>
+        boundable(v).foreach(n => tighten(c, None, Some(n)))
       case LessThanOrEqual(c, v) =>
-        num(v).foreach(n => tighten(c, None, Some(n)))
+        boundable(v).foreach(n => tighten(c, None, Some(n)))
       case In(c, vs) if c != snap.partCol && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[java.lang.Number]) =>
-        val bs = vs.map(VersionedTable.toBound)
-        val lo = vs(bs.indexOf(bs.min))
-        val hi = vs(bs.indexOf(bs.max))
-        tighten(c, Some(lo), Some(hi))
+          (vs.forall(_.isInstanceOf[java.lang.Number]) ||
+            vs.forall(_.isInstanceOf[String])) =>
+        val sorted = vs.toSeq.sortWith(cmp(_, _) < 0)
+        tighten(c, Some(sorted.head), Some(sorted.last))
       case _ => () // unsupported shapes prune nothing; rows re-filter
     }
     val df = VersionedTable.readFor(ctx.sparkSession, snap, root, schema,

@@ -117,6 +117,44 @@ class GraftVtSourceSpec extends SparkSpec {
       .getParent.getName).toSet == Set("bucket=1", "bucket=2"))
   }
 
+  test("string pushdown: lang = 'de' through SQL skips dirs via the string zone map — answers unchanged") {
+    val root = newRoot("strprune")
+    // lang-clustered corpus layout: each bucket one lang slice
+    val data = spark.range(0, 400).select(col("id").as("k"),
+      element_at(array(lit("de"), lit("en"), lit("fr"), lit("pt")),
+        (col("id") / 100).cast("int") + 1).as("lang"),
+      (col("id") / 100).cast("int").as("bucket"))
+    VersionedTable.publishFull(spark, root, "bucket", data)
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.stats("bucket=0")("lang") ==
+      VersionedTable.ColStat("string", "de", "de"))
+    val rel = new graft.sources.GraftVt()
+      .createRelation(spark.sqlContext,
+        Map("path" -> root)).asInstanceOf[graft.sources.GraftVtRelation]
+    import org.apache.spark.sql.sources._
+    // the format's filter conversion routes the string equality into
+    // pruneParts: only the de-dir's rows flow through the scan
+    val viaRel = rel.buildScan(Array("k"),
+      Array(EqualTo("lang", "de"))).map(_.getLong(0)).collect()
+    assert(viaRel.length == 100 && viaRel.forall(_ < 100),
+      "string EqualTo must prune to the single overlapping dir")
+    // SQL answer parity (row-level re-filter keeps exact semantics)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vt_strzone
+      USING graftvt OPTIONS (path '$root')""")
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_strzone WHERE lang = 'de'")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_strzone WHERE lang IN ('en','fr')")
+      .head.getLong(0) == 200L)
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_strzone WHERE lang >= 'pt'")
+      .head.getLong(0) == 100L)
+    // dir-level law straight off the library path for the same bound
+    assert(VersionedTable.pruneParts(snap, "lang",
+      Some("de"), Some("de")).keySet == Set("bucket=0"))
+  }
+
   test("format writes are atomic versioned publishes: Overwrite commits the next version, ErrorIfExists bootstraps only, Append is rejected by design") {
     val root = newRoot("write")
     val v1 = rowsDf((1L, "a", 0), (2L, "b", 1))

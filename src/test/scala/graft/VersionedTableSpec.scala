@@ -190,6 +190,51 @@ class VersionedTableSpec extends SparkSpec {
       Set((1L, "a", 0), (2L, "B3", 1)))
   }
 
+  test("vacuumRetain: wall-clock retention drops versions past the window, always keeps the newest, behind-retention reads fail loudly") {
+    val root = newRoot("vacretain")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    Thread.sleep(15) // distinct committedAtMs per version
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B2", 1)))
+    Thread.sleep(15)
+    VersionedTable.publishDelta(spark, root, Seq(1), rowsDf((2L, "B3", 1)))
+    val hist = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(hist(1L) < hist(2L) && hist(2L) < hist(3L),
+      "publishes must stamp strictly increasing commit instants")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifests = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "manifests"))
+      .map(_.getPath.getName).sorted.toSeq
+    // retention window opens midway between v1 and v2's commit instants:
+    // v1 is past the window, v2/v3 inside it — the RETAIN n HOURS shape,
+    // driven through the nowMs seam so the test owns the clock
+    val nowFixed = hist(3L) + 1000000L
+    VersionedTable.vacuumRetain(spark, root,
+      retainMs = nowFixed - (hist(1L) + hist(2L)) / 2, graceMs = 0L,
+      nowMs = () => nowFixed)
+    assert(manifests == Seq("v00000002.json", "v00000003.json"),
+      "v1 committed before the window must go; v2/v3 inside it stay")
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B3", 1)))
+    // behind-retention access is LOUD, same as count-based removal:
+    // the vacuumed version resolves to nothing and restore refuses
+    assert(VersionedTable.snapshotAt(spark, root, 1L).isEmpty)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.restore(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not retained"))
+    // retainMs = 0 expires EVERYTHING — but the newest always survives:
+    // an idle table never loses its current snapshot to the clock
+    VersionedTable.vacuumRetain(spark, root, retainMs = 0L, graceMs = 0L,
+      nowMs = () => nowFixed)
+    assert(manifests == Seq("v00000003.json"))
+    assert(contents(VersionedTable.readCurrent(spark, root, schema)) ==
+      Set((1L, "a", 0), (2L, "B3", 1)))
+  }
+
   test("manifest versions past 8 digits: numeric resolve, not lexicographic; vacuum keeps the true newest") {
     val root = newRoot("wide")
     VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
@@ -893,6 +938,51 @@ class VersionedTableSpec extends SparkSpec {
       "score", 5.0, 6.0)
     assert(scannedDirs(lr) == legacy.parts.keySet)
     assert(lr.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("zone maps: string columns prune — the lang='de' dir-skip law; long/non-ASCII extremes record nothing") {
+    val sschema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("note", StringType),
+      StructField("bucket", IntegerType)))
+    val root = newRoot("zonestr")
+    // lang-clustered layout: each bucket holds a contiguous lang slice
+    val big = "x" * 100 // > the 64-char record cap
+    VersionedTable.publishFull(spark, root, "bucket", Seq(
+      (1L, "de", "ok", 0), (2L, "de", "ok", 0),
+      (3L, "en", big, 1), // oversized note extreme: no stat for note@b1
+      (4L, "fr", "voilà", 2), // non-ASCII max: no stat for note@b2
+      (5L, "pt", "ok", 3)).toDF("doc_id", "lang", "note", "bucket"))
+    val snap = VersionedTable.currentSnapshot(spark, root).get
+    assert(snap.stats("bucket=0")("lang") ==
+      VersionedTable.ColStat("string", "de", "de"))
+    assert(!snap.stats("bucket=1").contains("note"),
+      "an extreme past the 64-char cap records nothing — no truncated-" +
+        "bound trap")
+    assert(!snap.stats("bucket=2").contains("note"),
+      "a non-ASCII extreme records nothing — JVM vs UTF8 order can " +
+        "diverge there")
+    assert(snap.stats("bucket=2")("lang") ==
+      VersionedTable.ColStat("string", "fr", "fr"),
+      "the ASCII column of the same dir still records")
+    // the dir-skip law: lang='de' touches ONLY bucket 0; statless
+    // columns prune nothing
+    assert(VersionedTable.pruneParts(snap, "lang",
+      Some("de"), Some("de")).keySet == Set("bucket=0"))
+    assert(VersionedTable.pruneParts(snap, "note",
+      Some("ok"), Some("ok")).keySet ==
+      Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"),
+      "dirs without a recorded stat for the column are kept")
+    // numeric bound against a string stat: type confusion stays
+    // conservative — everything kept, nothing thrown
+    assert(VersionedTable.pruneParts(snap, "lang",
+      Some(java.lang.Long.valueOf(1L)), None).keySet ==
+      snap.parts.keySet)
+    // readRange end-to-end on the string column: file-count law +
+    // answer equality vs the unpruned read
+    val ranged = VersionedTable.readRange(spark, snap, root, sschema,
+      "lang", "de", "en")
+    assert(scannedDirs(ranged) == Set("bucket=0", "bucket=1"))
+    assert(ranged.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
   test("zone-map bounds: java.math.BigDecimal/BigInteger convert exactly — no long truncation mis-prune") {
