@@ -90,7 +90,24 @@ object Nightly {
   final case class Step(component: String, action: String, version: Long)
 
   final case class Report(corpusVersion: Long, steps: Seq[Step],
-      compacted: Map[String, Int])
+      compacted: Map[String, Int],
+      pinned: Map[String, Long] = Map.empty)
+
+  /** A NIGHT as one consistent read set (round-13 verdict item 4): the
+    * per-consumer versions the night that synced everything to
+    * `corpusVersion` left serveable, recorded as one small JSON beside
+    * the corpus manifests (`<corpusRoot>/nights/`). Each consumer's own
+    * manifest already commits its cursor atomically WITH its state —
+    * but each consumer separately, so a reader composing BM25+IVF+stats
+    * mid-night can observe a MIXED world (index already at night N+1,
+    * stats still at N). The pin closes that hole: [[resolveNight]] once,
+    * read every table at its pinned version, and the set is immutable —
+    * night N+1 running concurrently changes nothing a pinned reader
+    * sees (the law `NightlySpec` pins before/during/after N+1).
+    * Retention applies as everywhere: a pinned version aged past
+    * `keepVersions` resolves LOUDLY, never to a different state. */
+  final case class NightPin(corpusVersion: Long,
+      versions: Map[String, Long], committedAtMs: Long)
 
   /** Test seam for the crash-resume law: `NightlySpec` injects a crash
     * after a named step and proves the re-run converges. */
@@ -320,11 +337,122 @@ object Nightly {
       "stats" -> VersionedTable.compact(spark, roots.stats, statsSchema,
         compactFilesPerPart).size)
     chk("compact")
+    // ---- 3b. night pin -----------------------------------------------
+    // AFTER compaction (so the pinned versions are the night's final
+    // serveable states — compaction is content-identical but commits
+    // new versions) and BEFORE vacuum (which retains what compaction
+    // just committed, so this night's pin always resolves tonight)
+    val pin = commitNightPin(spark, roots, corpusCur.version)
+    chk("pin")
     roots.all.foreach { case (_, r) =>
       VersionedTable.vacuum(spark, r, keepVersions, vacuumGraceMs)
     }
 
-    Report(corpusCur.version, steps.toSeq, compacted)
+    Report(corpusCur.version, steps.toSeq, compacted, pin.versions)
+  }
+
+  // ------------------------------------------------------- night pins
+  private def nightsDir(corpusRoot: String) =
+    new org.apache.hadoop.fs.Path(corpusRoot, "nights")
+  private def nightPinPath(corpusRoot: String, v: Long) =
+    new org.apache.hadoop.fs.Path(nightsDir(corpusRoot),
+      f"night-v$v%08d.json")
+
+  /** Record the CURRENT version of every component as night
+    * `corpusVersion`'s consistent read set. Idempotent: a re-run whose
+    * resolved versions equal the existing pin writes nothing; a crash
+    * between compaction and pin re-pins deterministically (the same
+    * components resolve to the same versions). Atomic via
+    * tmp-write + rename, the manifest commit's own pattern — there is
+    * no version race to lose here (one night owns one corpus version),
+    * so an existing file is replaced, not fought over. */
+  private[graft] def commitNightPin(spark: SparkSession, roots: Roots,
+      corpusVersion: Long): NightPin = {
+    val versions = roots.all.map { case (name, root) =>
+      name -> VersionedTable.currentSnapshot(spark, root).map(_.version)
+        .getOrElse(throw new IllegalStateException(
+          s"cannot pin night v$corpusVersion: component '$name' at " +
+            s"$root has no committed snapshot"))
+    }.toMap
+    val pin = NightPin(corpusVersion, versions, System.currentTimeMillis())
+    if (nightPin(spark, roots.corpus, corpusVersion)
+        .exists(_.versions == versions)) return pin
+    val dir = nightsDir(roots.corpus)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("corpusVersion", corpusVersion)
+    node.put("committedAtMs", pin.committedAtMs)
+    val vn = node.putObject("versions")
+    versions.toSeq.sortBy(_._1).foreach { case (k, v) => vn.put(k, v) }
+    val target = nightPinPath(roots.corpus, corpusVersion)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".night-v$corpusVersion.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not commit night pin $target")
+    }
+    pin
+  }
+
+  /** Read night `corpusVersion`'s pin; None when that night never
+    * completed its pin step (or the file was removed). */
+  def nightPin(spark: SparkSession, corpusRoot: String,
+      corpusVersion: Long): Option[NightPin] = {
+    val p = nightPinPath(corpusRoot, corpusVersion)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val node = try
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+    val vs = Option(node.get("versions")).map { vn =>
+      val it = vn.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val k = it.next(); b += k -> vn.get(k).asLong() }
+      b.result()
+    }.getOrElse(Map.empty[String, Long])
+    Some(NightPin(node.get("corpusVersion").asLong(), vs,
+      Option(node.get("committedAtMs")).map(_.asLong()).getOrElse(0L)))
+  }
+
+  /** Corpus versions with a committed night pin, ascending. */
+  def listNightPins(spark: SparkSession, corpusRoot: String): Seq[Long] = {
+    val dir = nightsDir(corpusRoot)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Nil
+    val re = """night-v(\d+)\.json""".r
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case re(v) => v.toLong
+    }.sorted
+  }
+
+  /** Resolve night `corpusVersion` to one CONSISTENT set of snapshots —
+    * every component at exactly the version the night pinned. A reader
+    * serving answers off this map cannot mix nights however many
+    * maintenance runs land meanwhile. Loud when the pin is absent or a
+    * pinned version is no longer retained. */
+  def resolveNight(spark: SparkSession, roots: Roots,
+      corpusVersion: Long): Map[String, VersionedTable.Snapshot] = {
+    val pin = nightPin(spark, roots.corpus, corpusVersion).getOrElse(
+      throw new IllegalStateException(
+        s"no night pin for corpus v$corpusVersion at ${roots.corpus} — " +
+          "that night never completed its pin step"))
+    val rootOf = roots.all.toMap
+    pin.versions.map { case (name, v) =>
+      val root = rootOf.getOrElse(name, throw new IllegalStateException(
+        s"night pin names unknown component '$name'"))
+      name -> VersionedTable.snapshotAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(s"night v$corpusVersion pins " +
+          s"$name at v$v but that version is not retained (vacuumed) — " +
+          "size keepVersions/retainMs to cover pinned nights"))
+    }
   }
 
   /** Presence-flag content diff over (text, embedding) — [[CurationOps

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * — the steady-state the composition exists for. */
 object NightlyOps extends OpCatalog {
 
-  /** Rebuild the world when any family's layout/recipe changes. */
+  /** Rebuild the world when any family's layout/recipe changes.
+    * `_n2`: nights commit a [[graft.Nightly.NightPin]] since round 14 —
+    * pre-pin worlds can't serve q149. */
   private def formatTag: String =
-    s"${Bm25Index.formatTag}_${IvfIndex.formatTag}_${PqIndex.formatTag}_n1"
+    s"${Bm25Index.formatTag}_${IvfIndex.formatTag}_${PqIndex.formatTag}_n2"
 
   /** The nightly corpus: ONE table carrying both modalities — documents
     * (text) inner-joined with embeddings on doc_id = vec_id (at sf0.1
@@ -94,6 +96,25 @@ object NightlyOps extends OpCatalog {
       |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
       |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** q145's grid served THROUGH the night pin ([[Nightly.resolveNight]]
+    * — round-13 verdict item 4): resolve the latest completed night to
+    * its consistent per-consumer version set and read the stats grid at
+    * exactly the pinned version. Answer-invariance vs q145's
+    * current-manifest read is the pin's contract — a reader composing
+    * multiple consumers through one pin can never observe a mixed
+    * world, and the driver hash-checks the pinned route lands the
+    * identical grid. */
+  def nightPinStats(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val roots = nightlyArtifact(spark, sfDir)
+    val nights = Nightly.listNightPins(spark, roots.corpus)
+    require(nights.nonEmpty, "the two-night artifact always pins")
+    val set = Nightly.resolveNight(spark, roots, nights.max)
+    VersionedTable.read(spark, set("stats"), roots.stats,
+      Nightly.statsSchema).orderBy(col("bucket"))
+  }
+
   // --------------------------------------------------------------- q146
   /** q133's fixed query served off the NIGHTLY-maintained BM25 index
     * (manifest-routed bucket pruning, corpus constants from the same
@@ -147,5 +168,7 @@ object NightlyOps extends OpCatalog {
     Op("q145_nightly_stats", nightlyStats, Some(nightlyStatsSql),
       "the composed nightly driver's downstream stats grid: corpus delta publish -> manifest CDC feed -> add/retract maintenance -> compact+vacuum, oracle = direct recompute on planted v2"),
     Op("q146_nightly_bm25", nightlyBm25, Some(nightlyBm25Sql),
-      "q133's query served off the nightly's CDC-maintained BM25 index (deltaFromChanges-driven updateFromVersioned), oracle = BM25 computed directly on planted v2 over the joined corpus"))
+      "q133's query served off the nightly's CDC-maintained BM25 index (deltaFromChanges-driven updateFromVersioned), oracle = BM25 computed directly on planted v2 over the joined corpus"),
+    Op("q149_night_pin_read", nightPinStats, Some(nightlyStatsSql),
+      "the stats grid served through the night pin (resolveNight's consistent per-consumer version set) — answer-invariant vs the current-manifest read, so a pinned reader never mixes nights"))
 }

@@ -191,7 +191,7 @@ class NightlySpec extends SparkSpec {
     Nightly.run(spark, reference, corpusV2, vacuumGraceMs = 0L)
     val want = stateOf(reference)
     val wantManifests = manifestNames(reference)
-    for (crashAt <- Seq("corpus", "ivf", "stats", "compact")) {
+    for (crashAt <- Seq("corpus", "ivf", "stats", "compact", "pin")) {
       val branch = copyRoots(base, s"crash_$crashAt")
       val e = intercept[Nightly.InjectedCrash] {
         Nightly.run(spark, branch, corpusV2, vacuumGraceMs = 0L,
@@ -209,7 +209,64 @@ class NightlySpec extends SparkSpec {
           "night's")
       assert(manifestNames(branch) == wantManifests,
         s"crash at $crashAt: same retained manifest set")
+      assert(Nightly.nightPin(spark, branch.corpus, resumed.corpusVersion)
+          .map(_.versions) ==
+        Nightly.nightPin(spark, reference.corpus, resumed.corpusVersion)
+          .map(_.versions),
+        s"crash at $crashAt: the night pin must converge too")
     }
+  }
+
+  test("night pin: a reader pinned to night N sees identical answers before, during, and after night N+1; stale pins resolve loudly") {
+    val roots = newRoots("pinlaw")
+    val n1 = Nightly.run(spark, roots, corpusV1, keepVersions = 10,
+      vacuumGraceMs = 0L)
+    assert(n1.pinned.keySet ==
+      Set("corpus", "bm25", "ivf", "pq", "stats"))
+    assert(Nightly.nightPin(spark, roots.corpus, n1.corpusVersion)
+      .get.versions == n1.pinned)
+    def pinnedAnswers(): (Set[String], Set[String]) = {
+      val set = Nightly.resolveNight(spark, roots, n1.corpusVersion)
+      (VersionedTable.read(spark, set("stats"), roots.stats,
+         Nightly.statsSchema).collect().map(_.toString).toSet,
+       VersionedTable.read(spark, set("bm25"), roots.bm25,
+         Bm25Index.postingsSchema).collect().map(_.toString).toSet)
+    }
+    val before = pinnedAnswers()
+    // DURING night N+1: corpus already at the new version, consumers
+    // not yet synced — the exact mixed world the pin exists for
+    intercept[Nightly.InjectedCrash] {
+      Nightly.run(spark, roots, corpusV2, keepVersions = 10,
+        vacuumGraceMs = 0L, failAfter = Set("corpus"))
+    }
+    assert(pinnedAnswers() == before,
+      "mid-night (corpus at N+1, consumers at N) the pinned reader is " +
+        "unaffected")
+    val n2 = Nightly.run(spark, roots, corpusV2, keepVersions = 10,
+      vacuumGraceMs = 0L)
+    assert(n2.corpusVersion != n1.corpusVersion)
+    assert(pinnedAnswers() == before,
+      "after night N+1 the night-N pin still serves night N's state")
+    assert(Nightly.listNightPins(spark, roots.corpus) ==
+      Seq(n1.corpusVersion, n2.corpusVersion))
+    // the pin is doing real work: the UNPINNED current grid moved on
+    val curStats = VersionedTable.readCurrent(spark, roots.stats,
+      Nightly.statsSchema).collect().map(_.toString).toSet
+    assert(curStats != before._1,
+      "night N+1 genuinely changed the grid")
+    // and night N+1's own pin resolves to the current world
+    val set2 = Nightly.resolveNight(spark, roots, n2.corpusVersion)
+    assert(VersionedTable.read(spark, set2("stats"), roots.stats,
+      Nightly.statsSchema).collect().map(_.toString).toSet == curStats)
+    // retention: once the pinned versions age out, the pin fails LOUDLY
+    // — never silently serving a different night
+    roots.all.foreach { case (_, r) =>
+      VersionedTable.vacuum(spark, r, keepVersions = 1, graceMs = 0L)
+    }
+    val err = intercept[IllegalStateException] {
+      Nightly.resolveNight(spark, roots, n1.corpusVersion)
+    }
+    assert(err.getMessage.contains("not retained"))
   }
 
   test("stats double-apply guard: re-applying an already-covered span is a no-op — add/retract math never lands twice") {
