@@ -47,9 +47,69 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * whole dirs the manifest PROVES empty for the predicate).
   */
 final class GraftVt extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftvt"
+
+  // ------------------------------------------------ streaming (CDC)
+  /** Resolve the change-feed options shared by [[sourceSchema]] and
+    * [[createSource]]. The streaming surface is the CHANGE FEED only
+    * (`readChangeFeed=true` required) — snapshots are the batch
+    * surface. Row schema comes from the user's `.schema(…)` or the
+    * current manifest's field record. */
+  private def cdcParams(ctx: SQLContext,
+      schema: Option[StructType], parameters: Map[String, String])
+      : (String, StructType, String, Long) = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graftvt requires a path (the versioned table root)"))
+    require(opts.get("readchangefeed").exists(_.equalsIgnoreCase("true")),
+      "graftvt streaming serves the CHANGE FEED only — pass " +
+        ".option(\"readChangeFeed\",\"true\") (snapshots are the batch " +
+        "surface: spark.read.format(\"graftvt\"))")
+    val keyCol = opts.getOrElse("keycol",
+      throw new IllegalArgumentException("graftvt change feed requires " +
+        "a keyCol option naming the row-identity column"))
+    val startingVersion = opts.get("startingversion")
+      .map(v => scala.util.Try(v.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be a version number, got '$v'")))
+      .getOrElse(1L)
+    val rowSchema = schema.getOrElse {
+      val snap = VersionedTable.currentSnapshot(ctx.sparkSession, root)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed snapshot at $root — an unborn table has no " +
+            "schema record; pass an explicit .schema(…) to start the " +
+            "stream before the first publish"))
+      if (snap.schemaFields.isEmpty) throw new IllegalArgumentException(
+        s"manifest v${snap.version} at $root predates the schema " +
+          "record — pass an explicit .schema(…)")
+      StructType(snap.schemaFields.toSeq.sortBy(_._1).map {
+        case (n, t) => StructField(n, DataType.fromDDL(t))
+      })
+    }
+    require(rowSchema.fieldNames.contains(keyCol),
+      s"keyCol '$keyCol' is not a column of the feed schema: " +
+        rowSchema.fieldNames.mkString(", "))
+    (root, rowSchema, keyCol, startingVersion)
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val (_, rowSchema, _, _) = cdcParams(ctx, schema, parameters)
+    (shortName(), GraftVtCdcSource.feedSchema(rowSchema))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (root, rowSchema, keyCol, startingVersion) =
+      cdcParams(ctx, schema, parameters)
+    new GraftVtCdcSource(ctx, root, rowSchema, keyCol, startingVersion)
+  }
 
   /** `df.write.format("graftvt").option("partCol", …)` — an atomic
     * versioned PUBLISH, never a file write: `Overwrite` commits a full

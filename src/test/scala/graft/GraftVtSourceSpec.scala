@@ -202,4 +202,152 @@ class GraftVtSourceSpec extends SparkSpec {
       fmt(root).option("extra", "stats").load()
     }
   }
+
+  // ------------------------------------------------- change feed stream
+  private def cdcReader(root: String, starting: Long = 1L) =
+    spark.readStream.format("graftvt")
+      .option("readChangeFeed", "true").option("keyCol", "k")
+      .option("startingVersion", starting.toString)
+      .load(root)
+
+  private def asFeedTuples(df: DataFrame)
+      : Set[(Long, String, Int, String)] =
+    df.select(col("k"), col("v"), col("bucket"), col("change_type"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        r.getInt(2), r.getString(3))).toSet
+
+  private def feedRows(table: String, cv: Long)
+      : Set[(Long, String, Int, String)] =
+    asFeedTuples(spark.table(table).filter(col("commit_version") === cv))
+
+  private def allFeedRows(table: String): Set[(Long, String, Int, String)] =
+    asFeedTuples(spark.table(table))
+
+  /** The library feed for a span, shaped like the source's output. */
+  private def spanFeed(root: String, fromV: Long,
+      toV: Long): Set[(Long, String, Int, String)] = {
+    val from = VersionedTable.snapshotAt(spark, root, fromV).get
+    val to = VersionedTable.snapshotAt(spark, root, toV).get
+    asFeedTuples(
+      VersionedTable.changes(spark, root, from, to, schema, "k"))
+  }
+
+  test("change feed stream: offsets are committed versions — batches replay the q143 feed, checkpoint resumes across restarts") {
+    val root = newRoot("cdc")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ckpt").toString
+    // a FILE sink: the memory sink refuses checkpoint recovery, and
+    // recovery is exactly what this test proves
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_out").toString
+    VersionedTable.publishFull(spark, root,
+      "bucket", rowsDf((1L, "a", 0), (2L, "b", 1), (3L, "c", 2)))
+    def drain(): Unit = {
+      val q = cdcReader(root).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run must finish")
+    }
+    def sunk(cv: Long) = asFeedTuples(
+      spark.read.parquet(outDir).filter(col("commit_version") === cv))
+    def sunkCount() = spark.read.parquet(outDir).count()
+    // the source's declared schema is the feed shape (manifest-derived
+    // row schema is name-sorted, like the batch surface)
+    assert(cdcReader(root).schema.fieldNames.toSeq ==
+      Seq("bucket", "k", "v", "change_type", "commit_version"))
+    // run 1: replay from birth — v1's rows as inserts, stamped v1
+    drain()
+    assert(sunk(1L) == Set(
+      (1L, "a", 0, "insert"), (2L, "b", 1, "insert"),
+      (3L, "c", 2, "insert")))
+    assert(sunkCount() == 3)
+    // v2: an upsert and a delete in bucket 1 + untouched buckets
+    VersionedTable.publishDelta(spark, root, Seq(1),
+      rowsDf((20L, "B", 1)))
+    // run 2 RESTARTS from the checkpoint: exactly the v1→v2 span feed,
+    // identical to the library q143 call — never a replay of batch 1
+    drain()
+    assert(sunk(2L) == spanFeed(root, 1L, 2L))
+    assert(sunk(2L).map(_._4) == Set("insert", "delete"),
+      "the v1→v2 span is one insert (k=20) and one delete (k=2)")
+    assert(sunkCount() == 5, "no replay of the v1 batch")
+    // quiet span: no new version — a re-run sinks zero new rows
+    drain()
+    assert(sunkCount() == 5, "a quiet span must produce no batch rows")
+  }
+
+  test("change feed stream: live publishes while the query runs land as their own spans — the stream==batch law") {
+    val root = newRoot("cdclive")
+    VersionedTable.publishFull(spark, root, "bucket",
+      rowsDf((1L, "a", 0), (2L, "b", 1)))
+    val q = cdcReader(root).writeStream.format("memory")
+      .queryName("cdc_live").option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdclive_ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    def awaitCv(cv: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def seen() = spark.table("cdc_live")
+        .filter(col("commit_version") === cv).limit(1).count() > 0
+      while (!seen() && System.nanoTime() < deadline) {
+        q.exception.foreach(e => throw e)
+        Thread.sleep(50)
+      }
+      q.exception.foreach(e => throw e)
+      assert(seen(), s"deadline waiting for commit_version=$cv rows")
+    }
+    try {
+      awaitCv(1L)
+      VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((10L, "A", 0)))
+      awaitCv(2L)
+      VersionedTable.publishDelta(spark, root, Seq(1), rowsDf())
+      awaitCv(3L)
+      assert(feedRows("cdc_live", 2L) == spanFeed(root, 1L, 2L),
+        "the live v1→v2 span equals the library feed")
+      assert(feedRows("cdc_live", 3L) == spanFeed(root, 2L, 3L),
+        "the live v2→v3 span (bucket 1 emptied) equals the library feed")
+    } finally q.stop()
+  }
+
+  test("change feed stream: a checkpoint asleep past vacuum fails loudly; option validation") {
+    val root = newRoot("cdcvac")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdcvac_ck").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_cdcvac_out").toString
+    VersionedTable.publishFull(spark, root, "bucket", rowsDf((1L, "a", 0)))
+    val q1 = cdcReader(root).writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q1.awaitTermination(120000))
+    // the table moves on twice and retention drops the checkpointed v1
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((2L, "b", 0)))
+    VersionedTable.publishDelta(spark, root, Seq(0), rowsDf((3L, "c", 0)))
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    val q2 = cdcReader(root).writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("not retained") ||
+      Option(e.getCause).exists(_.getMessage.contains("not retained")),
+      s"a vacuumed offset must fail loudly, got: ${e.getMessage}")
+    // option validation: the stream is the change feed, with a key
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graftvt").load(root)
+    }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graftvt")
+        .option("readChangeFeed", "true").load(root)
+    }
+  }
 }
