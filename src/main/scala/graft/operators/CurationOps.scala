@@ -630,11 +630,17 @@ object CurationOps extends OpCatalog {
     * Scale: one explode+agg per round over the vocabulary frame
     * (checkpointed; plans stay flat); the argmax is a 1-row
     * TakeOrderedAndProject collect (the k-centroids pattern). */
-  /** The corpus word-frequency table q101/q102 train on. */
+  /** The corpus word-frequency table q101/q102 train on — memoized per
+    * (session, corpus): q101's training build and q102's apply pass each
+    * need it, and the corpus-sized tokenize+agg is the expensive part
+    * (the resulting frame is Heaps'-law vocabulary-sized — cheap to hold,
+    * exactly the persist-vs-recompute trade the shingle base documents). */
   private def wordFreq(spark: SparkSession, sfDir: String): DataFrame =
-    tok(spark, sfDir)
-      .select(explode(col("w")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    graft.Memo.cached(spark, s"curation:word_freq:$sfDir") {
+      tok(spark, sfDir)
+        .select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    }
 
   /** Trained rules, memoized per (session, corpus) so q101 and q102
     * share one training run (the shingle-base precedent in TextOps). */
@@ -648,7 +654,19 @@ object CurationOps extends OpCatalog {
     bpeRules(spark, sfDir).orderBy(col("merge_rank"))
   }
 
-  /** Core of q101 over any (word, freq) frame — spec entry point. */
+  /** Core of q101 over any (word, freq) frame — spec entry point.
+    *
+    * Job shape (round-14 optimization, guide §2.4): the encoded initial
+    * state is materialized ONCE (`localCheckpoint` — this is also the one
+    * corpus-sized pass, the word-frequency agg); each round's merge is
+    * then a lazily CHAINED `replace` over that base rather than its own
+    * materializing checkpoint, so round r's argmax job applies r−1
+    * narrow string replaces to the cached vocabulary frame in the same
+    * pass that counts pairs. The old shape paid a second materializing
+    * job per round (10 extra jobs) to save re-running replaces that cost
+    * microseconds per row on a Heaps'-law-sized frame — the wrong side
+    * of the trade at every scale. Rule values are identical: the chain
+    * applies the same replaces in the same order. */
   private[graft] def bpeMergesOf(wordFreq: DataFrame, rounds: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
@@ -674,7 +692,6 @@ object CurationOps extends OpCatalog {
         cur = cur
           .withColumn("state", org.apache.spark.sql.functions.replace(
             col("state"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
-          .localCheckpoint()
         Some((rank.toLong, l, r, l + r, pick.getLong(1)))
       }
     }.takeWhile(_.isDefined).flatten.toSeq

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * O(log n) rounds — vs O(component diameter) for plain min-label
   * propagation (the round-1 design, whose per-round driver `count()` job
   * over an ever-deeper plan was 33% of the whole bench). Each round here is
-  * ONE materializing job (`localCheckpoint` truncates lineage, so round r
-  * never re-plans rounds 1..r-1) plus one tiny set-difference probe over
-  * the two materialized frames; the superseded round's checkpoint storage
-  * is freed as soon as the convergence probe has consumed it, so peak
-  * executor storage stays ~2×|E| instead of rounds×|E|. No data ever
+  * exactly ONE job: the round's edge set is a LAZY `localCheckpoint`
+  * (plan truncation without a materializing job) and the exact
+  * set-equality convergence probe is the action that materializes it
+  * (round 14 fused the former separate eager-checkpoint + probe jobs —
+  * guide §2.4, half the per-round fixed cost); the superseded round's
+  * checkpoint storage is freed as soon as the convergence probe has
+  * consumed it, so peak executor storage stays ~2×|E| instead of
+  * rounds×|E|. No data ever
   * lands on the driver; every step is a shuffle the cluster absorbs at
   * any scale — the per-center neighborhood minima are `groupBy().min`
   * aggregates (map-side combinable, AQE-skew-safe), NOT window functions:
@@ -48,7 +51,11 @@ private[graft] object GraphOps {
     * min-label propagation needs d). */
   private[graft] def ccWithRounds(pairs: DataFrame, aCol: String,
       bCol: String): (DataFrame, Int) = {
-    // canonical orientation: u > v (both star steps preserve it)
+    // canonical orientation: u > v (both star steps preserve it).
+    // ONE materializing pass for the canonical edge set; the proper-edge
+    // and self-node splits below are narrow filters over its cached
+    // blocks, not their own checkpoints (round-14 optimization: the old
+    // shape paid a second full materialization for `filter(u > v)`).
     val canon = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
@@ -67,26 +74,34 @@ private[graft] object GraphOps {
     val selfNodes = canon
       .filter(col("u") === col("v") && col("u").isNotNull)
       .select(col("u").as("node"))
-    var cur = canon.filter(col("u") > col("v")).localCheckpoint()
+    var cur = canon.filter(col("u") > col("v"))
     var converged = false
     var round = 0
     val maxRounds = 25 // O(log n) bound; 2^25 nodes ≫ any input here
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      // exact fixpoint test: both sides are distinct sets in the same
-      // canonical orientation, so the multiset union has count 2 everywhere
-      // iff the sets are equal. One tiny job over two MATERIALIZED frames —
-      // no recompute, no driver-side rows.
+      // ONE job per round (round-14 optimization, guide §2.4): the round
+      // result is a LAZY localCheckpoint — the plan truncates to a
+      // LogicalRDD immediately (star steps reference their input ~5×, so
+      // an untruncated chain grows exponentially in rounds — a cache()-
+      // based variant of this fusion OOMed on plan strings alone), but
+      // nothing materializes until the fixpoint probe's count, so the
+      // old shape's separate materializing job disappears and each round
+      // pays exactly one job. The probe is exact: both sides are
+      // distinct sets in the same canonical orientation, so the multiset
+      // union has count 2 everywhere iff the sets are equal.
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       converged = next.union(cur)
         .groupBy(col("u"), col("v")).count()
         .filter(col("count") === 1)
-        .isEmpty
+        .count() == 0L
       // the convergence probe was this round's LAST read of the old
       // frame — free its checkpoint storage now rather than waiting for
       // nondeterministic driver GC + ContextCleaner (round-9 review:
       // without this, a 10-round run holds ~10 materialized edge-set
       // copies in executor storage). The final `cur` is never freed
-      // here: the returned labels plan reads it.
+      // here: the returned labels plan reads it. Round 0's `cur` is a
+      // narrow filter over the checkpointed `canon` (no storage of its
+      // own); the helper is a no-op for non-checkpoint plans.
       unpersistCheckpoint(cur)
       cur = next
       round += 1

@@ -471,7 +471,11 @@ object VectorOps extends OpCatalog {
     * so the returned codebook has ≤ k rows — callers probe whatever cells
     * exist. */
   private[graft] def ivfCodebook(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    val corpus = e.filter(col("vec_id") =!= 0)
+    // spread before the broadcast-assignment passes (guide §2.5): each
+    // Lloyd round computes n×k cosines, and the single-row-group fixture
+    // scan would hand every round's whole pass to ONE task
+    val corpus = graft.GraftSession.spread(
+      e.filter(col("vec_id") =!= 0), col("vec_id"))
     var cents = (if (k <= 16) farthestPointSeeds(corpus, k)
                  else hashSeeds(corpus, k))
       .withColumn("cell", (row_number().over(
@@ -512,7 +516,12 @@ object VectorOps extends OpCatalog {
     val cents = Memo.cached(spark, s"vectorops:ivf_codebook:$sfDir:k=$k") {
       ivfCodebook(e, k, iters = 3)
     }
-    ivfProbe(e.filter(col("vec_id") =!= 0), queryVec(spark, sfDir), cents,
+    // spread the serving corpus before the n×k assignment pass (guide
+    // §2.5 — the single-task-scan fix; the artifact path's cell-
+    // partitioned reads arrive pre-split and stay unspread)
+    ivfProbe(graft.GraftSession.spread(
+        e.filter(col("vec_id") =!= 0), col("vec_id")),
+      queryVec(spark, sfDir), cents,
       AnnParams.ivfProbeCells(k))
   }
 
@@ -604,7 +613,14 @@ object VectorOps extends OpCatalog {
   /** Exact all-pairs cosine near-dup core over any (vec_id, embedding)
     * frame — q46's body, reusable by specs at other thresholds/corpora. */
   def exactPairs(e: DataFrame, threshold: Double): DataFrame = {
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    // spread the STREAM side of the nested-loop join (guide §2.5): the
+    // single-row-group fixture scan otherwise evaluates all ~n²/2
+    // cosines in one task (q78's bounded slice is ~500k 64-dim sims —
+    // measured seconds on one core with 31 idle); the broadcast side
+    // stays as read
+    val a = graft.GraftSession.spread(
+      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+      col("id_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -665,11 +681,18 @@ object VectorOps extends OpCatalog {
   /** Banded-LSH blocked near-dup core — q48's body, reusable by specs. */
   def lshPairs(e: DataFrame, threshold: Double, bands: Int = 8,
       bits: Int = 4): DataFrame = {
+    // spread the corpus scan before the CPU-heavy hashing pass
+    // (round-14, guide §2.5): the fixture table is ONE parquet row
+    // group, so without it the bands×bits plane dot products for the
+    // whole corpus ran in a single task (measured: 2.0 s of q93's
+    // 6 s wall on one core while 31 idled); the shuffle moves only
+    // (vec_id, embedding) once and is split-count insurance at scale
+    val spread = graft.GraftSession.spread(e, col("vec_id"))
     // one fused expression computes every band's bucket in a single pass
     // over the vector (the per-band form re-materialized the float array
     // once per band — 100+× per row at derived shapes); posexplode's
     // position IS the band id, value-identical to the per-band planes
-    val keyed = e.select(col("vec_id"),
+    val keyed = spread.select(col("vec_id"),
       posexplode(VectorExpressions.hyperplaneBands(col("embedding"), bands, bits)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     val cand = keyed.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
@@ -1054,7 +1077,10 @@ object VectorOps extends OpCatalog {
     * (sub, cell, centroid). */
   private[graft] def pqCodebook(e: DataFrame, m: Int, dsub: Int, k: Int,
       iters: Int): DataFrame = {
-    val corpus = e.filter(col("vec_id") =!= 0)
+    // spread before the per-(vec, sub) assignment passes — same
+    // single-task-scan rationale as [[ivfCodebook]] (guide §2.5)
+    val corpus = graft.GraftSession.spread(
+      e.filter(col("vec_id") =!= 0), col("vec_id"))
     val seedIds = corpus.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(k).select(col("vec_id"), col("embedding"))
       .withColumn("cell", (row_number().over(
@@ -1334,7 +1360,12 @@ object VectorOps extends OpCatalog {
       // materialize the residual frame once: pqCodebook references its
       // training corpus ~2× per Lloyd round, and each reference would
       // replay the n×kc assignment join (measured: dominates training)
-      pqCodebook(assignCellsL2Residual(e.filter(col("vec_id") =!= 0),
+      // spread before the n×kc residual assignment (guide §2.5 single-
+      // task-scan fix); the checkpointed residual frame then stays
+      // multi-partition for pqCodebook's passes
+      pqCodebook(assignCellsL2Residual(
+        graft.GraftSession.spread(e.filter(col("vec_id") =!= 0),
+          col("vec_id")),
         coarse).localCheckpoint(), m, dsub, k, iters = 3)
     }
     // both codebooks -> driver literals (bounded: ≤ kc + m·k tiny rows)
