@@ -75,35 +75,49 @@ private[graft] object GraphOps {
       .filter(col("u") === col("v") && col("u").isNotNull)
       .select(col("u").as("node"))
     var cur = canon.filter(col("u") > col("v"))
+    // the checkpoint frame backing `cur`, for storage release (cur itself
+    // is a narrow FILTER over it since the round-14 probe fusion below,
+    // so unpersisting `cur` would find no LogicalRDD at the root)
+    var curCk: DataFrame = canon
     var converged = false
     var round = 0
     val maxRounds = 25 // O(log n) bound; 2^25 nodes ≫ any input here
     while (!converged && round < maxRounds) {
-      // ONE job per round (round-14 optimization, guide §2.4): the round
-      // result is a LAZY localCheckpoint — the plan truncates to a
-      // LogicalRDD immediately (star steps reference their input ~5×, so
-      // an untruncated chain grows exponentially in rounds — a cache()-
-      // based variant of this fusion OOMed on plan strings alone), but
-      // nothing materializes until the fixpoint probe's count, so the
-      // old shape's separate materializing job disappears and each round
-      // pays exactly one job. The probe is exact: both sides are
-      // distinct sets in the same canonical orientation, so the multiset
-      // union has count 2 everywhere iff the sets are equal.
-      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
-      converged = next.union(cur)
-        .groupBy(col("u"), col("v")).count()
-        .filter(col("count") === 1)
+      // ONE job AND one distinct-shaped exchange per round beyond the
+      // star aggregations (round-14 optimization, guide §2.4): the
+      // small-star output arrives here UN-deduplicated (see smallStar —
+      // its final distinct moved into this probe), tagged 1, unioned
+      // with the previous round's edge set tagged 2, and ONE
+      // groupBy(u, v) pass computes BOTH the deduplicated next edge set
+      // (`inN` rows) and the exact set-equality fixpoint verdict (no row
+      // may be in one set only). That fused frame is a LAZY
+      // localCheckpoint — the plan truncates to a LogicalRDD immediately
+      // (star steps reference their input ~5×, so an untruncated chain
+      // grows exponentially in rounds — a cache()-based variant of this
+      // fusion OOMed on plan strings alone), and the convergence count
+      // is the single action that materializes it; `next` is a narrow
+      // filter over the same checkpoint, never its own job or storage.
+      val tagged = smallStarRaw(largeStar(cur))
+        .select(col("u"), col("v"), lit(1).as("s"))
+        .union(cur.select(col("u"), col("v"), lit(2).as("s")))
+      val roundCk = tagged.groupBy(col("u"), col("v"))
+        .agg(max(when(col("s") === 1, 1)).as("inN"),
+          max(when(col("s") === 2, 1)).as("inC"))
+        .localCheckpoint(eager = false)
+      converged = roundCk
+        .filter(col("inN").isNull || col("inC").isNull)
         .count() == 0L
       // the convergence probe was this round's LAST read of the old
-      // frame — free its checkpoint storage now rather than waiting for
-      // nondeterministic driver GC + ContextCleaner (round-9 review:
-      // without this, a 10-round run holds ~10 materialized edge-set
-      // copies in executor storage). The final `cur` is never freed
-      // here: the returned labels plan reads it. Round 0's `cur` is a
-      // narrow filter over the checkpointed `canon` (no storage of its
-      // own); the helper is a no-op for non-checkpoint plans.
-      unpersistCheckpoint(cur)
-      cur = next
+      // round's frame — free its checkpoint storage now rather than
+      // waiting for nondeterministic driver GC + ContextCleaner (round-9
+      // review: without this, a 10-round run holds ~10 materialized
+      // edge-set copies in executor storage). The final round's
+      // checkpoint is never freed here: the returned labels plan reads
+      // it. Round 0's `curCk` is `canon` itself and is NEVER freed —
+      // `selfNodes` in the returned plan still reads it after the loop.
+      if (round > 0) unpersistCheckpoint(curCk)
+      cur = roundCk.filter(col("inN") === 1).select(col("u"), col("v"))
+      curCk = roundCk
       round += 1
     }
     require(converged,
@@ -140,7 +154,13 @@ private[graft] object GraphOps {
     * Shape: per-center minima as a map-side-combinable aggregate joined
     * back to the edges — for an input edge (u, v) (u > v always) the only
     * strictly-larger neighbor relation is "u is larger than center v", so
-    * the emit is exactly {(u, m_v)} and only the v side needs the join. */
+    * the emit is exactly {(u, m_v)} and only the v side needs the join.
+    *
+    * Emits duplicates (round-14, guide §2.4): the min aggregate and join
+    * of the following small-star step are duplicate-insensitive and the
+    * round's fused dedup+probe groupBy collapses the rest, so the old
+    * per-step `.distinct()` exchange was a full extra shuffle per round
+    * buying nothing. Output stays ≤ |e| rows (one per input edge). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -148,19 +168,19 @@ private[graft] object GraphOps {
       .agg(least(col("u"), min(col("v"))).as("m"))
     e.join(mins.select(col("u").as("v"), col("m")), "v")
       .select(col("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star step: input edges are (u > v); for each center u, re-point
     * all smaller neighbors AND u itself at u's minimum neighbor. The
     * (center → min) re-point edges are `mins` itself — already one row per
-    * center, so no extra distinct on that branch. */
-  private def smallStar(e: DataFrame): DataFrame = {
+    * center. Duplicate-tolerant on input (min/join are multiplicity-blind)
+    * and emits duplicates: the caller's fused dedup+probe groupBy is the
+    * one exchange that deduplicates the round (round-14, guide §2.4). */
+  private def smallStarRaw(e: DataFrame): DataFrame = {
     val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
     e.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .union(mins.select(col("u"), col("m").as("v")))
-      .distinct()
   }
 }
