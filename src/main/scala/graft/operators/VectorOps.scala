@@ -89,19 +89,33 @@ object VectorOps extends OpCatalog {
     * cluster recalls); this wrapper is what makes the family
     * driver-checked instead of trust-the-spec. */
   private[graft] def annLawFrame(exactScored: DataFrame, score: String,
-      asc: Boolean, ann: DataFrame, minHits: Int): DataFrame = {
+      asc: Boolean, ann: DataFrame, minHits: Int,
+      flagExact: DataFrame => DataFrame): DataFrame = {
     val ord =
       if (asc) Seq(col(score).asc, col("vec_id"))
       else Seq(col(score).desc, col("vec_id"))
+    // Round-14 (guide §1.2/§2.3): the old shape referenced `exactScored`
+    // three times (the top-10 twice — in_top broadcast + the returned
+    // rows — and the flags' left join once), so the full corpus-scoring
+    // pass EXECUTED three times and the flags join shuffled the n-row
+    // scored frame for a ≤10-row probe. Now: the top-10 frontier is a
+    // LAZY localCheckpoint (scored pass runs ONCE, both readers hit the
+    // ≤10-row cached RDD), and the flags' exact scores come from
+    // `flagExact` — the SAME scoring expression evaluated only for the
+    // ann's ids over an id-broadcast-pruned corpus scan, not a second
+    // full scored materialization. Flag values are bit-identical.
     val exactTop = exactScored.orderBy(ord: _*).limit(10)
+      .localCheckpoint(eager = false)
+    val annCk = ann.localCheckpoint(eager = false)
     // BOTH flags from ONE pass over the ANN answer (the ANN core is the
-    // expensive subplan here — two separate aggregations would run it
-    // twice). Left joins: an ANN row whose id is missing from the corpus
-    // (or whose reported score diverges) must FAIL score_ok, never
-    // vanish; the exact sides are 10-row / single-scan frames.
-    val flags = ann.select(col("vec_id"), col(score).as("ann_score"))
-      .join(exactScored.select(col("vec_id"), col(score).as("exact_score")),
-        Seq("vec_id"), "left")
+    // expensive subplan here — its checkpoint caches the ≤10-row answer
+    // for the id probe and the flags join). Left joins: an ANN row whose
+    // id is missing from the corpus (or whose reported score diverges)
+    // must FAIL score_ok, never vanish.
+    val exactSub = flagExact(annCk.select(col("vec_id")))
+    val flags = annCk.select(col("vec_id"), col(score).as("ann_score"))
+      .join(exactSub.select(col("vec_id"),
+        col("exact_score")), Seq("vec_id"), "left")
       .join(broadcast(exactTop.select(col("vec_id"), lit(true).as("in_top"))),
         Seq("vec_id"), "left")
       .agg(
@@ -114,6 +128,29 @@ object VectorOps extends OpCatalog {
       .select(col("vec_id"), col(score), col("recall_ok"), col("score_ok"))
       .orderBy(ord: _*)
   }
+
+  /** Flag-side exact scorers for [[annLawFrame]]/[[batchAnnLawFrame]]:
+    * the law only needs the TRUE score of each served id (≤ k rows), so
+    * the corpus is pruned by a broadcast of those ids BEFORE scoring —
+    * at 100 TB this is a column-pruned scan plus ≤ k score evaluations
+    * instead of a second full n-row scored materialization and its
+    * exchange. Expressions are the full scorers' verbatim, so the flag
+    * comparison sees identical values. */
+  private def flagExactCosine(corpus: DataFrame, q: DataFrame)
+      : DataFrame => DataFrame =
+    ids => corpus.join(broadcast(ids), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        roundVal(VectorExpressions.cosineSimilarity(col("embedding"),
+          col("q_emb")), 4).as("exact_score"))
+
+  private def flagExactL2(corpus: DataFrame, q: DataFrame)
+      : DataFrame => DataFrame =
+    ids => corpus.join(broadcast(ids), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        roundVal(sqDist(col("embedding"), col("q_emb")), 4)
+          .as("exact_score"))
 
   private val cosineTopKSql =
     """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -327,7 +364,9 @@ object VectorOps extends OpCatalog {
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
-      annLshCore(spark, sfDir), lshRecallFloorHits)
+      annLshCore(spark, sfDir), lshRecallFloorHits,
+      flagExactCosine(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+        queryVec(spark, sfDir)))
   }
 
   private val cosineLawSql =
@@ -530,7 +569,9 @@ object VectorOps extends OpCatalog {
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
-      annIvfCore(spark, sfDir), ivfRecallFloorHits)
+      annIvfCore(spark, sfDir), ivfRecallFloorHits,
+      flagExactCosine(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+        queryVec(spark, sfDir)))
   }
 
   /** Pure IVF probe against an already-trained codebook: the `nProbe`
@@ -1164,7 +1205,9 @@ object VectorOps extends OpCatalog {
     GraftSession.tune(spark)
     annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
       pqAdcTopKOf(emb(spark, sfDir), spark, memoKey = Some(sfDir)),
-      pqRecallFloorHits)
+      pqRecallFloorHits,
+      flagExactL2(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+        queryVec(spark, sfDir)))
   }
 
   /** The vec_id-0 query vector as a driver literal — ONE definition for
@@ -1293,7 +1336,9 @@ object VectorOps extends OpCatalog {
   def ivfAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
-      ivfAdcTopKCore(spark, sfDir), ivfadcRecallFloorHits)
+      ivfAdcTopKCore(spark, sfDir), ivfadcRecallFloorHits,
+      flagExactL2(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+        queryVec(spark, sfDir)))
   }
 
   /** In-query q118 core: probed-cell candidates + shortlist re-rank. */
@@ -1738,7 +1783,9 @@ object VectorOps extends OpCatalog {
           e.filter(col("vec_id") =!= 0))
     }
     annLawFrame(exactL2Scored(spark, sfDir), "l2", asc = true,
-      served, pqRecallFloorHits)
+      served, pqRecallFloorHits,
+      flagExactL2(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+        queryVec(spark, sfDir)))
   }
 
   /** Ensure the per-corpus PQ artifact exists and return its dir — ONE
@@ -1807,7 +1854,9 @@ object VectorOps extends OpCatalog {
           Some(AnnParams.ivfProbeCells(k)))
       }
     annLawFrame(exactCosineScored(spark, sfDir), "sim", asc = false,
-      served, ivfRecallFloorHits)
+      served, ivfRecallFloorHits,
+      flagExactCosine(emb(spark, sfDir).filter(col("vec_id") =!= 0),
+        queryVec(spark, sfDir)))
   }
 
   // --------------------------------------------------------------- q135
@@ -1826,20 +1875,30 @@ object VectorOps extends OpCatalog {
     * bogus served id FAIL score_ok instead of vanishing. */
   private[graft] def batchAnnLawFrame(exactScored: DataFrame,
       served: DataFrame, k: Int, minTotalHits: Int,
+      flagExact: DataFrame => DataFrame,
       score: String = "sim", asc: Boolean = false): DataFrame = {
     val ord =
       if (asc) Seq(col(score).asc, col("vec_id"))
       else Seq(col(score).desc, col("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(ord: _*)
+    // Same round-14 restructure as [[annLawFrame]]: the per-q_id top-k
+    // frontier is a lazy localCheckpoint (the n×|queries| scored pass
+    // executes once, not three times), the served answer is checkpointed
+    // (its probe subplan — a codes/cells scan + rerank — runs once), and
+    // the flags' exact scores are recomputed only for the served ids via
+    // `flagExact` instead of left-joining the full scored frame.
     val exactTop = exactScored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col(score))
-    val flags = served
+      .localCheckpoint(eager = false)
+    val servedCk = served.localCheckpoint(eager = false)
+    val exactSub = flagExact(servedCk.select(col("q_id"), col("vec_id")))
+    val flags = servedCk
       .select(col("q_id"), col("vec_id"), col(score).as("ann_sim"))
-      .join(exactScored.select(col("q_id"), col("vec_id"),
-        col(score).as("exact_sim")), Seq("q_id", "vec_id"), "left")
+      .join(exactSub.select(col("q_id"), col("vec_id"),
+        col("exact_score").as("exact_sim")), Seq("q_id", "vec_id"), "left")
       .join(broadcast(exactTop.select(col("q_id"), col("vec_id"),
         lit(true).as("in_top"))), Seq("q_id", "vec_id"), "left")
       .agg(
@@ -1854,6 +1913,19 @@ object VectorOps extends OpCatalog {
         col("recall_ok"), col("score_ok"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** q_id-aware twin of [[flagExactCosine]]/[[flagExactL2]]: scores the
+    * served (q_id, vec_id) pairs' ids against every query (≤ ids×|batch|
+    * rows — both bounded) behind a broadcast id prune of the corpus. */
+  private def batchFlagExact(corpus: DataFrame, queries: DataFrame,
+      scoreOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame => DataFrame =
+    pairs => corpus
+      .join(broadcast(pairs.select(col("vec_id")).distinct()),
+        Seq("vec_id"))
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        scoreOf(col("embedding"), col("q_emb")).as("exact_score"))
 
   /** Batched artifact-served ANN — the round-8 verdict's composition of
     * q122 (batched-queries frontier) with q132 (partition-pruned
@@ -1884,7 +1956,9 @@ object VectorOps extends OpCatalog {
         IvfIndex.probeBatch(spark, dir.toString, queries,
           AnnParams.ivfProbeCells(k), k = 5)
       }
-    batchAnnLawFrame(exactScored, served, k = 5, batchIvfRecallFloorHits)
+    batchAnnLawFrame(exactScored, served, k = 5, batchIvfRecallFloorHits,
+      batchFlagExact(corpus, queries, (e, q) =>
+        roundVal(VectorExpressions.cosineSimilarity(e, q), 4)))
   }
 
   // --------------------------------------------------------------- q137
@@ -1937,6 +2011,7 @@ object VectorOps extends OpCatalog {
         PqIndex.probeBatch(spark, dir.toString, queries, corpus, k = 5)
       }
     batchAnnLawFrame(exactScored, served, k = 5, batchPqRecallFloorHits,
+      batchFlagExact(corpus, queries, (e, q) => roundVal(sqDist(e, q), 4)),
       score = "l2", asc = true)
   }
 
@@ -2106,7 +2181,7 @@ object VectorOps extends OpCatalog {
         IvfIndex.probeVersioned(spark, dir.toString, q)
       }
     annLawFrame(exactCosineScoredOf(corpusV2, q), "sim", asc = false,
-      served, ivfVtRecallFloorHits)
+      served, ivfVtRecallFloorHits, flagExactCosine(corpusV2, q))
   }
 
   private val ivfVersionedProbeSql =
@@ -2157,6 +2232,7 @@ object VectorOps extends OpCatalog {
           _ => corpusV2, k = 5)
       }
     batchAnnLawFrame(exactScored, served, k = 5, pqVtRecallFloorHits,
+      batchFlagExact(corpusV2, queries, (e, q) => roundVal(sqDist(e, q), 4)),
       score = "l2", asc = true)
   }
 

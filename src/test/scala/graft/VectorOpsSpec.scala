@@ -94,7 +94,11 @@ class VectorOpsSpec extends SparkSpec {
       (6L, 0.45), (7L, 0.4), (8L, 0.35), (9L, 0.3), (10L, 0.25), (11L, 0.2))
       .toDF("vec_id", "sim")
     def law(ann: org.apache.spark.sql.DataFrame, minHits: Int) =
-      VectorOps.annLawFrame(exact, "sim", asc = false, ann, minHits)
+      VectorOps.annLawFrame(exact, "sim", asc = false, ann, minHits,
+          // the flag-side scorer over the same tiny exact table — what
+          // flagExactCosine/L2 do against the real corpus
+          ids => exact.join(broadcast(ids), Seq("vec_id"))
+            .select(col("vec_id"), col("sim").as("exact_score")))
         .select("recall_ok", "score_ok").head()
     val good = exact.filter(col("vec_id") <= 10)
     // truthful ANN answer: both flags green
