@@ -81,23 +81,32 @@ private[graft] object GraphOps {
     var curCk: DataFrame = canon
     var converged = false
     var round = 0
-    val maxRounds = 25 // O(log n) bound; 2^25 nodes ≫ any input here
+    val maxRounds = 26 // O(log n) bound; 2^25 nodes ≫ any input here
     while (!converged && round < maxRounds) {
-      // ONE job AND one distinct-shaped exchange per round beyond the
-      // star aggregations (round-14 optimization, guide §2.4): the
-      // small-star output arrives here UN-deduplicated (see smallStar —
-      // its final distinct moved into this probe), tagged 1, unioned
-      // with the previous round's edge set tagged 2, and ONE
-      // groupBy(u, v) pass computes BOTH the deduplicated next edge set
-      // (`inN` rows) and the exact set-equality fixpoint verdict (no row
-      // may be in one set only). That fused frame is a LAZY
-      // localCheckpoint — the plan truncates to a LogicalRDD immediately
-      // (star steps reference their input ~5×, so an untruncated chain
-      // grows exponentially in rounds — a cache()-based variant of this
-      // fusion OOMed on plan strings alone), and the convergence count
-      // is the single action that materializes it; `next` is a narrow
-      // filter over the same checkpoint, never its own job or storage.
-      val tagged = smallStarRaw(largeStar(cur))
+      // ONE probe job and one dedup exchange per TWO alternation pairs
+      // (round-15, guide §2.4; the round-14 shape probed after every
+      // pair): both star steps are duplicate-insensitive and emit
+      // duplicates freely, so a second large-star/small-star pair chains
+      // directly onto the first with no intermediate dedup, checkpoint,
+      // or driver sync — halving the loop's fixed per-probe cost (the
+      // scaling block showed this family FASTER at 8 cores than 32:
+      // it is bounded by per-job latency, not data). Convergence stays
+      // EXACT: the probe compares dedup(pair(pair(cur))) with cur, and
+      // set equality there implies cur is the true fixpoint — the star
+      // steps are deterministic functions of the edge SET, and Kiveris
+      // et al. prove the alternation converges from ANY input, so a
+      // non-fixpoint period-2 cycle (S2 == S0 with S1 != S0) would
+      // contradict convergence of the sequence started at S0. The
+      // fused dedup+probe groupBy below is round-14's: the un-dedup'd
+      // double-pair output tagged 1, the previous probed edge set
+      // tagged 2, ONE groupBy(u, v) computing both the next edge set
+      // and the exact set-equality verdict. That frame is a LAZY
+      // localCheckpoint — the plan truncates to a LogicalRDD
+      // immediately (star steps reference their input ~5×, so an
+      // untruncated chain grows exponentially — a cache()-based
+      // variant OOMed on plan strings alone), and the convergence
+      // count is the single action that materializes it.
+      val tagged = smallStarRaw(largeStar(smallStarRaw(largeStar(cur))))
         .select(col("u"), col("v"), lit(1).as("s"))
         .union(cur.select(col("u"), col("v"), lit(2).as("s")))
       val roundCk = tagged.groupBy(col("u"), col("v"))
@@ -118,7 +127,7 @@ private[graft] object GraphOps {
       if (round > 0) unpersistCheckpoint(curCk)
       cur = roundCk.filter(col("inN") === 1).select(col("u"), col("v"))
       curCk = roundCk
-      round += 1
+      round += 2 // star PAIRS executed (two per probe round)
     }
     require(converged,
       s"large-star/small-star did not converge in $maxRounds rounds — " +

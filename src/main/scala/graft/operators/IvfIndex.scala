@@ -54,7 +54,12 @@ object IvfIndex {
       nlist: Option[Int] = None): Unit = {
     val cb = train(e, iters, nlist).localCheckpoint()
     cb.write.mode("overwrite").parquet(s"$path/codebook")
-    VectorOps.assignCells(e, cb)
+    // repartition by the partition column before the partitioned write
+    // (guide §6): round-15's map-only assignCells no longer carries the
+    // groupBy exchange that implicitly coalesced each cell's rows — an
+    // unrepartitioned write would emit one file per (scan task × cell)
+    // and push every cell dir over the nightly compaction threshold
+    VectorOps.assignCells(e, cb).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
   }
 
@@ -85,8 +90,10 @@ object IvfIndex {
       iters: Int = 3, nlist: Option[Int] = None,
       properties: Map[String, String] = Map.empty): Long = {
     val cb = train(e, iters, nlist).localCheckpoint()
+    // repartition before the partitioned write — [[build]]'s note
     VersionedTable.publishFull(spark, root, "cell",
-      VectorOps.assignCells(e, cb), Map("codebook" -> cb), properties)
+      VectorOps.assignCells(e, cb).repartition(col("cell")),
+      Map("codebook" -> cb), properties)
   }
 
   /** [[updateFrom]] against a versioned index: same frozen-codebook
@@ -114,7 +121,9 @@ object IvfIndex {
           .union(newAssign.select(col("cell"))), "cell")
       val kept = old.filter(col("cell").isin(affectedCells: _*))
         .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
-      VersionedTable.Delta(affectedCells, kept.unionByName(newAssign),
+      // repartition before the partitioned write — [[build]]'s note
+      VersionedTable.Delta(affectedCells,
+        kept.unionByName(newAssign).repartition(col("cell")),
         properties = properties)
     }
 
@@ -174,8 +183,9 @@ object IvfIndex {
         .union(newAssign.select(col("cell"))), "cell")
     val kept = old.filter(col("cell").isin(affectedCells: _*))
       .join(broadcast(dropIds), Seq("vec_id"), "left_anti")
+    // repartition before the partitioned write — [[build]]'s note
     IndexMaintenance.replacePartitions(spark, s"$path/assignments", "cell",
-      affectedCells, kept.unionByName(newAssign))
+      affectedCells, kept.unionByName(newAssign).repartition(col("cell")))
   }
 
   /** Serve one query vector from a built index: score the ≤nlist-row

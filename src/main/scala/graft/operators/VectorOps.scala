@@ -104,6 +104,12 @@ object VectorOps extends OpCatalog {
     // `flagExact` — the SAME scoring expression evaluated only for the
     // ann's ids over an id-broadcast-pruned corpus scan, not a second
     // full scored materialization. Flag values are bit-identical.
+    // Cleanup note (round-14 advisor): these lazy checkpoints are
+    // intentionally left to driver GC + ContextCleaner — the returned
+    // plan reads them lazily after this function exits, so an eager
+    // unpersist here would pull cached blocks out from under the caller.
+    // They are ≤10-row RDDs: storage-entry leakage per law query, not
+    // bytes; the Bench/Verify drivers run bounded query counts.
     val exactTop = exactScored.orderBy(ord: _*).limit(10)
       .localCheckpoint(eager = false)
     val annCk = ann.localCheckpoint(eager = false)
@@ -111,11 +117,15 @@ object VectorOps extends OpCatalog {
     // expensive subplan here — its checkpoint caches the ≤10-row answer
     // for the id probe and the flags join). Left joins: an ANN row whose
     // id is missing from the corpus (or whose reported score diverges)
-    // must FAIL score_ok, never vanish.
+    // must FAIL score_ok, never vanish. exactSub is ≤10 rows by
+    // construction (id-pruned corpus scan) but sits over a scan whose
+    // size estimate is table-sized — without the broadcast hint the
+    // planner picked a SortMergeJoin (2 exchanges + 2 sorts) for a
+    // ≤10×≤10-row join (round-15, guide §3.1).
     val exactSub = flagExact(annCk.select(col("vec_id")))
     val flags = annCk.select(col("vec_id"), col(score).as("ann_score"))
-      .join(exactSub.select(col("vec_id"),
-        col("exact_score")), Seq("vec_id"), "left")
+      .join(broadcast(exactSub.select(col("vec_id"),
+        col("exact_score"))), Seq("vec_id"), "left")
       .join(broadcast(exactTop.select(col("vec_id"), lit(true).as("in_top"))),
         Seq("vec_id"), "left")
       .agg(
@@ -136,9 +146,13 @@ object VectorOps extends OpCatalog {
     * instead of a second full n-row scored materialization and its
     * exchange. Expressions are the full scorers' verbatim, so the flag
     * comparison sees identical values. */
+  // ids.distinct() mirrors batchFlagExact (round-14 advisor): if a buggy
+  // ANN core ever served duplicate vec_ids, an un-deduplicated prune join
+  // would multiply flag rows quadratically and LOOSEN the recall tripwire
+  // exactly when it should fire; the ids frame is ≤10 rows, so it's free.
   private def flagExactCosine(corpus: DataFrame, q: DataFrame)
       : DataFrame => DataFrame =
-    ids => corpus.join(broadcast(ids), Seq("vec_id"))
+    ids => corpus.join(broadcast(ids.distinct()), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         roundVal(VectorExpressions.cosineSimilarity(col("embedding"),
@@ -146,7 +160,7 @@ object VectorOps extends OpCatalog {
 
   private def flagExactL2(corpus: DataFrame, q: DataFrame)
       : DataFrame => DataFrame =
-    ids => corpus.join(broadcast(ids), Seq("vec_id"))
+    ids => corpus.join(broadcast(ids.distinct()), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         roundVal(sqDist(col("embedding"), col("q_emb")), 4)
@@ -440,19 +454,31 @@ object VectorOps extends OpCatalog {
     * corpus + a partial-aggregated `max` of a lexicographic struct — no
     * window sort, and the embedding rides inside the struct so no join-back
     * is needed. Returns `(vec_id, cell, embedding)`. */
-  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), struct(
-        VectorExpressions.cosineSimilarity(col("embedding"), col("centroid"))
-          .as("csim"),
-        (-col("cell")).as("neg_cell"), col("cell").as("cell"),
-        col("embedding").as("embedding")).as("scored"))
-      .groupBy(col("vec_id"))
-      // lexicographic max: highest csim, then (via neg_cell) LOWEST cell —
-      // embedding never participates in the comparison (neg_cell is unique)
-      .agg(max(col("scored")).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        col("best.embedding").as("embedding"))
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    // map-only argmax (round-15, guide §2.4): the codebook collapses to a
+    // ONE-row array that broadcasts, and each corpus row folds over it
+    // in-row — the old crossJoin + groupBy(vec_id) shape shuffled the
+    // whole corpus (embedding payloads included) through an exchange on
+    // EVERY Lloyd iteration, build, update, and q45 serving pass, purely
+    // to re-group the k broadcast-expanded candidate rows it had itself
+    // created. array_max over struct(csim, neg_cell, cell) is the same
+    // lexicographic comparison as the old max(struct) aggregate (highest
+    // csim, then lowest cell via neg_cell; both use the interpreted
+    // struct ordering), so assignments are bit-identical.
+    val cbk = cents.agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cbk"))
+    e.crossJoin(broadcast(cbk))
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("cbk"), c => struct(
+          VectorExpressions.cosineSimilarity(col("embedding"),
+            c.getField("centroid")).as("csim"),
+          (-c.getField("cell")).as("neg_cell"),
+          c.getField("cell").as("cell")))).getField("cell").as("cell"))
+      // empty codebook → empty array → null cell: match the old
+      // crossJoin's empty-output degrade instead of emitting null rows
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+  }
 
   /** Deterministic farthest-point (k-center greedy) seeding for the Lloyd
     * iterations: seed 0 is the lowest vec_id; each next seed is the vector
@@ -466,14 +492,20 @@ object VectorOps extends OpCatalog {
     var seeds = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     for (_ <- 1 until k) {
+      // map-only closeness (round-15, guide §2.4): the ≤k seeds collapse
+      // to a ONE-row array and each corpus row takes array_max of its
+      // cosines in-row — the old crossJoin + groupBy(vec_id) shuffled the
+      // corpus (with embeddings) once per seed round. array_max skips
+      // null elements exactly as the max() aggregate skipped null inputs,
+      // and the global TakeOrdered(1) on (closeness, vec_id) is
+      // unchanged, so the chosen seeds are identical.
+      val sArr = seeds.agg(collect_list(col("embedding")).as("s_embs"))
       val next = e
-        .crossJoin(broadcast(seeds.select(col("embedding").as("s_emb"))))
+        .crossJoin(broadcast(sArr))
         .select(col("vec_id"), col("embedding"),
-          VectorExpressions.cosineSimilarity(col("embedding"), col("s_emb"))
-            .as("cs"))
-        .groupBy(col("vec_id"))
-        // embedding is constant per vec_id; min() just carries it through
-        .agg(max(col("cs")).as("closeness"), min(col("embedding")).as("embedding"))
+          array_max(transform(col("s_embs"), s =>
+            VectorExpressions.cosineSimilarity(col("embedding"), s)))
+            .as("closeness"))
         .orderBy(col("closeness").asc, col("vec_id").asc)
         .limit(1)
         .select(col("vec_id"), col("embedding"))
@@ -1095,15 +1127,23 @@ object VectorOps extends OpCatalog {
   /** Sub-space assignment: argmin squared-L2 per (vec_id, sub) against a
     * broadcast codebook, lowest-cell tiebreak via lexicographic struct
     * min (cell is unique per sub, so svec never drives the comparison). */
-  private[graft] def assignPq(subs: DataFrame, cents: DataFrame): DataFrame =
-    subs.join(broadcast(cents), "sub")
-      .select(col("vec_id"), col("sub"), struct(
-        sqDist(col("svec"), col("centroid")).as("d"),
-        col("cell").as("cell"), col("svec").as("svec")).as("scored"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("scored")).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.cell").as("cell"),
-        col("best.svec").as("svec"))
+  private[graft] def assignPq(subs: DataFrame, cents: DataFrame): DataFrame = {
+    // map-only argmin per (vec, sub) — assignCells' round-15 fold shape:
+    // the per-sub codebook collapses to an array column (m rows total,
+    // broadcast), and each sub-vector row takes array_min of
+    // struct(d, cell) in-row. Same lexicographic comparison as the old
+    // min(struct) aggregate (lowest d, then lowest cell), so assignments
+    // are bit-identical; the corpus-sized groupBy(vec_id, sub) exchange
+    // (svec payloads included) that every Lloyd round paid is gone.
+    val cbk = cents.groupBy(col("sub"))
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cbk"))
+    subs.join(broadcast(cbk), "sub")
+      .select(col("vec_id"), col("sub"),
+        array_min(transform(col("cbk"), c => struct(
+          sqDist(col("svec"), c.getField("centroid")).as("d"),
+          c.getField("cell").as("cell")))).getField("cell").as("cell"),
+        col("svec"))
+  }
 
   /** Product-quantization codebook (Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): m
@@ -1301,18 +1341,25 @@ object VectorOps extends OpCatalog {
     * coarse centroid by squared L2 (lowest-cell tiebreak), output is the
     * RESIDUAL embedding (x − c_cell) that PQ trains on per §V of the PQ
     * paper. Training-side only; serving re-derives the cell in-row. */
-  private def assignCellsL2Residual(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), struct(
-        sqDist(col("embedding"), col("centroid")).as("d"),
-        col("cell").as("cell"), col("embedding").as("embedding"),
-        col("centroid").as("centroid")).as("scored"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("scored")).as("best"))
+  private def assignCellsL2Residual(e: DataFrame, cents: DataFrame): DataFrame = {
+    // map-only argmin — assignCells' round-15 fold shape for the L2 +
+    // residual variant: same struct comparison as the old min(struct)
+    // aggregate (lowest d, then lowest cell; embedding never drove the
+    // comparison — cell is unique), zero corpus exchange.
+    val cbk = cents.agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cbk"))
+    e.crossJoin(broadcast(cbk))
+      .select(col("vec_id"), col("embedding"),
+        array_min(transform(col("cbk"), c => struct(
+          sqDist(col("embedding"), c.getField("centroid")).as("d"),
+          c.getField("cell").as("cell"),
+          c.getField("centroid").as("centroid")))).as("best"))
+      .filter(col("best").isNotNull) // empty codebook → old empty output
       .select(col("vec_id"), col("best.cell").as("cell"),
-        zip_with(col("best.embedding"), col("best.centroid"),
+        zip_with(col("embedding"), col("best.centroid"),
           (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
           .as("embedding"))
+  }
 
   /** ANN top-10 via IVFADC — the composition the 100 TB path actually
     * ships (PQ paper §V; FAISS `IndexIVFPQ`): q45's coarse IVF cells
@@ -1894,11 +1941,13 @@ object VectorOps extends OpCatalog {
       .select(col("q_id"), col("rnk"), col("vec_id"), col(score))
       .localCheckpoint(eager = false)
     val servedCk = served.localCheckpoint(eager = false)
+    // broadcast: exactSub is ≤ k·|batch| rows behind an id-pruned scan
+    // whose size ESTIMATE is table-sized — annLawFrame's SMJ note
     val exactSub = flagExact(servedCk.select(col("q_id"), col("vec_id")))
     val flags = servedCk
       .select(col("q_id"), col("vec_id"), col(score).as("ann_sim"))
-      .join(exactSub.select(col("q_id"), col("vec_id"),
-        col("exact_score").as("exact_sim")), Seq("q_id", "vec_id"), "left")
+      .join(broadcast(exactSub.select(col("q_id"), col("vec_id"),
+        col("exact_score").as("exact_sim"))), Seq("q_id", "vec_id"), "left")
       .join(broadcast(exactTop.select(col("q_id"), col("vec_id"),
         lit(true).as("in_top"))), Seq("q_id", "vec_id"), "left")
       .agg(
