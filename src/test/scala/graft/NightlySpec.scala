@@ -181,7 +181,7 @@ class NightlySpec extends SparkSpec {
       "a re-run must not commit ANY new manifest on any root")
   }
 
-  test("crash-resume: kill after any step, re-run, converge to the uninterrupted night's exact state") {
+  test("crash-resume: kill after any step, re-run, converge to the uninterrupted night's exact state", SlowTest) {
     // ONE bootstrapped world, forked per crash point by byte-copy —
     // every branch starts from identical bits, so convergence is
     // checked as exact state equality against the uninterrupted branch

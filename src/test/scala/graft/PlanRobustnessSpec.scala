@@ -16,7 +16,7 @@ class PlanRobustnessSpec extends SparkSpec {
     "q86_cluster_representatives", // labels↔docs equi-join
     "q92_centroid_outliers")       // centroids↔embeddings equi-join
 
-  test("join results are identical with broadcasting disabled (SMJ plans)") {
+  test("join results are identical with broadcasting disabled (SMJ plans)", SlowTest) {
     val queries = SparkEntry.queries
     def run(name: String): Seq[Row] = queries(name)(spark, sfDir).collect().toSeq
     val withBroadcast = joinQueries.map(n => n -> run(n)).toMap
@@ -123,7 +123,7 @@ class PlanRobustnessSpec extends SparkSpec {
     }
   }
 
-  test("index serving plan pins survive shuffle.partitions=200 (cluster-scale config)") {
+  test("index serving plan pins survive shuffle.partitions=200 (cluster-scale config)", SlowTest) {
     // The three serving-plan laws (pruned scan, pushed term filter,
     // map-side WindowGroupLimit frontier) are pinned by the index specs
     // at the small test shuffle count. A 100 TB cluster runs

@@ -79,7 +79,7 @@ class ScaleStressSpec extends SparkSpec {
     * are in each test body next to the corresponding assertion. */
   private val run100x = sys.env.contains("GRAFT_SCALE_100X")
 
-  test("PPJoin candidates grow linear-ish; MinHash recall holds at boundary Jaccard (1x/10x/100x)") {
+  test("PPJoin candidates grow linear-ish; MinHash recall holds at boundary Jaccard (1x/10x/100x)", SlowTest) {
     // measured in this environment (2026-08, GRAFT_SCALE_100X run):
     //   240 docs:    cands/doc 0.143, minhash recall 0.9750
     //   2,400 docs:  cands/doc 0.143, minhash recall 0.9875
@@ -184,7 +184,7 @@ class ScaleStressSpec extends SparkSpec {
     measured.foreach(r => assert(r >= 0.9, f"boundary recall $r%.3f < 0.9"))
   }
 
-  test("contamination screen per-doc cost is benchmark-size-insensitive (sorted intersect)") {
+  test("contamination screen per-doc cost is benchmark-size-insensitive (sorted intersect)", SlowTest) {
     // the claim behind SortedIntersectCount: array_intersect rebuilds a
     // hash set of the whole bench array per ROW (per-doc cost O(|bench|));
     // binary search over the pre-sorted array is O(g·log|bench|). Measure
@@ -475,7 +475,7 @@ class ScaleStressSpec extends SparkSpec {
       s"frontier grew with corpus size: $frontierRows")
   }
 
-  test("connected components converge in O(log n) rounds on a long chain") {
+  test("connected components converge in O(log n) rounds on a long chain", SlowTest) {
     // the claim behind GraphOps (q60/q78): large-star/small-star needs
     // ~log(n) materializing rounds where plain min-label propagation needs
     // DIAMETER rounds. A chain is the worst case — measure it: a 64-node
@@ -558,7 +558,7 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
-  test("q129 recursion: long event chains cost one corpus pass; depth is the maxHops knob") {
+  test("q129 recursion: long event chains cost one corpus pass; depth is the maxHops knob", SlowTest) {
     import spark.implicits._
     // one user walks a 10-type cycle; the OBSERVED transition grid is 10
     // edges no matter how long the walk — the frontier-size law: every
@@ -588,7 +588,7 @@ class ScaleStressSpec extends SparkSpec {
       EventOps.recursiveReachOf(walk(200), maxHops = 9).collect().toSeq)
   }
 
-  test("the COMPOSED nightly at 1024 buckets: a 3-bucket delta keeps every consumer's commit delta-bounded; the re-run is a no-op") {
+  test("the COMPOSED nightly at 1024 buckets: a 3-bucket delta keeps every consumer's commit delta-bounded; the re-run is a no-op", SlowTest) {
     // round-12 verdict item 4: the CDC READ law below runs at 1024
     // partitions, but the composed nightly itself only ever ran at the
     // 16-bucket fixture — "count-agnostic" was scaladoc. This runs the
@@ -696,7 +696,7 @@ class ScaleStressSpec extends SparkSpec {
     assert(manifests() == before, "zero new manifests anywhere")
   }
 
-  test("CDC read stays delta-bounded at 1k partitions: a 3-partition delta scans ≤ 2x3 partitions' files, classify exact") {
+  test("CDC read stays delta-bounded at 1k partitions: a 3-partition delta scans ≤ 2x3 partitions' files, classify exact", SlowTest) {
     // the q143 inputFiles law measured at REALISTIC partition
     // cardinality, not the fixture's 16 buckets (round-11 verdict item
     // 5): at 10k+ nightly partitions the manifest diff must hand the
