@@ -81,32 +81,36 @@ private[graft] object GraphOps {
     var curCk: DataFrame = canon
     var converged = false
     var round = 0
-    val maxRounds = 26 // O(log n) bound; 2^25 nodes ≫ any input here
+    val maxRounds = 25 // O(log n) bound; 2^25 nodes ≫ any input here
     while (!converged && round < maxRounds) {
-      // ONE probe job and one dedup exchange per TWO alternation pairs
-      // (round-15, guide §2.4; the round-14 shape probed after every
-      // pair): both star steps are duplicate-insensitive and emit
-      // duplicates freely, so a second large-star/small-star pair chains
-      // directly onto the first with no intermediate dedup, checkpoint,
-      // or driver sync — halving the loop's fixed per-probe cost (the
-      // scaling block showed this family FASTER at 8 cores than 32:
-      // it is bounded by per-job latency, not data). Convergence stays
-      // EXACT: the probe compares dedup(pair(pair(cur))) with cur, and
-      // set equality there implies cur is the true fixpoint — the star
-      // steps are deterministic functions of the edge SET, and Kiveris
-      // et al. prove the alternation converges from ANY input, so a
-      // non-fixpoint period-2 cycle (S2 == S0 with S1 != S0) would
-      // contradict convergence of the sequence started at S0. The
-      // fused dedup+probe groupBy below is round-14's: the un-dedup'd
-      // double-pair output tagged 1, the previous probed edge set
-      // tagged 2, ONE groupBy(u, v) computing both the next edge set
-      // and the exact set-equality verdict. That frame is a LAZY
-      // localCheckpoint — the plan truncates to a LogicalRDD
-      // immediately (star steps reference their input ~5×, so an
-      // untruncated chain grows exponentially — a cache()-based
-      // variant OOMed on plan strings alone), and the convergence
-      // count is the single action that materializes it.
-      val tagged = smallStarRaw(largeStar(smallStarRaw(largeStar(cur))))
+      // ONE job AND one distinct-shaped exchange per round beyond the
+      // star aggregations (round-14 optimization, guide §2.4): the
+      // small-star output arrives here UN-deduplicated (see smallStar —
+      // its final distinct moved into this probe), tagged 1, unioned
+      // with the previous round's edge set tagged 2, and ONE
+      // groupBy(u, v) pass computes BOTH the deduplicated next edge set
+      // (`inN` rows) and the exact set-equality fixpoint verdict (no row
+      // may be in one set only). That fused frame is a LAZY
+      // localCheckpoint — the plan truncates to a LogicalRDD immediately
+      // (star steps reference their input ~5×, so an untruncated chain
+      // grows exponentially in rounds — a cache()-based variant of this
+      // fusion OOMed on plan strings alone), and the convergence count
+      // is the single action that materializes it; `next` is a narrow
+      // filter over the same checkpoint, never its own job or storage.
+      //
+      // TWO alternation pairs per probe was re-tested in round 15 under
+      // this fused shape (round-4 tried it pre-fusion; the round-14
+      // verdict asked for a re-test) and measured NEGATIVE again —
+      // q78 warm 3.3 s → 7.2 s, q93 5.9 → 7.9 at sf0.1/local[32]: the
+      // probe's set equality is only observable on even pair counts, and
+      // these dedup graphs converge in ~3–6 pairs, so the up-to-2-pair
+      // overshoot (4 star exchanges each) plus the 2–3× duplicate growth
+      // across an un-deduplicated double pair cost more than the saved
+      // probes. Convergence-wise the variant was sound (S2 == S0 implies
+      // a fixpoint — a non-fixpoint 2-cycle would contradict Kiveris et
+      // al.'s any-start convergence); it is the constant factors that
+      // kill it at real round counts.
+      val tagged = smallStarRaw(largeStar(cur))
         .select(col("u"), col("v"), lit(1).as("s"))
         .union(cur.select(col("u"), col("v"), lit(2).as("s")))
       val roundCk = tagged.groupBy(col("u"), col("v"))
@@ -127,7 +131,7 @@ private[graft] object GraphOps {
       if (round > 0) unpersistCheckpoint(curCk)
       cur = roundCk.filter(col("inN") === 1).select(col("u"), col("v"))
       curCk = roundCk
-      round += 2 // star PAIRS executed (two per probe round)
+      round += 1
     }
     require(converged,
       s"large-star/small-star did not converge in $maxRounds rounds — " +
@@ -186,6 +190,12 @@ private[graft] object GraphOps {
     * and emits duplicates: the caller's fused dedup+probe groupBy is the
     * one exchange that deduplicates the round (round-14, guide §2.4). */
   private def smallStarRaw(e: DataFrame): DataFrame = {
+    // Round-15 also tried a fused-exchange variant here (repartition e by
+    // u once; aggregate exchange-free over it and let the join reuse the
+    // same exchange): job counts and wall time were UNCHANGED at
+    // sf0.1/local[32] — AQE already materializes the aggregate's and the
+    // join's independent exchanges in parallel, so the per-round critical
+    // path never contained both. Kept in the simpler two-aggregate form.
     val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
     e.join(mins, "u")
       .filter(col("v") =!= col("m"))

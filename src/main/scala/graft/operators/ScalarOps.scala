@@ -185,19 +185,16 @@ object ScalarOps extends OpCatalog {
     * (one buffer each) and the exact pass stays all-long-buffers. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
-    // ONE aggregation pass (round-15, guide §1.2): the old exact/approx
-    // split scanned lineitem twice and joined the two 3-row aggregates
-    // back together; fused, the HLL sketches ride the same Expand-based
-    // distinct aggregation (Expand grows 2→3 projections, but one full
-    // scan and the join drop out). HLL++ merge is register-wise max —
-    // partitioning-independent — so the approx values (and the flags
-    // computed from them) are identical to the two-pass form's.
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+    // the split is DELIBERATE — see the scaladoc above (re-measured in
+    // round 15: the fused form replayed at 17.5 s vs 1.7 s split)
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    exact.join(broadcast(approx), "l_returnflag")
       .select(col("l_returnflag"),
         col("exact_orders"), col("exact_parts"),
         withinTol(col("approx_orders"), col("exact_orders"), 0.1)

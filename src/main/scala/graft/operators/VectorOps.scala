@@ -489,8 +489,10 @@ object VectorOps extends OpCatalog {
     * plus a partial-agg max; k is small, so k-1 passes is the offline
     * training cost IVF always pays. */
   private def farthestPointSeeds(e: DataFrame, k: Int): DataFrame = {
+    // LAZY per-round checkpoints — [[ivfCodebook]]'s round-15 note: the
+    // next round's seeds-array broadcast is the materializing action
     var seeds = e.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
+      .select(col("vec_id"), col("embedding")).localCheckpoint(eager = false)
     for (_ <- 1 until k) {
       // map-only closeness (round-15, guide §2.4): the ≤k seeds collapse
       // to a ONE-row array and each corpus row takes array_max of its
@@ -509,7 +511,7 @@ object VectorOps extends OpCatalog {
         .orderBy(col("closeness").asc, col("vec_id").asc)
         .limit(1)
         .select(col("vec_id"), col("embedding"))
-      seeds = seeds.union(next).localCheckpoint()
+      seeds = seeds.union(next).localCheckpoint(eager = false)
     }
     seeds
   }
@@ -547,13 +549,18 @@ object VectorOps extends OpCatalog {
     // scan would hand every round's whole pass to ONE task
     val corpus = graft.GraftSession.spread(
       e.filter(col("vec_id") =!= 0), col("vec_id"))
+    // LAZY per-iteration checkpoints (round-15, guide §2.4): the plan
+    // still truncates to a LogicalRDD immediately, but the materializing
+    // job moves INTO the next iteration's codebook broadcast instead of
+    // running as its own eager job — one job per Lloyd round, not two.
+    // The ≤k-row superseded iterations are left to ContextCleaner.
     var cents = (if (k <= 16) farthestPointSeeds(corpus, k)
                  else hashSeeds(corpus, k))
       .withColumn("cell", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
         .cast("int"))
       .select(col("cell"), col("embedding").as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 0 until iters) {
       cents = assignCells(corpus, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -562,7 +569,7 @@ object VectorOps extends OpCatalog {
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
           "x -> CAST(x.c AS FLOAT))").as("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cents
   }
@@ -1168,10 +1175,11 @@ object VectorOps extends OpCatalog {
         org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
         .cast("int"))
       .select(col("vec_id"), col("cell"))
+    // LAZY per-iteration checkpoints — [[ivfCodebook]]'s round-15 note
     var cents = subVectors(corpus, m, dsub)
       .join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("cell"), col("svec").as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 0 until iters) {
       cents = assignPq(subVectors(corpus, m, dsub), cents)
         .select(col("sub"), col("cell"),
@@ -1181,7 +1189,7 @@ object VectorOps extends OpCatalog {
         .groupBy(col("sub"), col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
           "x -> CAST(x.c AS FLOAT))").as("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cents
   }
